@@ -1,0 +1,122 @@
+"""
+Act/Dropout/Norm ordered block and its closure factory.
+
+Parity targets: adell_mri/modules/layers/adn_fn.py — ActDropNorm (:56),
+get_adn_fn (:205). The factory signature (spatial_dim, norm_fn, act_fn,
+dropout_param) is threaded through every model config in the reference, so it
+is preserved verbatim. Layout is channels-last; "instance" norm is GroupNorm
+with one group per channel over the spatial axes, "batch" uses a mutable
+batch_stats collection.
+"""
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from adell_mri_tpu.models.layers.activations import get_activation
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over spatial axes."""
+
+    epsilon: float = 1e-5
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim - 1))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        features = x.shape[-1]
+        if self.use_scale:
+            scale = self.param("scale", nn.initializers.ones, (features,))
+            y = y * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (features,))
+            y = y + bias
+        return y
+
+
+def make_norm(norm_fn: str, spatial_dim: int = 3) -> Callable[[], nn.Module]:
+    """Norm constructor by name: batch / instance / layer / group / identity."""
+    norm_fn = (norm_fn or "identity").lower()
+    if norm_fn == "batch":
+        return lambda: nn.BatchNorm(use_running_average=None, momentum=0.9)
+    if norm_fn == "instance":
+        return lambda: InstanceNorm()
+    if norm_fn == "layer":
+        return lambda: nn.LayerNorm()
+    if norm_fn == "group":
+        return lambda: nn.GroupNorm(num_groups=None, group_size=8)
+    if norm_fn in ("identity", "none"):
+        return lambda: None
+    raise NotImplementedError(f"norm {norm_fn!r}")
+
+
+class ActDropNorm(nn.Module):
+    """
+    Applies activation, dropout and normalization in a configurable order
+    (parity: adn_fn.py:56; default order A->D->N).
+    """
+
+    norm_fn: str = "batch"
+    act_fn: str = "swish"
+    dropout_param: float = 0.0
+    ordering: str = "ADN"
+    spatial_dim: int = 3
+    dropout_type: str = "dropout"  # "dropout" | "uout" (regularization.py:11)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from adell_mri_tpu.models.layers.regularization import UOut
+
+        act = get_activation(self.act_fn)
+        norm_ctor = make_norm(self.norm_fn, self.spatial_dim)
+        for op in self.ordering.upper():
+            if op == "A":
+                x = act(x)
+            elif op == "D" and self.dropout_param > 0:
+                if self.dropout_type == "uout":
+                    x = UOut(beta=self.dropout_param)(x, train=train)
+                else:
+                    x = nn.Dropout(rate=self.dropout_param)(
+                        x, deterministic=not train
+                    )
+            elif op == "N":
+                norm = norm_ctor()
+                if norm is not None:
+                    if isinstance(norm, nn.BatchNorm):
+                        x = norm(x, use_running_average=not train)
+                    else:
+                        x = norm(x)
+        return x
+
+
+def get_adn_fn(
+    spatial_dim: int = 3,
+    norm_fn: str = "batch",
+    act_fn: str = "swish",
+    dropout_param: float = 0.0,
+    dropout_type: str = "dropout",
+) -> Callable[[], ActDropNorm]:
+    """
+    Returns an ActDropNorm constructor with baked arguments
+    (parity: adn_fn.py:205 — used by every model factory).
+    """
+
+    def ctor(_features: Optional[int] = None) -> ActDropNorm:
+        # _features accepted for call-site parity (torch norm layers need it;
+        # flax infers feature count at call time)
+        return ActDropNorm(
+            norm_fn=norm_fn,
+            act_fn=act_fn,
+            dropout_param=dropout_param,
+            spatial_dim=spatial_dim,
+            dropout_type=dropout_type,
+        )
+
+    return ctor

@@ -1,0 +1,190 @@
+"""
+Standard convolutional building blocks.
+
+Parity targets: adell_mri/modules/layers/standard_blocks.py —
+GlobalPooling (:10), depthwise-separable convs (:40,93),
+ConvolutionalBlock2d/3d (:146,215), DenseBlock (:284), VGGConvolution3d
+(:379), VGGDeconvolution3d (:435). One rank-agnostic implementation each:
+spatial rank is inferred from the input (channels-last), so 2D/3D pairs
+collapse into a single module.
+"""
+
+from typing import Callable, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from adell_mri_tpu.models.layers.adn import get_adn_fn
+
+AdnFactory = Callable[..., Optional[nn.Module]]
+
+
+def _tuple(v, n: int):
+    if isinstance(v, (list, tuple)):
+        if len(v) != n:
+            raise ValueError(f"expected length-{n} spec, got {v}")
+        return tuple(int(x) for x in v)
+    return (int(v),) * n
+
+
+def identity_adn(_features=None):
+    return None
+
+
+def apply_adn(adn, x, train: bool):
+    return x if adn is None else adn(x, train=train)
+
+
+class GlobalPooling(nn.Module):
+    """Mean over all spatial axes (parity: standard_blocks.py:10)."""
+
+    mode: str = "mean"
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim - 1))
+        if self.mode == "max":
+            return jnp.max(x, axis=axes)
+        return jnp.mean(x, axis=axes)
+
+
+class ConvBlock(nn.Module):
+    """
+    Conv -> ADN, repeated over channel/kernel lists
+    (parity: ConvolutionalBlock2d/3d, standard_blocks.py:146,215).
+    """
+
+    out_channels: Sequence[int]
+    kernel_size: Sequence[Union[int, Sequence[int]]]
+    adn_fn: AdnFactory = identity_adn
+    strides: Optional[Sequence[Union[int, Sequence[int]]]] = None
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ndim = x.ndim - 2
+        strides = self.strides or [1] * len(self.out_channels)
+        for c, k, s in zip(self.out_channels, self.kernel_size, strides):
+            x = nn.Conv(
+                features=c,
+                kernel_size=_tuple(k, ndim),
+                strides=_tuple(s, ndim),
+                padding=self.padding,
+            )(x)
+            x = apply_adn(self.adn_fn(c), x, train)
+        return x
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """Depthwise conv + pointwise conv (parity: standard_blocks.py:40,93)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    adn_fn: AdnFactory = identity_adn
+    padding: str = "SAME"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ndim = x.ndim - 2
+        in_ch = x.shape[-1]
+        x = nn.Conv(
+            features=in_ch,
+            kernel_size=_tuple(self.kernel_size, ndim),
+            feature_group_count=in_ch,
+            padding=self.padding,
+        )(x)
+        x = apply_adn(self.adn_fn(in_ch), x, train)
+        x = nn.Conv(features=self.out_channels, kernel_size=_tuple(1, ndim))(x)
+        x = apply_adn(self.adn_fn(self.out_channels), x, train)
+        return x
+
+
+class DenseBlock(nn.Module):
+    """
+    Dense connectivity: each conv sees the concat of all previous outputs
+    (parity: standard_blocks.py:284).
+    """
+
+    out_channels: Sequence[int]
+    kernel_size: Sequence[int]
+    adn_fn: AdnFactory = identity_adn
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ndim = x.ndim - 2
+        features = [x]
+        for c, k in zip(self.out_channels, self.kernel_size):
+            inp = jnp.concatenate(features, axis=-1) if len(features) > 1 else features[0]
+            y = nn.Conv(features=c, kernel_size=_tuple(k, ndim), padding="SAME")(inp)
+            y = apply_adn(self.adn_fn(c), y, train)
+            features.append(y)
+        return features[-1]
+
+
+class VGGConvolution(nn.Module):
+    """
+    Two same-width convs then channel doubling, with maxpool
+    (parity: VGGConvolution3d, standard_blocks.py:379).
+    """
+
+    first_depth: int
+    norm_fn: str = "batch"
+    act_fn: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ndim = x.ndim - 2
+        d = self.first_depth
+        adn = get_adn_fn(ndim, self.norm_fn, self.act_fn)
+        x = nn.Conv(d, _tuple(3, ndim), padding="SAME")(x)
+        x = apply_adn(adn(d), x, train)
+        x = nn.Conv(2 * d, _tuple(3, ndim), padding="SAME")(x)
+        x = apply_adn(adn(2 * d), x, train)
+        x = nn.max_pool(
+            x, window_shape=_tuple(2, ndim), strides=_tuple(2, ndim)
+        )
+        return x
+
+
+class VGGDeconvolution(nn.Module):
+    """Transposed-conv upsampling mirror of VGGConvolution (:435)."""
+
+    depth: int
+    last: bool = False
+    norm_fn: str = "batch"
+    act_fn: str = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ndim = x.ndim - 2
+        adn = get_adn_fn(ndim, self.norm_fn, self.act_fn)
+        x = nn.ConvTranspose(
+            self.depth, _tuple(2, ndim), strides=_tuple(2, ndim)
+        )(x)
+        x = apply_adn(adn(self.depth), x, train)
+        if not self.last:
+            x = nn.Conv(self.depth // 2, _tuple(3, ndim), padding="SAME")(x)
+            x = apply_adn(adn(self.depth // 2), x, train)
+        return x
+
+
+def max_pool(x, window: Union[int, Sequence[int]], stride=None):
+    ndim = x.ndim - 2
+    w = _tuple(window, ndim)
+    s = _tuple(stride, ndim) if stride is not None else w
+    return nn.max_pool(x, window_shape=w, strides=s)
+
+
+class MLP(nn.Module):
+    """Plain MLP (parity: linear_blocks.py:53)."""
+
+    hidden_dims: Sequence[int]
+    out_dim: int
+    adn_fn: AdnFactory = identity_adn
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for h in self.hidden_dims:
+            x = nn.Dense(h)(x)
+            x = apply_adn(self.adn_fn(h), x, train)
+        return nn.Dense(self.out_dim)(x)

@@ -1,0 +1,176 @@
+"""
+Residual blocks.
+
+Parity targets: adell_mri/modules/layers/res_blocks.py —
+ResidualBlock2d/3d (:13,108), ResNeXtBlock2d/3d (:251,340),
+ConvNeXtBlock2d/3d + V2 (:429-686), ParallelOperationsAndSum (:203).
+Rank-agnostic (channels-last); 2D/3D pairs collapse into one module.
+"""
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from adell_mri_tpu.models.layers.blocks import (
+    AdnFactory,
+    _tuple,
+    apply_adn,
+    identity_adn,
+)
+from adell_mri_tpu.models.layers.regularization import GRN, LayerScale
+
+
+class ResidualBlock(nn.Module):
+    """
+    Bottleneck residual: 1x1 -> ADN -> kxk -> ADN -> 1x1, skip-added, then an
+    optional 1x1 projection to out_channels and a final ADN
+    (parity: res_blocks.py:108 ResidualBlock3d).
+    """
+
+    kernel_size: int = 3
+    inter_channels: Optional[int] = None
+    out_channels: Optional[int] = None
+    adn_fn: AdnFactory = identity_adn
+    skip_activation: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, skip_activation: bool = None):
+        ndim = x.ndim - 2
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+        if self.inter_channels is not None:
+            y = nn.Conv(self.inter_channels, _tuple(1, ndim))(x)
+            y = apply_adn(self.adn_fn(self.inter_channels), y, train)
+            y = nn.Conv(
+                self.inter_channels,
+                _tuple(self.kernel_size, ndim),
+                padding="SAME",
+            )(y)
+            y = apply_adn(self.adn_fn(self.inter_channels), y, train)
+            y = nn.Conv(in_ch, _tuple(1, ndim))(y)
+        else:
+            y = nn.Conv(
+                in_ch, _tuple(self.kernel_size, ndim), padding="SAME"
+            )(x)
+            y = apply_adn(self.adn_fn(in_ch), y, train)
+            y = nn.Conv(
+                in_ch, _tuple(self.kernel_size, ndim), padding="SAME"
+            )(y)
+        out = y + x
+        if in_ch != out_ch:
+            out = nn.Conv(out_ch, _tuple(1, ndim))(out)
+        skip = (
+            skip_activation
+            if skip_activation is not None
+            else self.skip_activation
+        )
+        if not skip:
+            out = apply_adn(self.adn_fn(out_ch), out, train)
+        return out
+
+
+class ResNeXtBlock(nn.Module):
+    """
+    Grouped-conv bottleneck residual (parity: res_blocks.py:251,340);
+    cardinality via feature_group_count.
+    """
+
+    kernel_size: int = 3
+    inter_channels: Optional[int] = None
+    out_channels: Optional[int] = None
+    adn_fn: AdnFactory = identity_adn
+    n_splits: int = 16
+    skip_activation: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, skip_activation: bool = None):
+        ndim = x.ndim - 2
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+        inter = self.inter_channels or in_ch
+        groups = min(self.n_splits, inter)
+        inter = (inter // groups) * groups or groups
+        y = nn.Conv(inter, _tuple(1, ndim))(x)
+        y = apply_adn(self.adn_fn(inter), y, train)
+        y = nn.Conv(
+            inter,
+            _tuple(self.kernel_size, ndim),
+            feature_group_count=groups,
+            padding="SAME",
+        )(y)
+        y = apply_adn(self.adn_fn(inter), y, train)
+        y = nn.Conv(in_ch, _tuple(1, ndim))(y)
+        out = y + x
+        if in_ch != out_ch:
+            out = nn.Conv(out_ch, _tuple(1, ndim))(out)
+        skip = (
+            skip_activation
+            if skip_activation is not None
+            else self.skip_activation
+        )
+        if not skip:
+            out = apply_adn(self.adn_fn(out_ch), out, train)
+        return out
+
+
+class ConvNeXtBlock(nn.Module):
+    """
+    ConvNeXt block: depthwise 7^d conv -> LayerNorm -> pointwise 4x expand
+    -> GELU -> pointwise project, with LayerScale (v1) or GRN (v2)
+    (parity: res_blocks.py:429-686). Ignores inter_channels like the
+    reference and expands 4x internally.
+    """
+
+    kernel_size: int = 7
+    inter_channels: Optional[int] = None
+    out_channels: Optional[int] = None
+    adn_fn: AdnFactory = identity_adn  # accepted for API parity; unused
+    v2: bool = False
+    layer_scale_init: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, skip_activation: bool = None):
+        ndim = x.ndim - 2
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+        y = nn.Conv(
+            in_ch,
+            _tuple(self.kernel_size, ndim),
+            feature_group_count=in_ch,
+            padding="SAME",
+        )(x)
+        y = nn.LayerNorm()(y)
+        y = nn.Dense(4 * in_ch)(y)
+        y = nn.gelu(y)
+        if self.v2:
+            y = GRN()(y)
+        y = nn.Dense(in_ch)(y)
+        if not self.v2:
+            y = LayerScale(init_value=self.layer_scale_init)(y)
+        out = y + x
+        if in_ch != out_ch:
+            out = nn.Conv(out_ch, _tuple(1, ndim))(out)
+        return out
+
+
+class ParallelOperationsAndSum(nn.Module):
+    """Applies each op to the input and sums outputs (parity :203)."""
+
+    operations: Sequence[Callable]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outputs = [op(x) for op in self.operations]
+        total = outputs[0]
+        for o in outputs[1:]:
+            total = total + o
+        return total
+
+
+RES_BLOCK_REGISTRY = {
+    "resnet": ResidualBlock,
+    "resnext": ResNeXtBlock,
+    "convnext": ConvNeXtBlock,
+    "convnextv2": lambda **kw: ConvNeXtBlock(v2=True, **kw),
+}

@@ -1,0 +1,429 @@
+"""
+Config-driven U-Net family.
+
+Parity target: adell_mri/modules/segmentation/unet.py — UNet (:31, forward
+:751-843) and BrUNet (:846). Same config surface:
+
+- ``conv_type``: regular | depthwise | resnet | sae | asp | convnext
+- ``link_type``: identity | conv | residual | attention
+- ``upscale_type``: upsample | transpose
+- encoder: per level i, conv(prev->depth[i], k_i, stride 1)+ADN then
+  downsample conv(depth[i]->depth[i], k_i, stride s_i)+ADN; last level has no
+  downsample (unet.py:543-585)
+- decoder: upscale 1x1(d1->d2)+resize (or transposed conv), link op on the
+  skip, concat, conv(2d->d)+ADN (unet.py:605-624)
+- optional skip-image conditioning (aux mask concat to skips, :796-799),
+  tabular feature FiLM (sigmoid gate multiply, :716-740,803-809), bottleneck
+  classification head (:691,830-834), deep supervision heads (:605-624),
+  sigmoid/softmax folded into final_layer (:626-655).
+
+TPU-first: channels-last; 2D/3D collapse into one module (rank inferred from
+the input); all branch flags are static Python booleans so jit traces one
+graph per configuration (no retraces, SURVEY.md §7 hard parts).
+"""
+
+from typing import Any, Dict, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from adell_mri_tpu.models.layers.adn import get_adn_fn
+from adell_mri_tpu.models.layers.blocks import (
+    DepthwiseSeparableConv,
+    _tuple,
+    apply_adn,
+)
+from adell_mri_tpu.models.layers.multi_resolution import (
+    AtrousSpatialPyramidPooling,
+    resize_like,
+)
+from adell_mri_tpu.models.layers.res_blocks import ResidualBlock, ConvNeXtBlock
+from adell_mri_tpu.models.layers.self_attention import (
+    ConcurrentSqueezeAndExcite,
+    SelfAttentionBlock,
+)
+
+
+class _ConvUnit(nn.Module):
+    """One conv_type-selected operation: conv(out, k, stride) + ADN."""
+
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]]
+    stride: Union[int, Sequence[int]] = 1
+    conv_type: str = "regular"
+    adn_fn: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ndim = x.ndim - 2
+        k = _tuple(self.kernel_size, ndim)
+        s = _tuple(self.stride, ndim)
+        ct = self.conv_type
+        if ct in ("regular", "sae"):
+            x = nn.Conv(self.out_channels, k, strides=s, padding="SAME")(x)
+            if ct == "sae":
+                x = ConcurrentSqueezeAndExcite()(x)
+        elif ct == "depthwise":
+            if any(si != 1 for si in s):
+                x = nn.Conv(self.out_channels, k, strides=s, padding="SAME")(x)
+            else:
+                x = DepthwiseSeparableConv(
+                    self.out_channels, self.kernel_size
+                )(x, train=train)
+        elif ct == "resnet":
+            if any(si != 1 for si in s):
+                x = nn.Conv(self.out_channels, k, strides=s, padding="SAME")(x)
+            else:
+                x = ResidualBlock(
+                    kernel_size=(
+                        self.kernel_size
+                        if isinstance(self.kernel_size, int)
+                        else self.kernel_size[0]
+                    ),
+                    inter_channels=self.out_channels,
+                    out_channels=self.out_channels,
+                )(x, train=train)
+        elif ct in ("convnext", "convnextv2"):
+            if any(si != 1 for si in s):
+                x = nn.Conv(self.out_channels, k, strides=s, padding="SAME")(x)
+            else:
+                x = ConvNeXtBlock(
+                    out_channels=self.out_channels, v2=ct.endswith("v2")
+                )(x, train=train)
+        elif ct == "asp":
+            x = AtrousSpatialPyramidPooling(
+                self.out_channels, rates=(1, 2), adn_fn=self.adn_fn
+            )(x, train=train)
+            if any(si != 1 for si in s):
+                x = nn.Conv(self.out_channels, k, strides=s, padding="SAME")(x)
+        else:
+            raise NotImplementedError(f"conv_type {ct!r}")
+        return apply_adn(self.adn_fn(self.out_channels), x, train)
+
+
+class UNet(nn.Module):
+    spatial_dimensions: int = 2
+    conv_type: str = "regular"
+    link_type: str = "identity"
+    upscale_type: str = "upsample"
+    interpolation: str = "linear"
+    norm_type: str = "batch"
+    dropout_type: str = "dropout"
+    dropout_param: float = 0.1
+    activation_fn: str = "prelu"
+    in_channels: int = 1
+    n_classes: int = 2
+    depth: Sequence[int] = (16, 32, 64)
+    kernel_sizes: Sequence[int] = (3, 3, 3)
+    strides: Sequence[int] = (2, 2, 2)
+    bottleneck_classification: bool = False
+    skip_conditioning: Optional[int] = None
+    feature_conditioning: Optional[int] = None
+    feature_conditioning_params: Optional[Dict[str, Any]] = None
+    deep_supervision: bool = False
+    encoder_only: bool = False
+
+    def _adn(self):
+        return get_adn_fn(
+            self.spatial_dimensions,
+            self.norm_type,
+            self.activation_fn,
+            self.dropout_param,
+            self.dropout_type,
+        )
+
+    def _final_layer(self, x, adn_fn, train, ndim, apply_activation):
+        d = x.shape[-1]
+        x = nn.Conv(d, _tuple(3, ndim), padding="SAME")(x)
+        x = apply_adn(adn_fn(d), x, train)
+        out_ch = self.n_classes if self.n_classes > 2 else 1
+        x = nn.Conv(out_ch, _tuple(1, ndim))(x)
+        if apply_activation:
+            x = (
+                jax.nn.softmax(x, axis=-1)
+                if self.n_classes > 2
+                else jax.nn.sigmoid(x)
+            )
+        return x
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        x_skip_layer=None,
+        x_feature_conditioning=None,
+        train: bool = False,
+        return_features: bool = False,
+        return_bottleneck: bool = False,
+        return_logits: bool = False,
+    ):
+        ndim = x.ndim - 2
+        adn_fn = self._adn()
+        depth, ks, st = list(self.depth), list(self.kernel_sizes), list(self.strides)
+
+        if x_skip_layer is not None and x_skip_layer.ndim < x.ndim:
+            x_skip_layer = x_skip_layer[..., None]
+        if x_feature_conditioning is not None and self.feature_conditioning_params:
+            f_mean = jnp.asarray(self.feature_conditioning_params["mean"])
+            f_std = jnp.asarray(self.feature_conditioning_params["std"])
+            x_feature_conditioning = (x_feature_conditioning - f_mean) / f_std
+
+        # ---------------- encoder (unet.py:543-585) ----------------
+        encoding_out = []
+        curr = x
+        for i, d in enumerate(depth):
+            curr = _ConvUnit(
+                d, ks[i], 1, self.conv_type, adn_fn, name=f"enc_{i}"
+            )(curr, train=train)
+            encoding_out.append(curr)
+            if i < len(depth) - 1:
+                curr = _ConvUnit(
+                    d, ks[i], st[i], self.conv_type, adn_fn, name=f"enc_ds_{i}"
+                )(curr, train=train)
+        bottleneck = curr
+        if return_bottleneck:
+            return None, None, bottleneck
+        if self.encoder_only:
+            return bottleneck
+
+        # ---------------- decoder (unet.py:605-624, forward :791-821) ------
+        dec_depths = depth[-2::-1]
+        dec_ks = ks[-2::-1]
+        up_strides = st[-2::-1]
+        deep_outputs = []
+        for i, d in enumerate(dec_depths):
+            skip = encoding_out[-i - 2]
+            if x_skip_layer is not None:
+                cond = resize_like(
+                    x_skip_layer, skip.shape[1:-1], method="nearest"
+                )
+                link_in = jnp.concatenate([skip, cond], axis=-1)
+            else:
+                link_in = skip
+            # link op
+            if self.link_type == "identity":
+                encoded = link_in
+            elif self.link_type == "conv":
+                encoded = _ConvUnit(
+                    d, 3, 1, "regular", adn_fn, name=f"link_{i}"
+                )(link_in, train=train)
+            elif self.link_type == "residual":
+                encoded = ResidualBlock(
+                    kernel_size=3,
+                    inter_channels=d,
+                    out_channels=d,
+                    adn_fn=adn_fn,
+                    name=f"link_{i}",
+                )(link_in, train=train)
+            elif self.link_type == "attention":
+                encoded = SelfAttentionBlock(
+                    inter_channels=16, name=f"link_{i}"
+                )(resize_like(curr, link_in.shape[1:-1]), link_in)
+            else:
+                raise NotImplementedError(f"link_type {self.link_type!r}")
+            if encoded.shape[-1] != d:
+                encoded = nn.Conv(d, _tuple(1, ndim), name=f"link_proj_{i}")(
+                    encoded
+                )
+            # feature FiLM gate (unet.py:716-740, forward :803-809)
+            if x_feature_conditioning is not None:
+                gate = nn.Dense(d, name=f"feat_cond_{i}")(
+                    x_feature_conditioning
+                )
+                gate = jax.nn.sigmoid(gate)
+                gate = gate.reshape((gate.shape[0],) + (1,) * ndim + (d,))
+                encoded = encoded * gate
+            # upscale (unet.py:415-459)
+            s = _tuple(up_strides[i], ndim)
+            if self.upscale_type == "transpose":
+                curr = nn.ConvTranspose(
+                    d, s, strides=s, name=f"up_{i}"
+                )(curr)
+            else:
+                curr = nn.Conv(d, _tuple(1, ndim), name=f"up_{i}")(curr)
+                curr = resize_like(
+                    curr,
+                    tuple(
+                        a * b for a, b in zip(curr.shape[1:-1], s)
+                    ),
+                    method=self.interpolation
+                    if self.interpolation != "bilinear"
+                    else "linear",
+                )
+            # align spatial shapes (forward :812-816)
+            if curr.shape[1:-1] != encoded.shape[1:-1]:
+                curr = resize_like(curr, encoded.shape[1:-1])
+            curr = jnp.concatenate([curr, encoded], axis=-1)
+            curr = _ConvUnit(
+                d, dec_ks[i], 1, self.conv_type, adn_fn, name=f"dec_{i}"
+            )(curr, train=train)
+            deep_outputs.append(curr)
+
+        final_features = curr
+        prediction = self._final_layer(
+            curr, adn_fn, train, ndim, apply_activation=not return_logits
+        )
+        if return_features:
+            return prediction, final_features, bottleneck
+
+        # bottleneck classification (unet.py:691-714, forward :830-834)
+        bn_out = None
+        if self.bottleneck_classification:
+            pooled = jnp.max(
+                bottleneck.reshape(
+                    bottleneck.shape[0], -1, bottleneck.shape[-1]
+                ),
+                axis=1,
+            )
+            bn_out = nn.Dense(
+                self.n_classes if self.n_classes > 2 else 1,
+                name="bottleneck_classifier",
+            )(pooled)
+
+        if self.deep_supervision:
+            ds = []
+            for i, o in enumerate(deep_outputs):
+                d = o.shape[-1]
+                y = nn.Conv(d, _tuple(3, ndim), name=f"ds_conv_{i}")(o)
+                y = apply_adn(adn_fn(d), y, train)
+                y = nn.Conv(
+                    self.n_classes if self.n_classes > 2 else 1,
+                    _tuple(1, ndim),
+                    name=f"ds_out_{i}",
+                )(y)
+                y = (
+                    jax.nn.softmax(y, axis=-1)
+                    if self.n_classes > 2
+                    else jax.nn.sigmoid(y)
+                )
+                ds.append(y)
+            return prediction, bn_out, ds
+
+        return prediction, bn_out
+
+
+class BrUNet(nn.Module):
+    """
+    Multi-encoder U-Net: one encoder per input modality; encoder features are
+    merged by availability-weighted averaging before the shared decoder
+    (parity: unet.py:846 — per-modality branches with missing-input weights).
+
+    Call with ``x`` a list of per-modality tensors and ``x_weights`` a
+    [B, n_input_branches] availability mask.
+    """
+
+    spatial_dimensions: int = 3
+    n_input_branches: int = 2
+    conv_type: str = "regular"
+    link_type: str = "identity"
+    upscale_type: str = "upsample"
+    interpolation: str = "linear"
+    norm_type: str = "batch"
+    dropout_type: str = "dropout"
+    dropout_param: float = 0.1
+    activation_fn: str = "prelu"
+    n_classes: int = 2
+    depth: Sequence[int] = (16, 32, 64)
+    kernel_sizes: Sequence[int] = (3, 3, 3)
+    strides: Sequence[int] = (2, 2, 2)
+    bottleneck_classification: bool = False
+    skip_conditioning: Optional[int] = None
+    feature_conditioning: Optional[int] = None
+    feature_conditioning_params: Optional[Dict[str, Any]] = None
+    deep_supervision: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Sequence[jax.Array],
+        x_weights=None,
+        x_skip_layer=None,
+        x_feature_conditioning=None,
+        train: bool = False,
+        return_logits: bool = False,
+    ):
+        ndim = x[0].ndim - 2
+        adn_fn = get_adn_fn(
+            self.spatial_dimensions,
+            self.norm_type,
+            self.activation_fn,
+            self.dropout_param,
+            self.dropout_type,
+        )
+        depth, ks, st = list(self.depth), list(self.kernel_sizes), list(self.strides)
+        if x_weights is None:
+            x_weights = jnp.ones((x[0].shape[0], self.n_input_branches))
+        w = x_weights / jnp.maximum(
+            jnp.sum(x_weights, axis=1, keepdims=True), 1e-6
+        )
+
+        # per-branch encoders; merged per level by availability weights
+        merged_levels = []
+        currs = list(x)
+        for i, d in enumerate(depth):
+            feats = []
+            for b in range(self.n_input_branches):
+                currs[b] = _ConvUnit(
+                    d, ks[i], 1, self.conv_type, adn_fn, name=f"enc_b{b}_{i}"
+                )(currs[b], train=train)
+                feats.append(currs[b])
+            stacked = jnp.stack(feats, axis=1)  # [B, nb, ...]
+            wb = w.reshape(w.shape + (1,) * (stacked.ndim - 2))
+            merged_levels.append(jnp.sum(stacked * wb, axis=1))
+            if i < len(depth) - 1:
+                for b in range(self.n_input_branches):
+                    currs[b] = _ConvUnit(
+                        d, ks[i], st[i], self.conv_type, adn_fn,
+                        name=f"enc_ds_b{b}_{i}",
+                    )(currs[b], train=train)
+
+        curr = merged_levels[-1]
+        bottleneck = curr
+        dec_depths = depth[-2::-1]
+        dec_ks = ks[-2::-1]
+        up_strides = st[-2::-1]
+        for i, d in enumerate(dec_depths):
+            skip = merged_levels[-i - 2]
+            if x_skip_layer is not None:
+                cond = resize_like(
+                    x_skip_layer, skip.shape[1:-1], method="nearest"
+                )
+                skip = jnp.concatenate([skip, cond], axis=-1)
+                skip = nn.Conv(d, _tuple(1, ndim), name=f"skipproj_{i}")(skip)
+            s = _tuple(up_strides[i], ndim)
+            if self.upscale_type == "transpose":
+                curr = nn.ConvTranspose(d, s, strides=s, name=f"up_{i}")(curr)
+            else:
+                curr = nn.Conv(d, _tuple(1, ndim), name=f"up_{i}")(curr)
+                curr = resize_like(
+                    curr, tuple(a * b for a, b in zip(curr.shape[1:-1], s))
+                )
+            if curr.shape[1:-1] != skip.shape[1:-1]:
+                curr = resize_like(curr, skip.shape[1:-1])
+            curr = jnp.concatenate([curr, skip], axis=-1)
+            curr = _ConvUnit(
+                d, dec_ks[i], 1, self.conv_type, adn_fn, name=f"dec_{i}"
+            )(curr, train=train)
+
+        d0 = curr.shape[-1]
+        curr = nn.Conv(d0, _tuple(3, ndim), padding="SAME")(curr)
+        curr = apply_adn(adn_fn(d0), curr, train)
+        out_ch = self.n_classes if self.n_classes > 2 else 1
+        curr = nn.Conv(out_ch, _tuple(1, ndim))(curr)
+        if not return_logits:
+            curr = (
+                jax.nn.softmax(curr, axis=-1)
+                if self.n_classes > 2
+                else jax.nn.sigmoid(curr)
+            )
+        bn_out = None
+        if self.bottleneck_classification:
+            pooled = jnp.max(
+                bottleneck.reshape(
+                    bottleneck.shape[0], -1, bottleneck.shape[-1]
+                ),
+                axis=1,
+            )
+            bn_out = nn.Dense(out_ch, name="bottleneck_classifier")(pooled)
+        return curr, bn_out

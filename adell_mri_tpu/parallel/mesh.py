@@ -1,0 +1,131 @@
+"""
+Device mesh and sharding bootstrap — the TPU-native replacement for the
+reference's DDP strategy selection (adell_mri/utils/pl_utils.py:422
+``get_devices``: device-string -> Lightning DDP/NCCL).
+
+Design (SURVEY.md §2.5, §7): one SPMD program over a
+``jax.sharding.Mesh``. Data parallelism = batch-axis sharding over the
+``data`` axis; optional ``fsdp`` axis shards parameters (ZeRO-style); an
+optional ``model`` axis is reserved for tensor-parallel layers. Gradients and
+metrics reduce via XLA collectives inserted by the partitioner (no NCCL, no
+find_unused_parameters analogue — XLA is whole-program).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``; the
+mesh then spans all processes with DCN as the outermost (data) axis.
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+MODEL_AXIS = "model"
+
+
+def get_devices(dev_str: str = "tpu") -> Tuple[str, List[jax.Device]]:
+    """
+    Parses a device string into (platform, device list). Accepts the
+    reference's CLI forms (``"cuda:0,1"`` -> here ``"tpu:0,1"``) plus
+    ``"cpu"``/``"tpu"``/``"auto"``.
+
+    Parity: utils/pl_utils.py:422 — but instead of picking a DDP strategy,
+    the returned devices seed a Mesh; parallelism is expressed by shardings.
+    """
+    dev_str = (dev_str or "auto").lower()
+    if ":" in dev_str:
+        platform, idx_str = dev_str.split(":", 1)
+        indices = [int(i) for i in idx_str.split(",")]
+    else:
+        platform, indices = dev_str, None
+    if platform in ("auto", "gpu", "cuda"):
+        platform = None  # jax default backend
+    devices = jax.devices(platform) if platform else jax.devices()
+    if indices is not None:
+        devices = [devices[i] for i in indices]
+    return (devices[0].platform, devices)
+
+
+def local_device_count(dev_str: str = "auto") -> int:
+    return len(get_devices(dev_str)[1])
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    data: int = -1,
+    fsdp: int = 1,
+    model: int = 1,
+) -> Mesh:
+    """
+    Builds a ``Mesh`` with axes (data, fsdp, model). ``data=-1`` absorbs all
+    remaining devices. Axis sizes must multiply to the device count.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data == -1:
+        denom = fsdp * model
+        if n % denom:
+            raise ValueError(f"{n} devices not divisible by fsdp*model={denom}")
+        data = n // denom
+    if data * fsdp * model != n:
+        raise ValueError(
+            f"mesh {data}x{fsdp}x{model} != {n} devices"
+        )
+    dev_array = np.asarray(devices).reshape(data, fsdp, model)
+    return Mesh(dev_array, (DATA_AXIS, FSDP_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shards the leading (batch) axis over data×fsdp; rest replicated."""
+    return NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """
+    Device-puts every array leaf of a host batch with the batch axis sharded
+    over the mesh. Non-array leaves (identifiers) pass through.
+    """
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree.map(put, batch, is_leaf=lambda x: isinstance(x, list))
+
+
+def shard_params(params, mesh: Mesh, fsdp_min_size: int = 2**18):
+    """
+    FSDP-style parameter layout: leaves bigger than ``fsdp_min_size`` shard
+    their largest divisible axis over the fsdp mesh axis; everything else is
+    replicated. With fsdp=1 this is plain replication (pure DP).
+    """
+    fsdp_size = mesh.shape[FSDP_AXIS]
+
+    def spec_for(x) -> NamedSharding:
+        if fsdp_size > 1 and x.size >= fsdp_min_size:
+            shape = x.shape
+            for axis in sorted(
+                range(len(shape)), key=lambda a: -shape[a]
+            ):
+                if shape[axis] % fsdp_size == 0:
+                    spec = [None] * len(shape)
+                    spec[axis] = FSDP_AXIS
+                    return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, spec_for(x)), params
+    )

@@ -1,0 +1,208 @@
+"""
+Functional train/eval steps — the replacement for Lightning adapters.
+
+Parity targets: adell_mri/modules/segmentation/pl.py — UNetBasePL.step
+(:282-315: rounded labels, CompoundLoss, deep-supervision interpolated
+losses scaled by 1/2^(t-i)/(t+1), bottleneck classification loss) and
+ClassPLABC (classification/pl.py:265-290 with on-device BatchPreprocessing
+mixup). Instead of one diamond-inherited class per model, a step is a closure
+``(state, batch, rng) -> (state, metrics)`` compiled once with jit; under a
+Mesh, batches are sharded on the data axis and XLA inserts gradient
+all-reduces (the NCCL DDP equivalent, SURVEY.md §2.5).
+"""
+
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from adell_mri_tpu.models.segmentation.losses import (
+    CompoundLoss,
+    binary_cross_entropy,
+    cat_cross_entropy,
+)
+
+
+def _resize_to(y, spatial_shape):
+    """Resizes label tensor [B, *S(,1)] to new spatial shape (linear > 0)."""
+    squeeze = False
+    if y.ndim == len(spatial_shape) + 1:
+        y = y[..., None]
+        squeeze = True
+    out = jax.image.resize(
+        y.astype(jnp.float32),
+        (y.shape[0],) + tuple(spatial_shape) + (y.shape[-1],),
+        method="linear",
+    )
+    out = (out > 0).astype(jnp.float32)
+    return out[..., 0] if squeeze else out
+
+
+def make_segmentation_step(
+    model,
+    loss_fn: CompoundLoss,
+    deep_supervision: bool = False,
+    bottleneck_classification: bool = False,
+    n_classes: int = 2,
+    train: bool = True,
+):
+    """
+    Returns ``loss_and_metrics(params, batch, rng)``. Batch keys: ``image``
+    [B,*S,C], ``label`` [B,*S] (or [B,*S,1]); optional ``skip_layer``,
+    ``features``.
+    """
+    class_loss_fn = (
+        cat_cross_entropy if n_classes > 2 else binary_cross_entropy
+    )
+
+    def loss_and_metrics(params, batch, rng):
+        x = batch["image"]
+        y = jnp.round(batch["label"].astype(jnp.float32))
+        x_cond = batch.get("skip_layer")
+        x_fc = batch.get("features")
+        rngs = {"dropout": rng} if train else None
+        out = model.apply(
+            {"params": params},
+            x,
+            x_cond,
+            x_fc,
+            train=train,
+            rngs=rngs,
+        )
+        if deep_supervision:
+            prediction, pred_class, deep_outputs = out
+        else:
+            prediction, pred_class = out
+            deep_outputs = []
+        loss, individual = loss_fn(prediction, y)
+        if deep_supervision:
+            t = len(deep_outputs)
+            for i, o in enumerate(deep_outputs):
+                y_small = _resize_to(y, o.shape[1:-1])
+                ds_loss, _ = loss_fn(o, y_small)
+                loss = loss + ds_loss / (2 ** (t - i)) / (t + 1)
+        if bottleneck_classification and pred_class is not None:
+            y_class = jnp.max(y.reshape(y.shape[0], -1), axis=1)
+            if n_classes > 2:
+                class_loss = class_loss_fn(
+                    jax.nn.softmax(pred_class, -1), y_class
+                )
+            else:
+                class_loss = class_loss_fn(
+                    jax.nn.sigmoid(pred_class), y_class
+                )
+            loss = loss + class_loss
+            individual = {**individual, "class_loss": class_loss}
+        # soft dice metric for logging
+        p = prediction[..., 0] if prediction.shape[-1] == 1 else prediction
+        yb = y[..., 0] if (y.ndim == p.ndim + 1) else y
+        if n_classes <= 2:
+            inter = jnp.sum(p * yb)
+            denom = jnp.sum(p) + jnp.sum(yb)
+            dice = (2 * inter + 1e-5) / (denom + 1e-5)
+        else:
+            oh = jax.nn.one_hot(yb.astype(jnp.int32), n_classes)
+            inter = jnp.sum(p * oh, axis=tuple(range(p.ndim - 1)))
+            denom = jnp.sum(p, axis=tuple(range(p.ndim - 1))) + jnp.sum(
+                oh, axis=tuple(range(p.ndim - 1))
+            )
+            dice = jnp.mean((2 * inter + 1e-5) / (denom + 1e-5))
+        metrics = {
+            "loss": loss,
+            "dice": dice,
+            **{f"loss_{k}": v for k, v in individual.items()},
+        }
+        return loss, metrics
+
+    return loss_and_metrics
+
+
+def make_classification_step(
+    model,
+    loss_fn: Callable,
+    n_classes: int = 2,
+    train: bool = True,
+    batch_preprocessing=None,
+    label_smoothing: Optional[float] = None,
+):
+    """
+    Classification loss step (parity: ClassPLABC, classification/pl.py:265).
+    ``loss_fn(logits, labels) -> scalar``. Optional on-device mixup/label
+    smoothing via ``batch_preprocessing`` (utils/batch_preprocessing.py:116).
+    """
+
+    def loss_and_metrics(params, batch, rng):
+        x = batch["image"]
+        y = batch["label"]
+        if batch_preprocessing is not None and train:
+            rng, prep_rng = jax.random.split(rng)
+            x, y = batch_preprocessing(prep_rng, x, y)
+        rngs = {"dropout": rng, "ensemble": jax.random.fold_in(rng, 1)} if train else None
+        logits = model.apply({"params": params}, x, train=train, rngs=rngs)
+        loss = loss_fn(logits, y)
+        if n_classes > 2:
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == y.astype(jnp.int32)).astype(
+                    jnp.float32
+                )
+            )
+        else:
+            prob = jax.nn.sigmoid(logits[..., 0] if logits.ndim > 1 else logits)
+            acc = jnp.mean(((prob > 0.5) == (y > 0.5)).astype(jnp.float32))
+        return loss, {"loss": loss, "acc": acc}
+
+    return loss_and_metrics
+
+
+def make_train_step(loss_and_metrics: Callable, donate: bool = True):
+    """
+    Wraps a loss closure into a jitted SGD update on a TrainState.
+    Under a sharded batch, jnp means are global means and XLA inserts the
+    cross-device grad reduction automatically.
+    """
+
+    def train_step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch, rng)
+        state = state.apply_gradients(grads)
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(loss_and_metrics: Callable):
+    def eval_step(params, batch, rng):
+        _, metrics = loss_and_metrics(params, batch, rng)
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def unet_from_config(network_config: Dict, n_classes: int = 2, **overrides):
+    """Builds a UNet from a parse_config_unet network dict."""
+    from adell_mri_tpu.models.segmentation.unet import UNet
+
+    cfg = dict(network_config)
+    cfg.update(overrides)
+    return UNet(
+        spatial_dimensions=cfg.get("spatial_dimensions", 3),
+        conv_type=cfg.get("conv_type", "regular"),
+        link_type=cfg.get("link_type", "identity"),
+        upscale_type=cfg.get("upscale_type", "upsample"),
+        interpolation=cfg.get("interpolation", "linear"),
+        norm_type=cfg.get("norm_type", "instance"),
+        dropout_param=cfg.get("dropout_param", 0.0),
+        activation_fn=cfg.get("activation_fn", "swish"),
+        in_channels=cfg.get("n_channels", 1),
+        n_classes=n_classes,
+        depth=tuple(cfg.get("depth", (16, 32, 64))),
+        kernel_sizes=tuple(cfg.get("kernel_sizes", (3, 3, 3))),
+        strides=tuple(cfg.get("strides", (2, 2, 2))),
+        bottleneck_classification=cfg.get("bottleneck_classification", False),
+        skip_conditioning=cfg.get("skip_conditioning"),
+        feature_conditioning=cfg.get("feature_conditioning"),
+        feature_conditioning_params=cfg.get("feature_conditioning_params"),
+        deep_supervision=cfg.get("deep_supervision", False),
+    )

@@ -1,0 +1,171 @@
+"""
+Host-side deterministic preprocessing (runs once per volume, cached).
+
+Replaces the deterministic prefix of the reference's MONAI pipeline —
+LoadImaged -> Orientationd(RAS) -> Spacingd -> Resized/SpatialPadd/
+CenterSpatialCropd (transform_factory/transforms.py:106-259) — with a single
+composed resample (one scipy map_coordinates call per volume instead of a
+chain). Everything random runs on device (adell_mri_tpu.transforms.*).
+
+Also ports the spacing-inference helpers
+(adell_mri/utils/sitk_utils.py:43,74).
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+from adell_mri_tpu.data.nifti import NiftiImage, read_nifti, reorient_to_ras
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def spacing_values_from_dataset_json(
+    dataset: Dict[str, dict], key: str, n: Optional[int] = None
+) -> List[Tuple[float, ...]]:
+    """Reads voxel spacings from NIfTI headers (parity: sitk_utils.py:43)."""
+    spacings = []
+    for i, (pid, entry) in enumerate(dataset.items()):
+        if n is not None and i >= n:
+            break
+        if key not in entry:
+            continue
+        try:
+            img = read_nifti(entry[key])
+            spacings.append(tuple(float(s) for s in img.spacing))
+        except Exception as e:
+            logger.warning("spacing read failed for %s: %s", pid, e)
+    return spacings
+
+
+def get_spacing_quantile(
+    spacings: List[Tuple[float, ...]], q: float = 0.5
+) -> List[float]:
+    """Per-axis quantile of spacings (parity: sitk_utils.py:74)."""
+    arr = np.asarray(spacings)
+    return [float(x) for x in np.quantile(arr, q, axis=0)]
+
+
+def resample_to_spec(
+    img: NiftiImage,
+    target_spacing: Optional[Sequence[float]] = None,
+    target_size: Optional[Sequence[int]] = None,
+    interp_order: int = 1,
+    cval: float = 0.0,
+) -> np.ndarray:
+    """
+    One composed resample: target grid -> (crop/pad center alignment) ->
+    spacing scale -> original voxel grid, evaluated with a single
+    map_coordinates call. Matches Spacingd + CenterSpatialCropd/SpatialPadd
+    composition but touches each voxel once.
+    """
+    data = img.data
+    if data.ndim > 3:
+        data = data[..., 0]
+    spacing = img.spacing
+    if target_spacing is None:
+        target_spacing = spacing
+    zoom = np.asarray(spacing, float) / np.asarray(target_spacing, float)
+    resampled_shape = np.round(np.asarray(data.shape) * zoom).astype(int)
+    if target_size is None:
+        target_size = resampled_shape
+    target_size = np.asarray(target_size, int)
+
+    # center offset of the target grid inside the (virtually) resampled grid
+    offset = (resampled_shape - target_size) / 2.0
+    coords = np.indices(tuple(target_size)).astype(np.float32)
+    for d in range(3):
+        coords[d] = (coords[d] + offset[d]) / zoom[d]
+    out = ndimage.map_coordinates(
+        data, coords, order=interp_order, cval=cval, mode="constant"
+    )
+    return out.astype(np.float32)
+
+
+def precompute_fg_indices(
+    label: np.ndarray, max_fg: int = 4096, seed: int = 0
+) -> Tuple[np.ndarray, int]:
+    """
+    Foreground voxel coordinates for device-side pos/neg cropping
+    (FgBgToIndicesd analogue, SURVEY.md §7 hard parts): padded to a fixed
+    ``max_fg`` so shapes stay static under jit.
+    """
+    fg = np.argwhere(label > 0)
+    n = len(fg)
+    if n == 0:
+        return np.zeros((max_fg, 3), np.int32), 0
+    if n > max_fg:
+        rng = np.random.default_rng(seed)
+        fg = fg[rng.choice(n, size=max_fg, replace=False)]
+        n = max_fg
+    out = np.zeros((max_fg, 3), np.int32)
+    out[:n] = fg
+    return out, n
+
+
+def make_load_fn(
+    image_keys: Sequence[str],
+    label_keys: Optional[Sequence[str]] = None,
+    target_spacing: Optional[Sequence[float]] = None,
+    target_size: Optional[Sequence[int]] = None,
+    adc_keys: Sequence[str] = (),
+    adc_factor: float = -2 / 3,
+    max_fg: int = 4096,
+    label_mode: str = "binary",
+    positive_labels: Sequence[int] = (1,),
+    scale_intensity: bool = True,
+    extra_scalar_keys: Sequence[str] = (),
+):
+    """
+    Builds the CachedVolumeDataset load_fn: reads every image key, RAS
+    orients, resamples once to (target_spacing, target_size), min-max scales
+    (ADC keys conditionally rescaled instead,
+    transform_factory/transforms.py:24), stacks channels-last, combines/
+    binarizes labels (LabelOperatorSegmentationd analogue) and precomputes
+    fg indices.
+    """
+    label_keys = list(label_keys or [])
+
+    def load_fn(entry: Dict) -> Dict:
+        channels = []
+        for key in image_keys:
+            img = reorient_to_ras(read_nifti(entry[key]))
+            vol = resample_to_spec(img, target_spacing, target_size)
+            if key in adc_keys:
+                # ADC conditional rescale (image_intensity_ops.py:77)
+                if vol.max() > 1e3:
+                    vol = vol * adc_factor
+            elif scale_intensity:
+                lo, hi = vol.min(), vol.max()
+                vol = (vol - lo) / max(hi - lo, 1e-6)
+            channels.append(vol)
+        image = np.stack(channels, axis=-1).astype(np.float32)
+        sample = {"image": image, "identifier": entry.get("identifier", "")}
+
+        if label_keys:
+            labs = []
+            for key in label_keys:
+                img = reorient_to_ras(read_nifti(entry[key]))
+                lab = resample_to_spec(
+                    img, target_spacing, target_size, interp_order=0
+                )
+                labs.append(lab)
+            lab = np.stack(labs, axis=0).max(axis=0)
+            if label_mode == "binary":
+                lab = np.isin(
+                    np.round(lab).astype(np.int32), np.asarray(positive_labels)
+                ).astype(np.float32)
+            else:
+                lab = np.round(lab).astype(np.float32)
+            sample["label"] = lab
+            fg, n_fg = precompute_fg_indices(lab, max_fg)
+            sample["fg_indices"] = fg
+            sample["n_fg"] = np.int32(n_fg)
+        for key in extra_scalar_keys:
+            if key in entry:
+                sample[key] = np.asarray(entry[key], np.float32)
+        return sample
+
+    return load_fn

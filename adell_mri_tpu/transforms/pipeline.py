@@ -1,0 +1,335 @@
+"""
+Per-task transform factories.
+
+Parity target: adell_mri/transform_factory/transforms.py —
+SegmentationTransforms (:67), ClassificationTransforms (:362),
+SSLTransforms (:641), GenerationTransforms (:555) — and the augmentation
+policies of transform_factory/augmentations.py (get_augmentations_unet :19
+etc., flag set {intensity, noise, rbf, affine, shear, flip, blur, distort,
+lowres, trivial}).
+
+TPU split of labour (SURVEY.md §7): each factory exposes
+- ``load_fn()``      host-side deterministic preprocessing (cached once), and
+- ``augment(key, batch)`` a jit-compiled batched device function carrying ALL
+  randomness; geometric ops compose into one warp, intensity ops fuse.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adell_mri_tpu.transforms import intensity as I
+from adell_mri_tpu.transforms import spatial as S
+from adell_mri_tpu.transforms.augment import AugmentationWorkhorse
+from adell_mri_tpu.transforms.host import make_load_fn
+
+
+@dataclass
+class AugmentPolicy:
+    """Flag set mirroring get_augmentations_* (augmentations.py:29-177)."""
+
+    intensity: bool = True
+    noise: bool = True  # Rician + Gibbs
+    rbf: bool = False  # bias field
+    affine: bool = True
+    shear: bool = False
+    flip: bool = True
+    blur: bool = False
+    trivial: bool = False  # TrivialAugment OneOf with prob 1
+    # ranges
+    rotate_range: float = 0.26  # ~15 deg, MONAI default in reference
+    scale_range: float = 0.1
+    shear_range: float = 0.1
+    translate_range: float = 0.0
+    noise_std: float = 0.05
+    flip_axes: Tuple[int, ...] = (0,)
+
+    @classmethod
+    def from_flags(cls, flags: Sequence[str], **kw) -> "AugmentPolicy":
+        flags = set(flags or [])
+        return cls(
+            intensity="intensity" in flags,
+            noise="noise" in flags,
+            rbf="rbf" in flags,
+            affine="affine" in flags,
+            shear="shear" in flags,
+            flip="flip" in flags,
+            blur="blur" in flags,
+            trivial="trivial" in flags,
+            **kw,
+        )
+
+
+def _augment_one(
+    key,
+    image,
+    label,
+    policy: AugmentPolicy,
+    workhorse: Optional[AugmentationWorkhorse] = None,
+):
+    """
+    Single-sample augmentation: ONE fused warp for all geometry (affine +
+    shear folded into one matrix; label warped with nearest) + fused
+    intensity/noise ops. image [*S, C]; label [*S] or None.
+    """
+    ndim = image.ndim - 1
+    shape = image.shape[:-1]
+    keys = jax.random.split(key, 8)
+
+    if policy.affine or policy.shear:
+        mat = S.random_affine_matrix(
+            keys[0],
+            shape,
+            rotate_range=policy.rotate_range if policy.affine else 0.0,
+            scale_range=policy.scale_range if policy.affine else 0.0,
+            shear_range=policy.shear_range if policy.shear else 0.0,
+            translate_range=policy.translate_range,
+        )
+        image = S.warp_affine(image, mat)
+        if label is not None:
+            lab = label[..., None] if label.ndim == ndim else label
+            lab = S.warp_affine(lab, mat, method="nearest")
+            label = lab[..., 0] if label.ndim == ndim else lab
+    if policy.flip:
+        image_flipped = S.random_flip(keys[1], image, policy.flip_axes)
+        if label is not None:
+            lab = label[..., None] if label.ndim == ndim else label
+            lab = S.random_flip(keys[1], lab, policy.flip_axes)
+            label = lab[..., 0] if label.ndim == ndim else lab
+        image = image_flipped
+    if policy.intensity:
+        image = I.adjust_contrast(keys[2], image)
+        shift = jax.random.uniform(keys[3], (), minval=-0.1, maxval=0.1)
+        scale = 1.0 + jax.random.uniform(keys[3], (), minval=-0.1, maxval=0.1)
+        image = image * scale + shift
+    if policy.noise:
+        image = I.rician_noise(keys[4], image, policy.noise_std)
+        do_gibbs = jax.random.bernoulli(keys[5], 0.25)
+        image = jnp.where(
+            do_gibbs, I.gibbs_ringing(keys[5], image), image
+        )
+    if policy.rbf:
+        image = I.bias_field(keys[6], image)
+    if policy.blur:
+        image = I.random_gaussian_smooth(keys[7], image)
+    if policy.trivial and workhorse is not None:
+        image = workhorse(keys[7], image)
+    return image, label
+
+
+@dataclass
+class SegmentationTransforms:
+    """
+    Parity: transform_factory/transforms.py:67. Canonical order preserved:
+    host (load -> RAS -> spacing -> scale/ADC -> size) then device
+    (augment at 1.1x crop -> pos/neg crop to final size), matching the
+    reference's RandCropByPosNegLabeld-at-1.1x -> augment -> center-crop
+    strategy (augmentations.py:142-176).
+    """
+
+    image_keys: Sequence[str] = ("image",)
+    label_keys: Sequence[str] = ("label",)
+    target_spacing: Optional[Sequence[float]] = None
+    target_size: Optional[Sequence[int]] = None
+    crop_size: Optional[Sequence[int]] = None
+    adc_keys: Sequence[str] = ()
+    positive_labels: Sequence[int] = (1,)
+    label_mode: str = "binary"
+    augmentations: AugmentPolicy = field(default_factory=AugmentPolicy)
+    pos_ratio: float = 0.5
+    max_fg: int = 4096
+
+    def load_fn(self):
+        return make_load_fn(
+            image_keys=self.image_keys,
+            label_keys=self.label_keys,
+            target_spacing=self.target_spacing,
+            target_size=self.target_size,
+            adc_keys=self.adc_keys,
+            positive_labels=self.positive_labels,
+            label_mode=self.label_mode,
+            max_fg=self.max_fg,
+        )
+
+    def augment(self, key, batch: Dict) -> Dict:
+        """Batched device augmentation; jit this (or call inside the step)."""
+        b = batch["image"].shape[0]
+        keys = jax.random.split(key, b)
+        wh = (
+            AugmentationWorkhorse(ndim=batch["image"].ndim - 2)
+            if self.augmentations.trivial
+            else None
+        )
+
+        def one(key, image, label, fg, n_fg):
+            image, label = _augment_one(
+                key, image, label, self.augmentations, wh
+            )
+            if self.crop_size is not None:
+                k = jax.random.fold_in(key, 17)
+                image, label, _ = S.pos_neg_crop(
+                    k, image, label, tuple(self.crop_size), fg, n_fg,
+                    self.pos_ratio,
+                )
+                label = label[..., 0] if label.ndim == image.ndim else label
+            return image, label
+
+        fg = batch.get(
+            "fg_indices",
+            jnp.zeros((b, self.max_fg, 3), jnp.int32),
+        )
+        n_fg = batch.get("n_fg", jnp.zeros((b,), jnp.int32))
+        image, label = jax.vmap(one)(
+            keys, batch["image"], batch["label"], fg, n_fg
+        )
+        out = dict(batch)
+        out["image"] = image
+        out["label"] = label
+        out.pop("fg_indices", None)
+        out.pop("n_fg", None)
+        return out
+
+
+@dataclass
+class ClassificationTransforms:
+    """Parity: transform_factory/transforms.py:362."""
+
+    image_keys: Sequence[str] = ("image",)
+    label_key: str = "label"
+    target_spacing: Optional[Sequence[float]] = None
+    target_size: Optional[Sequence[int]] = None
+    crop_size: Optional[Sequence[int]] = None
+    adc_keys: Sequence[str] = ()
+    augmentations: AugmentPolicy = field(default_factory=AugmentPolicy)
+    clinical_feature_keys: Sequence[str] = ()
+
+    def load_fn(self):
+        base = make_load_fn(
+            image_keys=self.image_keys,
+            label_keys=None,
+            target_spacing=self.target_spacing,
+            target_size=self.target_size,
+            adc_keys=self.adc_keys,
+            extra_scalar_keys=list(self.clinical_feature_keys),
+        )
+        label_key = self.label_key
+
+        def load(entry):
+            sample = base(entry)
+            sample["label"] = __import__("numpy").float32(
+                float(entry[label_key])
+            )
+            if self.clinical_feature_keys:
+                import numpy as np
+
+                sample["features"] = np.asarray(
+                    [float(entry[k]) for k in self.clinical_feature_keys],
+                    np.float32,
+                )
+            return sample
+
+        return load
+
+    def augment(self, key, batch: Dict) -> Dict:
+        b = batch["image"].shape[0]
+        keys = jax.random.split(key, b)
+        wh = (
+            AugmentationWorkhorse(ndim=batch["image"].ndim - 2)
+            if self.augmentations.trivial
+            else None
+        )
+
+        def one(key, image):
+            image, _ = _augment_one(key, image, None, self.augmentations, wh)
+            if self.crop_size is not None:
+                image = S.random_crop(
+                    jax.random.fold_in(key, 17), image, tuple(self.crop_size)
+                )
+            return image
+
+        out = dict(batch)
+        out["image"] = jax.vmap(one)(keys, batch["image"])
+        return out
+
+
+@dataclass
+class SSLTransforms:
+    """
+    Two augmented views per sample (parity: transforms.py:641-754 — view
+    copies via CopyEntryd + AugmentationWorkhorsed x2).
+    """
+
+    image_keys: Sequence[str] = ("image",)
+    target_spacing: Optional[Sequence[float]] = None
+    target_size: Optional[Sequence[int]] = None
+    crop_size: Optional[Sequence[int]] = None
+    n_transforms: int = 3
+    scaled_crop_range: Tuple[float, float] = (0.6, 1.0)
+
+    def load_fn(self):
+        return make_load_fn(
+            image_keys=self.image_keys,
+            label_keys=None,
+            target_spacing=self.target_spacing,
+            target_size=self.target_size,
+        )
+
+    def augment(self, key, batch: Dict) -> Dict:
+        b = batch["image"].shape[0]
+        ndim = batch["image"].ndim - 2
+        wh = AugmentationWorkhorse(
+            n_transforms=self.n_transforms, ndim=ndim
+        )
+
+        def one_view(key, image):
+            k1, k2 = jax.random.split(key)
+            image = wh(k1, image)
+            if self.crop_size is not None:
+                # scaled crop: random zoom folded into the crop warp
+                zoom = jax.random.uniform(
+                    k2,
+                    (),
+                    minval=self.scaled_crop_range[0],
+                    maxval=self.scaled_crop_range[1],
+                )
+                shape = image.shape[:-1]
+                scales = jnp.full((ndim,), zoom)
+                mat = (
+                    S.center_matrix(shape, +1.0)
+                    @ S.scale_shear_matrix(ndim, scales)
+                    @ S.center_matrix(self.crop_size, -1.0)
+                )
+                image = S.warp_affine(
+                    image, mat, out_shape=tuple(self.crop_size)
+                )
+            return image
+
+        k1, k2 = jax.random.split(key)
+        keys1 = jax.random.split(k1, b)
+        keys2 = jax.random.split(k2, b)
+        out = dict(batch)
+        out["view1"] = jax.vmap(one_view)(keys1, batch["image"])
+        out["view2"] = jax.vmap(one_view)(keys2, batch["image"])
+        return out
+
+
+@dataclass
+class GenerationTransforms:
+    """Parity: transform_factory/transforms.py:555 (diffusion/GAN input)."""
+
+    image_keys: Sequence[str] = ("image",)
+    target_spacing: Optional[Sequence[float]] = None
+    target_size: Optional[Sequence[int]] = None
+
+    def load_fn(self):
+        return make_load_fn(
+            image_keys=self.image_keys,
+            label_keys=None,
+            target_spacing=self.target_spacing,
+            target_size=self.target_size,
+        )
+
+    def augment(self, key, batch: Dict) -> Dict:
+        return batch

@@ -1,0 +1,370 @@
+"""
+On-device spatial transforms.
+
+Replaces the CPU MONAI spatial chain (RandAffined / Rand*Elasticd / flips /
+crops — adell_mri/transform_factory/augmentations.py:29-177 and
+utils/monai_transforms/image_ops.py) with jit-compiled JAX. The core design
+(SURVEY.md §7): all geometric augmentation composes into ONE affine (+ one
+optional elastic displacement field), applied as a single trilinear gather —
+instead of MONAI's chain of sequential CPU resamples.
+
+Conventions: volumes are channels-last ``[*spatial, C]``; batched variants
+are built with ``jax.vmap``. Matrices are homogeneous (ndim+1)² acting on
+voxel coordinates (unit = voxel; callers fold spacing in if needed).
+"""
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# interpolation core
+# ---------------------------------------------------------------------------
+
+
+def _gather_nd(vol: jax.Array, idx: Sequence[jax.Array]) -> jax.Array:
+    """vol[*spatial, C] gathered at integer index arrays (same shape)."""
+    return vol[tuple(idx)]
+
+
+def sample_volume(
+    vol: jax.Array,
+    coords: jax.Array,
+    method: str = "linear",
+    cval: float = 0.0,
+) -> jax.Array:
+    """
+    Samples ``vol`` [*S, C] at fractional voxel ``coords`` [ndim, *out_S].
+    Trilinear/bilinear (method="linear") or nearest. Out-of-bounds -> cval.
+    One fused gather per corner; XLA lowers this to efficient dynamic
+    gathers on TPU.
+    """
+    ndim = coords.shape[0]
+    spatial = vol.shape[:ndim]
+    in_bounds = jnp.ones(coords.shape[1:], bool)
+    for d in range(ndim):
+        in_bounds &= (coords[d] >= 0) & (coords[d] <= spatial[d] - 1)
+
+    if method == "nearest":
+        idx = [
+            jnp.clip(jnp.round(coords[d]).astype(jnp.int32), 0, spatial[d] - 1)
+            for d in range(ndim)
+        ]
+        out = _gather_nd(vol, idx)
+    else:
+        lo = [jnp.floor(coords[d]) for d in range(ndim)]
+        frac = [coords[d] - lo[d] for d in range(ndim)]
+        lo = [
+            jnp.clip(lo[d].astype(jnp.int32), 0, spatial[d] - 1)
+            for d in range(ndim)
+        ]
+        hi = [jnp.clip(lo[d] + 1, 0, spatial[d] - 1) for d in range(ndim)]
+        out = 0.0
+        for corner in range(2**ndim):
+            idx, w = [], 1.0
+            for d in range(ndim):
+                if corner >> d & 1:
+                    idx.append(hi[d])
+                    w = w * frac[d]
+                else:
+                    idx.append(lo[d])
+                    w = w * (1.0 - frac[d])
+            out = out + _gather_nd(vol, idx) * w[..., None]
+    mask = in_bounds[..., None]
+    return jnp.where(mask, out, jnp.asarray(cval, vol.dtype))
+
+
+def affine_coords(
+    matrix: jax.Array, out_shape: Sequence[int]
+) -> jax.Array:
+    """
+    Homogeneous matrix [(ndim+1), (ndim+1)] -> input-space coordinates
+    [ndim, *out_shape] for every output voxel.
+    """
+    import math
+
+    ndim = len(out_shape)
+    n_vox = math.prod(int(s) for s in out_shape)
+    grids = jnp.meshgrid(
+        *[jnp.arange(s, dtype=jnp.float32) for s in out_shape], indexing="ij"
+    )
+    flat = jnp.stack(
+        [g.reshape(-1) for g in grids] + [jnp.ones((n_vox,), jnp.float32)]
+    )
+    mapped = matrix @ flat
+    return mapped[:ndim].reshape((ndim,) + tuple(out_shape))
+
+
+def warp_affine(
+    vol: jax.Array,
+    matrix: jax.Array,
+    out_shape: Optional[Sequence[int]] = None,
+    method: str = "linear",
+    cval: float = 0.0,
+    displacement: Optional[jax.Array] = None,
+) -> jax.Array:
+    """
+    One fused affine (+elastic) resample: output voxel o samples input at
+    ``matrix @ o (+ displacement[o])``. ``displacement`` is [ndim, *out_S].
+    """
+    out_shape = tuple(out_shape or vol.shape[:-1])
+    coords = affine_coords(matrix, out_shape)
+    if displacement is not None:
+        coords = coords + displacement
+    return sample_volume(vol, coords, method=method, cval=cval)
+
+
+# ---------------------------------------------------------------------------
+# matrix builders
+# ---------------------------------------------------------------------------
+
+
+def _homogeneous(ndim: int, linear: jax.Array, translation: jax.Array):
+    m = jnp.eye(ndim + 1)
+    m = m.at[:ndim, :ndim].set(linear)
+    m = m.at[:ndim, ndim].set(translation)
+    return m
+
+
+def center_matrix(shape: Sequence[int], sign: float = 1.0) -> jax.Array:
+    ndim = len(shape)
+    c = jnp.asarray([(s - 1) / 2.0 for s in shape])
+    return _homogeneous(ndim, jnp.eye(ndim), sign * c)
+
+
+def rotation_matrix(ndim: int, angles: jax.Array) -> jax.Array:
+    """angles: [1] for 2D, [3] for 3D (about each axis pair)."""
+    if ndim == 2:
+        c, s = jnp.cos(angles[0]), jnp.sin(angles[0])
+        rot = jnp.asarray([[c, -s], [s, c]])
+    else:
+        cx, sx = jnp.cos(angles[0]), jnp.sin(angles[0])
+        cy, sy = jnp.cos(angles[1]), jnp.sin(angles[1])
+        cz, sz = jnp.cos(angles[2]), jnp.sin(angles[2])
+        rx = jnp.asarray([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        ry = jnp.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = jnp.asarray([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        rot = rx @ ry @ rz
+    return _homogeneous(ndim, rot, jnp.zeros(ndim))
+
+
+def scale_shear_matrix(
+    ndim: int, scales: jax.Array, shears: Optional[jax.Array] = None
+) -> jax.Array:
+    lin = jnp.diag(scales)
+    if shears is not None:
+        # fill off-diagonals row-major (MONAI shear convention)
+        k = 0
+        for i in range(ndim):
+            for j in range(ndim):
+                if i != j:
+                    lin = lin.at[i, j].set(shears[k])
+                    k += 1
+    return _homogeneous(ndim, lin, jnp.zeros(ndim))
+
+
+def random_affine_matrix(
+    key: jax.Array,
+    shape: Sequence[int],
+    rotate_range: float = 0.0,
+    scale_range: float = 0.0,
+    shear_range: float = 0.0,
+    translate_range: float = 0.0,
+) -> jax.Array:
+    """
+    Samples a centered random affine (parity: RandomAffined,
+    utils/monai_transforms/random.py:11 / RandAffined usage in
+    transform_factory/augmentations.py).
+    """
+    ndim = len(shape)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n_angles = 1 if ndim == 2 else 3
+    angles = jax.random.uniform(
+        k1, (n_angles,), minval=-rotate_range, maxval=rotate_range
+    )
+    scales = 1.0 + jax.random.uniform(
+        k2, (ndim,), minval=-scale_range, maxval=scale_range
+    )
+    shears = jax.random.uniform(
+        k3, (ndim * (ndim - 1),), minval=-shear_range, maxval=shear_range
+    )
+    trans = jax.random.uniform(
+        k4, (ndim,), minval=-translate_range, maxval=translate_range
+    ) * jnp.asarray(shape)
+    m = (
+        center_matrix(shape, +1.0)
+        @ rotation_matrix(ndim, angles)
+        @ scale_shear_matrix(ndim, scales, shears)
+        @ center_matrix(shape, -1.0)
+    )
+    return m.at[:ndim, ndim].add(trans)
+
+
+def random_elastic_displacement(
+    key: jax.Array,
+    out_shape: Sequence[int],
+    grid_size: int = 4,
+    magnitude: float = 2.0,
+) -> jax.Array:
+    """
+    Coarse random displacement grid upsampled to the output shape
+    (Rand3DElasticd analogue). Returns [ndim, *out_shape] in voxels.
+    """
+    ndim = len(out_shape)
+    coarse = jax.random.normal(
+        key, (ndim,) + (grid_size,) * ndim
+    ) * magnitude
+    return jax.image.resize(
+        coarse, (ndim,) + tuple(out_shape), method="cubic"
+    )
+
+
+# ---------------------------------------------------------------------------
+# flips / crops / padding
+# ---------------------------------------------------------------------------
+
+
+def random_flip(key: jax.Array, vol: jax.Array, axes: Sequence[int], prob: float = 0.5):
+    """Randomly flips spatial axes (RandFlipd analogue); jit-safe."""
+    keys = jax.random.split(key, len(axes))
+    for ax, k in zip(axes, keys):
+        do = jax.random.bernoulli(k, prob)
+        vol = jnp.where(do, jnp.flip(vol, axis=ax), vol)
+    return vol
+
+
+def center_crop_or_pad(vol: jax.Array, target: Sequence[int], cval: float = 0.0):
+    """Static center crop/pad of spatial axes to ``target`` (channels-last)."""
+    ndim = len(target)
+    out = vol
+    # pad first
+    pads = []
+    for d in range(ndim):
+        diff = max(0, target[d] - out.shape[d])
+        pads.append((diff // 2, diff - diff // 2))
+    pads.append((0, 0))
+    if any(p != (0, 0) for p in pads):
+        out = jnp.pad(out, pads, constant_values=cval)
+    # then crop
+    starts = [max(0, (out.shape[d] - target[d]) // 2) for d in range(ndim)]
+    slices = tuple(
+        slice(s, s + t) for s, t in zip(starts, target)
+    ) + (slice(None),)
+    return out[slices]
+
+
+def dynamic_crop(vol: jax.Array, start: jax.Array, size: Sequence[int]):
+    """Crop at a traced start index (jit-safe via dynamic_slice)."""
+    ndim = len(size)
+    starts = [start[d] for d in range(ndim)] + [0]
+    sizes = list(size) + [vol.shape[-1]]
+    return jax.lax.dynamic_slice(vol, starts, sizes)
+
+
+def random_crop(key: jax.Array, vol: jax.Array, size: Sequence[int]):
+    """Uniform random crop of fixed size."""
+    ndim = len(size)
+    maxs = jnp.asarray(
+        [max(vol.shape[d] - size[d], 0) for d in range(ndim)]
+    )
+    u = jax.random.uniform(key, (ndim,))
+    start = jnp.floor(u * (maxs + 1)).astype(jnp.int32)
+    start = jnp.minimum(start, maxs)
+    return dynamic_crop(vol, start, size)
+
+
+def pos_neg_crop(
+    key: jax.Array,
+    vol: jax.Array,
+    label: jax.Array,
+    size: Sequence[int],
+    fg_indices: jax.Array,
+    n_fg: jax.Array,
+    pos_ratio: float = 0.5,
+):
+    """
+    RandCropByPosNegLabeld analogue (SURVEY.md §7 hard parts): with
+    probability ``pos_ratio`` center the crop on a random foreground voxel
+    drawn from host-precomputed ``fg_indices`` [max_fg, ndim] (padded; n_fg
+    gives the valid count), else crop uniformly. Fixed output size, jit-safe.
+    """
+    ndim = len(size)
+    k1, k2, k3 = jax.random.split(key, 3)
+    maxs = jnp.asarray([max(vol.shape[d] - size[d], 0) for d in range(ndim)])
+    # uniform start
+    u = jax.random.uniform(k1, (ndim,))
+    uniform_start = jnp.minimum(
+        jnp.floor(u * (maxs + 1)).astype(jnp.int32), maxs
+    )
+    # fg-centered start
+    idx = jax.random.randint(k2, (), 0, jnp.maximum(n_fg, 1))
+    center = fg_indices[idx]
+    fg_start = jnp.clip(
+        center - jnp.asarray([s // 2 for s in size]), 0, maxs
+    )
+    use_fg = jnp.logical_and(
+        jax.random.bernoulli(k3, pos_ratio), n_fg > 0
+    )
+    start = jnp.where(use_fg, fg_start, uniform_start)
+    return (
+        dynamic_crop(vol, start, size),
+        dynamic_crop(
+            label if label.ndim == vol.ndim else label[..., None],
+            start,
+            size,
+        ),
+        start,
+    )
+
+
+def random_slices(
+    key: jax.Array,
+    vol: jax.Array,
+    label: jax.Array,
+    n_slices: int,
+    axis: int = -2,
+):
+    """
+    Mask-weighted 2.5D slice sampling (parity: RandomSlices,
+    utils/monai_transforms/random.py:120): slices with label mass are
+    upweighted. Returns vol/label with the slice axis reduced to n_slices.
+    """
+    axis = axis % (vol.ndim - 1)
+    lab = label if label.ndim == vol.ndim else label[..., None]
+    sum_axes = tuple(d for d in range(lab.ndim) if d != axis)
+    weights = jnp.sum(lab, axis=sum_axes) + 1e-3
+    idx = jax.random.categorical(
+        key, jnp.log(weights), shape=(n_slices,)
+    )
+    return (
+        jnp.take(vol, idx, axis=axis),
+        jnp.take(lab, idx, axis=axis),
+    )
+
+
+def get_all_crops(vol: jax.Array, size: Sequence[int], strides: Optional[Sequence[int]] = None):
+    """
+    Deterministic tiling of a volume into all crops (parity: GetAllCropsd,
+    utils/monai_transforms/image_ops.py:330). Static shapes: returns
+    [n_crops, *size, C].
+    """
+    ndim = len(size)
+    strides = strides or size
+    starts_per_dim = []
+    for d in range(ndim):
+        s = list(range(0, max(vol.shape[d] - size[d], 0) + 1, strides[d]))
+        if s[-1] != vol.shape[d] - size[d]:
+            s.append(vol.shape[d] - size[d])
+        starts_per_dim.append(s)
+    import itertools
+
+    crops = []
+    for combo in itertools.product(*starts_per_dim):
+        slices = tuple(
+            slice(st, st + sz) for st, sz in zip(combo, size)
+        ) + (slice(None),)
+        crops.append(vol[slices])
+    return jnp.stack(crops)

@@ -1,0 +1,127 @@
+"""
+Headline benchmark: end-to-end MRI volumes/sec/chip (augmentation + forward)
+on the flagship 3D U-Net (u-net-3d-resnet.yaml milestone shapes).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against the reference's architecture: an 8-worker
+CPU MONAI transform pipeline feeding the network. MONAI is not installed
+here, so the denominator is a faithful CPU re-creation of that hot path
+(scipy affine resample + numpy intensity ops, the same work
+RandAffined/RandGaussianNoised do per sample), measured once and cached in
+.bench_baseline.json. See BASELINE.md for the protocol.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 4
+SHAPE = (128, 128, 32)
+N_WARMUP = 3
+N_ITERS = 20
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+
+
+def _cpu_monai_like_pipeline_volumes_per_sec() -> float:
+    """
+    Reference denominator: per-volume random affine (scipy map_coordinates,
+    trilinear — what MONAI RandAffined does on CPU) + Gaussian noise +
+    intensity scaling, with the number of parallel workers the reference
+    uses (8) amortized optimistically (single measurement * 8; generous to
+    the baseline given this host has 1 core).
+    """
+    from scipy import ndimage
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=SHAPE).astype(np.float32)
+    mat = np.eye(3) + rng.normal(scale=0.05, size=(3, 3))
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        warped = ndimage.affine_transform(vol, mat, order=1)
+        warped = warped + rng.normal(scale=0.1, size=SHAPE).astype(np.float32)
+        lo, hi = warped.min(), warped.max()
+        warped = (warped - lo) / max(hi - lo, 1e-6)
+    per_vol = (time.perf_counter() - t0) / n
+    return 8.0 / per_vol  # 8 workers, perfectly parallel (upper bound)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.segmentation.unet import UNet
+    try:
+        from adell_mri_tpu.transforms import augment_pipeline_for_bench
+        has_aug = True
+    except ImportError:
+        has_aug = False
+
+    model = UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type="residual",
+        upscale_type="transpose",
+        norm_type="instance",
+        activation_fn="swish",
+        dropout_param=0.0,
+        n_classes=2,
+        depth=(32, 32, 64, 128, 256),
+        kernel_sizes=(3, 3, 3, 3, 3),
+        strides=(2, 2, 2, 2, 2),
+    )
+    x = jnp.ones((BATCH,) + SHAPE + (1,), jnp.bfloat16)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+
+    if has_aug:
+        aug = augment_pipeline_for_bench(SHAPE)
+
+        @jax.jit
+        def step(params, x, key):
+            x = aug(key, x)
+            pred, _ = model.apply({"params": params}, x)
+            return pred
+    else:
+
+        @jax.jit
+        def step(params, x, key):
+            pred, _ = model.apply({"params": params}, x)
+            return pred
+
+    key = jax.random.PRNGKey(0)
+    for _ in range(N_WARMUP):
+        step(params, x, key).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(N_ITERS):
+        step(params, x, jax.random.fold_in(key, i)).block_until_ready()
+    dt = time.perf_counter() - t0
+    vps = BATCH * N_ITERS / dt
+
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            baseline_vps = json.load(f)["cpu_monai_like_vps"]
+    else:
+        baseline_vps = _cpu_monai_like_pipeline_volumes_per_sec()
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"cpu_monai_like_vps": baseline_vps}, f)
+
+    print(
+        json.dumps(
+            {
+                "metric": "mri_volumes_per_sec_chip_aug_fwd"
+                if has_aug
+                else "mri_volumes_per_sec_chip_fwd",
+                "value": round(vps, 3),
+                "unit": "volumes/s",
+                "vs_baseline": round(vps / baseline_vps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,15 @@
 """
-Test configuration: force an 8-virtual-device CPU platform BEFORE jax import
-so multi-chip sharding paths are exercised without TPU hardware
-(SURVEY.md §4: unlike the reference, multi-device code paths are tested).
+Test configuration: force an 8-virtual-device CPU platform so multi-chip
+sharding paths are exercised without TPU hardware (SURVEY.md §4).
+
+The container's sitecustomize may have already registered a TPU-tunnel PJRT
+plugin at interpreter startup; overriding jax_platforms via jax.config (after
+import, before first backend use) still wins, and XLA_FLAGS set here is read
+at backend initialization.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
+
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for tests"

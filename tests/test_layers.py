@@ -1,0 +1,154 @@
+"""Layer zoo shape tests (parity model: testing/test_res_net.py etc.)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adell_mri_tpu.models.layers.adn import ActDropNorm, get_adn_fn
+from adell_mri_tpu.models.layers.blocks import (
+    ConvBlock,
+    DenseBlock,
+    DepthwiseSeparableConv,
+    GlobalPooling,
+    MLP,
+    VGGConvolution,
+    VGGDeconvolution,
+)
+from adell_mri_tpu.models.layers.multi_resolution import (
+    AtrousSpatialPyramidPooling,
+    PyramidSpatialPooling,
+    ReceptiveFieldBlock,
+)
+from adell_mri_tpu.models.layers.res_blocks import (
+    ConvNeXtBlock,
+    ResidualBlock,
+    ResNeXtBlock,
+)
+from adell_mri_tpu.models.layers.res_net import ResNet, ResNetBackbone
+from adell_mri_tpu.models.layers.self_attention import (
+    ChannelSqueezeAndExcite,
+    ConcurrentSqueezeAndExcite,
+    SelfAttentionBlock,
+    SpatialSqueezeAndExcite,
+)
+
+KEY = jax.random.PRNGKey(0)
+X2 = jnp.ones((2, 16, 16, 4))
+X3 = jnp.ones((2, 8, 8, 8, 4))
+
+
+def run(module, *args, rngs=None, **kwargs):
+    v = module.init(rngs or {"params": KEY}, *args, **kwargs)
+    return module.apply(v, *args, **kwargs)
+
+
+@pytest.mark.parametrize("ordering", ["ADN", "NDA", "AN"])
+def test_adn_orderings(ordering):
+    m = ActDropNorm(
+        norm_fn="instance", act_fn="relu", dropout_param=0.0, ordering=ordering
+    )
+    assert run(m, X3).shape == X3.shape
+
+
+def test_adn_uout_train():
+    m = ActDropNorm(
+        norm_fn="instance", act_fn="relu", dropout_param=0.2,
+        dropout_type="uout",
+    )
+    v = m.init({"params": KEY, "dropout": KEY}, X3, train=True)
+    y = m.apply(v, X3, train=True, rngs={"dropout": KEY})
+    assert y.shape == X3.shape
+    # eval must be deterministic/no-noise
+    y_eval = m.apply(v, X3)
+    assert jnp.allclose(y_eval, m.apply(v, X3))
+
+
+@pytest.mark.parametrize("x", [X2, X3])
+def test_conv_block(x):
+    adn = get_adn_fn(x.ndim - 2, "instance", "relu")
+    m = ConvBlock(out_channels=[8, 6], kernel_size=[3, 3], adn_fn=adn)
+    assert run(m, x).shape == x.shape[:-1] + (6,)
+
+
+@pytest.mark.parametrize("x", [X2, X3])
+def test_depthwise_separable(x):
+    m = DepthwiseSeparableConv(out_channels=8)
+    assert run(m, x).shape == x.shape[:-1] + (8,)
+
+
+def test_dense_block():
+    m = DenseBlock(out_channels=[8, 8, 6], kernel_size=[3, 3, 3])
+    assert run(m, X2).shape == X2.shape[:-1] + (6,)
+
+
+def test_vgg_blocks():
+    m = VGGConvolution(first_depth=8, norm_fn="instance")
+    y = run(m, X2)
+    assert y.shape == (2, 8, 8, 16)
+    m2 = VGGDeconvolution(depth=16, norm_fn="instance")
+    y2 = run(m2, y)
+    assert y2.shape == (2, 16, 16, 8)
+
+
+def test_global_pooling_and_mlp():
+    assert run(GlobalPooling(), X3).shape == (2, 4)
+    assert run(MLP(hidden_dims=[8], out_dim=3), jnp.ones((2, 4))).shape == (2, 3)
+
+
+@pytest.mark.parametrize(
+    "block", [ResidualBlock, ResNeXtBlock, ConvNeXtBlock]
+)
+@pytest.mark.parametrize("x", [X2, X3])
+def test_res_blocks(block, x):
+    m = block(kernel_size=3, inter_channels=4, out_channels=8)
+    assert run(m, x).shape == x.shape[:-1] + (8,)
+
+
+def test_se_blocks():
+    for m in [
+        ChannelSqueezeAndExcite(),
+        SpatialSqueezeAndExcite(),
+        ConcurrentSqueezeAndExcite(),
+    ]:
+        assert run(m, X3).shape == X3.shape
+
+
+def test_attention_gate():
+    m = SelfAttentionBlock(inter_channels=4)
+    v = m.init({"params": KEY}, X3, X3)
+    assert m.apply(v, X3, X3).shape == X3.shape
+
+
+def test_aspp_rfb_psp():
+    adn = get_adn_fn(2, "instance", "relu")
+    assert run(
+        AtrousSpatialPyramidPooling(out_channels=8, adn_fn=adn), X2
+    ).shape == X2.shape[:-1] + (8,)
+    assert run(ReceptiveFieldBlock(out_channels=8, adn_fn=adn), X2).shape == X2.shape[:-1] + (8,)
+    assert run(PyramidSpatialPooling(out_channels=8), X2).shape == X2.shape[:-1] + (8,)
+
+
+def test_resnet_backbone_intermediates():
+    adn = get_adn_fn(2, "instance", "relu")
+    bb = ResNetBackbone(
+        structure=[(8, 8, 3, 1), (16, 16, 3, 1)],
+        maxpool_structure=[(2, 2), (2, 2)],
+        adn_fn=adn,
+    )
+    v = bb.init({"params": KEY}, X2)
+    y, inter = bb.apply(v, X2, return_intermediate=True)
+    assert y.shape[-1] == 16
+    assert [i.shape[-1] for i in inter] == [8, 16]
+
+
+def test_resnet_ret_levels():
+    m = ResNet(
+        backbone_structure=[(8, 8, 3, 1)],
+        adn_fn=get_adn_fn(2, "instance", "relu"),
+        projection_head_structure=[16, 8],
+        prediction_head_structure=[8, 2],
+    )
+    v = m.init({"params": KEY}, X2)
+    assert m.apply(v, X2, ret="representation").shape == (2, 8)
+    assert m.apply(v, X2, ret="projection").shape == (2, 8)
+    assert m.apply(v, X2, ret="prediction").shape == (2, 2)

@@ -1,0 +1,94 @@
+"""
+Mesh/sharding tests on the 8-virtual-device CPU platform — the multi-device
+coverage the reference never had (SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adell_mri_tpu.parallel import (
+    batch_sharding,
+    get_devices,
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_get_devices_parsing():
+    platform, devs = get_devices("cpu")
+    assert platform == "cpu" and len(devs) == 8
+    _, devs2 = get_devices("cpu:0,3")
+    assert [d.id for d in devs2] == [0, 3]
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(jax.devices(), data=-1, fsdp=2)
+    assert dict(mesh.shape) == {"data": 4, "fsdp": 2, "model": 1}
+    with pytest.raises(ValueError):
+        make_mesh(jax.devices(), data=3, fsdp=2)
+
+
+def test_shard_batch_and_global_mean():
+    mesh = make_mesh(jax.devices())
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1), "id": ["a"]}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.num_devices == 8  # actually spec check
+    with mesh:
+        mean = jax.jit(lambda b: jnp.mean(b["x"]))({"x": sharded["x"]})
+    assert float(mean) == pytest.approx(7.5)
+
+
+def test_shard_params_fsdp():
+    mesh = make_mesh(jax.devices(), data=-1, fsdp=2)
+    params = {
+        "big": jnp.ones((1024, 512)),
+        "small": jnp.ones((8,)),
+    }
+    sharded = shard_params(params, mesh, fsdp_min_size=2**10)
+    big_spec = sharded["big"].sharding.spec
+    assert "fsdp" in str(big_spec)
+    small_spec = sharded["small"].sharding.spec
+    assert "fsdp" not in str(small_spec)
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """DP-sharded grads must equal single-device grads on the same batch."""
+    from adell_mri_tpu.train import TrainState, get_optimizer
+
+    def apply_fn(variables, x):
+        return x @ variables["params"]["w"]
+
+    w = jnp.ones((4, 2))
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 4))
+    y = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+
+    def loss_fn(params, batch, rng):
+        pred = batch["x"] @ params["w"]
+        loss = jnp.mean((pred - batch["y"]) ** 2)
+        return loss, {"loss": loss}
+
+    from adell_mri_tpu.train.steps import make_train_step
+
+    def make_state():
+        tx = get_optimizer("sgd", learning_rate=0.1, momentum=0.0)
+        return TrainState.create(apply_fn, {"w": w}, tx)
+
+    step = make_train_step(loss_fn, donate=False)
+    # single device
+    s1, m1 = step(make_state(), {"x": x, "y": y}, jax.random.PRNGKey(2))
+    # mesh-sharded
+    mesh = make_mesh(jax.devices())
+    with mesh:
+        batch = shard_batch({"x": np.asarray(x), "y": np.asarray(y)}, mesh)
+        s2, m2 = step(make_state(), batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        np.asarray(s1.params["w"]), np.asarray(s2.params["w"]), rtol=1e-5
+    )
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)

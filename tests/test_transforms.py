@@ -1,0 +1,128 @@
+"""On-device transform engine tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adell_mri_tpu.transforms import (
+    AugmentPolicy,
+    AugmentationWorkhorse,
+    SegmentationTransforms,
+    SSLTransforms,
+)
+from adell_mri_tpu.transforms import intensity as I
+from adell_mri_tpu.transforms import spatial as S
+
+KEY = jax.random.PRNGKey(0)
+VOL = jax.random.normal(KEY, (16, 16, 8, 1))
+LAB = jnp.zeros((16, 16, 8)).at[4:8, 4:8, 2:5].set(1.0)
+
+
+def test_identity_warp_exact():
+    out = S.warp_affine(VOL, jnp.eye(4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(VOL), atol=1e-5)
+
+
+def test_warp_matches_scipy():
+    from scipy import ndimage
+
+    mat = np.eye(4)
+    mat[:3, :3] += np.random.default_rng(0).normal(scale=0.05, size=(3, 3))
+    mat[:3, 3] = [0.5, -1.0, 0.3]
+    ours = S.warp_affine(VOL, jnp.asarray(mat))[..., 0]
+    ref = ndimage.affine_transform(
+        np.asarray(VOL)[..., 0], mat[:3, :3], offset=mat[:3, 3], order=1
+    )
+    # interior must agree (border handling differs at exact edges)
+    np.testing.assert_allclose(
+        np.asarray(ours)[2:-2, 2:-2, 2:-2], ref[2:-2, 2:-2, 2:-2], atol=1e-4
+    )
+
+
+def test_pos_neg_crop_contains_fg():
+    fg = np.argwhere(np.asarray(LAB) > 0)
+    pad = np.zeros((128, 3), np.int32)
+    pad[: len(fg)] = fg
+    img, lab, _ = S.pos_neg_crop(
+        KEY, VOL, LAB, (8, 8, 4), jnp.asarray(pad), jnp.int32(len(fg)), 1.0
+    )
+    assert img.shape == (8, 8, 4, 1)
+    assert float(jnp.sum(lab)) > 0
+
+
+def test_pos_neg_crop_no_fg_safe():
+    img, lab, _ = S.pos_neg_crop(
+        KEY,
+        VOL,
+        jnp.zeros((16, 16, 8)),
+        (8, 8, 4),
+        jnp.zeros((128, 3), jnp.int32),
+        jnp.int32(0),
+        1.0,
+    )
+    assert img.shape == (8, 8, 4, 1)
+
+
+def test_random_flip_deterministic_key():
+    a = S.random_flip(KEY, VOL, (0, 1))
+    b = S.random_flip(KEY, VOL, (0, 1))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_conditional_rescale_adc():
+    x = jnp.ones((4, 4, 2, 1)) * 2000.0
+    out = I.conditional_rescale(x, max_value=1000.0, scaling_factor=-2 / 3)
+    np.testing.assert_allclose(float(out[0, 0, 0, 0]), 2000 * -2 / 3, rtol=1e-5)
+    x2 = jnp.ones((4, 4, 2, 1)) * 0.5
+    out2 = I.conditional_rescale(x2, 1000.0, -2 / 3)
+    np.testing.assert_allclose(float(out2[0, 0, 0, 0]), 0.5, rtol=1e-5)
+
+
+def test_gibbs_preserves_shape_and_reduces_hf():
+    smooth = I.gibbs_ringing(KEY, VOL, alpha_range=(0.3, 0.3))
+    assert smooth.shape == VOL.shape
+    # heavy truncation must reduce variance of differences (less HF energy)
+    hf = lambda v: float(jnp.var(jnp.diff(v, axis=0)))
+    assert hf(smooth) < hf(VOL)
+
+
+def test_workhorse_jit_and_changes_input():
+    wh = AugmentationWorkhorse(n_transforms=2, ndim=3)
+    fn = jax.jit(wh)
+    out = fn(KEY, VOL)
+    assert out.shape == VOL.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert not np.allclose(np.asarray(out), np.asarray(VOL))
+    # different keys -> different augs
+    out2 = fn(jax.random.PRNGKey(42), VOL)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_segmentation_pipeline_batched():
+    tr = SegmentationTransforms(
+        crop_size=(8, 8, 4),
+        augmentations=AugmentPolicy(noise=True, affine=True, flip=True),
+        max_fg=64,
+    )
+    fg = np.zeros((2, 64, 3), np.int32)
+    fg_single = np.argwhere(np.asarray(LAB) > 0)[:64]
+    fg[:, : len(fg_single)] = fg_single
+    batch = {
+        "image": jnp.stack([VOL, VOL]),
+        "label": jnp.stack([LAB, LAB]),
+        "fg_indices": jnp.asarray(fg),
+        "n_fg": jnp.asarray([len(fg_single)] * 2, jnp.int32),
+    }
+    out = jax.jit(tr.augment)(KEY, batch)
+    assert out["image"].shape == (2, 8, 8, 4, 1)
+    assert out["label"].shape == (2, 8, 8, 4)
+
+
+def test_ssl_two_views():
+    tr = SSLTransforms(crop_size=(8, 8, 4), n_transforms=1)
+    batch = {"image": jnp.stack([VOL, VOL])}
+    out = jax.jit(tr.augment)(KEY, batch)
+    assert out["view1"].shape == (2, 8, 8, 4, 1)
+    assert out["view2"].shape == (2, 8, 8, 4, 1)
+    assert not np.allclose(np.asarray(out["view1"]), np.asarray(out["view2"]))

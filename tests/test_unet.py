@@ -1,0 +1,121 @@
+"""
+U-Net shape/feature-matrix tests (parity model: testing/test_unet.py:46-73,
+kept narrow because this box has one CPU core — the full conv/link matrix is
+covered in tests/test_layers.py at smaller depth).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adell_mri_tpu.models.segmentation import BrUNet, UNet
+
+KEY = jax.random.PRNGKey(0)
+
+
+def build(sd=3, **kw):
+    defaults = dict(
+        spatial_dimensions=sd,
+        norm_type="instance",
+        activation_fn="swish",
+        dropout_param=0.0,
+        depth=(4, 8, 16),
+        kernel_sizes=(3, 3, 3),
+        strides=(2, 2, 2),
+    )
+    defaults.update(kw)
+    return UNet(**defaults)
+
+
+def x_for(sd):
+    return jnp.ones((1,) + ((16, 16, 8) if sd == 3 else (16, 16)) + (1,))
+
+
+@pytest.mark.parametrize("sd", [2, 3])
+def test_unet_basic(sd):
+    m = build(sd)
+    x = x_for(sd)
+    v = m.init({"params": KEY}, x)
+    pred, bn = m.apply(v, x)
+    assert pred.shape == x.shape[:-1] + (1,)
+    assert bn is None
+    assert float(jnp.min(pred)) >= 0 and float(jnp.max(pred)) <= 1
+
+
+def test_unet_multiclass_softmax():
+    m = build(3, n_classes=4)
+    x = x_for(3)
+    v = m.init({"params": KEY}, x)
+    pred, _ = m.apply(v, x)
+    assert pred.shape == x.shape[:-1] + (4,)
+    sums = jnp.sum(pred, axis=-1)
+    assert jnp.allclose(sums, 1.0, atol=1e-5)
+
+
+def test_unet_logits_and_features():
+    m = build(3)
+    x = x_for(3)
+    v = m.init({"params": KEY}, x)
+    logits = m.apply(v, x, return_logits=True)[0]
+    assert float(jnp.min(logits)) < 0  # not sigmoided
+    pred, feats, bottleneck = m.apply(v, x, return_features=True)
+    assert feats.shape[-1] == 4
+    assert bottleneck.shape[-1] == 16
+
+
+def test_unet_deep_supervision_and_bottleneck():
+    m = build(3, deep_supervision=True, bottleneck_classification=True)
+    x = x_for(3)
+    v = m.init({"params": KEY}, x)
+    pred, bn, ds = m.apply(v, x)
+    assert bn.shape == (1, 1)
+    assert len(ds) == 2
+    assert ds[-1].shape == pred.shape
+
+
+def test_unet_conditioning():
+    m = build(
+        3,
+        skip_conditioning=1,
+        feature_conditioning=3,
+        feature_conditioning_params={
+            "mean": [0.0, 0.0, 0.0],
+            "std": [1.0, 1.0, 1.0],
+        },
+    )
+    x = x_for(3)
+    skip = jnp.ones(x.shape)
+    feats = jnp.ones((1, 3))
+    v = m.init({"params": KEY}, x, skip, feats)
+    pred, _ = m.apply(v, x, skip, feats)
+    assert pred.shape == x.shape[:-1] + (1,)
+
+
+def test_unet_anisotropic_strides():
+    m = build(
+        3,
+        depth=(4, 8),
+        kernel_sizes=(3, 3),
+        strides=((2, 2, 1), (2, 2, 2)),
+    )
+    x = x_for(3)
+    v = m.init({"params": KEY}, x)
+    pred, _ = m.apply(v, x)
+    assert pred.shape == x.shape[:-1] + (1,)
+
+
+def test_brunet_missing_branch():
+    m = BrUNet(
+        spatial_dimensions=3,
+        n_input_branches=2,
+        norm_type="instance",
+        dropout_param=0.0,
+        depth=(4, 8),
+        kernel_sizes=(3, 3),
+        strides=(2, 2),
+    )
+    x = x_for(3)
+    w = jnp.asarray([[1.0, 0.0]])
+    v = m.init({"params": KEY}, [x, x], w)
+    pred, _ = m.apply(v, [x, x], w)
+    assert pred.shape == x.shape[:-1] + (1,)
