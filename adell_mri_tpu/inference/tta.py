@@ -1,0 +1,134 @@
+"""
+Test-time augmentation and composed inference.
+
+Parity targets: adell_mri/utils/inference.py — FlippedInference (:303),
+SegmentationInference (:787-989) composing sliding window x flips x
+MC-dropout x checkpoint ensembling with TensorListReduction.
+"""
+
+from itertools import combinations
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+class FlippedInference:
+    """
+    Averages predictions over flip TTA: for each flip-axis subset, flip
+    input, predict, flip back (parity: inference.py:303).
+    """
+
+    def __init__(
+        self,
+        inference_function: Callable,
+        flips: Sequence[Sequence[int]] = ((0,), (1,), (2,)),
+        include_identity: bool = True,
+    ):
+        self.fn = inference_function
+        self.flips = [tuple(f) for f in flips]
+        if include_identity:
+            self.flips = [()] + [f for f in self.flips if f != ()]
+
+    def __call__(self, vol: jax.Array) -> jax.Array:
+        preds = []
+        for axes in self.flips:
+            x = jnp.flip(vol, axes) if axes else vol
+            p = self.fn(x)
+            preds.append(jnp.flip(p, axes) if axes else p)
+        return sum(preds) / len(preds)
+
+
+class TensorListReduction:
+    """Mean-reduces a list of prediction tensors with optional postproc."""
+
+    def __init__(self, postproc_fn: Optional[Callable] = None):
+        self.postproc_fn = postproc_fn
+
+    def __call__(self, tensors: List[jax.Array]) -> jax.Array:
+        out = sum(tensors) / len(tensors)
+        if self.postproc_fn is not None:
+            out = self.postproc_fn(out)
+        return out
+
+
+class SegmentationInference:
+    """
+    Composes: per-checkpoint model -> [MC-dropout repeats] -> [sliding
+    window] -> [flip TTA] -> reduction (parity: inference.py:787).
+
+    Args:
+        base_inference_function: ``(params, x) -> probs`` on a window/volume.
+        checkpoint_params: list of param pytrees to ensemble over.
+        sliding_window_size: enables windowed inference when set.
+        stride, flip, mc_iterations: as the reference CLI exposes them
+        (entrypoints/segmentation/predict.py:359-372).
+    """
+
+    def __init__(
+        self,
+        base_inference_function: Callable,
+        checkpoint_params: Sequence,
+        sliding_window_size: Optional[Sequence[int]] = None,
+        stride: float = 0.5,
+        flip: bool = False,
+        mc_iterations: Optional[int] = None,
+        n_classes: int = 2,
+        batch_size: int = 4,
+        postproc_fn: Optional[Callable] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        self.base_fn = base_inference_function
+        self.checkpoint_params = list(checkpoint_params)
+        self.sliding_window_size = sliding_window_size
+        self.stride = stride
+        self.flip = flip
+        self.mc_iterations = mc_iterations
+        self.n_classes = n_classes
+        self.batch_size = batch_size
+        self.reduction = TensorListReduction(postproc_fn)
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def _single_model_fn(self, params, rng) -> Callable:
+        if self.mc_iterations:
+            def fn(x):
+                preds = []
+                for i in range(self.mc_iterations):
+                    preds.append(
+                        self.base_fn(
+                            params, x, rng=jax.random.fold_in(rng, i)
+                        )
+                    )
+                return sum(preds) / len(preds)
+        else:
+            def fn(x):
+                return self.base_fn(params, x)
+        return fn
+
+    def __call__(self, vol: jax.Array) -> jax.Array:
+        from adell_mri_tpu.inference.sliding_window import (
+            SlidingWindowSegmentation,
+        )
+
+        outputs = []
+        for ci, params in enumerate(self.checkpoint_params):
+            fn = self._single_model_fn(params, jax.random.fold_in(self.rng, ci))
+            if self.sliding_window_size is not None:
+                fn = SlidingWindowSegmentation(
+                    self.sliding_window_size,
+                    fn,
+                    n_classes=self.n_classes,
+                    stride=self.stride,
+                    batch_size=self.batch_size,
+                )
+            if self.flip:
+                ndim = (
+                    len(self.sliding_window_size)
+                    if self.sliding_window_size
+                    else vol.ndim - 1
+                )
+                fn = FlippedInference(
+                    fn, flips=[(d,) for d in range(ndim)]
+                )
+            outputs.append(fn(vol))
+        return self.reduction(outputs)

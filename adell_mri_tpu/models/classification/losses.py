@@ -1,0 +1,70 @@
+"""
+Classification losses.
+
+Parity targets: adell_mri/modules/classification/losses.py —
+ordinal_sigmoidal_loss (:9), OrdinalSigmoidalLoss (:82); plus the standard
+CE/BCE/focal wrappers routed by utils.loss_factory in classification
+entrypoints.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def binary_logistic_loss(logits, labels, weight: Optional[float] = None):
+    """BCE-with-logits; ``weight`` scales the positive class."""
+    logits = logits[..., 0] if logits.ndim > labels.ndim else logits
+    labels = labels.astype(logits.dtype)
+    per = optax.sigmoid_binary_cross_entropy(logits, labels)
+    if weight is not None:
+        per = per * jnp.where(labels > 0.5, weight, 1.0)
+    return jnp.mean(per)
+
+
+def cross_entropy_loss(logits, labels, weight=None, label_smoothing: float = 0.0):
+    n_classes = logits.shape[-1]
+    oh = jax.nn.one_hot(labels.astype(jnp.int32), n_classes)
+    if label_smoothing > 0:
+        oh = oh * (1 - label_smoothing) + label_smoothing / n_classes
+    logp = jax.nn.log_softmax(logits)
+    per = -jnp.sum(oh * logp, axis=-1)
+    if weight is not None:
+        w = jnp.asarray(weight)[labels.astype(jnp.int32)]
+        per = per * w
+    return jnp.mean(per)
+
+
+def focal_loss(logits, labels, alpha: float = 0.25, gamma: float = 2.0):
+    """Binary focal on logits."""
+    logits = logits[..., 0] if logits.ndim > labels.ndim else logits
+    labels = labels.astype(logits.dtype)
+    p = jax.nn.sigmoid(logits)
+    pt = labels * p + (1 - labels) * (1 - p)
+    alpha_t = labels * alpha + (1 - labels) * (1 - alpha)
+    return jnp.mean(-alpha_t * (1 - pt) ** gamma * jnp.log(jnp.clip(pt, 1e-6)))
+
+
+def ordinal_sigmoidal_loss(
+    logits, labels, n_classes: int, weight=None
+):
+    """
+    Ordinal loss on cumulative-threshold logits [B, n_classes-1]
+    (parity: classification/losses.py:9): target k -> first k thresholds
+    positive.
+    """
+    k = labels.astype(jnp.int32)
+    thresholds = jnp.arange(n_classes - 1)
+    target = (thresholds[None, :] < k[:, None]).astype(logits.dtype)
+    per = optax.sigmoid_binary_cross_entropy(logits, target)
+    if weight is not None:
+        w = jnp.asarray(weight)[k]
+        per = per * w[:, None]
+    return jnp.mean(jnp.sum(per, axis=-1))
+
+
+def ordinal_prediction_to_class(logits):
+    """Predicted class = number of positive thresholds."""
+    return jnp.sum(jax.nn.sigmoid(logits) > 0.5, axis=-1)

@@ -1,0 +1,318 @@
+"""
+Classification model family.
+
+Parity targets: adell_mri/modules/classification/classification/
+classification.py — VGG (:146, VGGBackbone :67), CatNet (:263, ResNet-based
+with batch-ensemble option), OrdNet (:421, ordinal sigmoidal with shared
+bias), SegCatNet (:502, classify from U-Net features), UNetEncoder (:614),
+ViTClassifier (:709), FactorizedViTClassifier (:794), TabularClassifier
+(:941, normalizing linear), HybridClassifier (:1008, conv+tabular fusion);
+ensemble.py (:15,144,190). Channels-last flax; binary tasks emit 1 logit,
+multiclass emit n_classes logits (activations live in the losses).
+"""
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from adell_mri_tpu.models.layers.adn import get_adn_fn
+from adell_mri_tpu.models.layers.blocks import (
+    GlobalPooling,
+    MLP,
+    VGGConvolution,
+    _tuple,
+)
+from adell_mri_tpu.models.layers.res_net import ResNetBackbone
+from adell_mri_tpu.models.layers.vit import (
+    FactorizedViT,
+    SeqPool,
+    ViT,
+)
+
+
+def _out_features(n_classes: int) -> int:
+    return 1 if n_classes == 2 else n_classes
+
+
+class VGG(nn.Module):
+    """VGG-ish classifier (parity: classification.py:146; vggnet-net.yaml)."""
+
+    spatial_dimensions: int = 3
+    n_classes: int = 2
+    first_depth: int = 16
+    n_blocks: int = 4
+    norm_type: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        d = self.first_depth
+        for i in range(self.n_blocks):
+            x = VGGConvolution(
+                first_depth=d * (2**i), norm_fn=self.norm_type
+            )(x, train=train)
+        feats = GlobalPooling()(x)
+        if return_features:
+            return feats
+        y = nn.Dense(feats.shape[-1])(feats)
+        y = nn.relu(y)
+        return nn.Dense(_out_features(self.n_classes))(y)
+
+
+class CatNet(nn.Module):
+    """
+    ResNet-backbone classifier (parity: classification.py:263) —
+    the classification-cat-*.yaml surface: resnet_structure,
+    maxpool_structure, res_type, batch_ensemble.
+    """
+
+    spatial_dimensions: int = 3
+    n_classes: int = 2
+    resnet_structure: Sequence[Tuple[int, int, int, int]] = (
+        (64, 128, 5, 2),
+        (128, 256, 3, 5),
+    )
+    maxpool_structure: Optional[Sequence] = None
+    res_type: str = "resnet"
+    batch_ensemble: int = 0
+    norm_type: str = "batch"
+    act_fn: str = "relu"
+    dropout_param: float = 0.0
+    feature_extraction: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_features: bool = False):
+        adn = get_adn_fn(
+            self.spatial_dimensions,
+            self.norm_type,
+            self.act_fn,
+            self.dropout_param,
+        )
+        backbone = ResNetBackbone(
+            structure=self.resnet_structure,
+            maxpool_structure=self.maxpool_structure,
+            adn_fn=adn,
+            res_type=self.res_type,
+            batch_ensemble=self.batch_ensemble,
+        )
+        feats = GlobalPooling()(backbone(x, train=train))
+        if return_features or self.feature_extraction:
+            return feats
+        d = feats.shape[-1]
+        y = nn.Dense(d)(feats)
+        y = nn.relu(y)
+        return nn.Dense(_out_features(self.n_classes))(y)
+
+
+class OrdNet(nn.Module):
+    """
+    Ordinal net (parity: classification.py:421): one shared scalar score
+    plus per-threshold biases -> [B, n_classes-1] cumulative logits
+    (consumed by ordinal_sigmoidal_loss).
+    """
+
+    spatial_dimensions: int = 3
+    n_classes: int = 3
+    resnet_structure: Sequence[Tuple[int, int, int, int]] = (
+        (64, 128, 5, 2),
+        (128, 256, 3, 5),
+    )
+    maxpool_structure: Optional[Sequence] = None
+    norm_type: str = "batch"
+    act_fn: str = "relu"
+    dropout_param: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        adn = get_adn_fn(
+            self.spatial_dimensions,
+            self.norm_type,
+            self.act_fn,
+            self.dropout_param,
+        )
+        backbone = ResNetBackbone(
+            structure=self.resnet_structure,
+            maxpool_structure=self.maxpool_structure,
+            adn_fn=adn,
+        )
+        feats = GlobalPooling()(backbone(x, train=train))
+        h = nn.Dense(feats.shape[-1])(feats)
+        h = nn.relu(h)
+        score = nn.Dense(1, use_bias=False)(h)  # shared scalar
+        bias = self.param(
+            "threshold_bias",
+            nn.initializers.zeros,
+            (self.n_classes - 1,),
+        )
+        return score + bias[None, :]
+
+
+class UNetEncoderClassifier(nn.Module):
+    """U-Net encoder + classification head (parity: classification.py:614)."""
+
+    unet: Any  # a UNet module (encoder_only is forced on the call)
+    n_classes: int = 2
+    head_structure: Sequence[int] = (256,)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bottleneck = self.unet(x, train=train, return_bottleneck=True)[2]
+        feats = GlobalPooling()(bottleneck)
+        for h in self.head_structure:
+            feats = nn.Dense(h)(feats)
+            feats = nn.relu(feats)
+        return nn.Dense(_out_features(self.n_classes))(feats)
+
+
+class SegCatNet(nn.Module):
+    """
+    Classifies from a U-Net's features (parity: classification.py:502):
+    pooled final decoder features + pooled bottleneck, concatenated.
+    """
+
+    unet: Any
+    n_classes: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pred, final_features, bottleneck = self.unet(
+            x, train=train, return_features=True
+        )
+        f1 = GlobalPooling()(final_features)
+        f2 = GlobalPooling()(bottleneck)
+        # max-pooled prediction as weak localization signal
+        f3 = jnp.max(pred.reshape(pred.shape[0], -1, pred.shape[-1]), axis=1)
+        feats = jnp.concatenate([f1, f2, f3], axis=-1)
+        h = nn.Dense(feats.shape[-1] // 2)(feats)
+        h = nn.relu(h)
+        return nn.Dense(_out_features(self.n_classes))(h)
+
+
+class ViTClassifier(nn.Module):
+    """ViT + class-token/SeqPool head (parity: classification.py:709)."""
+
+    patch_size: Sequence[int] = (4, 4, 4)
+    n_classes: int = 2
+    embed_dim: int = 256
+    n_blocks: int = 4
+    n_heads: int = 4
+    dropout_param: float = 0.0
+    use_class_token: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        tokens = ViT(
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            n_blocks=self.n_blocks,
+            n_heads=self.n_heads,
+            dropout=self.dropout_param,
+            use_class_token=self.use_class_token,
+        )(x, train=train)
+        feats = tokens[:, 0] if self.use_class_token else SeqPool()(tokens)
+        return nn.Dense(_out_features(self.n_classes))(feats)
+
+
+class FactorizedViTClassifier(nn.Module):
+    """Within/between-slice ViT classifier (parity: classification.py:794)."""
+
+    patch_size: Sequence[int] = (4, 4)
+    n_classes: int = 2
+    embed_dim: int = 256
+    n_blocks: int = 4
+    n_heads: int = 4
+    dropout_param: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        tokens = FactorizedViT(
+            patch_size=self.patch_size,
+            embed_dim=self.embed_dim,
+            n_blocks=self.n_blocks,
+            n_heads=self.n_heads,
+            dropout=self.dropout_param,
+        )(x, train=train)
+        return nn.Dense(_out_features(self.n_classes))(tokens[:, 0])
+
+
+class TabularClassifier(nn.Module):
+    """
+    Normalizing linear model over tabular features
+    (parity: classification.py:941): input standardized by stored
+    mean/std, then linear.
+    """
+
+    n_classes: int = 2
+    mean: Optional[Sequence[float]] = None
+    std: Optional[Sequence[float]] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.mean is not None:
+            x = (x - jnp.asarray(self.mean)) / jnp.maximum(
+                jnp.asarray(self.std), 1e-6
+            )
+        return nn.Dense(_out_features(self.n_classes))(x)
+
+
+class HybridClassifier(nn.Module):
+    """
+    Conv + tabular fusion (parity: classification.py:1008): image branch
+    features concat standardized tabular features -> head.
+    """
+
+    convolutional_module: Any
+    n_classes: int = 2
+    tab_mean: Optional[Sequence[float]] = None
+    tab_std: Optional[Sequence[float]] = None
+
+    @nn.compact
+    def __call__(self, x, x_tab, train: bool = False):
+        img_feats = self.convolutional_module(
+            x, train=train, return_features=True
+        )
+        if self.tab_mean is not None:
+            x_tab = (x_tab - jnp.asarray(self.tab_mean)) / jnp.maximum(
+                jnp.asarray(self.tab_std), 1e-6
+            )
+        feats = jnp.concatenate([img_feats, x_tab], axis=-1)
+        h = nn.Dense(feats.shape[-1])(feats)
+        h = nn.relu(h)
+        return nn.Dense(_out_features(self.n_classes))(h)
+
+
+class GenericEnsemble(nn.Module):
+    """
+    Ensemble over member networks with feature fusion (parity:
+    ensemble.py:15): members return features, fused by concat/mean, one
+    shared head.
+    """
+
+    networks: Sequence[Any]
+    n_classes: int = 2
+    fusion: str = "concat"  # "concat" | "mean"
+    head_structure: Sequence[int] = (64,)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = [net(x, train=train, return_features=True) for net in self.networks]
+        if self.fusion == "mean":
+            f = sum(feats) / len(feats)
+        else:
+            f = jnp.concatenate(feats, axis=-1)
+        for h in self.head_structure:
+            f = nn.Dense(h)(f)
+            f = nn.relu(f)
+        return nn.Dense(_out_features(self.n_classes))(f)
+
+
+class AveragingEnsemble(nn.Module):
+    """Mean of member logits (parity: ensemble.py:190)."""
+
+    networks: Sequence[Any]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = [net(x, train=train) for net in self.networks]
+        return sum(outs) / len(outs)

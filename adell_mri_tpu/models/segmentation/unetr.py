@@ -1,0 +1,200 @@
+"""
+Transformer segmentation: UNETR and SWIN-UNet.
+
+Parity targets: adell_mri/modules/segmentation/unetr.py — UNETR (:21,
+ViT encoder whose intermediate token maps are reshaped into U-Net skips at
+``return_at`` blocks) and SWINUNet (:635, hierarchical SWIN encoder +
+conv decoder). The Monai-wrapped variants (:435,:1036) collapse into these
+(same config surface; one implementation).
+"""
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from adell_mri_tpu.models.layers.adn import get_adn_fn
+from adell_mri_tpu.models.layers.blocks import _tuple, apply_adn
+from adell_mri_tpu.models.layers.multi_resolution import resize_like
+from adell_mri_tpu.models.layers.vit import (
+    LinearEmbedding,
+    SWINTransformerBlockStack,
+    TransformerBlockStack,
+)
+
+
+def tokens_to_volume(tokens, grid, skip_tokens: int = 0):
+    """[B, N(+extra), E] -> [B, *grid, E]."""
+    b = tokens.shape[0]
+    t = tokens[:, skip_tokens:]
+    return t.reshape((b,) + tuple(grid) + (tokens.shape[-1],))
+
+
+class _DecoderStage(nn.Module):
+    out_channels: int
+    adn_fn: any = None
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        ndim = x.ndim - 2
+        target = skip.shape[1:-1]
+        x = nn.ConvTranspose(
+            self.out_channels, _tuple(2, ndim), strides=_tuple(2, ndim)
+        )(x)
+        if x.shape[1:-1] != target:
+            x = resize_like(x, target)
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = nn.Conv(self.out_channels, _tuple(3, ndim), padding="SAME")(x)
+        x = apply_adn(self.adn_fn(self.out_channels), x, train)
+        x = nn.Conv(self.out_channels, _tuple(3, ndim), padding="SAME")(x)
+        x = apply_adn(self.adn_fn(self.out_channels), x, train)
+        return x
+
+
+class UNETR(nn.Module):
+    """
+    ViT encoder + progressive-deconv skips + conv decoder (parity:
+    unetr.py:21; unetr.yaml surface: patch_size, embed dims, depths).
+    """
+
+    spatial_dimensions: int = 3
+    n_classes: int = 2
+    patch_size: Sequence[int] = (8, 8, 8)
+    embed_dim: int = 192
+    n_blocks: int = 8
+    n_heads: int = 6
+    feature_size: int = 16
+    norm_type: str = "instance"
+    activation_fn: str = "swish"
+    dropout_param: float = 0.0
+    return_at: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_logits: bool = False):
+        ndim = x.ndim - 2
+        spatial = x.shape[1:-1]
+        p = tuple(self.patch_size[:ndim])
+        grid = [s // pi for s, pi in zip(spatial, p)]
+        adn = get_adn_fn(
+            ndim, self.norm_type, self.activation_fn, self.dropout_param
+        )
+        return_at = list(
+            self.return_at
+            if self.return_at is not None
+            else [
+                self.n_blocks // 4 - 1,
+                self.n_blocks // 2 - 1,
+                3 * self.n_blocks // 4 - 1,
+            ]
+        )
+        tokens = LinearEmbedding(
+            patch_size=p,
+            embed_dim=self.embed_dim,
+            embed_method="convolutional",
+            dropout=self.dropout_param,
+        )(x, train=train)
+        tokens, inter = TransformerBlockStack(
+            self.n_blocks, self.n_heads, dropout=self.dropout_param
+        )(tokens, train=train, return_at=return_at)
+
+        # skips: z0 from the raw input; z_i from intermediate tokens,
+        # progressively deconvolved to their scale (unetr.py decoder design)
+        f = self.feature_size
+        z0 = nn.Conv(f, _tuple(3, ndim), padding="SAME")(x)
+        z0 = apply_adn(adn(f), z0, train)
+
+        skips = [z0]
+        n_inter = len(inter)
+        for i, t in enumerate(inter):
+            vol = tokens_to_volume(t, grid)
+            ups = n_inter - i  # number of 2x deconvs to reach its scale
+            ch = f * (2 ** (i + 1))
+            for u in range(ups):
+                vol = nn.ConvTranspose(
+                    ch, _tuple(2, ndim), strides=_tuple(2, ndim),
+                    name=f"proj_{i}_{u}",
+                )(vol)
+                vol = apply_adn(adn(ch), vol, train)
+            skips.append(vol)
+
+        bottleneck = tokens_to_volume(tokens, grid)
+        curr = nn.ConvTranspose(
+            f * (2 ** (n_inter + 1)), _tuple(2, ndim), strides=_tuple(2, ndim)
+        )(bottleneck)
+        curr = apply_adn(adn(curr.shape[-1]), curr, train)
+        for i in range(len(skips) - 1, -1, -1):
+            curr = _DecoderStage(
+                out_channels=max(f * (2**i), f), adn_fn=adn,
+                name=f"dec_{i}",
+            )(curr, skips[i], train=train)
+        if curr.shape[1:-1] != spatial:
+            curr = resize_like(curr, spatial)
+        out_ch = self.n_classes if self.n_classes > 2 else 1
+        logits = nn.Conv(out_ch, _tuple(1, ndim))(curr)
+        if return_logits:
+            return logits, None
+        pred = (
+            jax.nn.softmax(logits, -1)
+            if self.n_classes > 2
+            else jax.nn.sigmoid(logits)
+        )
+        return pred, None
+
+
+class SWINUNet(nn.Module):
+    """
+    SWIN encoder + conv decoder (parity: unetr.py:635; unet-swin.yaml).
+    """
+
+    spatial_dimensions: int = 3
+    n_classes: int = 2
+    embed_dim: int = 24
+    depths: Sequence[int] = (2, 2, 2)
+    n_heads: Sequence[int] = (3, 6, 12)
+    window_size: Sequence[int] = (4, 4, 4)
+    patch_size: Sequence[int] = (2, 2, 2)
+    norm_type: str = "instance"
+    activation_fn: str = "swish"
+    dropout_param: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_logits: bool = False):
+        ndim = x.ndim - 2
+        spatial = x.shape[1:-1]
+        adn = get_adn_fn(
+            ndim, self.norm_type, self.activation_fn, self.dropout_param
+        )
+        bottleneck, feats = SWINTransformerBlockStack(
+            embed_dim=self.embed_dim,
+            depths=self.depths,
+            n_heads=self.n_heads,
+            window_size=self.window_size,
+            patch_size=self.patch_size,
+            dropout=self.dropout_param,
+        )(x, train=train)
+
+        f = self.embed_dim
+        z0 = nn.Conv(f, _tuple(3, ndim), padding="SAME")(x)
+        z0 = apply_adn(adn(f), z0, train)
+        skips = [z0] + feats[:-1]
+
+        curr = bottleneck
+        for i in range(len(skips) - 1, -1, -1):
+            curr = _DecoderStage(
+                out_channels=max(skips[i].shape[-1], f), adn_fn=adn,
+                name=f"dec_{i}",
+            )(curr, skips[i], train=train)
+        if curr.shape[1:-1] != spatial:
+            curr = resize_like(curr, spatial)
+        out_ch = self.n_classes if self.n_classes > 2 else 1
+        logits = nn.Conv(out_ch, _tuple(1, ndim))(curr)
+        if return_logits:
+            return logits, None
+        pred = (
+            jax.nn.softmax(logits, -1)
+            if self.n_classes > 2
+            else jax.nn.sigmoid(logits)
+        )
+        return pred, None

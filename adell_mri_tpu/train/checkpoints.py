@@ -1,0 +1,218 @@
+"""
+Checkpointing with embedded metadata.
+
+Parity targets: adell_mri/utils/pl_callbacks.py — ModelCheckpointWithMetadata
+(:466-535: transform args, network config, train/val pids stored WITH the
+weights so prediction can rebuild preprocessing from the checkpoint alone,
+consumed at entrypoints/generative/generate.py:26-50); utils/pl_utils.py
+get_ckpt_callback (:255-342: ``{name}_fold{f}`` naming, resume-from-last,
+"finished" detection); utils/torch_utils.py load_checkpoint_to_model (:16,
+exclude_from_state_dict regexes) and conditional_parameter_freezing (:119).
+
+TPU-native: orbax for the array tree (sharded-state safe), JSON sidecar for
+metadata.
+"""
+
+import json
+import os
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class CheckpointManager:
+    """
+    Directory layout: ``{root}/{name}_fold{fold}/{step}/...`` via orbax,
+    with ``metadata.json`` at the run level and ``best.json`` tracking the
+    monitored metric.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        name: str = "model",
+        fold: int = 0,
+        metadata: Optional[Dict[str, Any]] = None,
+        monitor: str = "val_loss",
+        mode: str = "min",
+        max_to_keep: int = 2,
+    ):
+        self.dir = os.path.abspath(os.path.join(root, f"{name}_fold{fold}"))
+        os.makedirs(self.dir, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self._mngr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        if metadata is not None:
+            self.save_metadata(metadata)
+
+    # -- metadata ----------------------------------------------------------
+    def save_metadata(self, metadata: Dict[str, Any]):
+        with open(os.path.join(self.dir, "metadata.json"), "w") as f:
+            json.dump(metadata, f, default=str, indent=1)
+
+    def load_metadata(self) -> Dict[str, Any]:
+        path = os.path.join(self.dir, "metadata.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
+    # -- save/restore ------------------------------------------------------
+    def save(self, step: int, state: Any, metrics: Optional[Dict] = None):
+        tree = jax.tree.map(np.asarray, _savable(state))
+        self._mngr.save(step, args=ocp.args.StandardSave(tree))
+        self._mngr.wait_until_finished()
+        if metrics and self.monitor in metrics:
+            value = float(metrics[self.monitor])
+            best = self._best()
+            better = (
+                best is None
+                or (self.mode == "min" and value < best["value"])
+                or (self.mode == "max" and value > best["value"])
+            )
+            if better:
+                with open(os.path.join(self.dir, "best.json"), "w") as f:
+                    json.dump({"step": step, "value": value}, f)
+
+    def _best(self) -> Optional[Dict]:
+        path = os.path.join(self.dir, "best.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return None
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        best = self._best()
+        return best["step"] if best else self.latest_step()
+
+    def restore(self, step: Optional[int] = None, target: Any = None):
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        if target is not None:
+            tree = jax.tree.map(np.asarray, _savable(target))
+            restored = self._mngr.restore(
+                step, args=ocp.args.StandardRestore(tree)
+            )
+        else:
+            restored = self._mngr.restore(step)
+        return restored
+
+    def status(self, max_steps: int) -> str:
+        """'finished' | 'resume' | 'fresh' (parity: pl_utils.py:323-341)."""
+        latest = self.latest_step()
+        if latest is None:
+            return "fresh"
+        return "finished" if latest >= max_steps else "resume"
+
+
+def _savable(state: Any) -> Dict[str, Any]:
+    """Extracts the array tree from a TrainState or passes a dict through."""
+    if hasattr(state, "params"):
+        tree = {"params": state.params, "step": state.step}
+        if getattr(state, "ema_params", None) is not None:
+            tree["ema_params"] = state.ema_params
+        if getattr(state, "opt_state", None) is not None:
+            tree["opt_state"] = state.opt_state
+        if getattr(state, "variables", None):
+            tree["variables"] = state.variables
+        return tree
+    return state
+
+
+# ---------------------------------------------------------------------------
+# warm-start machinery (parity: utils/torch_utils.py:16,119)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def _unflatten(flat: Dict[str, Any]):
+    root: Dict[str, Any] = {}
+    for path, v in flat.items():
+        node = root
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return root
+
+
+def load_params_into(
+    params: Any,
+    loaded: Any,
+    exclude_patterns: Sequence[str] = (),
+    rename: Optional[Dict[str, str]] = None,
+) -> Tuple[Any, List[str]]:
+    """
+    Copies matching leaves of ``loaded`` into ``params`` by path, skipping
+    paths matching ``exclude_patterns`` regexes and shape mismatches
+    (parity: load_checkpoint_to_model, torch_utils.py:16).
+    Returns (new_params, list of skipped paths).
+    """
+    flat_p = _flatten(params)
+    flat_l = _flatten(loaded)
+    if rename:
+        renamed = {}
+        for k, v in flat_l.items():
+            for old, new in rename.items():
+                k = re.sub(old, new, k)
+            renamed[k] = v
+        flat_l = renamed
+    skipped = []
+    out = dict(flat_p)
+    excl = [re.compile(p) for p in exclude_patterns]
+    for k, v in flat_l.items():
+        if any(e.search(k) for e in excl):
+            skipped.append(k)
+            continue
+        if k in out and np.shape(out[k]) == np.shape(v):
+            out[k] = v
+        else:
+            skipped.append(k)
+    return _unflatten(out), skipped
+
+
+def freeze_mask_by_regex(
+    params: Any,
+    freeze_patterns: Sequence[str] = (),
+    not_freeze_patterns: Sequence[str] = (),
+):
+    """
+    Boolean mask tree: True = trainable (parity:
+    conditional_parameter_freezing, torch_utils.py:119). Use with
+    optax.masked or multi_transform.
+    """
+    frz = [re.compile(p) for p in freeze_patterns]
+    keep = [re.compile(p) for p in not_freeze_patterns]
+    flat = _flatten(params)
+    mask = {}
+    for k in flat:
+        frozen = any(p.search(k) for p in frz) and not any(
+            p.search(k) for p in keep
+        )
+        mask[k] = not frozen
+    return _unflatten(mask)

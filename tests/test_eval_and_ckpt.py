@@ -1,0 +1,132 @@
+"""Lesion eval, metrics, bootstrap, checkpointing, CSV logging tests."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adell_mri_tpu.eval import (
+    Metrics,
+    bootstrap_metric,
+    binary_metrics,
+    dice_score,
+    evaluate,
+    extract_lesion_candidates,
+)
+from adell_mri_tpu.train.checkpoints import (
+    CheckpointManager,
+    freeze_mask_by_regex,
+    load_params_into,
+)
+from adell_mri_tpu.train.logging_utils import CSVLogger, MetricLogger
+
+
+def _heatmap_with_lesions():
+    det = np.zeros((24, 24, 8), np.float32)
+    det[4:8, 4:8, 2:5] = 0.9
+    det[14:18, 14:18, 2:5] = 0.6
+    truth = np.zeros_like(det)
+    truth[4:8, 4:8, 2:5] = 1.0  # only the first is a real lesion
+    return det, truth
+
+
+def test_extract_lesion_candidates_dynamic():
+    det, _ = _heatmap_with_lesions()
+    hard, confs, indexed = extract_lesion_candidates(det)
+    assert len(confs) == 2
+    assert confs[0][1] == pytest.approx(0.9, abs=1e-3)
+    assert indexed.max() == 2
+
+
+def test_extract_min_voxels_filters():
+    det = np.zeros((10, 10, 4), np.float32)
+    det[0, 0, 0] = 0.99  # single voxel: below min_voxels
+    _, confs, _ = extract_lesion_candidates(det, min_voxels=10)
+    assert confs == []
+
+
+def test_evaluate_end_to_end():
+    det, truth = _heatmap_with_lesions()
+    neg = np.zeros_like(det)
+    m = evaluate([det, neg], [truth, neg], num_parallel_calls=2)
+    assert 0 <= m.AP <= 1
+    # case-level: positive case has conf 0.9, negative case 0.0 -> AUC 1
+    assert m.auroc == pytest.approx(1.0)
+    # one TP (conf .9), one FP (conf .6), lesion AP should be high
+    assert m.AP == pytest.approx(1.0, abs=0.2)
+
+
+def test_binary_metrics_and_bootstrap():
+    rng = np.random.default_rng(0)
+    target = rng.integers(0, 2, 200)
+    pred = np.clip(target * 0.7 + rng.normal(0, 0.2, 200) + 0.15, 0, 1)
+    bm = binary_metrics(pred, target)
+    assert bm["auc"] > 0.9
+    point, lo, hi = bootstrap_metric(
+        lambda p, t: dice_score(p, t), pred, target, n_bootstraps=50
+    )
+    assert lo <= point <= hi
+
+
+def test_checkpoint_roundtrip_and_metadata(tmp_path):
+    import jax
+
+    from adell_mri_tpu.train import TrainState, get_optimizer
+
+    params = {"dense": {"kernel": jnp.ones((4, 2)), "bias": jnp.zeros(2)}}
+    tx = get_optimizer("sgd", learning_rate=0.1)
+    state = TrainState.create(lambda *a: None, params, tx)
+    mngr = CheckpointManager(
+        str(tmp_path),
+        name="unet",
+        fold=0,
+        metadata={"network_config": {"depth": [4, 8]}, "train_pids": ["a"]},
+        monitor="val_loss",
+    )
+    mngr.save(1, state, metrics={"val_loss": 1.0})
+    mngr.save(2, state.replace(params=jax.tree.map(lambda x: x * 2, params)),
+              metrics={"val_loss": 0.5})
+    assert mngr.latest_step() == 2
+    assert mngr.best_step() == 2
+    restored = mngr.restore(2, target=state)
+    np.testing.assert_allclose(
+        restored["params"]["dense"]["kernel"], 2 * np.ones((4, 2))
+    )
+    meta = mngr.load_metadata()
+    assert meta["network_config"]["depth"] == [4, 8]
+    assert mngr.status(max_steps=2) == "finished"
+    assert mngr.status(max_steps=10) == "resume"
+
+
+def test_load_params_into_excludes_and_shapes():
+    params = {"enc": {"w": np.zeros((2, 2))}, "head": {"w": np.zeros(3)}}
+    loaded = {"enc": {"w": np.ones((2, 2))}, "head": {"w": np.ones(5)}}
+    out, skipped = load_params_into(params, loaded, exclude_patterns=[])
+    np.testing.assert_allclose(out["enc"]["w"], 1.0)
+    np.testing.assert_allclose(out["head"]["w"], 0.0)  # shape mismatch
+    assert any("head" in s for s in skipped)
+    out2, skipped2 = load_params_into(
+        params, loaded, exclude_patterns=["enc"]
+    )
+    np.testing.assert_allclose(out2["enc"]["w"], 0.0)
+
+
+def test_freeze_mask():
+    params = {"encoder": {"w": 1}, "decoder": {"w": 2}}
+    mask = freeze_mask_by_regex(params, freeze_patterns=["encoder"])
+    assert mask["encoder"]["w"] is False
+    assert mask["decoder"]["w"] is True
+
+
+def test_csv_logger(tmp_path):
+    path = str(tmp_path / "metrics.csv")
+    ml = MetricLogger(csv_path=path)
+    ml.log_metrics({"dice": 0.8, "loss": 0.2}, step=1, fold=0)
+    ml.log_metrics({"dice": 0.9}, step=2, fold=0)
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    assert len(df) == 3
+    assert set(df["metric"]) == {"dice", "loss"}

@@ -1,0 +1,77 @@
+"""
+Inference engine tests. The identity-model reconstruction test mirrors the
+reference's strongest numerical test
+(testing/test_segmentation_inference_pl.py:22-33): sliding window over
+identity must reconstruct the input exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adell_mri_tpu.inference import (
+    FlippedInference,
+    SegmentationInference,
+    SlidingWindowSegmentation,
+    sliding_window_grid,
+    sliding_window_inference,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_grid_covers_and_realigns_edges():
+    grid = sliding_window_grid((10, 10), (4, 4), stride_frac=0.5)
+    # edge tiles must flush to s - w = 6
+    assert [0, 2, 4, 6] == sorted(set(grid[:, 0].tolist()))
+    grid = sliding_window_grid((4, 4), (8, 8))
+    assert grid.tolist() == [[0, 0]]
+
+
+def test_identity_reconstruction_exact():
+    vol = jax.random.normal(KEY, (10, 12, 6, 1))
+    out = sliding_window_inference(
+        lambda x: x, vol, window=(4, 4, 4), stride_frac=0.5, batch_size=3
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-5)
+
+
+def test_identity_reconstruction_2d_various_strides():
+    vol = jax.random.normal(KEY, (9, 7, 2))
+    for frac in (0.25, 0.5, 1.0):
+        out = sliding_window_inference(
+            lambda x: x, vol, window=(4, 4), stride_frac=frac, batch_size=2
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-5)
+
+
+def test_sliding_window_object_and_batched():
+    sw = SlidingWindowSegmentation(
+        (4, 4, 4), lambda x: x[..., :1] * 0 + 1.0, n_classes=2, batch_size=2
+    )
+    vol = jax.random.normal(KEY, (2, 8, 8, 4, 1))
+    out = sw(vol)
+    assert out.shape == (2, 8, 8, 4, 1)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+def test_flipped_inference_identity():
+    fi = FlippedInference(lambda x: x, flips=[(0,), (1,)])
+    vol = jax.random.normal(KEY, (6, 6, 1))
+    np.testing.assert_allclose(np.asarray(fi(vol)), np.asarray(vol), atol=1e-6)
+
+
+def test_segmentation_inference_ensemble():
+    # two "checkpoints" that predict constant 0 and 1 -> ensemble mean 0.5
+    def base_fn(params, x, rng=None):
+        return jnp.full(x.shape[:-1] + (1,), params)
+
+    si = SegmentationInference(
+        base_inference_function=base_fn,
+        checkpoint_params=[0.0, 1.0],
+        sliding_window_size=(4, 4),
+        flip=True,
+    )
+    vol = jax.random.normal(KEY, (8, 8, 1))
+    out = si(vol)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)

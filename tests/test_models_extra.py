@@ -1,0 +1,134 @@
+"""Classification family + transformer segmentation shape tests."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adell_mri_tpu.models.classification import (
+    VGG,
+    CatNet,
+    OrdNet,
+    TabularClassifier,
+    HybridClassifier,
+    GenericEnsemble,
+    DeconfoundedNet,
+    MILAttention,
+    MultipleInstanceClassifier,
+    TransformableTransformer,
+)
+from adell_mri_tpu.models.classification.losses import (
+    ordinal_prediction_to_class,
+    ordinal_sigmoidal_loss,
+)
+from adell_mri_tpu.models.segmentation import UNETR, SWINUNet, UNetPlusPlus
+
+KEY = jax.random.PRNGKey(0)
+X3 = jnp.ones((2, 16, 16, 8, 1))
+
+
+def run(m, *args, **kw):
+    v = m.init({"params": KEY}, *args, **kw)
+    return m.apply(v, *args, **kw)
+
+
+def test_vgg_and_catnet_binary_logit():
+    assert run(VGG(first_depth=4, n_blocks=2, norm_type="instance"), X3).shape == (2, 1)
+    assert run(
+        CatNet(resnet_structure=[(8, 8, 3, 1)], norm_type="instance"), X3
+    ).shape == (2, 1)
+
+
+def test_catnet_multiclass():
+    m = CatNet(
+        resnet_structure=[(8, 8, 3, 1)], norm_type="instance", n_classes=4
+    )
+    assert run(m, X3).shape == (2, 4)
+
+
+def test_ordnet_and_loss():
+    m = OrdNet(
+        n_classes=4, resnet_structure=[(8, 8, 3, 1)], norm_type="instance"
+    )
+    logits = run(m, X3)
+    assert logits.shape == (2, 3)
+    loss = ordinal_sigmoidal_loss(logits, jnp.asarray([0, 3]), 4)
+    assert np.isfinite(float(loss))
+    # monotone threshold logic
+    fake = jnp.asarray([[5.0, 3.0, -4.0]])
+    assert int(ordinal_prediction_to_class(fake)[0]) == 2
+
+
+def test_hybrid_and_tabular():
+    t = TabularClassifier(n_classes=2, mean=[0.0], std=[1.0])
+    assert run(t, jnp.ones((2, 1))).shape == (2, 1)
+    h = HybridClassifier(
+        convolutional_module=CatNet(
+            resnet_structure=[(8, 8, 3, 1)], norm_type="instance"
+        ),
+        tab_mean=[0.0],
+        tab_std=[1.0],
+    )
+    v = h.init({"params": KEY}, X3, jnp.ones((2, 1)))
+    assert h.apply(v, X3, jnp.ones((2, 1))).shape == (2, 1)
+
+
+def test_deconfounder_outputs():
+    m = DeconfoundedNet(
+        backbone=CatNet(resnet_structure=[(8, 8, 3, 1)], norm_type="instance"),
+        n_cat_deconfounder=[3, 2],
+        n_cont_deconfounder=2,
+    )
+    v = m.init({"params": KEY}, X3)
+    logits, cats, cont, pen = m.apply(
+        v, jax.random.normal(KEY, X3.shape)
+    )
+    assert logits.shape == (2, 1)
+    assert [c.shape for c in cats] == [(2, 3), (2, 2)]
+    assert cont.shape == (2, 2)
+    assert np.isfinite(float(pen))
+
+
+class SliceEnc(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False):
+        return VGG(first_depth=4, n_blocks=1, norm_type="instance")(
+            x, train=train, return_features=True
+        )
+
+
+def test_mil_attention_normalized():
+    m = MILAttention(attention_dim=8)
+    h = jax.random.normal(KEY, (2, 5, 16))
+    v = m.init({"params": KEY}, h)
+    pooled, attn = m.apply(v, h)
+    assert pooled.shape == (2, 16)
+    np.testing.assert_allclose(np.asarray(attn.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_mil_classifiers():
+    x25 = jnp.ones((2, 16, 16, 4, 1))
+    assert run(MultipleInstanceClassifier(module=SliceEnc()), x25).shape == (2, 1)
+    assert run(
+        TransformableTransformer(module=SliceEnc(), embed_dim=16, n_heads=2),
+        x25,
+    ).shape == (2, 1)
+
+
+def test_unetr_swin_unetpp():
+    x = jnp.ones((1, 16, 16, 16, 1))
+    pred, _ = run(
+        UNETR(patch_size=(4, 4, 4), embed_dim=24, n_blocks=4, n_heads=2, feature_size=4),
+        x,
+    )
+    assert pred.shape == (1, 16, 16, 16, 1)
+    pred, _ = run(
+        SWINUNet(embed_dim=8, depths=(2, 2), n_heads=(2, 4), window_size=(2, 2, 2)),
+        x,
+    )
+    assert pred.shape == (1, 16, 16, 16, 1)
+    out = run(UNetPlusPlus(depth=(4, 8, 16), deep_supervision=True), x)
+    pred, _, ds = out
+    assert pred.shape == (1, 16, 16, 16, 1)
+    assert len(ds) == 1
