@@ -1,0 +1,257 @@
+"""
+Network factories: config dict + net-type string -> flax module.
+
+Parity target: adell_mri/utils/network_factories.py —
+get_classification_network (:129), get_segmentation_network (:479),
+get_ssl_network (:689), get_detection_network, get_generative_network.
+"""
+
+from typing import Any, Dict, Optional, Sequence
+
+from adell_mri_tpu.models.classification import (
+    CatNet,
+    FactorizedViTClassifier,
+    HybridClassifier,
+    OrdNet,
+    UNetEncoderClassifier,
+    VGG,
+    ViTClassifier,
+)
+from adell_mri_tpu.models.segmentation import (
+    BrUNet,
+    SWINUNet,
+    UNETR,
+    UNet,
+    UNetPlusPlus,
+)
+from adell_mri_tpu.models.ssl import (
+    IJEPA,
+    NonContrastiveWrapper,
+    ViTMaskedAutoEncoder,
+)
+
+
+def _unet_kwargs(cfg: Dict[str, Any], n_classes: int) -> Dict[str, Any]:
+    return dict(
+        spatial_dimensions=cfg.get("spatial_dimensions", 3),
+        conv_type=cfg.get("conv_type", "regular"),
+        link_type=cfg.get("link_type", "identity"),
+        upscale_type=cfg.get("upscale_type", "upsample"),
+        interpolation=cfg.get("interpolation", "linear"),
+        norm_type=cfg.get("norm_type", "instance"),
+        dropout_param=cfg.get("dropout_param", 0.0),
+        activation_fn=cfg.get("activation_fn", "swish"),
+        n_classes=n_classes,
+        depth=tuple(cfg.get("depth", (16, 32, 64))),
+        kernel_sizes=tuple(cfg.get("kernel_sizes", (3, 3, 3))),
+        strides=tuple(
+            tuple(s) if isinstance(s, (list, tuple)) else s
+            for s in cfg.get("strides", (2, 2, 2))
+        ),
+        bottleneck_classification=cfg.get("bottleneck_classification", False),
+        skip_conditioning=cfg.get("skip_conditioning"),
+        feature_conditioning=cfg.get("feature_conditioning"),
+        feature_conditioning_params=cfg.get("feature_conditioning_params"),
+        deep_supervision=cfg.get("deep_supervision", False),
+    )
+
+
+def get_segmentation_network(
+    net_type: str,
+    network_config: Dict[str, Any],
+    n_classes: int = 2,
+    n_input_branches: int = 2,
+):
+    """Parity: network_factories.py:479."""
+    cfg = dict(network_config)
+    if net_type == "unet":
+        return UNet(**_unet_kwargs(cfg, n_classes))
+    if net_type == "brunet":
+        kw = _unet_kwargs(cfg, n_classes)
+        kw.pop("in_channels", None)
+        return BrUNet(n_input_branches=n_input_branches, **{
+            k: v for k, v in kw.items() if k != "encoder_only"
+        })
+    if net_type == "unetpp":
+        return UNetPlusPlus(
+            spatial_dimensions=cfg.get("spatial_dimensions", 3),
+            n_classes=n_classes,
+            depth=tuple(cfg.get("depth", (16, 32, 64))),
+            kernel_sizes=tuple(cfg.get("kernel_sizes", (3, 3, 3))),
+            strides=tuple(cfg.get("strides", (2, 2, 2))),
+            norm_type=cfg.get("norm_type", "instance"),
+            activation_fn=cfg.get("activation_fn", "swish"),
+            dropout_param=cfg.get("dropout_param", 0.0),
+            deep_supervision=cfg.get("deep_supervision", False),
+        )
+    if net_type in ("unetr", "monai_unetr"):
+        return UNETR(
+            spatial_dimensions=cfg.get("spatial_dimensions", 3),
+            n_classes=n_classes,
+            patch_size=tuple(cfg.get("patch_size", (8, 8, 8))),
+            embed_dim=cfg.get("embed_dim", cfg.get("hidden_dim", 192)),
+            n_blocks=cfg.get("n_blocks", cfg.get("number_of_blocks", 8)),
+            n_heads=cfg.get("n_heads", cfg.get("number_of_attention_heads", 6)),
+            feature_size=cfg.get("feature_size", 16),
+            norm_type=cfg.get("norm_type", "instance"),
+            dropout_param=cfg.get("dropout_param", 0.0),
+        )
+    if net_type in ("swin", "monai_swin"):
+        return SWINUNet(
+            spatial_dimensions=cfg.get("spatial_dimensions", 3),
+            n_classes=n_classes,
+            embed_dim=cfg.get("embed_dim", 24),
+            depths=tuple(cfg.get("depths", (2, 2, 2))),
+            n_heads=tuple(cfg.get("n_heads", cfg.get("num_heads", (3, 6, 12)))),
+            window_size=tuple(cfg.get("window_size", (4, 4, 4))),
+            patch_size=tuple(cfg.get("patch_size", (2, 2, 2))),
+            norm_type=cfg.get("norm_type", "instance"),
+            dropout_param=cfg.get("dropout_param", 0.0),
+        )
+    raise NotImplementedError(f"segmentation net_type {net_type!r}")
+
+
+def get_classification_network(
+    net_type: str,
+    network_config: Dict[str, Any],
+    n_classes: int = 2,
+    clinical_feature_means: Optional[Sequence[float]] = None,
+    clinical_feature_stds: Optional[Sequence[float]] = None,
+):
+    """
+    Parity: network_factories.py:129 (+ HybridClassifier wrapping when
+    clinical features are present, :267-293).
+    """
+    cfg = dict(network_config)
+    sd = cfg.get("spatial_dimensions", 3)
+    if net_type == "vgg":
+        net = VGG(
+            spatial_dimensions=sd,
+            n_classes=n_classes,
+            first_depth=cfg.get("first_depth", 16),
+            n_blocks=cfg.get("n_blocks", 4),
+            norm_type=cfg.get("norm_type", "batch"),
+        )
+    elif net_type in ("cat", "resnet", "convnext"):
+        res_type = cfg.get(
+            "res_type", "convnext" if net_type == "convnext" else "resnet"
+        )
+        net = CatNet(
+            spatial_dimensions=sd,
+            n_classes=n_classes,
+            resnet_structure=[
+                tuple(s) for s in cfg.get(
+                    "resnet_structure", ((64, 128, 5, 2), (128, 256, 3, 5))
+                )
+            ],
+            maxpool_structure=[
+                tuple(s) if isinstance(s, (list, tuple)) else s
+                for s in cfg["maxpool_structure"]
+            ]
+            if cfg.get("maxpool_structure")
+            else None,
+            res_type=res_type,
+            batch_ensemble=cfg.get("batch_ensemble", 0),
+            norm_type=cfg.get("norm_type", "batch"),
+            dropout_param=cfg.get("dropout_param", 0.0),
+        )
+    elif net_type == "ord":
+        net = OrdNet(
+            spatial_dimensions=sd,
+            n_classes=n_classes,
+            resnet_structure=[
+                tuple(s) for s in cfg.get(
+                    "resnet_structure", ((64, 128, 5, 2), (128, 256, 3, 5))
+                )
+            ],
+            norm_type=cfg.get("norm_type", "batch"),
+            dropout_param=cfg.get("dropout_param", 0.0),
+        )
+    elif net_type == "vit":
+        net = ViTClassifier(
+            patch_size=tuple(cfg.get("patch_size", (4, 4, 4))),
+            n_classes=n_classes,
+            embed_dim=cfg.get("embed_dim", cfg.get("attention_dim", 256)),
+            n_blocks=cfg.get("n_blocks", cfg.get("number_of_blocks", 4)),
+            n_heads=cfg.get("n_heads", cfg.get("number_of_attention_heads", 4)),
+            dropout_param=cfg.get("dropout_param", 0.0),
+        )
+    elif net_type == "factorized_vit":
+        net = FactorizedViTClassifier(
+            patch_size=tuple(cfg.get("patch_size", (4, 4))),
+            n_classes=n_classes,
+            embed_dim=cfg.get("embed_dim", 256),
+            n_blocks=cfg.get("n_blocks", 4),
+            n_heads=cfg.get("n_heads", 4),
+            dropout_param=cfg.get("dropout_param", 0.0),
+        )
+    elif net_type == "unet":
+        unet = UNet(**_unet_kwargs(cfg, n_classes))
+        net = UNetEncoderClassifier(unet=unet, n_classes=n_classes)
+    else:
+        raise NotImplementedError(f"classification net_type {net_type!r}")
+
+    if clinical_feature_means is not None:
+        net = HybridClassifier(
+            convolutional_module=net,
+            n_classes=n_classes,
+            tab_mean=list(clinical_feature_means),
+            tab_std=list(clinical_feature_stds),
+        )
+    return net
+
+
+def get_ssl_network(
+    ssl_method: str,
+    network_config: Dict[str, Any],
+):
+    """Parity: network_factories.py:689."""
+    cfg = dict(network_config)
+    if ssl_method == "ijepa":
+        return IJEPA(
+            patch_size=tuple(cfg.get("patch_size", (4, 4, 4))),
+            embed_dim=cfg.get("embed_dim", 192),
+            n_blocks=cfg.get("n_blocks", 4),
+            n_heads=cfg.get("n_heads", 4),
+            predictor_dim=cfg.get("predictor_dim", 96),
+            predictor_blocks=cfg.get("predictor_blocks", 2),
+        )
+    if ssl_method == "mae":
+        return ViTMaskedAutoEncoder(
+            patch_size=tuple(cfg.get("patch_size", (4, 4, 4))),
+            embed_dim=cfg.get("embed_dim", 192),
+            n_blocks=cfg.get("n_blocks", 4),
+            n_heads=cfg.get("n_heads", 4),
+            decoder_dim=cfg.get("decoder_dim", 96),
+            decoder_blocks=cfg.get("decoder_blocks", 2),
+            mask_ratio=cfg.get("mask_ratio", 0.75),
+        )
+    # two-view methods over a conv backbone (ssl-resnet.yaml surface)
+    backbone = CatNet(
+        spatial_dimensions=cfg.get("spatial_dimensions", 3),
+        resnet_structure=[
+            tuple(s) for s in cfg.get(
+                "backbone_structure",
+                cfg.get("resnet_structure", ((32, 64, 3, 2), (64, 128, 3, 2))),
+            )
+        ],
+        maxpool_structure=[
+            tuple(s) if isinstance(s, (list, tuple)) else s
+            for s in cfg["maxpool_structure"]
+        ]
+        if cfg.get("maxpool_structure")
+        else None,
+        res_type=cfg.get("res_type", "resnet"),
+        norm_type=cfg.get("norm_type", "batch"),
+        dropout_param=cfg.get("dropout_param", 0.0),
+        feature_extraction=True,
+    )
+    return NonContrastiveWrapper(
+        backbone=backbone,
+        projection_dims=tuple(
+            cfg.get("projection_head", cfg.get("projection_dims", (512, 128)))
+        ),
+        prediction_dims=tuple(
+            cfg.get("prediction_head", cfg.get("prediction_dims", (64, 128)))
+        ),
+    )

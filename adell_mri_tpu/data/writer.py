@@ -1,0 +1,48 @@
+"""
+Async NIfTI writer.
+
+Parity target: adell_mri/utils/sitk_writer.py:17 — background queue +
+workers writing predictions with copied geometry. Threads instead of
+multiprocessing (gzip/IO release the GIL; this host has one core anyway).
+"""
+
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+from adell_mri_tpu.data.nifti import write_nifti
+
+
+class AsyncNiftiWriter:
+    def __init__(self, n_workers: int = 2):
+        self.queue: "queue.Queue" = queue.Queue()
+        self.workers = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(n_workers)
+        ]
+        for w in self.workers:
+            w.start()
+
+    def _worker(self):
+        while True:
+            item = self.queue.get()
+            if item is None:
+                self.queue.task_done()
+                break
+            path, data, affine = item
+            try:
+                write_nifti(path, data, affine)
+            finally:
+                self.queue.task_done()
+
+    def put(self, path: str, data: np.ndarray, affine: Optional[np.ndarray] = None):
+        self.queue.put((path, np.asarray(data), affine))
+
+    def close(self):
+        self.queue.join()
+        for _ in self.workers:
+            self.queue.put(None)
+        for w in self.workers:
+            w.join()

@@ -1,0 +1,143 @@
+"""
+Declarative CLI argument registry.
+
+Parity target: adell_mri/entrypoints/assemble_args.py:7-847 — one shared
+``argument_factory`` of arg specs keyed by name; entrypoints pick keys (with
+optional (key, rename) pairs or (key, rename, overrides) triples) via
+``Parser.add_argument_by_key``. Flag names match the reference CLI so
+existing invocations port unchanged.
+"""
+
+import argparse
+from typing import Any, Dict, List, Tuple, Union
+
+
+def _flag(key: str) -> str:
+    return "--" + key
+
+
+argument_factory: Dict[str, Dict[str, Any]] = {
+    # data
+    "dataset_json": dict(required=True, help="Path to dataset JSON/YAML file(s)", nargs="+"),
+    "image_keys": dict(required=True, nargs="+", help="Image keys in dataset JSON"),
+    "label_keys": dict(default=None, nargs="+", help="Label keys in dataset JSON"),
+    "mask_keys": dict(default=None, nargs="+", help="Mask keys in dataset JSON"),
+    "mask_image_keys": dict(default=None, nargs="+", help="Keys of images which are masks"),
+    "skip_keys": dict(default=None, nargs="+", help="Skip-conditioning image keys"),
+    "skip_mask_keys": dict(default=None, nargs="+", help="Skip-conditioning mask keys"),
+    "feature_keys": dict(default=None, nargs="+", help="Tabular feature keys"),
+    "clinical_feature_keys": dict(default=None, nargs="+", help="Clinical feature keys"),
+    "adc_keys": dict(default=None, nargs="+", help="Keys of ADC maps (conditionally rescaled)"),
+    "t2_keys": dict(default=None, nargs="+", help="Keys of T2 maps"),
+    "filter_on_keys": dict(default=[], nargs="+", help="Filter expressions key=value etc."),
+    "filter_is_optional": dict(action="store_true", help="Filters are optional"),
+    "possible_labels": dict(default=None, nargs="+", help="All possible labels"),
+    "positive_labels": dict(default=[1], nargs="+", help="Labels considered positive"),
+    "label_groups": dict(default=None, nargs="+", help="Label groups for classification"),
+    "cache_rate": dict(default=1.0, type=float, help="Fraction of dataset cached in RAM"),
+    "cache_dir": dict(default=None, help="Disk cache directory for preprocessed volumes"),
+    "subsample_size": dict(default=None, type=int, help="Subsample dataset size"),
+    "excluded_ids": dict(default=None, nargs="+", help="IDs excluded from the dataset"),
+    "val_from_train": dict(default=None, type=float, help="Fraction of train used for val"),
+    "n_folds": dict(default=5, type=int, help="Number of validation folds"),
+    "folds": dict(default=None, nargs="+", help="Explicit fold specifications"),
+    "target_spacing": dict(default=None, nargs="+", type=float, help="Target spacing (or 'infer')"),
+    "pad_size": dict(default=None, nargs="+", type=int, help="Pad size"),
+    "crop_size": dict(default=None, nargs="+", type=int, help="Crop size"),
+    "resize_size": dict(default=None, nargs="+", type=int, help="Resize size"),
+    "random_crop_size": dict(default=None, nargs="+", type=int, help="Random crop size"),
+    "n_crops": dict(default=1, type=int, help="Number of random crops"),
+    "missing_to_empty": dict(default=None, nargs="+", help="Fabricate empty tensors for missing keys"),
+    # config / training
+    "config_file": dict(required=True, help="Network YAML config"),
+    "config_files": dict(default=None, nargs="+", help="Network YAML configs"),
+    "params_from": dict(default=None, help="YAML file with stored parameters"),
+    "dev": dict(default="tpu", type=str, help="Device (tpu/cpu[:ids])"),
+    "n_workers": dict(default=0, type=int, help="No. of workers (prefetch depth here)"),
+    "seed": dict(default=42, type=int, help="Random seed"),
+    "max_epochs": dict(default=100, type=int, help="Maximum epochs"),
+    "warmup_steps": dict(default=0.0, type=float, help="Warmup steps/epochs"),
+    "start_decay": dict(default=None, type=float, help="When decay starts"),
+    "n_classes": dict(type=int, default=2, help="Number of classes"),
+    "augment": dict(default=[], nargs="+", help="Augmentation flags (intensity noise rbf affine shear flip blur trivial)"),
+    "label_smoothing": dict(default=None, type=float, help="Label smoothing"),
+    "mixup_alpha": dict(default=None, type=float, help="Alpha for mixup"),
+    "partial_mixup": dict(default=None, type=float, help="Fraction for partial mixup"),
+    "dropout_param": dict(default=0.0, type=float, help="Dropout parameter"),
+    "batch_size": dict(type=int, default=None, help="Batch size"),
+    "learning_rate": dict(type=float, default=None, help="Learning rate"),
+    "optimizer": dict(default="sgd", type=str, help="Optimizer name"),
+    "precision": dict(type=str, default="32", help="Precision: 32|bf16"),
+    "gradient_clip_val": dict(default=None, type=float, help="Gradient clipping value"),
+    "accumulate_grad_batches": dict(default=1, type=int, help="Gradient accumulation steps"),
+    "check_val_every_n_epoch": dict(default=1, type=int, help="Val frequency"),
+    "early_stopping": dict(default=None, type=int, help="Early stopping patience"),
+    "swa": dict(action="store_true", help="Stochastic weight averaging (EMA here)"),
+    "class_weights": dict(default=None, nargs="+", type=float, help="Class weights"),
+    "weighted_sampling": dict(action="store_true", help="Class-weighted sampling"),
+    "constant_ratio": dict(default=None, type=float, help="PartiallyRandomSampler keep ratio"),
+    # checkpoints / logging
+    "checkpoint_dir": dict(default="ckpt", help="Checkpoint directory"),
+    "checkpoint_name": dict(type=str, default=None, help="Checkpoint ID"),
+    "checkpoint": dict(default=None, nargs="+", help="Checkpoint path(s)"),
+    "resume_from_last": dict(action="store_true", help="Resume from last checkpoint"),
+    "monitor": dict(default="val_loss", help="Metric to monitor"),
+    "logger_type": dict(default=None, help="wandb | mlflow | None"),
+    "project_name": dict(default=None, help="Experiment tracker project"),
+    "summary_name": dict(default=None, help="Run name"),
+    "metric_path": dict(default="metrics.csv", help="CSV metrics output path"),
+    "freeze_regex": dict(default=None, nargs="+", help="Freeze params matching regex"),
+    "not_freeze_regex": dict(default=None, nargs="+", help="Never freeze params matching regex"),
+    "exclude_from_state_dict": dict(default=None, nargs="+", help="Exclude regexes on ckpt load"),
+    # segmentation specifics
+    "segmentation_net_type": dict(default="unet", choices=["unet", "unetpp", "brunet", "unetr", "swin", "monai_unetr", "monai_swin"], help="Segmentation architecture"),
+    "bottleneck_classification": dict(action="store_true", help="Bottleneck classification head"),
+    "deep_supervision": dict(action="store_true", help="Deep supervision"),
+    "picai_eval": dict(action="store_true", help="Lesion-level PI-CAI eval"),
+    "sliding_window_size": dict(default=None, nargs="+", type=int, help="Sliding window size"),
+    "sliding_window_stride": dict(default=0.5, type=float, help="Sliding window stride fraction"),
+    "flip_tta": dict(action="store_true", help="Flip test-time augmentation"),
+    "mc_iterations": dict(default=None, type=int, help="MC dropout iterations"),
+    # classification specifics
+    "classification_net_type": dict(default="cat", choices=["cat", "ord", "vgg", "vit", "factorized_vit", "unet"], help="Classification architecture"),
+    "image_masking": dict(action="store_true", help="Mask image with mask key"),
+    "correct_classification_bias": dict(action="store_true", help="Set output bias to log-odds"),
+    # ssl specifics
+    "ssl_method": dict(default="vicreg", choices=["simsiam", "byol", "vicreg", "vicregl", "barlow_twins", "simclr", "dino", "ibot", "mae", "ijepa"], help="SSL method"),
+    "ema": dict(action="store_true", help="EMA teacher"),
+    "stop_gradient": dict(action="store_true", help="Stop gradient on target branch"),
+    # prediction
+    "output_path": dict(default="output", help="Output path"),
+    "prediction_ids": dict(default=None, nargs="+", help="IDs to predict"),
+    "prediction_type": dict(default="probability", help="probability|logit|features"),
+    "test_ids": dict(default=None, nargs="+", help="Test IDs"),
+    "one_to_one": dict(action="store_true", help="One checkpoint per fold"),
+    # detection
+    "box_key": dict(type=str, default="boxes", help="Box key in dataset JSON"),
+    "box_class_key": dict(type=str, default="box_classes", help="Box class key"),
+    "shape_key": dict(type=str, default="shape", help="Shape key"),
+    "anchor_csv": dict(default=None, help="Anchor CSV path"),
+    "iou_threshold": dict(default=0.5, type=float, help="IoU threshold for NMS"),
+    "detection_net_type": dict(default="yolo", help="Detection architecture"),
+}
+
+ArgKey = Union[str, Tuple[str, str], Tuple[str, str, Dict[str, Any]]]
+
+
+class Parser(argparse.ArgumentParser):
+    """argparse with registry lookups (parity: assemble_args.py:831-847)."""
+
+    def add_argument_by_key(self, keys: List[ArgKey]):
+        for key in keys:
+            overrides: Dict[str, Any] = {}
+            if isinstance(key, (tuple, list)):
+                if len(key) == 3:
+                    key, rename, overrides = key
+                else:
+                    key, rename = key
+            else:
+                rename = key
+            spec = dict(argument_factory[key])
+            spec.update(overrides)
+            self.add_argument(_flag(rename), dest=rename, **spec)
+        return self

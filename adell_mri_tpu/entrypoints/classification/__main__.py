@@ -1,0 +1,15 @@
+"""Classification mode dispatch (parity: entrypoints/classification)."""
+
+from adell_mri_tpu.entrypoints.cli_utils import run_main
+
+supported_modes = {
+    "train": "adell_mri_tpu.entrypoints.classification.train",
+    "test": "adell_mri_tpu.entrypoints.classification.test",
+    "predict": "adell_mri_tpu.entrypoints.classification.predict",
+}
+
+
+def main(arguments):
+    run_main(
+        "adell_mri_tpu.entrypoints.classification", supported_modes, arguments
+    )

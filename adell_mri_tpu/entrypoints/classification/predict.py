@@ -1,0 +1,86 @@
+"""
+``adell classification predict`` — per-case probabilities/logits/features
+to JSON (parity: entrypoints/classification/predict.py).
+"""
+
+import json
+
+import jax
+import numpy as np
+
+from adell_mri_tpu.config.factories import get_classification_network
+from adell_mri_tpu.data import Dataset
+from adell_mri_tpu.entrypoints.assemble_args import Parser
+from adell_mri_tpu.train.checkpoints import CheckpointManager
+from adell_mri_tpu.transforms import ClassificationTransforms
+
+ARG_KEYS = [
+    "dataset_json",
+    ("image_keys", "image_keys", dict(required=False, default=None)),
+    "prediction_ids",
+    "checkpoint_dir",
+    "checkpoint_name",
+    "n_classes",
+    "output_path",
+    "prediction_type",
+    "dev",
+    "seed",
+    "classification_net_type",
+]
+
+
+def main(arguments):
+    parser = Parser(prog="adell classification predict")
+    parser.add_argument_by_key(ARG_KEYS)
+    args = parser.parse_args(arguments)
+
+    mngr = CheckpointManager(
+        args.checkpoint_dir,
+        name=args.checkpoint_name or "classification",
+        fold=0,
+    )
+    metadata = mngr.load_metadata()
+    net_cfg = metadata.get("network_config", {})
+    t_args = metadata.get("transform_arguments", {})
+    n_classes = metadata.get("n_classes", args.n_classes)
+    net_type = metadata.get("net_type", args.classification_net_type)
+    image_keys = args.image_keys or t_args.get("image_keys", ["image"])
+
+    model = get_classification_network(net_type, net_cfg, n_classes=n_classes)
+    size = tuple(t_args.get("target_size"))
+    x0 = np.zeros((1,) + size + (len(image_keys),), np.float32)
+    params0 = model.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
+    params = mngr.restore(mngr.best_step(), target={"params": params0})["params"]
+
+    transforms = ClassificationTransforms(
+        image_keys=image_keys,
+        label_key=t_args.get("label_key", "label"),
+        target_spacing=t_args.get("target_spacing"),
+        target_size=size,
+    )
+    base_load = transforms.load_fn()
+
+    @jax.jit
+    def predict(x):
+        return model.apply({"params": params}, x[None])[0]
+
+    data = Dataset(args.dataset_json)
+    pids = args.prediction_ids or list(data.keys())
+    out = {}
+    for pid in pids:
+        if pid not in data.dataset:
+            continue
+        entry = {**data[pid], "identifier": pid}
+        if t_args.get("label_key", "label") not in entry:
+            entry[t_args.get("label_key", "label")] = 0
+        sample = base_load(entry)
+        logits = np.asarray(predict(sample["image"]))
+        if args.prediction_type == "logit":
+            out[pid] = logits.tolist()
+        elif n_classes == 2:
+            out[pid] = float(jax.nn.sigmoid(logits[0]))
+        else:
+            out[pid] = np.asarray(jax.nn.softmax(logits)).tolist()
+    with open(args.output_path, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))

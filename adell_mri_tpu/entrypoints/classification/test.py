@@ -1,0 +1,95 @@
+"""
+``adell classification test`` — AUC/F1/calibration on a test set
+(parity: entrypoints/classification/test.py).
+"""
+
+import json
+
+import jax
+import numpy as np
+
+from adell_mri_tpu.config.factories import get_classification_network
+from adell_mri_tpu.data import Dataset
+from adell_mri_tpu.entrypoints.assemble_args import Parser
+from adell_mri_tpu.eval.metrics import binary_metrics
+from adell_mri_tpu.train.checkpoints import CheckpointManager
+from adell_mri_tpu.train.logging_utils import MetricLogger
+from adell_mri_tpu.transforms import ClassificationTransforms
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+ARG_KEYS = [
+    "dataset_json",
+    ("image_keys", "image_keys", dict(required=False, default=None)),
+    "test_ids",
+    "checkpoint_dir",
+    "checkpoint_name",
+    "n_classes",
+    "metric_path",
+    "dev",
+    "seed",
+    "classification_net_type",
+]
+
+
+def main(arguments):
+    parser = Parser(prog="adell classification test")
+    parser.add_argument_by_key(ARG_KEYS)
+    args = parser.parse_args(arguments)
+
+    mngr = CheckpointManager(
+        args.checkpoint_dir,
+        name=args.checkpoint_name or "classification",
+        fold=0,
+    )
+    metadata = mngr.load_metadata()
+    net_cfg = metadata.get("network_config", {})
+    t_args = metadata.get("transform_arguments", {})
+    n_classes = metadata.get("n_classes", args.n_classes)
+    net_type = metadata.get("net_type", args.classification_net_type)
+    image_keys = args.image_keys or t_args.get("image_keys", ["image"])
+    label_key = t_args.get("label_key", "label")
+    feat_keys = t_args.get("clinical_feature_keys", [])
+
+    model = get_classification_network(net_type, net_cfg, n_classes=n_classes)
+    size = tuple(t_args.get("target_size"))
+    x0 = np.zeros((1,) + size + (len(image_keys),), np.float32)
+    params0 = model.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
+    restored = mngr.restore(mngr.best_step(), target={"params": params0})
+    params = restored["params"]
+
+    transforms = ClassificationTransforms(
+        image_keys=image_keys,
+        label_key=label_key,
+        target_spacing=t_args.get("target_spacing"),
+        target_size=size,
+        clinical_feature_keys=feat_keys,
+    )
+    load_fn = transforms.load_fn()
+
+    @jax.jit
+    def predict(x):
+        return model.apply({"params": params}, x[None])[0]
+
+    data = Dataset(args.dataset_json)
+    pids = args.test_ids or list(data.keys())
+    probs, targets = [], []
+    for pid in pids:
+        if pid not in data.dataset:
+            continue
+        sample = load_fn({**data[pid], "identifier": pid})
+        logits = np.asarray(predict(sample["image"]))
+        if n_classes == 2:
+            probs.append(float(jax.nn.sigmoid(logits[0])))
+        else:
+            probs.append(np.asarray(jax.nn.softmax(logits)))
+        targets.append(float(sample["label"]))
+    if n_classes == 2:
+        results = binary_metrics(np.asarray(probs), np.asarray(targets))
+    else:
+        hard = np.argmax(np.asarray(probs), -1)
+        results = {"accuracy": float((hard == np.asarray(targets)).mean())}
+    results["n_cases"] = len(targets)
+    MetricLogger(csv_path=args.metric_path).log_metrics(results, step=0)
+    print(json.dumps(results))

@@ -1,0 +1,342 @@
+"""
+``adell classification train``.
+
+Parity target: adell_mri/entrypoints/classification/train.py:43 (SURVEY.md
+§3.2): Dataset -> ClassificationTransforms + augmentations -> cached dataset
+-> class-weighted sampling -> parse_config_cat -> get_classification_network
+(HybridClassifier wrap when clinical features present) -> fit with on-device
+mixup/label smoothing -> CSV metrics.
+"""
+
+import json
+
+import jax
+import numpy as np
+
+from adell_mri_tpu.config.factories import get_classification_network
+from adell_mri_tpu.config.parsing import parse_config_cat, parse_config_unet
+from adell_mri_tpu.data import (
+    CachedVolumeDataset,
+    DataLoader,
+    Dataset,
+    RandomSampler,
+    WeightedSampler,
+    class_weights_from_labels,
+)
+from adell_mri_tpu.entrypoints.assemble_args import Parser
+from adell_mri_tpu.entrypoints.segmentation.train import get_folds
+from adell_mri_tpu.models.classification.losses import (
+    binary_logistic_loss,
+    cross_entropy_loss,
+    ordinal_sigmoidal_loss,
+)
+from adell_mri_tpu.parallel.mesh import get_devices, mesh_for_batch, shard_params
+from adell_mri_tpu.train import (
+    TrainState,
+    cosine_annealing_with_warmup,
+    get_optimizer,
+    make_classification_step,
+    make_eval_step,
+    make_train_step,
+)
+from adell_mri_tpu.train.batch_preprocessing import BatchPreprocessing
+from adell_mri_tpu.train.checkpoints import CheckpointManager
+from adell_mri_tpu.train.logging_utils import MetricLogger
+from adell_mri_tpu.train.loop import TrainLoop
+from adell_mri_tpu.transforms import AugmentPolicy, ClassificationTransforms
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+ARG_KEYS = [
+    "dataset_json",
+    "image_keys",
+    ("label_keys", "label_keys", dict(nargs=None, default="label")),
+    "clinical_feature_keys",
+    "adc_keys",
+    "filter_on_keys",
+    "possible_labels",
+    "positive_labels",
+    "cache_rate",
+    "cache_dir",
+    "subsample_size",
+    "n_folds",
+    "folds",
+    "target_spacing",
+    "pad_size",
+    "crop_size",
+    "resize_size",
+    "random_crop_size",
+    "config_file",
+    "dev",
+    "n_workers",
+    "seed",
+    "max_epochs",
+    "warmup_steps",
+    "n_classes",
+    "augment",
+    "label_smoothing",
+    "mixup_alpha",
+    "partial_mixup",
+    "dropout_param",
+    "batch_size",
+    "learning_rate",
+    "optimizer",
+    "gradient_clip_val",
+    "check_val_every_n_epoch",
+    "early_stopping",
+    "class_weights",
+    "weighted_sampling",
+    "checkpoint_dir",
+    "checkpoint_name",
+    "resume_from_last",
+    "monitor",
+    "logger_type",
+    "project_name",
+    "summary_name",
+    "metric_path",
+    "classification_net_type",
+    "swa",
+]
+
+
+def main(arguments):
+    parser = Parser(prog="adell classification train")
+    parser.add_argument_by_key(ARG_KEYS)
+    args = parser.parse_args(arguments)
+    label_key = args.label_keys
+
+    data = Dataset(args.dataset_json, seed=args.seed)
+    data.apply_filters(
+        presence_keys=list(args.image_keys) + [label_key],
+        filter_on_keys=args.filter_on_keys,
+        possible_labels=args.possible_labels,
+        label_keys=label_key if args.possible_labels else None,
+    )
+    if args.subsample_size:
+        data.subsample_dataset(
+            subsample_size=args.subsample_size, strata_key=label_key
+        )
+    if len(data) == 0:
+        raise ValueError("no samples left after filtering")
+
+    try:
+        config = parse_config_cat(args.config_file)
+    except Exception:
+        config, _ = parse_config_unet(args.config_file)
+    net_cfg = config["network"]
+    train_cfg = config["training"]
+    batch_size = args.batch_size or train_cfg.get("batch_size", 4)
+    learning_rate = args.learning_rate or train_cfg.get("learning_rate", 1e-3)
+    weight_decay = train_cfg.get("weight_decay", 0.0)
+    if args.dropout_param:
+        net_cfg["dropout_param"] = args.dropout_param
+
+    base_size = args.pad_size or args.resize_size or args.crop_size
+    crop_size = args.random_crop_size
+    if base_size is None:
+        raise ValueError("one of --pad_size/--resize_size/--crop_size required")
+
+    platform, devices = get_devices(args.dev)
+    mesh = mesh_for_batch(batch_size, devices)
+    logger.info("platform=%s mesh=%s", platform, dict(mesh.shape))
+
+    # clinical feature normalization stats (HybridClassifier wrap)
+    feat_keys = args.clinical_feature_keys or []
+    feat_means = feat_stds = None
+    if feat_keys:
+        mat = np.asarray(
+            [
+                [float(data[k][fk]) for fk in feat_keys]
+                for k in data
+                if all(fk in data[k] for fk in feat_keys)
+            ]
+        )
+        feat_means, feat_stds = mat.mean(0).tolist(), mat.std(0).tolist()
+
+    folds = get_folds(list(data.keys()), args.n_folds, args.seed, args.folds)
+    csv_logger = MetricLogger(
+        logger_type=args.logger_type,
+        project_name=args.project_name,
+        run_name=args.summary_name,
+        csv_path=args.metric_path,
+    )
+
+    n_classes = args.n_classes
+    net_type = args.classification_net_type
+    if net_type == "ord":
+        loss_fn = lambda logits, y: ordinal_sigmoidal_loss(
+            logits, y, n_classes
+        )
+    elif n_classes > 2:
+        weights = (
+            np.asarray(args.class_weights, np.float32)
+            if args.class_weights
+            else None
+        )
+        loss_fn = lambda logits, y: cross_entropy_loss(
+            logits, y, weight=weights
+        )
+    else:
+        w = args.class_weights[0] if args.class_weights else None
+        loss_fn = lambda logits, y: binary_logistic_loss(logits, y, weight=w)
+
+    batch_prep = None
+    if args.mixup_alpha or args.label_smoothing:
+        batch_prep = BatchPreprocessing(
+            label_smoothing_param=args.label_smoothing,
+            mixup_alpha=args.mixup_alpha,
+            partial_mixup_fraction=args.partial_mixup,
+        )
+
+    for fold_idx, (train_pids, val_pids) in enumerate(folds):
+        logger.info(
+            "fold %d: %d train / %d val", fold_idx, len(train_pids), len(val_pids)
+        )
+        transforms = ClassificationTransforms(
+            image_keys=args.image_keys,
+            label_key=label_key,
+            target_spacing=args.target_spacing,
+            target_size=base_size,
+            crop_size=crop_size,
+            adc_keys=args.adc_keys or (),
+            augmentations=AugmentPolicy.from_flags(args.augment),
+            clinical_feature_keys=feat_keys,
+        )
+        load_fn = transforms.load_fn()
+        train_list = data.to_datalist(train_pids)
+        val_list = data.to_datalist(val_pids)
+        train_ds = CachedVolumeDataset(
+            train_list, load_fn, cache_rate=args.cache_rate,
+            cache_dir=args.cache_dir,
+        )
+        val_ds = CachedVolumeDataset(
+            val_list, load_fn, cache_rate=args.cache_rate,
+            cache_dir=args.cache_dir,
+        )
+        if args.weighted_sampling:
+            labels = [e[label_key] for e in train_list]
+            sampler = WeightedSampler(
+                class_weights_from_labels(labels), seed=args.seed
+            )
+        else:
+            sampler = RandomSampler(len(train_ds), seed=args.seed)
+        train_loader = DataLoader(
+            train_ds, sampler=sampler, batch_size=batch_size, drop_last=True,
+            prefetch=max(args.n_workers, 2),
+        )
+        val_loader = DataLoader(
+            val_ds,
+            batch_size=max(1, min(batch_size, len(val_ds))),
+            drop_last=True,
+        )
+
+        model = get_classification_network(
+            net_type,
+            net_cfg,
+            n_classes=n_classes,
+            clinical_feature_means=feat_means,
+            clinical_feature_stds=feat_stds,
+        )
+        shape = tuple(crop_size or base_size)
+        x0 = np.zeros((1,) + shape + (len(args.image_keys),), np.float32)
+        init_args = (x0, np.zeros((1, len(feat_keys)), np.float32)) if feat_keys else (x0,)
+        params = model.init(
+            {"params": jax.random.PRNGKey(args.seed)}, *init_args
+        )["params"]
+        steps_per_epoch = max(len(train_loader), 1)
+        schedule = cosine_annealing_with_warmup(
+            learning_rate,
+            t_max=args.max_epochs * steps_per_epoch,
+            n_warmup_steps=args.warmup_steps,
+        )
+        tx = get_optimizer(
+            args.optimizer,
+            learning_rate=schedule,
+            weight_decay=weight_decay,
+            clip_norm=args.gradient_clip_val,
+            params=params,
+        )
+        with mesh:
+            params = shard_params(params, mesh)
+            state = TrainState.create(model.apply, params, tx, with_ema=args.swa)
+
+        ckpt = CheckpointManager(
+            args.checkpoint_dir,
+            name=args.checkpoint_name or "classification",
+            fold=fold_idx,
+            metadata={
+                "network_config": net_cfg,
+                "transform_arguments": {
+                    "image_keys": list(args.image_keys),
+                    "label_key": label_key,
+                    "target_spacing": args.target_spacing,
+                    "target_size": list(base_size),
+                    "clinical_feature_keys": list(feat_keys),
+                },
+                "train_pids": train_pids,
+                "val_pids": val_pids,
+                "n_classes": n_classes,
+                "net_type": net_type,
+            },
+            monitor=args.monitor,
+            mode="min" if "loss" in args.monitor else "max",
+        )
+        if args.resume_from_last and ckpt.status(args.max_epochs) == "finished":
+            continue
+
+        if feat_keys:
+            def make_lm(train):
+                def lm(params, batch, rng):
+                    x, y = batch["image"], batch["label"]
+                    feats = batch["features"]
+                    if batch_prep is not None and train:
+                        rng, k = jax.random.split(rng)
+                        x, y = batch_prep(k, x, y)
+                    rngs = {"dropout": rng} if train else None
+                    logits = model.apply(
+                        {"params": params}, x, feats, train=train, rngs=rngs
+                    )
+                    loss = loss_fn(logits, y)
+                    import jax.numpy as jnp
+
+                    prob = jax.nn.sigmoid(logits[..., 0]) if n_classes == 2 else None
+                    acc = (
+                        jnp.mean(((prob > 0.5) == (y > 0.5)).astype(jnp.float32))
+                        if prob is not None
+                        else jnp.mean(
+                            (jnp.argmax(logits, -1) == y.astype(jnp.int32)).astype(
+                                jnp.float32
+                            )
+                        )
+                    )
+                    return loss, {"loss": loss, "acc": acc}
+
+                return lm
+
+            train_lm, eval_lm = make_lm(True), make_lm(False)
+        else:
+            train_lm = make_classification_step(
+                model, loss_fn, n_classes=n_classes, train=True,
+                batch_preprocessing=batch_prep,
+            )
+            eval_lm = make_classification_step(
+                model, loss_fn, n_classes=n_classes, train=False
+            )
+        loop = TrainLoop(
+            train_step=make_train_step(train_lm),
+            eval_step=make_eval_step(eval_lm),
+            augment_fn=transforms.augment,
+            mesh=mesh,
+            max_epochs=args.max_epochs,
+            check_val_every_n_epoch=args.check_val_every_n_epoch,
+            early_stopping=args.early_stopping,
+            monitor=args.monitor,
+            mode="min" if "loss" in args.monitor else "max",
+            ckpt_manager=ckpt,
+            metric_logger=csv_logger,
+            seed=args.seed + fold_idx,
+        )
+        state, history = loop.fit(state, train_loader, val_loader)
+        final = history[-1] if history else {}
+        logger.info("fold %d done: %s", fold_idx, json.dumps(final, default=float))

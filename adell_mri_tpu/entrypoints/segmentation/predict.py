@@ -1,0 +1,147 @@
+"""
+``adell segmentation predict``.
+
+Parity target: adell_mri/entrypoints/segmentation/predict.py (SURVEY.md
+§3.4): rebuild transforms from checkpoint metadata, sliding-window +
+flip-TTA + MC-dropout + checkpoint ensembling, inverse resample to the
+original geometry (the Invertd analogue), async NIfTI writing with copied
+header geometry.
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from adell_mri_tpu.config.factories import get_segmentation_network
+from adell_mri_tpu.data import Dataset, read_nifti, reorient_to_ras, write_nifti
+from adell_mri_tpu.data.writer import AsyncNiftiWriter
+from adell_mri_tpu.entrypoints.assemble_args import Parser
+from adell_mri_tpu.inference import SegmentationInference
+from adell_mri_tpu.train.checkpoints import CheckpointManager
+from adell_mri_tpu.transforms.host import resample_to_spec
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+ARG_KEYS = [
+    "dataset_json",
+    ("image_keys", "image_keys", dict(required=False, default=None)),
+    "prediction_ids",
+    "checkpoint_dir",
+    "checkpoint_name",
+    "checkpoint",
+    "output_path",
+    "sliding_window_size",
+    "sliding_window_stride",
+    "flip_tta",
+    "mc_iterations",
+    "dev",
+    "seed",
+    "n_classes",
+    "prediction_type",
+    "segmentation_net_type",
+]
+
+
+def main(arguments):
+    parser = Parser(prog="adell segmentation predict")
+    parser.add_argument_by_key(ARG_KEYS)
+    args = parser.parse_args(arguments)
+
+    # checkpoint + metadata (transform args travel with the weights)
+    mngr = CheckpointManager(
+        args.checkpoint_dir, name=args.checkpoint_name or "segmentation", fold=0
+    )
+    metadata = mngr.load_metadata()
+    net_cfg = metadata.get("network_config", {})
+    t_args = metadata.get("transform_arguments", {})
+    n_classes = metadata.get("n_classes", args.n_classes)
+    net_type = metadata.get("net_type", args.segmentation_net_type)
+    image_keys = args.image_keys or t_args.get("image_keys", ["image"])
+    target_spacing = t_args.get("target_spacing")
+    target_size = t_args.get("target_size")
+
+    model = get_segmentation_network(net_type, net_cfg, n_classes=n_classes)
+    x0 = np.zeros((1,) + tuple(target_size) + (len(image_keys),), np.float32)
+    params0 = model.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
+
+    steps = [mngr.best_step()] if not args.checkpoint else None
+    param_list = []
+    if steps:
+        for s in steps:
+            restored = mngr.restore(s, target={"params": params0})
+            param_list.append(restored["params"])
+    else:
+        for path in args.checkpoint:
+            sub = CheckpointManager(os.path.dirname(path), name=os.path.basename(path).replace("_fold0", ""), fold=0)
+            restored = sub.restore(sub.best_step(), target={"params": params0})
+            param_list.append(restored["params"])
+
+    def base_fn(params, x, rng=None):
+        rngs = {"dropout": rng} if rng is not None else None
+        pred, *_ = model.apply(
+            {"params": params},
+            x if x.ndim == len(target_size) + 2 else x[None],
+            train=rng is not None,
+            rngs=rngs,
+        )
+        return pred if x.ndim == len(target_size) + 2 else pred[0]
+
+    inference = SegmentationInference(
+        base_inference_function=base_fn,
+        checkpoint_params=param_list,
+        sliding_window_size=args.sliding_window_size,
+        stride=args.sliding_window_stride,
+        flip=args.flip_tta,
+        mc_iterations=args.mc_iterations,
+        n_classes=n_classes,
+        rng=jax.random.PRNGKey(args.seed),
+    )
+
+    data = Dataset(args.dataset_json)
+    pids = args.prediction_ids or list(data.keys())
+    os.makedirs(args.output_path, exist_ok=True)
+    writer = AsyncNiftiWriter()
+    for pid in pids:
+        if pid not in data.dataset:
+            continue
+        entry = data[pid]
+        channels = []
+        ref_img = None
+        for key in image_keys:
+            img = reorient_to_ras(read_nifti(entry[key]))
+            ref_img = ref_img or img
+            vol = resample_to_spec(img, target_spacing, target_size)
+            lo, hi = vol.min(), vol.max()
+            channels.append((vol - lo) / max(hi - lo, 1e-6))
+        x = np.stack(channels, axis=-1).astype(np.float32)
+        prob = np.asarray(inference(x))
+        # inverse resample back to original geometry (Invertd analogue)
+        inv = _invert_geometry(prob[..., 0], ref_img, target_spacing)
+        out_path = os.path.join(args.output_path, f"{pid}_prob.nii.gz")
+        if args.prediction_type == "probability":
+            writer.put(out_path, inv.astype(np.float32), ref_img.affine)
+        else:
+            writer.put(
+                out_path, (inv > 0.5).astype(np.uint8), ref_img.affine
+            )
+        logger.info("predicted %s -> %s", pid, out_path)
+    writer.close()
+
+
+def _invert_geometry(pred, ref_img, target_spacing):
+    """Maps a prediction on the (spacing, size) grid back to ref voxels."""
+    from scipy import ndimage
+
+    orig_shape = ref_img.data.shape[:3]
+    spacing = ref_img.spacing
+    if target_spacing is None:
+        target_spacing = spacing
+    zoom = np.asarray(spacing, float) / np.asarray(target_spacing, float)
+    resampled_shape = np.round(np.asarray(orig_shape) * zoom).astype(int)
+    offset = (resampled_shape - np.asarray(pred.shape)) / 2.0
+    coords = np.indices(orig_shape).astype(np.float32)
+    for d in range(3):
+        coords[d] = coords[d] * zoom[d] - offset[d]
+    return ndimage.map_coordinates(pred, coords, order=1, mode="constant")

@@ -1,0 +1,100 @@
+"""
+``adell segmentation test`` — evaluate checkpoints on a test set.
+
+Parity target: adell_mri/entrypoints/segmentation/test.py: per-checkpoint
+whole-volume metrics (Dice/IoU) plus optional lesion-level PI-CAI eval.
+"""
+
+import json
+
+import jax
+import numpy as np
+
+from adell_mri_tpu.config.factories import get_segmentation_network
+from adell_mri_tpu.data import Dataset
+from adell_mri_tpu.entrypoints.assemble_args import Parser
+from adell_mri_tpu.eval import evaluate as picai_evaluate
+from adell_mri_tpu.eval.metrics import dice_score, iou_score
+from adell_mri_tpu.train.checkpoints import CheckpointManager
+from adell_mri_tpu.train.logging_utils import MetricLogger
+from adell_mri_tpu.transforms import SegmentationTransforms
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+ARG_KEYS = [
+    "dataset_json",
+    ("image_keys", "image_keys", dict(required=False, default=None)),
+    "mask_keys",
+    "test_ids",
+    "checkpoint_dir",
+    "checkpoint_name",
+    "n_classes",
+    "picai_eval",
+    "metric_path",
+    "dev",
+    "seed",
+    "segmentation_net_type",
+]
+
+
+def main(arguments):
+    parser = Parser(prog="adell segmentation test")
+    parser.add_argument_by_key(ARG_KEYS)
+    args = parser.parse_args(arguments)
+
+    mngr = CheckpointManager(
+        args.checkpoint_dir, name=args.checkpoint_name or "segmentation", fold=0
+    )
+    metadata = mngr.load_metadata()
+    net_cfg = metadata.get("network_config", {})
+    t_args = metadata.get("transform_arguments", {})
+    n_classes = metadata.get("n_classes", args.n_classes)
+    net_type = metadata.get("net_type", args.segmentation_net_type)
+    image_keys = args.image_keys or t_args.get("image_keys", ["image"])
+    label_keys = args.mask_keys or t_args.get("label_keys", ["label"])
+
+    model = get_segmentation_network(net_type, net_cfg, n_classes=n_classes)
+    size = tuple(t_args.get("target_size"))
+    x0 = np.zeros((1,) + size + (len(image_keys),), np.float32)
+    params0 = model.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
+    restored = mngr.restore(mngr.best_step(), target={"params": params0})
+    params = restored["params"]
+
+    transforms = SegmentationTransforms(
+        image_keys=image_keys,
+        label_keys=label_keys,
+        target_spacing=t_args.get("target_spacing"),
+        target_size=size,
+    )
+    load_fn = transforms.load_fn()
+
+    @jax.jit
+    def predict(x):
+        pred, *_ = model.apply({"params": params}, x[None])
+        return pred[0]
+
+    data = Dataset(args.dataset_json)
+    pids = args.test_ids or list(data.keys())
+    dices, ious, preds, labels = [], [], [], []
+    for pid in pids:
+        if pid not in data.dataset:
+            continue
+        sample = load_fn({**data[pid], "identifier": pid})
+        prob = np.asarray(predict(sample["image"]))[..., 0]
+        lab = sample["label"]
+        dices.append(dice_score(prob, lab))
+        ious.append(iou_score(prob, lab))
+        if args.picai_eval:
+            preds.append(prob)
+            labels.append(lab)
+    results = {
+        "dice": float(np.mean(dices)),
+        "iou": float(np.mean(ious)),
+        "n_cases": len(dices),
+    }
+    if args.picai_eval and preds:
+        m = picai_evaluate(preds, labels)
+        results.update({"AP": m.AP, "auroc": m.auroc, "score": m.score})
+    MetricLogger(csv_path=args.metric_path).log_metrics(results, step=0)
+    print(json.dumps(results))

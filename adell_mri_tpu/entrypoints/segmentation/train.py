@@ -1,0 +1,349 @@
+"""
+``adell segmentation train`` — the canonical train loop.
+
+Parity target: adell_mri/entrypoints/segmentation/train.py:67 (call stack in
+SURVEY.md §3.1): dataset JSON -> filters -> parse_config_unet -> K-fold ->
+per-fold [spacing inference -> transforms -> cached dataset -> sampler ->
+loaders -> network factory -> fit -> test] -> CSV metrics.
+
+TPU differences: CacheDataset/DataLoader workers -> CachedVolumeDataset +
+thread prefetch with ON-DEVICE augmentation inside the jit step; Lightning
+DDP -> Mesh + sharded batches; ModelCheckpointWithMetadata -> orbax + JSON
+metadata.
+"""
+
+import json
+import os
+from typing import List
+
+import jax
+import numpy as np
+
+from adell_mri_tpu.config.factories import get_segmentation_network
+from adell_mri_tpu.config.parsing import parse_config_unet
+from adell_mri_tpu.data import (
+    CachedVolumeDataset,
+    DataLoader,
+    Dataset,
+    PartiallyRandomSampler,
+    RandomSampler,
+)
+from adell_mri_tpu.entrypoints.assemble_args import Parser
+from adell_mri_tpu.parallel.mesh import get_devices, mesh_for_batch, shard_params
+from adell_mri_tpu.train import (
+    TrainState,
+    cosine_annealing_with_warmup,
+    get_optimizer,
+    make_eval_step,
+    make_segmentation_step,
+    make_train_step,
+)
+from adell_mri_tpu.train.checkpoints import CheckpointManager
+from adell_mri_tpu.train.logging_utils import MetricLogger
+from adell_mri_tpu.train.loop import TrainLoop
+from adell_mri_tpu.transforms import AugmentPolicy, SegmentationTransforms
+from adell_mri_tpu.transforms.host import (
+    get_spacing_quantile,
+    spacing_values_from_dataset_json,
+)
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+ARG_KEYS = [
+    "dataset_json",
+    "image_keys",
+    "mask_keys",
+    "adc_keys",
+    "skip_keys",
+    "feature_keys",
+    "filter_on_keys",
+    "filter_is_optional",
+    "possible_labels",
+    "positive_labels",
+    "excluded_ids",
+    "cache_rate",
+    "cache_dir",
+    "subsample_size",
+    "val_from_train",
+    "n_folds",
+    "folds",
+    "target_spacing",
+    "pad_size",
+    "crop_size",
+    "resize_size",
+    "random_crop_size",
+    "config_file",
+    "dev",
+    "n_workers",
+    "seed",
+    "max_epochs",
+    "warmup_steps",
+    "start_decay",
+    "n_classes",
+    "augment",
+    "dropout_param",
+    "batch_size",
+    "learning_rate",
+    "optimizer",
+    "precision",
+    "gradient_clip_val",
+    "check_val_every_n_epoch",
+    "early_stopping",
+    "constant_ratio",
+    "checkpoint_dir",
+    "checkpoint_name",
+    "resume_from_last",
+    "monitor",
+    "logger_type",
+    "project_name",
+    "summary_name",
+    "metric_path",
+    "segmentation_net_type",
+    "bottleneck_classification",
+    "deep_supervision",
+    "picai_eval",
+    "swa",
+]
+
+
+def get_folds(pids: List[str], n_folds: int, seed: int, explicit=None):
+    """K-fold split (parity: train.py:259-282)."""
+    if explicit:
+        from adell_mri_tpu.data import parse_ids
+
+        nested = parse_ids(explicit, "nested_list")
+        folds = []
+        for val_ids in nested:
+            val = [p for p in pids if p in set(val_ids)]
+            train = [p for p in pids if p not in set(val_ids)]
+            folds.append((train, val))
+        return folds
+    from sklearn.model_selection import KFold
+
+    if n_folds <= 1:
+        rng = np.random.default_rng(seed)
+        pids_arr = np.asarray(pids)
+        idx = rng.permutation(len(pids_arr))
+        n_val = max(1, int(0.2 * len(pids_arr)))
+        return [
+            (
+                pids_arr[idx[n_val:]].tolist(),
+                pids_arr[idx[:n_val]].tolist(),
+            )
+        ]
+    kf = KFold(n_splits=n_folds, shuffle=True, random_state=seed)
+    pids_arr = np.asarray(pids)
+    return [
+        (pids_arr[tr].tolist(), pids_arr[va].tolist())
+        for tr, va in kf.split(pids_arr)
+    ]
+
+
+def main(arguments):
+    parser = Parser(prog="adell segmentation train")
+    parser.add_argument_by_key(ARG_KEYS)
+    args = parser.parse_args(arguments)
+
+    data = Dataset(args.dataset_json, seed=args.seed)
+    label_keys = args.mask_keys or []
+    presence = list(args.image_keys) + list(label_keys)
+    data.apply_filters(
+        presence_keys=presence,
+        filter_on_keys=args.filter_on_keys,
+        filter_is_optional=args.filter_is_optional,
+    )
+    if args.excluded_ids:
+        data.subsample_dataset(excluded_key_list=args.excluded_ids)
+    if args.subsample_size:
+        data.subsample_dataset(subsample_size=args.subsample_size)
+    if len(data) == 0:
+        raise ValueError("no samples left after filtering")
+
+    config, loss_fn = parse_config_unet(
+        args.config_file, n_keys=len(args.image_keys), n_classes=args.n_classes
+    )
+    net_cfg = config["network"]
+    train_cfg = config["training"]
+    batch_size = args.batch_size or train_cfg.get("batch_size", 2)
+    learning_rate = args.learning_rate or train_cfg.get("learning_rate", 1e-3)
+    weight_decay = train_cfg.get("weight_decay", 0.0)
+    if args.dropout_param:
+        net_cfg["dropout_param"] = args.dropout_param
+    net_cfg["bottleneck_classification"] = args.bottleneck_classification
+    net_cfg["deep_supervision"] = args.deep_supervision
+
+    # target spacing: explicit, or inferred from headers (sitk_utils parity)
+    target_spacing = args.target_spacing
+    if target_spacing is None:
+        spacings = spacing_values_from_dataset_json(
+            data.dataset, args.image_keys[0], n=32
+        )
+        if spacings:
+            target_spacing = get_spacing_quantile(spacings)
+            logger.info("inferred target spacing: %s", target_spacing)
+
+    base_size = args.pad_size or args.resize_size or args.crop_size
+    crop_size = args.random_crop_size or args.crop_size
+    if base_size is None:
+        raise ValueError(
+            "one of --pad_size/--resize_size/--crop_size is required "
+            "(static shapes on TPU)"
+        )
+
+    platform, devices = get_devices(args.dev)
+    mesh = mesh_for_batch(batch_size, devices)
+    logger.info("platform=%s mesh=%s", platform, dict(mesh.shape))
+
+    all_pids = list(data.keys())
+    folds = get_folds(all_pids, args.n_folds, args.seed, args.folds)
+    csv_logger = MetricLogger(
+        logger_type=args.logger_type,
+        project_name=args.project_name,
+        run_name=args.summary_name,
+        csv_path=args.metric_path,
+    )
+
+    for fold_idx, (train_pids, val_pids) in enumerate(folds):
+        logger.info(
+            "fold %d: %d train / %d val", fold_idx, len(train_pids), len(val_pids)
+        )
+        transforms = SegmentationTransforms(
+            image_keys=args.image_keys,
+            label_keys=label_keys,
+            target_spacing=target_spacing,
+            target_size=base_size,
+            crop_size=crop_size if crop_size != base_size else None,
+            adc_keys=args.adc_keys or (),
+            positive_labels=[int(x) for x in args.positive_labels],
+            augmentations=AugmentPolicy.from_flags(args.augment),
+        )
+        load_fn = transforms.load_fn()
+        train_list = data.to_datalist(train_pids)
+        val_list = data.to_datalist(val_pids)
+        train_ds = CachedVolumeDataset(
+            train_list, load_fn, cache_rate=args.cache_rate,
+            cache_dir=args.cache_dir,
+        )
+        val_ds = CachedVolumeDataset(
+            val_list, load_fn, cache_rate=args.cache_rate,
+            cache_dir=args.cache_dir,
+        )
+        if args.constant_ratio is not None:
+            labels = [
+                int(any(np.asarray(e.get(k, 0)).max() > 0 for k in label_keys))
+                if not isinstance(e.get(label_keys[0], None), str)
+                else 1
+                for e in train_list
+            ]
+            sampler = PartiallyRandomSampler(
+                labels, non_keep_ratio=args.constant_ratio, seed=args.seed
+            )
+        else:
+            sampler = RandomSampler(len(train_ds), seed=args.seed)
+        train_loader = DataLoader(
+            train_ds, sampler=sampler, batch_size=batch_size, drop_last=True,
+            prefetch=max(args.n_workers, 2),
+        )
+        val_loader = DataLoader(
+            val_ds,
+            batch_size=max(1, min(batch_size, len(val_ds))),
+            drop_last=True,
+            prefetch=1,
+        )
+
+        model = get_segmentation_network(
+            args.segmentation_net_type, net_cfg, n_classes=args.n_classes
+        )
+        example_shape = tuple(crop_size or base_size)
+        x0 = np.zeros(
+            (1,) + example_shape + (len(args.image_keys),), np.float32
+        )
+        params = model.init(
+            {"params": jax.random.PRNGKey(args.seed)}, x0
+        )["params"]
+        steps_per_epoch = max(len(train_loader), 1)
+        schedule = cosine_annealing_with_warmup(
+            learning_rate,
+            t_max=args.max_epochs * steps_per_epoch,
+            n_warmup_steps=args.warmup_steps * steps_per_epoch
+            if args.warmup_steps >= 1
+            else args.warmup_steps,
+            start_decay=args.start_decay,
+        )
+        tx = get_optimizer(
+            args.optimizer,
+            learning_rate=schedule,
+            weight_decay=weight_decay,
+            clip_norm=args.gradient_clip_val,
+            params=params,
+        )
+        with mesh:
+            params = shard_params(params, mesh)
+            state = TrainState.create(
+                model.apply, params, tx, with_ema=args.swa
+            )
+
+        ckpt = CheckpointManager(
+            args.checkpoint_dir,
+            name=args.checkpoint_name or "segmentation",
+            fold=fold_idx,
+            metadata={
+                "network_config": net_cfg,
+                "transform_arguments": {
+                    "image_keys": list(args.image_keys),
+                    "label_keys": list(label_keys),
+                    "target_spacing": target_spacing,
+                    "target_size": list(base_size),
+                    "crop_size": list(crop_size) if crop_size else None,
+                },
+                "train_pids": train_pids,
+                "val_pids": val_pids,
+                "n_classes": args.n_classes,
+                "net_type": args.segmentation_net_type,
+            },
+            monitor=args.monitor,
+            mode="min" if "loss" in args.monitor else "max",
+        )
+        if args.resume_from_last and ckpt.status(args.max_epochs) == "finished":
+            logger.info("fold %d already finished; skipping", fold_idx)
+            continue
+
+        deep_supervision = args.deep_supervision
+        train_lm = make_segmentation_step(
+            model,
+            loss_fn,
+            deep_supervision=deep_supervision,
+            bottleneck_classification=args.bottleneck_classification,
+            n_classes=args.n_classes,
+            train=True,
+        )
+        eval_lm = make_segmentation_step(
+            model,
+            loss_fn,
+            deep_supervision=deep_supervision,
+            bottleneck_classification=args.bottleneck_classification,
+            n_classes=args.n_classes,
+            train=False,
+        )
+        loop = TrainLoop(
+            train_step=make_train_step(train_lm),
+            eval_step=make_eval_step(eval_lm),
+            augment_fn=transforms.augment,
+            mesh=mesh,
+            max_epochs=args.max_epochs,
+            check_val_every_n_epoch=args.check_val_every_n_epoch,
+            early_stopping=args.early_stopping,
+            monitor=args.monitor,
+            mode="min" if "loss" in args.monitor else "max",
+            ckpt_manager=ckpt,
+            metric_logger=csv_logger,
+            seed=args.seed + fold_idx,
+        )
+        state, history = loop.fit(state, train_loader, val_loader)
+        final = history[-1] if history else {}
+        csv_logger.log_metrics(
+            {k: v for k, v in final.items()}, step=args.max_epochs,
+            fold=fold_idx, phase="final",
+        )
+        logger.info("fold %d done: %s", fold_idx, json.dumps(final, default=float))

@@ -1,0 +1,13 @@
+"""SSL mode dispatch (parity: entrypoints/ssl/__main__)."""
+
+from adell_mri_tpu.entrypoints.cli_utils import run_main
+
+supported_modes = {
+    "train_3d": "adell_mri_tpu.entrypoints.ssl.train",
+    "train_2d": "adell_mri_tpu.entrypoints.ssl.train",
+    "train": "adell_mri_tpu.entrypoints.ssl.train",
+}
+
+
+def main(arguments):
+    run_main("adell_mri_tpu.entrypoints.ssl", supported_modes, arguments)

@@ -56,6 +56,22 @@ def local_device_count(dev_str: str = "auto") -> int:
     return len(get_devices(dev_str)[1])
 
 
+def mesh_for_batch(
+    batch_size: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """
+    A pure-DP mesh using the largest device prefix whose size divides
+    ``batch_size`` (the CLI path: small batches must not over-shard).
+    """
+    import math
+
+    if devices is None:
+        devices = jax.devices()
+    n = math.gcd(batch_size, len(devices))
+    return make_mesh(devices[:n])
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     data: int = -1,

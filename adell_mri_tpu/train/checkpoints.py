@@ -105,9 +105,18 @@ class CheckpointManager:
         if step is None:
             return None
         if target is not None:
-            tree = jax.tree.map(np.asarray, _savable(target))
+            # partial restore: the saved tree may hold more than the target
+            # (opt_state, ema); only the target's subtree is materialized
+            tree = jax.tree.map(
+                lambda x: ocp.RestoreArgs(), _savable(target)
+            )
             restored = self._mngr.restore(
-                step, args=ocp.args.StandardRestore(tree)
+                step,
+                args=ocp.args.PyTreeRestore(
+                    item=jax.tree.map(np.asarray, _savable(target)),
+                    restore_args=tree,
+                    partial_restore=True,
+                ),
             )
         else:
             restored = self._mngr.restore(step)

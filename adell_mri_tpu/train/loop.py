@@ -1,0 +1,152 @@
+"""
+The training loop — replaces lightning.Trainer for this framework.
+
+Parity surface (SURVEY.md §3.1): epochs over a DataLoader, on-device
+augmentation folded into the step, periodic validation
+(check_val_every_n_epoch), checkpointing with monitor/mode, early stopping,
+CSV/experiment logging, resume-from-last. Single-program multi-device: the
+loop shards each host batch over the mesh and the jitted step does the rest.
+"""
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from adell_mri_tpu.parallel.mesh import shard_batch
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        train_step: Callable,  # (state, batch, rng) -> (state, metrics)
+        eval_step: Optional[Callable] = None,  # (params, batch, rng) -> metrics
+        augment_fn: Optional[Callable] = None,  # (key, batch) -> batch (jitted)
+        mesh=None,
+        max_epochs: int = 100,
+        check_val_every_n_epoch: int = 1,
+        early_stopping: Optional[int] = None,
+        monitor: str = "val_loss",
+        mode: str = "min",
+        ckpt_manager=None,
+        metric_logger=None,
+        seed: int = 42,
+        eval_on_ema: bool = False,
+    ):
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.augment_fn = jax.jit(augment_fn) if augment_fn else None
+        self.mesh = mesh
+        self.max_epochs = max_epochs
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.early_stopping = early_stopping
+        self.monitor = monitor
+        self.mode = mode
+        self.ckpt_manager = ckpt_manager
+        self.metric_logger = metric_logger
+        self.rng = jax.random.PRNGKey(seed)
+        self.eval_on_ema = eval_on_ema
+
+    def _put(self, batch: Dict) -> Dict:
+        batch = {
+            k: v
+            for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jax.Array))
+        }
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def _epoch(self, state, loader, epoch: int):
+        metric_sums: Dict[str, float] = {}
+        n = 0
+        t0 = time.perf_counter()
+        n_samples = 0
+        for batch in loader:
+            batch = self._put(batch)
+            self.rng, aug_key, step_key = jax.random.split(self.rng, 3)
+            if self.augment_fn is not None:
+                batch = self.augment_fn(aug_key, batch)
+            state, metrics = self.train_step(state, batch, step_key)
+            n += 1
+            n_samples += next(
+                v.shape[0] for v in batch.values() if hasattr(v, "shape")
+            )
+            for k, v in metrics.items():
+                if np.ndim(v) == 0:
+                    metric_sums[k] = metric_sums.get(k, 0.0) + float(v)
+        dt = time.perf_counter() - t0
+        out = {k: v / max(n, 1) for k, v in metric_sums.items()}
+        out["samples_per_sec"] = n_samples / dt if dt > 0 else 0.0
+        return state, out
+
+    def _validate(self, state, loader):
+        params = (
+            state.ema_params
+            if (self.eval_on_ema and state.ema_params is not None)
+            else state.params
+        )
+        metric_sums: Dict[str, float] = {}
+        n = 0
+        for batch in loader:
+            batch = self._put(batch)
+            self.rng, key = jax.random.split(self.rng)
+            metrics = self.eval_step(params, batch, key)
+            n += 1
+            for k, v in metrics.items():
+                if np.ndim(v) == 0:
+                    metric_sums[k] = metric_sums.get(k, 0.0) + float(v)
+        return {f"val_{k}": v / max(n, 1) for k, v in metric_sums.items()}
+
+    def fit(self, state, train_loader, val_loader=None):
+        best = None
+        patience = 0
+        history = []
+        ctx = self.mesh or _nullcontext()
+        with ctx:
+            for epoch in range(self.max_epochs):
+                state, train_metrics = self._epoch(state, train_loader, epoch)
+                all_metrics = dict(train_metrics)
+                if (
+                    val_loader is not None
+                    and self.eval_step is not None
+                    and (epoch + 1) % self.check_val_every_n_epoch == 0
+                ):
+                    all_metrics.update(self._validate(state, val_loader))
+                history.append(all_metrics)
+                if self.metric_logger is not None:
+                    self.metric_logger.log_metrics(all_metrics, step=epoch)
+                if self.ckpt_manager is not None:
+                    self.ckpt_manager.save(
+                        epoch + 1, state, metrics=all_metrics
+                    )
+                if self.early_stopping and self.monitor in all_metrics:
+                    value = all_metrics[self.monitor]
+                    better = best is None or (
+                        value < best if self.mode == "min" else value > best
+                    )
+                    if better:
+                        best, patience = value, 0
+                    else:
+                        patience += 1
+                        if patience >= self.early_stopping:
+                            logger.info(
+                                "early stopping at epoch %d (%s=%.5g)",
+                                epoch,
+                                self.monitor,
+                                best,
+                            )
+                            break
+        return state, history
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,196 @@
+"""SSL losses, maskers, models, and train-step tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adell_mri_tpu.models.classification import CatNet
+from adell_mri_tpu.models.ssl import (
+    ConvNeXtAutoEncoder,
+    DINOHead,
+    IJEPA,
+    NonContrastiveWrapper,
+    ViTMaskedAutoEncoder,
+    random_masking,
+    block_masking,
+)
+from adell_mri_tpu.models.ssl import losses as L
+from adell_mri_tpu.train import TrainState, get_optimizer
+from adell_mri_tpu.train.ssl_steps import (
+    make_ijepa_step,
+    make_mae_step,
+    make_ssl_train_step,
+    make_two_view_step,
+)
+
+KEY = jax.random.PRNGKey(0)
+Z1 = jax.random.normal(KEY, (8, 16))
+Z2 = Z1 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+
+
+def test_vicreg_components_and_perfect_case():
+    total, comp = L.vicreg_loss(Z1, Z2)
+    assert all(np.isfinite(float(v)) for v in comp.values())
+    # identical, well-spread views: invariance term ~0
+    t2, c2 = L.vicreg_loss(Z1, Z1)
+    assert float(c2["invariance"]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_simsiam_byol_bounds():
+    assert -1.0 <= float(L.simsiam_loss(Z1, Z2)) <= 1.0
+    assert 0.0 <= float(L.byol_loss(Z1, Z2)) <= 4.0
+    # identical views -> minimum
+    assert float(L.byol_loss(Z1, Z1)) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_ntxent_prefers_matching_pairs():
+    easy = float(L.ntxent_loss(Z1, Z1 + 1e-3))
+    perm = jnp.roll(Z1, 1, axis=0)
+    hard = float(L.ntxent_loss(Z1, perm))
+    assert easy < hard
+
+
+def test_barlow_twins_zero_for_identical_decorrelated():
+    z = jax.random.normal(KEY, (512, 8))
+    v = float(L.barlow_twins_loss(z, z))
+    assert v < 1.0  # on-diag ~0, off-diag small
+
+
+def test_dino_loss_and_center_update():
+    s = jax.random.normal(KEY, (8, 32))
+    t = jax.random.normal(jax.random.PRNGKey(1), (8, 32))
+    center = jnp.zeros(32)
+    loss, new_center = L.dino_loss(s, t, center)
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(
+        np.asarray(new_center),
+        0.1 * np.asarray(t.mean(0)),
+        atol=1e-5,
+    )
+
+
+def test_sinkhorn_doubly_stochastic():
+    scores = jax.random.normal(KEY, (16, 8))
+    q = L.sinkhorn_knopp(scores, n_iter=10)
+    np.testing.assert_allclose(np.asarray(q.sum(-1)), 1.0, atol=1e-2)
+
+
+def test_koleo_finite():
+    assert np.isfinite(float(L.koleo_loss(Z1)))
+
+
+def test_random_masking_counts():
+    tokens = jax.random.normal(KEY, (2, 16, 8))
+    visible, mask, restore = random_masking(KEY, tokens, mask_ratio=0.75)
+    assert visible.shape == (2, 4, 8)
+    np.testing.assert_allclose(np.asarray(mask.sum(-1)), 12)
+    # restore index is a permutation
+    assert sorted(np.asarray(restore[0]).tolist()) == list(range(16))
+
+
+def test_block_masking_contiguous():
+    mask = block_masking(KEY, (8, 8), n_blocks=2)
+    assert mask.shape == (64,)
+    assert 0 < float(mask.sum()) < 64
+
+
+def _tiny_backbone():
+    return CatNet(
+        resnet_structure=[(4, 4, 3, 1)], norm_type="instance",
+        feature_extraction=True,
+    )
+
+
+def test_two_view_vicreg_step_learns():
+    model = NonContrastiveWrapper(
+        backbone=_tiny_backbone(),
+        projection_dims=(16, 8),
+        prediction_dims=(8, 8),
+    )
+    x = jax.random.normal(KEY, (4, 8, 8, 4, 1))
+    params = model.init({"params": KEY}, x)["params"]
+    tx = get_optimizer("adamw", learning_rate=1e-3, params=params)
+    state = TrainState.create(model.apply, params, tx, with_ema=True)
+    step = make_ssl_train_step(
+        make_two_view_step(model, method="vicreg")
+    )
+    batch = {
+        "view1": x,
+        "view2": x + 0.05 * jax.random.normal(jax.random.PRNGKey(2), x.shape),
+    }
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(3))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_byol_step_with_ema_teacher():
+    model = NonContrastiveWrapper(
+        backbone=_tiny_backbone(),
+        projection_dims=(16, 8),
+        prediction_dims=(8, 8),
+    )
+    x = jax.random.normal(KEY, (2, 8, 8, 4, 1))
+    params = model.init({"params": KEY}, x)["params"]
+    tx = get_optimizer("adamw", learning_rate=1e-3, params=params)
+    state = TrainState.create(
+        model.apply, params, tx, with_ema=True, ema_decay=0.99
+    )
+    step = make_ssl_train_step(
+        make_two_view_step(model, method="byol", ema_teacher=True)
+    )
+    batch = {"view1": x, "view2": x}
+    state, metrics = step(state, batch, KEY)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_mae_forward_and_step():
+    model = ViTMaskedAutoEncoder(
+        patch_size=(4, 4, 4), embed_dim=16, n_blocks=1, n_heads=2,
+        decoder_dim=8, decoder_blocks=1,
+    )
+    x = jax.random.normal(KEY, (2, 8, 8, 8, 1))
+    params = model.init(
+        {"params": KEY, "masking": KEY}, x, rng=KEY
+    )["params"]
+    tx = get_optimizer("adamw", learning_rate=1e-3, params=params)
+    state = TrainState.create(model.apply, params, tx)
+    step = make_ssl_train_step(make_mae_step(model))
+    state, metrics = step(state, {"image": x}, KEY)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_ijepa_forward_and_step():
+    model = IJEPA(
+        patch_size=(4, 4, 4), embed_dim=16, n_blocks=1, n_heads=2,
+        predictor_dim=8, predictor_blocks=1,
+    )
+    x = jax.random.normal(KEY, (2, 8, 8, 8, 1))
+    params = model.init({"params": KEY, "masking": KEY}, x, rng=KEY)["params"]
+    tx = get_optimizer("adamw", learning_rate=1e-3, params=params)
+    state = TrainState.create(model.apply, params, tx, with_ema=True)
+    step = make_ssl_train_step(make_ijepa_step(model))
+    state, metrics = step(state, {"image": x}, KEY)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dino_head_prototypes():
+    head = DINOHead(out_dim=32, hidden_dim=16, bottleneck_dim=8)
+    x = jax.random.normal(KEY, (4, 24))
+    v = head.init({"params": KEY}, x)
+    out = head.apply(v, x)
+    assert out.shape == (4, 32)
+    # logits bounded by |z|=1 prototypes: |logit| <= 1
+    assert float(jnp.max(jnp.abs(out))) <= 1.0 + 1e-5
+
+
+def test_convnext_autoencoder_roundtrip_shape():
+    m = ConvNeXtAutoEncoder(depths=(4, 8))
+    x = jax.random.normal(KEY, (2, 16, 16, 1))
+    v = m.init({"params": KEY}, x)
+    out = m.apply(v, x)
+    assert out.shape == x.shape
+    feats = m.apply(v, x, return_features=True)
+    assert feats.shape == (2, 8)
