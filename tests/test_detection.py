@@ -1,0 +1,122 @@
+"""Detection stack tests: anchors, YOLO3D, CIoU, NMS, mAP round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adell_mri_tpu.models.detection import (
+    CoarseDetector3d,
+    YOLONet3d,
+    anchor_targets_to_boxes,
+    box_iou,
+    boxes_to_anchor_targets,
+    complete_iou_loss,
+    mean_average_precision,
+    nms_3d,
+    yolo_loss,
+)
+
+KEY = jax.random.PRNGKey(0)
+ANCHORS = np.asarray([[6.0, 6.0, 4.0], [12.0, 12.0, 6.0]], np.float32)
+
+
+def test_anchor_roundtrip():
+    boxes = np.asarray([[4.0, 4.0, 2.0, 10.0, 10.0, 6.0]])
+    classes = np.asarray([1])
+    obj, ctr, sz, cls = boxes_to_anchor_targets(
+        boxes, classes, grid_shape=(8, 8, 4), anchors=ANCHORS,
+        input_shape=(32, 32, 16),
+    )
+    assert obj.sum() == 1
+    rec_boxes, scores = anchor_targets_to_boxes(
+        obj, ctr, sz, ANCHORS, input_shape=(32, 32, 16), threshold=0.5
+    )
+    assert len(rec_boxes) == 1
+    np.testing.assert_allclose(rec_boxes[0], boxes[0], atol=1.0)
+
+
+def test_ciou_loss_properties():
+    a = jnp.asarray([[0.0, 0, 0, 4, 4, 4]])
+    assert float(complete_iou_loss(a, a)[0]) == pytest.approx(0.0, abs=1e-5)
+    far = jnp.asarray([[10.0, 10, 10, 14, 14, 14]])
+    assert float(complete_iou_loss(a, far)[0]) > 1.0
+
+
+def test_box_iou_and_nms():
+    boxes = np.asarray(
+        [
+            [0, 0, 0, 4, 4, 4],
+            [1, 1, 1, 5, 5, 5],  # overlaps first
+            [10, 10, 10, 14, 14, 14],
+        ],
+        np.float32,
+    )
+    scores = np.asarray([0.9, 0.8, 0.7])
+    iou = box_iou(boxes, boxes)
+    assert iou[0, 0] == pytest.approx(1.0)
+    kept, ks, idx = nms_3d(boxes, scores, iou_threshold=0.2)
+    assert len(kept) == 2
+    assert ks[0] == pytest.approx(0.9)
+
+
+def test_map_perfect_and_empty():
+    gt = [np.asarray([[0, 0, 0, 4, 4, 4]])]
+    pred = [np.asarray([[0.1, 0, 0, 4, 4, 4]])]
+    scores = [np.asarray([0.9])]
+    assert mean_average_precision(pred, scores, gt) > 0.9
+    assert mean_average_precision(
+        [np.zeros((0, 6))], [np.zeros(0)], gt
+    ) == pytest.approx(0.0) or np.isnan(
+        mean_average_precision([np.zeros((0, 6))], [np.zeros(0)], gt)
+    )
+
+
+def test_yolo_forward_and_loss():
+    model = YOLONet3d(
+        n_anchors=2,
+        backbone_structure=[(8, 8, 3, 1)],
+        norm_type="instance",
+    )
+    x = jnp.ones((2, 16, 16, 8, 1))
+    v = model.init({"params": KEY}, x)
+    preds = model.apply(v, x)
+    grid = preds["objectness"].shape[1:-1]
+    assert preds["objectness"].shape[-1] == 2
+    assert preds["center_offsets"].shape[-1] == 6
+    # build matching targets and take a grad step
+    obj, ctr, sz, cls = boxes_to_anchor_targets(
+        np.asarray([[2.0, 2, 1, 8, 8, 5]]),
+        np.asarray([1]),
+        grid_shape=grid,
+        anchors=ANCHORS,
+        input_shape=(16, 16, 8),
+    )
+
+    def to_cl(arr):  # channels-first (A,...) -> channels-last batch of 2
+        moved = np.moveaxis(arr, 0, -1)
+        return jnp.asarray(np.stack([moved, moved]))
+
+    targets = {
+        "objectness": to_cl(obj),
+        "center_offsets": to_cl(ctr),
+        "sizes": to_cl(sz),
+        "classes": to_cl(cls),
+    }
+    total, comp = yolo_loss(preds, targets)
+    assert np.isfinite(float(total))
+    g = jax.grad(
+        lambda p: yolo_loss(model.apply(p, x), targets)[0]
+    )(v)
+    flat = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+
+def test_coarse_detector():
+    m = CoarseDetector3d(
+        backbone_structure=[(8, 8, 3, 1)], norm_type="instance"
+    )
+    x = jnp.ones((1, 16, 16, 8, 1))
+    v = m.init({"params": KEY}, x)
+    out = m.apply(v, x)
+    assert out.shape[-1] == 1
