@@ -1,0 +1,145 @@
+"""
+``adell generative train`` — DDPM training.
+
+Parity target: adell_mri/entrypoints/generative/train.py (DiffusionUNetPL:
+ε-prediction MSE at random timesteps; conditioning with classifier-free
+dropout via Embedder).
+"""
+
+import json
+
+import jax
+import numpy as np
+
+from adell_mri_tpu.config.parsing import load_yaml
+from adell_mri_tpu.data import CachedVolumeDataset, DataLoader, Dataset, RandomSampler
+from adell_mri_tpu.entrypoints.assemble_args import Parser
+from adell_mri_tpu.models.diffusion import DiffusionProcess, DiffusionUNet
+from adell_mri_tpu.parallel.mesh import get_devices, mesh_for_batch
+from adell_mri_tpu.train import TrainState, cosine_annealing_with_warmup, get_optimizer
+from adell_mri_tpu.train.checkpoints import CheckpointManager
+from adell_mri_tpu.train.gan_steps import make_diffusion_step
+from adell_mri_tpu.train.logging_utils import MetricLogger
+from adell_mri_tpu.train.loop import TrainLoop
+from adell_mri_tpu.train.steps import make_train_step
+from adell_mri_tpu.transforms import GenerationTransforms
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+ARG_KEYS = [
+    "dataset_json",
+    "image_keys",
+    "filter_on_keys",
+    "cache_rate",
+    "cache_dir",
+    "subsample_size",
+    "target_spacing",
+    "pad_size",
+    "config_file",
+    "dev",
+    "seed",
+    "max_epochs",
+    "warmup_steps",
+    "batch_size",
+    "learning_rate",
+    "optimizer",
+    "checkpoint_dir",
+    "checkpoint_name",
+    "monitor",
+    "metric_path",
+]
+
+
+def main(arguments):
+    parser = Parser(prog="adell generative train")
+    parser.add_argument_by_key(ARG_KEYS)
+    args = parser.parse_args(arguments)
+
+    data = Dataset(args.dataset_json, seed=args.seed)
+    data.apply_filters(
+        presence_keys=list(args.image_keys),
+        filter_on_keys=args.filter_on_keys,
+    )
+    if args.subsample_size:
+        data.subsample_dataset(subsample_size=args.subsample_size)
+    cfg = load_yaml(args.config_file) if args.config_file else {}
+    batch_size = args.batch_size or cfg.get("batch_size", 2)
+    learning_rate = args.learning_rate or cfg.get("learning_rate", 1e-4)
+    base_size = tuple(args.pad_size)
+    sd = cfg.get("spatial_dimensions", len(base_size))
+
+    transforms = GenerationTransforms(
+        image_keys=args.image_keys,
+        target_spacing=args.target_spacing,
+        target_size=base_size,
+    )
+    ds = CachedVolumeDataset(
+        data.to_datalist(), transforms.load_fn(),
+        cache_rate=args.cache_rate, cache_dir=args.cache_dir,
+    )
+    loader = DataLoader(
+        ds, sampler=RandomSampler(len(ds), seed=args.seed),
+        batch_size=batch_size, drop_last=True,
+    )
+
+    depth = tuple(cfg.get("depth", (32, 64, 128)))
+    model = DiffusionUNet(
+        spatial_dimensions=sd,
+        depth=depth,
+        attention_levels=tuple(
+            cfg.get("attention_levels", [False] * (len(depth) - 1) + [True])
+        ),
+        in_channels=len(args.image_keys),
+        temb_dim=cfg.get("temb_dim", 128),
+    )
+    process = DiffusionProcess(
+        n_timesteps=cfg.get("n_timesteps", 1000),
+        schedule=cfg.get("beta_schedule", "linear"),
+    )
+    x0 = np.zeros((1,) + base_size + (len(args.image_keys),), np.float32)
+    params = model.init(
+        {"params": jax.random.PRNGKey(args.seed)}, x0, np.zeros((1,), np.int32)
+    )["params"]
+    schedule = cosine_annealing_with_warmup(
+        learning_rate,
+        t_max=args.max_epochs * max(len(loader), 1),
+        n_warmup_steps=args.warmup_steps,
+    )
+    tx = get_optimizer(
+        "adamw" if args.optimizer == "sgd" else args.optimizer,
+        learning_rate=schedule, params=params,
+    )
+    platform, devices = get_devices(args.dev)
+    mesh = mesh_for_batch(batch_size, devices)
+    with mesh:
+        state = TrainState.create(model.apply, params, tx)
+    ckpt = CheckpointManager(
+        args.checkpoint_dir,
+        name=args.checkpoint_name or "diffusion",
+        fold=0,
+        metadata={
+            "network_config": {
+                "depth": list(depth),
+                "spatial_dimensions": sd,
+                "n_timesteps": process.n_timesteps,
+                "in_channels": len(args.image_keys),
+            },
+            "transform_arguments": {
+                "image_keys": list(args.image_keys),
+                "target_size": list(base_size),
+            },
+        },
+        monitor=args.monitor,
+    )
+    loop = TrainLoop(
+        train_step=make_train_step(make_diffusion_step(model, process)),
+        mesh=mesh,
+        max_epochs=args.max_epochs,
+        ckpt_manager=ckpt,
+        metric_logger=MetricLogger(csv_path=args.metric_path),
+        monitor=args.monitor,
+        seed=args.seed,
+    )
+    state, history = loop.fit(state, loader)
+    logger.info("done: %s", json.dumps(history[-1] if history else {}, default=float))

@@ -1,0 +1,374 @@
+"""
+``adell utils`` subcommand implementations.
+
+Parity targets: adell_mri/entrypoints/utils/{preprocessing,statistics,
+dataset}/ — each function is one subcommand with its own argparse, matching
+the reference's names and core flags.
+"""
+
+import argparse
+import glob
+import json
+import os
+import re
+from typing import Dict, List
+
+import numpy as np
+
+from adell_mri_tpu.data import (
+    Dataset,
+    fill_conditional as _fill_conditional,
+    read_nifti,
+    reorient_to_ras,
+    write_nifti,
+)
+from adell_mri_tpu.transforms.host import resample_to_spec
+
+
+def generate_dataset_json(argv):
+    """Builds {id: {key: path}} from per-key glob patterns."""
+    p = argparse.ArgumentParser(prog="adell utils generate_dataset_json")
+    p.add_argument("--input_paths", nargs="+", required=True,
+                   help="key:glob pairs, e.g. image:/data/*/t2.nii.gz")
+    p.add_argument("--output_json", required=True)
+    p.add_argument("--id_pattern", default=r"([^/]+)/[^/]+$",
+                   help="regex whose group 1 is the case id")
+    args = p.parse_args(argv)
+    out: Dict[str, Dict] = {}
+    for spec in args.input_paths:
+        key, pattern = spec.split(":", 1)
+        for path in sorted(glob.glob(pattern)):
+            m = re.search(args.id_pattern, path)
+            pid = m.group(1) if m else os.path.basename(path)
+            out.setdefault(pid, {})[key] = path
+    with open(args.output_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {len(out)} entries to {args.output_json}")
+
+
+def generate_image_dataset_json(argv):
+    """One key, one folder of images -> dataset json."""
+    p = argparse.ArgumentParser(prog="adell utils generate_image_dataset_json")
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--key", default="image")
+    p.add_argument("--output_json", required=True)
+    p.add_argument("--pattern", default="*.nii.gz")
+    args = p.parse_args(argv)
+    out = {}
+    for path in sorted(glob.glob(os.path.join(args.input_path, args.pattern))):
+        pid = os.path.basename(path).split(".")[0]
+        out[pid] = {args.key: path}
+    with open(args.output_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {len(out)} entries")
+
+
+def generate_json_from_csv(argv):
+    p = argparse.ArgumentParser(prog="adell utils generate_json_from_csv")
+    p.add_argument("--input_csv", required=True)
+    p.add_argument("--id_column", required=True)
+    p.add_argument("--output_json", required=True)
+    args = p.parse_args(argv)
+    import pandas as pd
+
+    df = pd.read_csv(args.input_csv)
+    out = {
+        str(row[args.id_column]): {
+            k: v for k, v in row.items() if k != args.id_column
+        }
+        for _, row in df.iterrows()
+    }
+    with open(args.output_json, "w") as f:
+        json.dump(out, f, indent=1, default=str)
+    print(f"wrote {len(out)} entries")
+
+
+def merge_json_datasets(argv):
+    p = argparse.ArgumentParser(prog="adell utils merge_json_datasets")
+    p.add_argument("--input_jsons", nargs="+", required=True)
+    p.add_argument("--output_json", required=True)
+    args = p.parse_args(argv)
+    out: Dict[str, Dict] = {}
+    for path in args.input_jsons:
+        with open(path) as f:
+            for k, v in json.load(f).items():
+                out.setdefault(k, {}).update(v)
+    with open(args.output_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {len(out)} entries")
+
+
+def fill_with_condition(argv):
+    p = argparse.ArgumentParser(prog="adell utils fill_with_condition")
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--filters", nargs="+", required=True,
+                   help="fill_key:value^check_key:value")
+    p.add_argument("--output_json", required=True)
+    args = p.parse_args(argv)
+    with open(args.input_json) as f:
+        D = json.load(f)
+    D = _fill_conditional(D, args.filters)
+    with open(args.output_json, "w") as f:
+        json.dump(D, f, indent=1)
+
+
+def get_test_set_and_folds(argv):
+    p = argparse.ArgumentParser(prog="adell utils get_test_set_and_folds")
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--test_fraction", type=float, default=0.2)
+    p.add_argument("--n_folds", type=int, default=5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--stratify_key", default=None)
+    p.add_argument("--output_prefix", required=True)
+    args = p.parse_args(argv)
+    ds = Dataset(args.input_json, seed=args.seed)
+    pids = np.asarray(list(ds.keys()))
+    rng = np.random.default_rng(args.seed)
+    idx = rng.permutation(len(pids))
+    n_test = int(len(pids) * args.test_fraction)
+    test = pids[idx[:n_test]].tolist()
+    rest = pids[idx[n_test:]]
+    folds = np.array_split(rng.permutation(rest), args.n_folds)
+    with open(args.output_prefix + "_test.txt", "w") as f:
+        f.write("\n".join(test))
+    for i, fold in enumerate(folds):
+        with open(f"{args.output_prefix}_fold{i}.txt", "w") as f:
+            f.write("\n".join(fold.tolist()))
+    print(f"test: {len(test)} / folds: {[len(f) for f in folds]}")
+
+
+def remove_constant_masks(argv):
+    p = argparse.ArgumentParser(prog="adell utils remove_constant_masks")
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--mask_key", required=True)
+    p.add_argument("--output_json", required=True)
+    args = p.parse_args(argv)
+    with open(args.input_json) as f:
+        D = json.load(f)
+    keep = {}
+    for pid, entry in D.items():
+        if args.mask_key not in entry:
+            continue
+        try:
+            data = read_nifti(entry[args.mask_key]).data
+            if data.max() != data.min():
+                keep[pid] = entry
+        except Exception:
+            continue
+    with open(args.output_json, "w") as f:
+        json.dump(keep, f, indent=1)
+    print(f"kept {len(keep)}/{len(D)}")
+
+
+def get_mask_coordinates(argv):
+    p = argparse.ArgumentParser(prog="adell utils get_mask_coordinates")
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--mask_key", required=True)
+    p.add_argument("--output_json", required=True)
+    args = p.parse_args(argv)
+    with open(args.input_json) as f:
+        D = json.load(f)
+    out = {}
+    for pid, entry in D.items():
+        if args.mask_key not in entry:
+            continue
+        data = read_nifti(entry[args.mask_key]).data
+        pos = np.argwhere(data > 0)
+        if len(pos) == 0:
+            out[pid] = None
+        else:
+            lo, hi = pos.min(0), pos.max(0) + 1
+            out[pid] = lo.tolist() + hi.tolist()
+    with open(args.output_json, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+def get_label_size(argv):
+    p = argparse.ArgumentParser(prog="adell utils get_label_size")
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--mask_key", required=True)
+    args = p.parse_args(argv)
+    with open(args.input_json) as f:
+        D = json.load(f)
+    for pid, entry in D.items():
+        if args.mask_key not in entry:
+            continue
+        img = read_nifti(entry[args.mask_key])
+        voxels = int((img.data > 0).sum())
+        vol = voxels * float(np.prod(img.spacing))
+        print(f"{pid},{voxels},{vol:.2f}")
+
+
+def compare_masks(argv):
+    p = argparse.ArgumentParser(prog="adell utils compare_masks")
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--mask_keys", nargs=2, required=True)
+    args = p.parse_args(argv)
+    from adell_mri_tpu.eval.metrics import dice_score, iou_score
+
+    with open(args.input_json) as f:
+        D = json.load(f)
+    k1, k2 = args.mask_keys
+    for pid, entry in D.items():
+        if k1 not in entry or k2 not in entry:
+            continue
+        a = read_nifti(entry[k1]).data
+        b = read_nifti(entry[k2]).data
+        print(f"{pid},{dice_score(a, b):.4f},{iou_score(a, b):.4f}")
+
+
+def match_to_mask(argv):
+    p = argparse.ArgumentParser(prog="adell utils match_to_mask")
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--image_key", required=True)
+    p.add_argument("--mask_key", required=True)
+    args = p.parse_args(argv)
+    with open(args.input_json) as f:
+        D = json.load(f)
+    for pid, entry in D.items():
+        if args.image_key not in entry or args.mask_key not in entry:
+            continue
+        a = read_nifti(entry[args.image_key])
+        b = read_nifti(entry[args.mask_key])
+        same = a.data.shape[:3] == b.data.shape[:3]
+        print(f"{pid},{'match' if same else 'MISMATCH'}")
+
+
+def resample_image(argv):
+    p = argparse.ArgumentParser(prog="adell utils resample_image")
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--spacing", nargs=3, type=float, required=True)
+    p.add_argument("--is_label", action="store_true")
+    args = p.parse_args(argv)
+    img = reorient_to_ras(read_nifti(args.input_path))
+    out = resample_to_spec(
+        img, target_spacing=args.spacing,
+        interp_order=0 if args.is_label else 1,
+    )
+    affine = np.diag(list(args.spacing) + [1.0])
+    affine[:3, 3] = img.affine[:3, 3]
+    write_nifti(args.output_path, out, affine)
+    print(f"{img.data.shape} -> {out.shape}")
+
+
+def resample_volumes_and_masks(argv):
+    p = argparse.ArgumentParser(prog="adell utils resample_volumes_and_masks")
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--image_keys", nargs="+", required=True)
+    p.add_argument("--mask_keys", nargs="+", default=[])
+    p.add_argument("--spacing", nargs=3, type=float, required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--output_json", required=True)
+    args = p.parse_args(argv)
+    with open(args.input_json) as f:
+        D = json.load(f)
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = {}
+    for pid, entry in D.items():
+        new_entry = dict(entry)
+        for key in list(args.image_keys) + list(args.mask_keys):
+            if key not in entry:
+                continue
+            img = reorient_to_ras(read_nifti(entry[key]))
+            res = resample_to_spec(
+                img, target_spacing=args.spacing,
+                interp_order=0 if key in args.mask_keys else 1,
+            )
+            affine = np.diag(list(args.spacing) + [1.0])
+            affine[:3, 3] = img.affine[:3, 3]
+            path = os.path.join(args.output_dir, f"{pid}_{key}.nii.gz")
+            write_nifti(path, res, affine)
+            new_entry[key] = path
+        out[pid] = new_entry
+    with open(args.output_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"resampled {len(out)} cases")
+
+
+def merge_masks(argv):
+    p = argparse.ArgumentParser(prog="adell utils merge_masks")
+    p.add_argument("--input_paths", nargs="+", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--mode", default="max", choices=["max", "sum", "vote"])
+    args = p.parse_args(argv)
+    imgs = [read_nifti(path) for path in args.input_paths]
+    stack = np.stack([i.data for i in imgs])
+    if args.mode == "max":
+        merged = stack.max(0)
+    elif args.mode == "sum":
+        merged = stack.sum(0)
+    else:
+        merged = (stack.mean(0) > 0.5).astype(np.uint8)
+    write_nifti(args.output_path, merged, imgs[0].affine)
+    print(f"merged {len(imgs)} masks")
+
+
+def bias_field_correction(argv):
+    """
+    Homomorphic bias correction: divide by a heavily smoothed version of
+    the volume (N4 analogue without SimpleITK; parity in purpose with
+    preprocessing/bias_field_correction).
+    """
+    p = argparse.ArgumentParser(prog="adell utils bias_field_correction")
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--sigma_mm", type=float, default=30.0)
+    args = p.parse_args(argv)
+    from scipy import ndimage
+
+    img = read_nifti(args.input_path)
+    data = img.data.astype(np.float64)
+    positive = np.clip(data, np.percentile(data[data > 0], 1), None)
+    log_img = np.log(positive)
+    sigma_vox = args.sigma_mm / np.maximum(img.spacing, 1e-3)
+    smooth = ndimage.gaussian_filter(log_img, sigma_vox)
+    corrected = np.exp(log_img - smooth + smooth.mean())
+    write_nifti(args.output_path, corrected.astype(np.float32), img.affine)
+    print("bias-corrected", args.input_path)
+
+
+def describe_image(argv):
+    p = argparse.ArgumentParser(prog="adell utils describe_image")
+    p.add_argument("--input_paths", nargs="+", required=True)
+    args = p.parse_args(argv)
+    for path in args.input_paths:
+        img = read_nifti(path)
+        print(
+            json.dumps(
+                {
+                    "path": path,
+                    "shape": list(img.shape),
+                    "spacing": [round(float(s), 4) for s in img.spacing],
+                    "min": float(img.data.min()),
+                    "max": float(img.data.max()),
+                    "mean": float(img.data.mean()),
+                }
+            )
+        )
+
+
+def bb_to_anchors(argv):
+    """K-means anchors from dataset boxes (parity: dataset/bb_to_anchors)."""
+    p = argparse.ArgumentParser(prog="adell utils bb_to_anchors")
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--box_key", default="boxes")
+    p.add_argument("--n_anchors", type=int, default=3)
+    p.add_argument("--output_csv", required=True)
+    args = p.parse_args(argv)
+    from sklearn.cluster import KMeans
+
+    with open(args.input_json) as f:
+        D = json.load(f)
+    sizes = []
+    for entry in D.values():
+        for box in entry.get(args.box_key, []):
+            box = np.asarray(box, float)
+            ndim = len(box) // 2
+            sizes.append(box[ndim:] - box[:ndim])
+    sizes = np.asarray(sizes)
+    km = KMeans(n_clusters=args.n_anchors, n_init=10, random_state=0).fit(sizes)
+    with open(args.output_csv, "w") as f:
+        for c in km.cluster_centers_:
+            f.write(",".join(f"{x:.2f}" for x in c) + "\n")
+    print(f"wrote {args.n_anchors} anchors from {len(sizes)} boxes")
