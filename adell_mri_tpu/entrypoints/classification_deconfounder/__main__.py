@@ -1,0 +1,15 @@
+"""Deconfounder dispatch (parity: entrypoints/classification_deconfounder)."""
+
+from adell_mri_tpu.entrypoints.cli_utils import run_main
+
+supported_modes = {
+    "train": "adell_mri_tpu.entrypoints.classification_deconfounder.train",
+}
+
+
+def main(arguments):
+    run_main(
+        "adell_mri_tpu.entrypoints.classification_deconfounder",
+        supported_modes,
+        arguments,
+    )

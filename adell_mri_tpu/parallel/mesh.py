@@ -110,9 +110,24 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     """
     Device-puts every array leaf of a host batch with the batch axis sharded
-    over the mesh. Non-array leaves (identifiers) pass through.
+    over the mesh. Non-array leaves (identifiers) pass through. A trailing
+    partial batch whose size does not divide the data axes is replicated
+    instead (correct semantics at the cost of one extra compile for the
+    tail shape — only validation loaders keep partial batches).
     """
     sharding = batch_sharding(mesh)
+    divisor = mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]
+    batch_dim = next(
+        (
+            x.shape[0]
+            for x in batch.values()
+            if isinstance(x, (np.ndarray, jax.Array))
+            and getattr(x, "ndim", 0) >= 1
+        ),
+        0,
+    )
+    if batch_dim % divisor != 0:
+        sharding = replicated_sharding(mesh)
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:

@@ -104,22 +104,15 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
+        restored = self._mngr.restore(step)
         if target is not None:
             # partial restore: the saved tree may hold more than the target
-            # (opt_state, ema); only the target's subtree is materialized
-            tree = jax.tree.map(
-                lambda x: ocp.RestoreArgs(), _savable(target)
+            # (opt_state, ema); graft only the paths the target has
+            want = _flatten(_savable(target))
+            have = _flatten(restored)
+            restored = _unflatten(
+                {k: have.get(k, v) for k, v in want.items()}
             )
-            restored = self._mngr.restore(
-                step,
-                args=ocp.args.PyTreeRestore(
-                    item=jax.tree.map(np.asarray, _savable(target)),
-                    restore_args=tree,
-                    partial_restore=True,
-                ),
-            )
-        else:
-            restored = self._mngr.restore(step)
         return restored
 
     def status(self, max_steps: int) -> str:

@@ -62,13 +62,20 @@ def make_segmentation_step(
         x_cond = batch.get("skip_layer")
         x_fc = batch.get("features")
         rngs = {"dropout": rng} if train else None
+        # conditioning args are keyword-only-when-present: only the UNet
+        # family accepts them, and positional Nones would mis-bind on
+        # UNETR/SWINUNet/MIMUNet whose second arg is `train`
+        cond_kwargs = {}
+        if x_cond is not None:
+            cond_kwargs["x_skip_layer"] = x_cond
+        if x_fc is not None:
+            cond_kwargs["x_feature_conditioning"] = x_fc
         out = model.apply(
             {"params": params},
             x,
-            x_cond,
-            x_fc,
             train=train,
             rngs=rngs,
+            **cond_kwargs,
         )
         if deep_supervision:
             prediction, pred_class, deep_outputs = out

@@ -73,15 +73,20 @@ def resample_to_spec(
         target_size = resampled_shape
     target_size = np.asarray(target_size, int)
 
-    # center offset of the target grid inside the (virtually) resampled grid
+    # center offset of the target grid inside the (virtually) resampled
+    # grid; dst[i] samples src at (i + offset) / zoom — one fused gather
+    # via the native fastvol kernel (scipy fallback inside)
+    from adell_mri_tpu.data.native import resample_affine_grid
+
     offset = (resampled_shape - target_size) / 2.0
-    coords = np.indices(tuple(target_size)).astype(np.float32)
-    for d in range(3):
-        coords[d] = (coords[d] + offset[d]) / zoom[d]
-    out = ndimage.map_coordinates(
-        data, coords, order=interp_order, cval=cval, mode="constant"
+    return resample_affine_grid(
+        data.astype(np.float32),
+        tuple(int(t) for t in target_size),
+        zoom=list(zoom),
+        offset=list(offset),
+        order=interp_order,
+        cval=cval,
     )
-    return out.astype(np.float32)
 
 
 def precompute_fg_indices(

@@ -1,0 +1,144 @@
+"""GP head, conformal prediction, EWC, semi-SL losses, AHNet/MIMUNet tests."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adell_mri_tpu.models.layers.conformal import AdaptivePredictionSets
+from adell_mri_tpu.models.layers.gaussian_process import (
+    GaussianProcessLayer,
+    fit_covariance,
+    predictive_logits,
+)
+from adell_mri_tpu.models.segmentation.ahnet import (
+    AHNet,
+    MIMUNet,
+    transfer_2d_to_3d,
+)
+from adell_mri_tpu.models.semi_supervised import (
+    AnatomicalContrastiveLoss,
+    local_contrastive_loss,
+    nearest_neighbour_loss,
+    pseudo_label_cross_entropy,
+)
+from adell_mri_tpu.train.continuous_learning import (
+    estimate_fisher,
+    ewc_penalty,
+    wrap_loss_with_ewc,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_gp_layer_and_uncertainty():
+    m = GaussianProcessLayer(out_features=2, n_random_features=32)
+    x = jax.random.normal(KEY, (16, 8))
+    vars_ = m.init({"params": KEY}, x)
+    logits, inter = m.apply(vars_, x, mutable=["intermediates"])
+    phi = inter["intermediates"]["phi"][0]
+    assert logits.shape == (16, 2)
+    cov = fit_covariance(phi)
+    adj = predictive_logits(logits, phi, cov)
+    # mean-field correction shrinks logits
+    assert float(jnp.mean(jnp.abs(adj))) <= float(jnp.mean(jnp.abs(logits)))
+
+
+def test_conformal_coverage():
+    rng = np.random.default_rng(0)
+    n, c = 2000, 4
+    labels = rng.integers(0, c, n)
+    logits = rng.normal(0, 1, (n, c))
+    logits[np.arange(n), labels] += 2.0
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    aps = AdaptivePredictionSets(alpha=0.1).calibrate(
+        probs[:1000], labels[:1000]
+    )
+    sets = aps(probs[1000:])
+    coverage = sets[np.arange(1000), labels[1000:]].mean()
+    assert coverage >= 0.85  # target 0.9 with slack
+
+
+def test_ewc_penalty_zero_at_anchor():
+    params = {"w": jnp.ones(4)}
+    fisher = {"w": jnp.ones(4)}
+    assert float(ewc_penalty(params, params, fisher)) == 0.0
+    moved = {"w": jnp.ones(4) * 2}
+    assert float(ewc_penalty(moved, params, fisher)) == pytest.approx(4.0)
+
+
+def test_ewc_wrap_and_fisher():
+    def loss_fn(params, batch, rng):
+        loss = jnp.sum((params["w"] - batch["target"]) ** 2)
+        return loss, {"loss": loss}
+
+    params = {"w": jnp.zeros(2)}
+    batches = [{"target": jnp.ones(2)}, {"target": -jnp.ones(2)}]
+    fisher = estimate_fisher(loss_fn, params, batches, KEY)
+    assert float(fisher["w"][0]) > 0
+    wrapped = wrap_loss_with_ewc(loss_fn, params, fisher, weight=1.0)
+    loss, metrics = wrapped({"w": jnp.ones(2)}, batches[0], KEY)
+    assert "ewc_penalty" in metrics
+
+
+def test_pseudo_label_ce_masks_unconfident():
+    student = jnp.full((1, 4, 4, 1), 0.4)
+    confident_teacher = jnp.full((1, 4, 4, 1), 0.99)
+    unconfident_teacher = jnp.full((1, 4, 4, 1), 0.6)
+    high = float(pseudo_label_cross_entropy(student, confident_teacher))
+    low = float(pseudo_label_cross_entropy(student, unconfident_teacher))
+    assert high > 0
+    assert low == pytest.approx(0.0)  # nothing confident -> no loss
+
+
+def test_local_contrastive_identity_views():
+    f = jax.random.normal(KEY, (2, 4, 4, 8))
+    same = float(local_contrastive_loss(f, f))
+    other = float(
+        local_contrastive_loss(f, jax.random.normal(jax.random.PRNGKey(1), f.shape))
+    )
+    assert same < other
+
+
+def test_nn_and_anatomical_losses_finite():
+    f = jax.random.normal(KEY, (32, 8))
+    bank = jax.random.normal(jax.random.PRNGKey(1), (4, 8))
+    assert np.isfinite(float(nearest_neighbour_loss(f, bank)))
+    acl = AnatomicalContrastiveLoss(n_classes=2, top_k=16)
+    feats = jax.random.normal(KEY, (1, 8, 8, 4))
+    probs = jax.nn.sigmoid(jax.random.normal(KEY, (1, 8, 8, 1)))
+    labels = (jax.random.uniform(KEY, (1, 8, 8)) > 0.5).astype(jnp.float32)
+    assert np.isfinite(float(acl(feats, probs, labels)))
+
+
+def test_ahnet_and_transfer():
+    m = AHNet(depth=(4, 8), dropout_param=0.0)
+    x = jnp.ones((1, 16, 16, 6, 1))
+    v = m.init({"params": KEY}, x)
+    pred, _ = m.apply(v, x)
+    assert pred.shape == (1, 16, 16, 6, 1)
+    # 2D -> 3D kernel transfer
+    k2 = np.random.default_rng(0).normal(size=(3, 3, 4, 8)).astype(np.float32)
+    k3 = np.zeros((3, 3, 1, 4, 8), np.float32)
+    out = transfer_2d_to_3d({"w": k2}, {"w": k3})
+    np.testing.assert_allclose(out["w"][:, :, 0], k2)
+
+
+def test_mimunet_slicewise():
+    from adell_mri_tpu.models.segmentation.unet import UNet
+
+    class Slice2D(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            unet2d = UNet(
+                spatial_dimensions=2, norm_type="instance", dropout_param=0.0,
+                depth=(4, 8), kernel_sizes=(3, 3), strides=(2, 2),
+            )
+            return unet2d(x, train=train)[0]
+
+    m = MIMUNet(module_2d=Slice2D())
+    x = jnp.ones((1, 16, 16, 4, 1))
+    v = m.init({"params": KEY}, x)
+    pred, _ = m.apply(v, x)
+    assert pred.shape == (1, 16, 16, 4, 1)
