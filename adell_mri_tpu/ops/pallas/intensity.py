@@ -1,0 +1,160 @@
+"""
+Fused intensity augmentation as one Pallas TPU kernel.
+
+The reference applies RandGaussianNoised / RandRicianNoised /
+RandAdjustContrastd / RandScaleIntensityd / RandShiftIntensityd as separate
+CPU MONAI transforms (transform_factory/augmentations.py:29-177). The
+jax.random equivalents in ``transforms/intensity.py`` each pay a threefry
+key expansion and a separate HBM pass when not fused. This kernel does the
+whole chain in ONE read-modify-write over the volume using the TPU's
+on-chip PRNG (pltpu.prng_random_bits):
+
+    out = clip_or_not( (unit(x) ** gamma) * span + lo ) * scale + shift
+          + sigma * N(0, 1)        (gaussian)   OR
+          sqrt((x + n1)^2 + n2^2)  (rician)
+
+All parameters are traced scalars so one compiled kernel serves every
+random draw. Volumes are processed as (rows, 128) lane-aligned blocks.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per grid step; 512 x 128 x 4B = 256 KiB per buffer — small enough to
+# double-buffer comfortably in ~16 MB VMEM, large enough to amortize grid
+# overhead
+_BLOCK_ROWS = 512
+_LANES = 128
+
+
+def _uniform_from_bits(bits):
+    """uint32 -> float32 uniform in [0, 1) via mantissa trick."""
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return f - 1.0
+
+
+def _normal_pair(shape):
+    """Two standard-normal draws via Box-Muller on PRNG bits."""
+    u1 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    u2 = _uniform_from_bits(pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+    r = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u1, 1e-12)))
+    theta = 2.0 * jnp.pi * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _kernel(seed_ref, par_ref, x_ref, o_ref, *, rician: bool, noise: bool):
+    # per-block seed: mix the grid position in so blocks draw independent
+    # streams from one host-provided seed
+    if noise:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    lo = par_ref[0]
+    hi = par_ref[1]
+    gamma = par_ref[2]
+    scale = par_ref[3]
+    shift = par_ref[4]
+    sigma = par_ref[5]
+
+    x = x_ref[:]
+    span = jnp.maximum(hi - lo, 1e-6)
+    unit = (x - lo) / span
+    # gamma contrast on the unit-normalized volume (RandAdjustContrastd)
+    unit = jnp.exp(gamma * jnp.log(jnp.maximum(unit, 1e-6)))
+    x = unit * span + lo
+    # multiplicative scale + additive shift (RandScale/ShiftIntensityd)
+    x = x * scale + shift
+    if noise:
+        n1, n2 = _normal_pair(x.shape)
+        if rician:
+            x = jnp.sqrt((x + sigma * n1) ** 2 + (sigma * n2) ** 2)
+        else:
+            x = x + sigma * n1
+    o_ref[:] = x
+
+
+def fused_intensity_aug(
+    seed,
+    x,
+    lo,
+    hi,
+    gamma=1.0,
+    scale=1.0,
+    shift=0.0,
+    sigma=0.0,
+    rician: bool = False,
+):
+    """
+    One-pass fused intensity chain. ``x`` is any-shaped float32 volume whose
+    element count is a multiple of 128; ``lo``/``hi`` are its precomputed
+    min/max (one cheap XLA reduction, fused upstream). ``seed`` is an int32
+    scalar. Falls back to the XLA reference off-TPU.
+    """
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        return fused_intensity_aug_reference(
+            seed, x, lo, hi, gamma, scale, shift, sigma, rician
+        )
+    return _fused_intensity_kernel_call(
+        seed, x, lo, hi, gamma, scale, shift, sigma, rician=rician
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rician", "noise"))
+def _fused_intensity_kernel_call(
+    seed, x, lo, hi, gamma, scale, shift, sigma,
+    rician: bool = False, noise: bool = True,
+):
+    shape = x.shape
+    flat = x.reshape(-1, _LANES)
+    rows = flat.shape[0]
+    block = min(_BLOCK_ROWS, rows)
+    grid = pl.cdiv(rows, block)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    par = jnp.stack(
+        [
+            jnp.asarray(v, jnp.float32)
+            for v in (lo, hi, gamma, scale, shift, sigma)
+        ]
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, rician=rician, noise=noise),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(
+                    (block, _LANES),
+                    lambda i, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (block, _LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+    )(seed_arr, par, flat.astype(jnp.float32))
+    return out.reshape(shape).astype(x.dtype)
+
+
+def fused_intensity_aug_reference(
+    seed, x, lo, hi, gamma=1.0, scale=1.0, shift=0.0, sigma=0.0, rician=False
+):
+    """Pure-XLA oracle with identical math (different random stream)."""
+    key = jax.random.PRNGKey(jnp.asarray(seed, jnp.int32))
+    span = jnp.maximum(hi - lo, 1e-6)
+    unit = (x - lo) / span
+    unit = jnp.exp(gamma * jnp.log(jnp.maximum(unit, 1e-6)))
+    out = unit * span + lo
+    out = out * scale + shift
+    k1, k2 = jax.random.split(key)
+    n1 = jax.random.normal(k1, x.shape, jnp.float32)
+    if rician:
+        n2 = jax.random.normal(k2, x.shape, jnp.float32)
+        out = jnp.sqrt((out + sigma * n1) ** 2 + (sigma * n2) ** 2)
+    else:
+        out = out + sigma * n1
+    return out.astype(x.dtype)
