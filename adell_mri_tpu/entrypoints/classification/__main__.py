@@ -6,6 +6,9 @@ supported_modes = {
     "train": "adell_mri_tpu.entrypoints.classification.train",
     "test": "adell_mri_tpu.entrypoints.classification.test",
     "predict": "adell_mri_tpu.entrypoints.classification.predict",
+    "model_to_export": (
+        "adell_mri_tpu.entrypoints.classification.model_to_export"
+    ),
 }
 
 

@@ -6,6 +6,9 @@ supported_modes = {
     "train": "adell_mri_tpu.entrypoints.segmentation.train",
     "test": "adell_mri_tpu.entrypoints.segmentation.test",
     "predict": "adell_mri_tpu.entrypoints.segmentation.predict",
+    "test_from_predictions": (
+        "adell_mri_tpu.entrypoints.segmentation.test_from_predictions"
+    ),
 }
 
 

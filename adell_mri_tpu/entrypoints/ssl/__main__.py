@@ -6,6 +6,8 @@ supported_modes = {
     "train_3d": "adell_mri_tpu.entrypoints.ssl.train",
     "train_2d": "adell_mri_tpu.entrypoints.ssl.train",
     "train": "adell_mri_tpu.entrypoints.ssl.train",
+    "predict_folder": "adell_mri_tpu.entrypoints.ssl.predict_folder",
+    "model_to_export": "adell_mri_tpu.entrypoints.ssl.model_to_export",
 }
 
 

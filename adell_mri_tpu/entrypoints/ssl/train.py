@@ -134,9 +134,12 @@ def main(arguments):
     rngs = {"params": jax.random.PRNGKey(args.seed)}
     if args.ssl_method in ("mae", "ijepa"):
         rngs["masking"] = jax.random.PRNGKey(args.seed + 1)
-        params = model.init(rngs, x0, rng=jax.random.PRNGKey(0))["params"]
+        init_vars = model.init(rngs, x0, rng=jax.random.PRNGKey(0))
     else:
-        params = model.init(rngs, x0)["params"]
+        init_vars = model.init(rngs, x0)
+    params = init_vars["params"]
+    # mutable collections (batch-norm running stats) travel in the state
+    variables = {k: v for k, v in init_vars.items() if k != "params"} or None
 
     steps_per_epoch = max(len(loader), 1)
     schedule = cosine_annealing_with_warmup(
@@ -161,6 +164,7 @@ def main(arguments):
             ema_decay=0.996,
             ema_final_decay=1.0,
             ema_n_steps=args.max_epochs * steps_per_epoch,
+            variables=variables,
         )
 
     if args.ssl_method == "mae":

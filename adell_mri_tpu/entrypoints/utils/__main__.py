@@ -27,6 +27,15 @@ supported_modes = {
     "remove_constant_masks": P,
     "describe_image": P,
     "bb_to_anchors": P,
+    "bb_to_distances": P,
+    "generate_dicom_dataset_json": P,
+    "inspect_dicom_dataset": P,
+    "describe_dicom_dataset": P,
+    "get_image_examples": P,
+    "get_temporal_test_set_and_folds": P,
+    # other
+    "random_image_panel": P,
+    "test_exported_model": P,
 }
 
 

@@ -372,3 +372,268 @@ def bb_to_anchors(argv):
         for c in km.cluster_centers_:
             f.write(",".join(f"{x:.2f}" for x in c) + "\n")
     print(f"wrote {args.n_anchors} anchors from {len(sizes)} boxes")
+
+
+def bb_to_distances(argv):
+    """
+    Minimum inter-box centre distances per image from a bounding-box CSV
+    (parity: dataset/bb_to_distances). CSV rows:
+    ``image_id,<2*dim box coords>,<dim shape>,class``.
+    """
+    p = argparse.ArgumentParser(prog="adell utils bb_to_distances")
+    p.add_argument("--input_path", required=True)
+    p.add_argument("--spatial_dim", type=int, default=3, choices=[2, 3])
+    args = p.parse_args(argv)
+    dim = args.spatial_dim
+    boxes: Dict[str, List] = {}
+    with open(args.input_path) as f:
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) < 2 * dim + 2:
+                continue
+            boxes.setdefault(parts[0], []).append(
+                np.asarray(parts[1 : 1 + 2 * dim], float)
+            )
+    dists = []
+    for image_id, bb in boxes.items():
+        if len(bb) < 2:
+            continue
+        centers = np.stack([(b[:dim] + b[dim:]) / 2 for b in bb])
+        d = np.linalg.norm(centers[:, None] - centers[None], axis=-1)
+        d = d + np.eye(len(bb)) * np.inf
+        dists.append(float(d.min()))
+    if dists:
+        q = np.quantile(dists, [0.05, 0.25, 0.5, 0.75, 0.95])
+        print(
+            json.dumps(
+                {
+                    "n_images_with_multiple_boxes": len(dists),
+                    "min": float(np.min(dists)),
+                    "quantiles_5_25_50_75_95": [float(x) for x in q],
+                }
+            )
+        )
+    else:
+        print(json.dumps({"n_images_with_multiple_boxes": 0}))
+
+
+def generate_dicom_dataset_json(argv):
+    """Walks study/series/*.dcm trees into the nested DICOM JSON (parity:
+    dataset/generate_dicom_dataset_json)."""
+    p = argparse.ArgumentParser(
+        prog="adell utils generate_dicom_dataset_json"
+    )
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--output_json", required=True)
+    p.add_argument("--image_key", default="image")
+    args = p.parse_args(argv)
+    from adell_mri_tpu.data.dicom import generate_dicom_dataset_json as walk
+
+    out = walk(args.input_dir, image_key=args.image_key)
+    with open(args.output_json, "w") as f:
+        json.dump(out, f, indent=1)
+    n = sum(len(v) for study in out for v in study.values())
+    print(f"wrote {len(out)} studies / {n} slices to {args.output_json}")
+
+
+def inspect_dicom_dataset(argv):
+    """Prints DICOM slices containing NaN/Inf pixels (parity:
+    dataset/inspect_dicom_dataset)."""
+    p = argparse.ArgumentParser(prog="adell utils inspect_dicom_dataset")
+    p.add_argument("--json_path", required=True)
+    args = p.parse_args(argv)
+    from adell_mri_tpu.data.dicom import read_dicom
+
+    with open(args.json_path) as f:
+        data = json.load(f)
+    studies = data if isinstance(data, list) else list(data.values())
+    for study in studies:
+        for entries in study.values():
+            for entry in entries:
+                arr, _ = read_dicom(entry["image"])
+                n_nan = int(np.sum(np.isnan(arr)))
+                n_inf = int(np.sum(np.isinf(arr)))
+                if n_nan or n_inf:
+                    print(
+                        json.dumps(
+                            {
+                                "image": entry["image"],
+                                "nan": n_nan,
+                                "inf": n_inf,
+                                "min": float(np.nanmin(arr)),
+                                "max": float(np.nanmax(arr)),
+                            }
+                        )
+                    )
+
+
+def describe_dicom_dataset(argv):
+    """Summary statistics over a nested DICOM dataset JSON (parity:
+    dataset/describe_dicom_dataset)."""
+    p = argparse.ArgumentParser(prog="adell utils describe_dicom_dataset")
+    p.add_argument("--json_path", required=True)
+    args = p.parse_args(argv)
+    from adell_mri_tpu.data.dicom import read_dicom
+
+    with open(args.json_path) as f:
+        data = json.load(f)
+    studies = data if isinstance(data, list) else list(data.values())
+    n_series = 0
+    n_slices = 0
+    shapes = []
+    means = []
+    for study in studies:
+        for entries in study.values():
+            n_series += 1
+            n_slices += len(entries)
+            for entry in entries[:1]:  # one probe slice per series
+                arr, _ = read_dicom(entry["image"])
+                shapes.append(arr.shape)
+                means.append(float(arr.mean()))
+    print(
+        json.dumps(
+            {
+                "n_studies": len(studies),
+                "n_series": n_series,
+                "n_slices": n_slices,
+                "unique_shapes": sorted({str(s) for s in shapes}),
+                "mean_intensity": float(np.mean(means)) if means else None,
+            }
+        )
+    )
+
+
+def get_image_examples(argv):
+    """Renders preprocessed dataset entries to PNG panels (parity:
+    dataset/get_image_examples)."""
+    p = argparse.ArgumentParser(prog="adell utils get_image_examples")
+    p.add_argument("--dataset_json", required=True)
+    p.add_argument("--image_keys", nargs="+", required=True)
+    p.add_argument("--target_spacing", nargs="+", type=float, default=None)
+    p.add_argument("--crop_size", nargs="+", type=int, default=None)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--n_examples", type=int, default=8)
+    args = p.parse_args(argv)
+    from PIL import Image
+
+    from adell_mri_tpu.transforms.host import resample_to_spec as _rts
+
+    data = Dataset(args.dataset_json)
+    data.filter_dictionary(filters_presence=list(args.image_keys))
+    os.makedirs(args.output_dir, exist_ok=True)
+    for pid in list(data.keys())[: args.n_examples]:
+        entry = data[pid]
+        case_dir = os.path.join(args.output_dir, pid)
+        os.makedirs(case_dir, exist_ok=True)
+        for key in args.image_keys:
+            img = reorient_to_ras(read_nifti(entry[key]))
+            vol = _rts(
+                img,
+                args.target_spacing,
+                args.crop_size,
+            )
+            lo, hi = vol.min(), vol.max()
+            vol8 = np.uint8((vol - lo) / max(hi - lo, 1e-6) * 255)
+            for z in range(vol8.shape[2]):
+                Image.fromarray(vol8[:, :, z]).save(
+                    os.path.join(case_dir, f"{key}_{z}.png")
+                )
+    print(f"wrote examples to {args.output_dir}")
+
+
+def get_temporal_test_set_and_folds(argv):
+    """Prospective (date-ordered) test split + K folds on the rest (parity:
+    dataset/get_temporal_test_set_and_folds)."""
+    p = argparse.ArgumentParser(
+        prog="adell utils get_temporal_test_set_and_folds"
+    )
+    p.add_argument("--dataset_json", required=True)
+    p.add_argument("--date_key", required=True)
+    p.add_argument("--n_folds", type=int, default=5)
+    p.add_argument("--fraction_test", type=float, default=0.3)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+    from sklearn.model_selection import KFold
+
+    with open(args.dataset_json) as f:
+        D = json.load(f)
+    dated = [
+        (pid, str(entry.get(args.date_key, "")))
+        for pid, entry in D.items()
+        if entry.get(args.date_key) is not None
+    ]
+    dated.sort(key=lambda kv: kv[1])
+    n_test = int(len(dated) * args.fraction_test)
+    test_ids = [pid for pid, _ in dated[len(dated) - n_test :]]
+    rest = np.asarray([pid for pid, _ in dated[: len(dated) - n_test]])
+    print("test," + ",".join(test_ids))
+    kf = KFold(args.n_folds, shuffle=True, random_state=args.seed)
+    for i, (_, val_idx) in enumerate(kf.split(rest)):
+        print(f"cv{i+1}," + ",".join(rest[val_idx]))
+
+
+def random_image_panel(argv):
+    """Tiles random slices from dataset volumes into one PNG (parity:
+    other/random_image_panel)."""
+    p = argparse.ArgumentParser(prog="adell utils random_image_panel")
+    p.add_argument("--dataset_json", required=True)
+    p.add_argument("--image_key", default="image")
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--n_images", type=int, default=16)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+    from PIL import Image
+
+    rng = np.random.default_rng(args.seed)
+    data = Dataset(args.dataset_json)
+    data.filter_dictionary(filters_presence=[args.image_key])
+    pids = list(data.keys())
+    rng.shuffle(pids)
+    tiles = []
+    for pid in pids[: args.n_images]:
+        img = reorient_to_ras(read_nifti(data[pid][args.image_key]))
+        z = int(rng.integers(img.data.shape[2]))
+        sl = img.data[:, :, z]
+        if sl.ndim == 3:
+            sl = sl[..., 0]
+        lo, hi = sl.min(), sl.max()
+        tiles.append(np.uint8((sl - lo) / max(hi - lo, 1e-6) * 255))
+    side = int(np.ceil(np.sqrt(len(tiles))))
+    h = max(t.shape[0] for t in tiles)
+    w = max(t.shape[1] for t in tiles)
+    panel = np.zeros((side * h, side * w), np.uint8)
+    for i, t in enumerate(tiles):
+        r, c = divmod(i, side)
+        panel[r * h : r * h + t.shape[0], c * w : c * w + t.shape[1]] = t
+    Image.fromarray(panel).save(args.output_path)
+    print(f"wrote {len(tiles)}-tile panel to {args.output_path}")
+
+
+def test_exported_model(argv):
+    """Loads a jax.export artifact and runs a random input through it
+    (parity: other/test_traced_model for torchscript)."""
+    p = argparse.ArgumentParser(prog="adell utils test_exported_model")
+    p.add_argument("--model_path", required=True)
+    p.add_argument("--batch_size", type=int, default=1)
+    args = p.parse_args(argv)
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.train.export import load_exported
+
+    fn, meta = load_exported(args.model_path)
+    shape = list(meta["input_shape"])
+    shape[0] = args.batch_size
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=shape),
+        dtype=meta.get("input_dtype", "float32"),
+    )
+    out = fn(x)
+    leaves = out if isinstance(out, (tuple, list)) else [out]
+    print(
+        json.dumps(
+            {
+                "input_shape": shape,
+                "output_shapes": [list(np.shape(o)) for o in leaves if o is not None],
+            }
+        )
+    )

@@ -30,16 +30,32 @@ def make_two_view_step(
     """
     loss_kwargs = loss_kwargs or {}
 
-    def forward(params, x, rng, ret):
-        return model.apply(
-            {"params": params},
-            x,
-            train=True,
-            ret=ret,
-            rngs={"dropout": rng},
+    def forward(params, x, rng, ret, variables=None, mutable=False):
+        """Returns (out, new_variables). Mutable collections (batch norm
+        running stats) update only on the mutable student forward; under
+        jit with batch-axis sharding the batch statistics are GLOBAL batch
+        statistics — XLA inserts the cross-replica reduction the reference
+        needs sync_batchnorm for (entrypoints/ssl/train_3d.py:337)."""
+        tree = {"params": params, **(variables or {})}
+        if variables:
+            # train-mode batch norm always writes its collection, so every
+            # forward runs mutable; only the designated student forward's
+            # updates are kept by the caller
+            out, new_vars = model.apply(
+                tree,
+                x,
+                train=True,
+                ret=ret,
+                rngs={"dropout": rng},
+                mutable=list(variables.keys()),
+            )
+            return out, (new_vars if mutable else None)
+        return (
+            model.apply(tree, x, train=True, ret=ret, rngs={"dropout": rng}),
+            None,
         )
 
-    def loss_and_metrics(params, batch, rng, ema_params=None):
+    def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
         v1, v2 = batch["view1"], batch["view2"]
         r1, r2 = jax.random.split(rng)
         teacher_params = (
@@ -47,32 +63,35 @@ def make_two_view_step(
         )
 
         if method in ("simsiam", "byol"):
-            p1 = forward(params, v1, r1, "prediction")
-            p2 = forward(params, v2, r2, "prediction")
-            z1 = forward(teacher_params, v1, r1, "projection")
-            z2 = forward(teacher_params, v2, r2, "projection")
+            p1, new_vars = forward(
+                params, v1, r1, "prediction", variables, mutable=True
+            )
+            p2, _ = forward(params, v2, r2, "prediction", variables)
+            z1, _ = forward(teacher_params, v1, r1, "projection", variables)
+            z2, _ = forward(teacher_params, v2, r2, "projection", variables)
             fn = L.simsiam_loss if method == "simsiam" else L.byol_loss
             loss = fn(p1, z2)
             if symmetrize:
                 loss = 0.5 * (loss + fn(p2, z1))
             metrics = {"loss": loss}
-        elif method == "vicreg":
-            z1 = forward(params, v1, r1, "projection")
-            z2 = forward(params, v2, r2, "projection")
-            loss, comp = L.vicreg_loss(z1, z2, **loss_kwargs)
-            metrics = {"loss": loss, **comp}
-        elif method == "barlow_twins":
-            z1 = forward(params, v1, r1, "projection")
-            z2 = forward(params, v2, r2, "projection")
-            loss = L.barlow_twins_loss(z1, z2, **loss_kwargs)
-            metrics = {"loss": loss}
-        elif method in ("simclr", "ntxent"):
-            z1 = forward(params, v1, r1, "projection")
-            z2 = forward(params, v2, r2, "projection")
-            loss = L.ntxent_loss(z1, z2, **loss_kwargs)
-            metrics = {"loss": loss}
         else:
-            raise NotImplementedError(f"ssl method {method!r}")
+            z1, new_vars = forward(
+                params, v1, r1, "projection", variables, mutable=True
+            )
+            z2, _ = forward(params, v2, r2, "projection", variables)
+            if method == "vicreg":
+                loss, comp = L.vicreg_loss(z1, z2, **loss_kwargs)
+                metrics = {"loss": loss, **comp}
+            elif method == "barlow_twins":
+                loss = L.barlow_twins_loss(z1, z2, **loss_kwargs)
+                metrics = {"loss": loss}
+            elif method in ("simclr", "ntxent"):
+                loss = L.ntxent_loss(z1, z2, **loss_kwargs)
+                metrics = {"loss": loss}
+            else:
+                raise NotImplementedError(f"ssl method {method!r}")
+        if new_vars is not None:
+            metrics["_variables"] = jax.lax.stop_gradient(new_vars)
         return loss, metrics
 
     return loss_and_metrics
@@ -86,13 +105,18 @@ def make_ssl_train_step(loss_and_metrics: Callable):
 
         def lf(params):
             return loss_and_metrics(
-                params, batch, rng, ema_params=state.ema_params
+                params,
+                batch,
+                rng,
+                ema_params=state.ema_params,
+                variables=state.variables,
             )
 
         (_, metrics), grads = jax.value_and_grad(lf, has_aux=True)(
             state.params
         )
-        state = state.apply_gradients(grads)
+        new_vars = metrics.pop("_variables", None)
+        state = state.apply_gradients(grads, variables=new_vars)
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
@@ -113,7 +137,7 @@ def make_dino_step(model, head_apply=None, use_sinkhorn: bool = False,
             {"params": params}, x, train=True, rngs={"dropout": rng}
         )
 
-    def loss_and_metrics(params, batch, rng, ema_params=None):
+    def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
         v1, v2, center = batch["view1"], batch["view2"], batch["center"]
         r1, r2 = jax.random.split(rng)
         teacher_params = ema_params if ema_params is not None else params
@@ -137,7 +161,7 @@ def make_dino_step(model, head_apply=None, use_sinkhorn: bool = False,
 def make_mae_step(model):
     """MAE step (parity: ViTMaskedAutoEncoderPL, pl.py:1388)."""
 
-    def loss_and_metrics(params, batch, rng, ema_params=None):
+    def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
         x = batch["image"] if "image" in batch else batch["view1"]
         pred, target, mask = model.apply(
             {"params": params}, x, rng=rng, train=True,
@@ -156,7 +180,7 @@ def make_ijepa_step(model):
     ema_params for the target encoder subtree when available).
     """
 
-    def loss_and_metrics(params, batch, rng, ema_params=None):
+    def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
         x = batch["image"] if "image" in batch else batch["view1"]
         use_params = dict(params)
         if ema_params is not None and "target_encoder" in ema_params:
