@@ -73,6 +73,14 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "check_val_every_n_epoch": dict(default=1, type=int, help="Val frequency"),
     "early_stopping": dict(default=None, type=int, help="Early stopping patience"),
     "swa": dict(action="store_true", help="Stochastic weight averaging (EMA here)"),
+    "semi_supervised": dict(
+        action="store_true",
+        help="Adds a contrastive loss on unlabeled cases (those in the "
+        "dataset JSON with images but no masks) with an EMA teacher",
+    ),
+    "semi_sl_weight": dict(
+        type=float, default=0.01, help="Weight of the semi-supervised loss"
+    ),
     "class_weights": dict(default=None, nargs="+", type=float, help="Class weights"),
     "weighted_sampling": dict(action="store_true", help="Class-weighted sampling"),
     "constant_ratio": dict(default=None, type=float, help="PartiallyRandomSampler keep ratio"),

@@ -104,6 +104,8 @@ ARG_KEYS = [
     "deep_supervision",
     "picai_eval",
     "swa",
+    "semi_supervised",
+    "semi_sl_weight",
 ]
 
 
@@ -172,6 +174,19 @@ def main(arguments):
         net_cfg["dropout_param"] = args.dropout_param
     net_cfg["bottleneck_classification"] = args.bottleneck_classification
     net_cfg["deep_supervision"] = args.deep_supervision
+
+    # unlabeled stream for semi-supervised training: cases with images but
+    # no masks (parity: CombinedLoader wiring, train.py:603-621)
+    unlabeled_pids: List[str] = []
+    if args.semi_supervised:
+        net_cfg["semi_supervised"] = True
+        all_data = Dataset(args.dataset_json, seed=args.seed)
+        all_data.apply_filters(presence_keys=list(args.image_keys))
+        labeled = set(data.keys())
+        unlabeled_pids = [p for p in all_data.keys() if p not in labeled]
+        logger.info(
+            "semi-supervised: %d unlabeled cases", len(unlabeled_pids)
+        )
 
     # target spacing: explicit, or inferred from headers (sitk_utils parity)
     target_spacing = args.target_spacing
@@ -245,6 +260,30 @@ def main(arguments):
             train_ds, sampler=sampler, batch_size=batch_size, drop_last=True,
             prefetch=max(args.n_workers, 2),
         )
+        if args.semi_supervised and unlabeled_pids:
+            from adell_mri_tpu.train.semi_sl_steps import CombinedLoader
+            from adell_mri_tpu.transforms.pipeline import make_load_fn
+
+            un_load_fn = make_load_fn(
+                image_keys=args.image_keys,
+                label_keys=None,
+                target_spacing=target_spacing,
+                target_size=crop_size or base_size,
+            )
+            un_ds = CachedVolumeDataset(
+                all_data.to_datalist(unlabeled_pids),
+                un_load_fn,
+                cache_rate=args.cache_rate,
+                cache_dir=args.cache_dir,
+            )
+            un_loader = DataLoader(
+                un_ds,
+                sampler=RandomSampler(len(un_ds), seed=args.seed + 1),
+                batch_size=batch_size,
+                drop_last=True,
+                prefetch=1,
+            )
+            train_loader = CombinedLoader(train_loader, un_loader)
         val_loader = DataLoader(
             val_ds,
             batch_size=max(1, min(batch_size, len(val_ds))),
@@ -281,7 +320,10 @@ def main(arguments):
         with mesh:
             params = shard_params(params, mesh)
             state = TrainState.create(
-                model.apply, params, tx, with_ema=args.swa
+                model.apply,
+                params,
+                tx,
+                with_ema=args.swa or args.semi_supervised,
             )
 
         ckpt = CheckpointManager(
@@ -326,8 +368,20 @@ def main(arguments):
             n_classes=args.n_classes,
             train=False,
         )
+        if args.semi_supervised and unlabeled_pids:
+            from adell_mri_tpu.train.semi_sl_steps import (
+                make_semi_sl_train_step,
+                make_semi_supervised_step,
+            )
+
+            semi_lm = make_semi_supervised_step(
+                model, train_lm, ssl_weight=args.semi_sl_weight
+            )
+            train_step = make_semi_sl_train_step(semi_lm)
+        else:
+            train_step = make_train_step(train_lm)
         loop = TrainLoop(
-            train_step=make_train_step(train_lm),
+            train_step=train_step,
             eval_step=make_eval_step(eval_lm),
             augment_fn=transforms.augment,
             mesh=mesh,

@@ -123,6 +123,10 @@ class UNet(nn.Module):
     feature_conditioning_params: Optional[Dict[str, Any]] = None
     deep_supervision: bool = False
     encoder_only: bool = False
+    # creates the UNetSemiSL 1x1 linear_transformation head (parity:
+    # semi_supervised_segmentation/unet.py:27); applied to the returned
+    # features when apply_linear_transformation=True
+    semi_supervised: bool = False
 
     def _adn(self):
         return get_adn_fn(
@@ -157,6 +161,7 @@ class UNet(nn.Module):
         return_features: bool = False,
         return_bottleneck: bool = False,
         return_logits: bool = False,
+        apply_linear_transformation: bool = False,
     ):
         ndim = x.ndim - 2
         adn_fn = self._adn()
@@ -264,6 +269,14 @@ class UNet(nn.Module):
         prediction = self._final_layer(
             curr, adn_fn, train, ndim, apply_activation=not return_logits
         )
+        if self.semi_supervised:
+            # created unconditionally (flax params must not depend on call
+            # flags) but only returned when requested
+            transformed = nn.Conv(
+                depth[0], _tuple(1, ndim), name="linear_transformation"
+            )(final_features)
+            if apply_linear_transformation:
+                final_features = transformed
         if return_features:
             return prediction, final_features, bottleneck
 
