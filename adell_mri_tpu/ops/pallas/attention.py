@@ -17,6 +17,7 @@ storing the attention matrix and keeps the backward simple.
 """
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -28,6 +29,118 @@ from jax.sharding import PartitionSpec as P
 _BQ = 512  # query rows per grid step
 _BK = 1024  # kv rows per inner loop step
 _NEG = -1e30
+# KV bytes per (batch, head) above which the full-KV-in-VMEM variant would
+# not fit (k + v double-buffered inside ~16 MB VMEM)
+_VMEM_KV_LIMIT = 4 * 1024 * 1024
+
+
+def _use_tiled() -> bool:
+    """The scalable tiled kernel uses scratch accumulators + revisited
+    output blocks, which wedge the axon remote-compile tunnel (see memory
+    note axon-pallas-quirks); opt in explicitly on real TPU pods."""
+    return os.environ.get("ADELL_PALLAS_TILED", "0") == "1"
+
+
+def _flash_kernel_vmem(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, scale, n_kv, bk):
+    """axon-safe variant: whole (padded) KV resident in VMEM per
+    (batch, head); fori_loop over KV chunks carries the online-softmax
+    state as loop values — no scratch, no revisited outputs."""
+    q = q_ref[0]  # [BQ, D]
+    n_blocks = pl.cdiv(k_ref.shape[1], bk)
+
+    def body(i, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(i * bk, bk), :]
+        v = v_ref[0, pl.ds(i * bk, bk), :]
+        s = (
+            jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * bk
+        s = jnp.where(col < n_kv, s, _NEG)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc_new, m_new, l_new
+
+    d = q.shape[-1]
+    acc0 = jnp.zeros((q.shape[0], d), jnp.float32)
+    m0 = jnp.full((q.shape[0], 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    m_ref[0] = m
+    l_ref[0] = l
+
+
+def _flash_fwd_vmem(q, k, v, scale: float):
+    """Full-KV-in-VMEM forward; same contract as _flash_fwd_tiled."""
+    b, h, nq, d = q.shape
+    n_kv = k.shape[2]
+    bq = min(_BQ, nq)
+    bk = min(_BK, n_kv)
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, n_kv, d)
+    vf = v.reshape(b * h, n_kv, d)
+    n_pad = -n_kv % bk
+    if n_pad:
+        kf = jnp.pad(kf, ((0, 0), (0, n_pad), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, n_pad), (0, 0)))
+    grid = (b * h, pl.cdiv(nq, bq))
+    out, m, l = pl.pallas_call(
+        functools.partial(
+            _flash_kernel_vmem, scale=scale, n_kv=n_kv, bk=bk
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, d), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, kf.shape[1], d),
+                lambda g, i: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, vf.shape[1], d),
+                lambda g, i: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, bq, d), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bq, 1), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bq, 1), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+    )(qf, kf, vf)
+    return (
+        out.reshape(b, h, nq, d),
+        m.reshape(b, h, nq, 1),
+        l.reshape(b, h, nq, 1),
+    )
 
 
 def _flash_kernel(
@@ -91,8 +204,21 @@ def _flash_fwd_raw(q, k, v, scale: float):
     """
     q, k, v: [B, H, N, D] (N_q may differ from N_kv). Returns
     (out [B,H,Nq,D], m [B,H,Nq,1], l [B,H,Nq,1]) — the online softmax
-    stats, needed by the ring combination.
+    stats, needed by the ring combination. Dispatches to the axon-safe
+    VMEM variant unless ADELL_PALLAS_TILED=1; returns None when neither
+    variant fits (caller falls back to XLA).
     """
+    if not _use_tiled():
+        kv_bytes = k.shape[2] * k.shape[3] * k.dtype.itemsize
+        if kv_bytes > _VMEM_KV_LIMIT:
+            return None
+        return _flash_fwd_vmem(q, k, v, scale)
+    return _flash_fwd_tiled(q, k, v, scale)
+
+
+def _flash_fwd_tiled(q, k, v, scale: float):
+    """Scalable variant: KV blocked through the grid, online-softmax state
+    in VMEM scratch — O(BQ x BK) VMEM at any sequence length."""
     b, h, nq, d = q.shape
     n_kv = k.shape[2]
     bq = min(_BQ, nq)
@@ -177,8 +303,10 @@ def flash_attention(q, k, v, scale: Optional[float] = None):
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return attention_reference(q, k, v, scale)
     s = scale if scale is not None else q.shape[-1] ** -0.5
-    out, _, _ = _flash_fwd_raw(q, k, v, s)
-    return out
+    res = _flash_fwd_raw(q, k, v, s)
+    if res is None:  # too big for the axon-safe variant
+        return attention_reference(q, k, v, scale)
+    return res[0]
 
 
 def _flash_fwd_vjp(q, k, v, scale):
@@ -219,9 +347,14 @@ def ring_attention(q, k, v, mesh, axis: str = "model", scale=None):
     def local_fn(q, k, v):
         def ring_step(i, carry):
             acc, m, l, k_cur, v_cur = carry
-            if jax.devices()[0].platform in ("tpu", "axon"):
-                out_i, m_i, l_i = _flash_fwd_raw(q, k_cur, v_cur, scale)
-            else:  # CPU path: exact stats from the reference math
+            res = (
+                _flash_fwd_raw(q, k_cur, v_cur, scale)
+                if jax.devices()[0].platform in ("tpu", "axon")
+                else None
+            )
+            if res is not None:
+                out_i, m_i, l_i = res
+            else:  # CPU path / oversized shard: exact reference math
                 s = (
                     jnp.einsum("bhqd,bhkd->bhqk", q, k_cur).astype(
                         jnp.float32

@@ -48,16 +48,18 @@ def _normal_pair(shape):
 
 def _kernel(seed_ref, par_ref, x_ref, o_ref, *, rician: bool, noise: bool):
     # per-block seed: mix the grid position in so blocks draw independent
-    # streams from one host-provided seed
+    # streams from one host-provided seed. Scalars arrive as plain SMEM
+    # inputs — PrefetchScalarGridSpec wedges the axon remote compiler (see
+    # memory note axon-pallas-quirks).
     if noise:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
 
-    lo = par_ref[0]
-    hi = par_ref[1]
-    gamma = par_ref[2]
-    scale = par_ref[3]
-    shift = par_ref[4]
-    sigma = par_ref[5]
+    lo = par_ref[0, 0]
+    hi = par_ref[1, 0]
+    gamma = par_ref[2, 0]
+    scale = par_ref[3, 0]
+    shift = par_ref[4, 0]
+    sigma = par_ref[5, 0]
 
     x = x_ref[:]
     span = jnp.maximum(hi - lo, 1e-6)
@@ -112,29 +114,30 @@ def _fused_intensity_kernel_call(
     rows = flat.shape[0]
     block = min(_BLOCK_ROWS, rows)
     grid = pl.cdiv(rows, block)
-    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
     par = jnp.stack(
         [
             jnp.asarray(v, jnp.float32)
             for v in (lo, hi, gamma, scale, shift, sigma)
         ]
-    )
+    ).reshape(6, 1)
     out = pl.pallas_call(
         functools.partial(_kernel, rician=rician, noise=noise),
         out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(
-                    (block, _LANES),
-                    lambda i, *_: (i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (block, _LANES), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
+            pl.BlockSpec(
+                (6, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (block, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
     )(seed_arr, par, flat.astype(jnp.float32))
     return out.reshape(shape).astype(x.dtype)
