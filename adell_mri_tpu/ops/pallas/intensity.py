@@ -143,6 +143,128 @@ def _fused_intensity_kernel_call(
     return out.reshape(shape).astype(x.dtype)
 
 
+def _batch_kernel(seed_ref, par_ref, x_ref, o_ref, *, rician: bool, noise: bool):
+    """Per-sample-parameter variant: grid (B, row_blocks); par [B, 6]."""
+    if noise:
+        pltpu.prng_seed(
+            seed_ref[0, 0]
+            + pl.program_id(0) * pl.num_programs(1)
+            + pl.program_id(1)
+        )
+    lo = par_ref[0, 0]
+    hi = par_ref[0, 1]
+    gamma = par_ref[0, 2]
+    scale = par_ref[0, 3]
+    shift = par_ref[0, 4]
+    sigma = par_ref[0, 5]
+    x = x_ref[0]
+    span = jnp.maximum(hi - lo, 1e-6)
+    unit = (x - lo) / span
+    unit = jnp.exp(gamma * jnp.log(jnp.maximum(unit, 1e-6)))
+    x = unit * span + lo
+    x = x * scale + shift
+    if noise:
+        n1, n2 = _normal_pair(x.shape)
+        if rician:
+            x = jnp.sqrt((x + sigma * n1) ** 2 + (sigma * n2) ** 2)
+        else:
+            x = x + sigma * n1
+    o_ref[0] = x
+
+
+@functools.partial(jax.jit, static_argnames=("rician", "noise"))
+def _fused_batch_kernel_call(seed, x, par, rician: bool, noise: bool):
+    """x [B, *S, C] -> same; par [B, 6] = (lo, hi, gamma, scale, shift,
+    sigma) per sample."""
+    b = x.shape[0]
+    shape = x.shape
+    flat = x.reshape(b, -1, _LANES)
+    rows = flat.shape[1]
+    block = min(_BLOCK_ROWS, rows)
+    grid = (b, pl.cdiv(rows, block))
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    out = pl.pallas_call(
+        functools.partial(_batch_kernel, rician=rician, noise=noise),
+        out_shape=jax.ShapeDtypeStruct(flat.shape, jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda bi, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6), lambda bi, i: (bi, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, block, _LANES),
+                lambda bi, i: (bi, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block, _LANES),
+            lambda bi, i: (bi, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(seed_arr, par.astype(jnp.float32), flat.astype(jnp.float32))
+    return out.reshape(shape).astype(x.dtype)
+
+
+def fused_intensity_aug_batch(
+    key,
+    x,
+    gamma_range=(0.7, 1.5),
+    scale_delta: float = 0.1,
+    shift_delta: float = 0.1,
+    sigma: float = 0.0,
+    rician: bool = True,
+):
+    """
+    Batch-level fused gamma-contrast + scale/shift + noise with per-sample
+    random parameters (replaces the RandAdjustContrastd /
+    RandScaleIntensityd / RandShiftIntensityd / RandRicianNoised chain).
+    One HBM pass on TPU; vectorized XLA math elsewhere.
+    """
+    b = x.shape[0]
+    kg, ksc, ksh, kseed, kn = jax.random.split(key, 5)
+    gamma = jax.random.uniform(
+        kg, (b,), minval=gamma_range[0], maxval=gamma_range[1]
+    )
+    scale = 1.0 + jax.random.uniform(
+        ksc, (b,), minval=-scale_delta, maxval=scale_delta
+    )
+    shift = jax.random.uniform(
+        ksh, (b,), minval=-shift_delta, maxval=shift_delta
+    )
+    red_axes = tuple(range(1, x.ndim))
+    lo = jnp.min(x, axis=red_axes)
+    hi = jnp.max(x, axis=red_axes)
+    sig = jnp.full((b,), float(sigma), jnp.float32)
+    noise = sigma > 0
+    total = 1
+    for s in x.shape[1:]:
+        total *= s
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if on_tpu and total % _LANES == 0:
+        par = jnp.stack([lo, hi, gamma, scale, shift, sig], axis=1)
+        seed = jax.random.randint(kseed, (), 0, 2**31 - 1)
+        return _fused_batch_kernel_call(
+            seed, x, par, rician=rician, noise=noise
+        )
+    # vectorized fallback (identical math, threefry noise)
+    bshape = (b,) + (1,) * (x.ndim - 1)
+    lo_b, hi_b = lo.reshape(bshape), hi.reshape(bshape)
+    span = jnp.maximum(hi_b - lo_b, 1e-6)
+    unit = (x - lo_b) / span
+    unit = jnp.exp(gamma.reshape(bshape) * jnp.log(jnp.maximum(unit, 1e-6)))
+    out = unit * span + lo_b
+    out = out * scale.reshape(bshape) + shift.reshape(bshape)
+    if noise:
+        k1, k2 = jax.random.split(kn)
+        n1 = jax.random.normal(k1, x.shape, jnp.float32)
+        if rician:
+            n2 = jax.random.normal(k2, x.shape, jnp.float32)
+            out = jnp.sqrt((out + sigma * n1) ** 2 + (sigma * n2) ** 2)
+        else:
+            out = out + sigma * n1
+    return out.astype(x.dtype)
+
+
 def fused_intensity_aug_reference(
     seed, x, lo, hi, gamma=1.0, scale=1.0, shift=0.0, sigma=0.0, rician=False
 ):

@@ -99,13 +99,10 @@ def _augment_one(
             lab = S.random_flip(keys[1], lab, policy.flip_axes)
             label = lab[..., 0] if label.ndim == ndim else lab
         image = image_flipped
-    if policy.intensity:
-        image = I.adjust_contrast(keys[2], image)
-        shift = jax.random.uniform(keys[3], (), minval=-0.1, maxval=0.1)
-        scale = 1.0 + jax.random.uniform(keys[3], (), minval=-0.1, maxval=0.1)
-        image = image * scale + shift
+    # gamma/scale/shift/rician run batch-level AFTER the vmapped geometry
+    # as ONE fused pallas pass (_batch_intensity below); only the FFT-based
+    # gibbs ringing stays per-sample here
     if policy.noise:
-        image = I.rician_noise(keys[4], image, policy.noise_std)
         do_gibbs = jax.random.bernoulli(keys[5], 0.25)
         image = jnp.where(
             do_gibbs, I.gibbs_ringing(keys[5], image), image
@@ -117,6 +114,24 @@ def _augment_one(
     if policy.trivial and workhorse is not None:
         image = workhorse(keys[7], image)
     return image, label
+
+
+def _batch_intensity(key, image, policy: AugmentPolicy):
+    """Fused per-sample gamma+scale/shift+rician over the whole batch
+    (ops/pallas/intensity.py — one HBM pass with on-chip PRNG on TPU)."""
+    if not (policy.intensity or policy.noise):
+        return image
+    from adell_mri_tpu.ops.pallas.intensity import fused_intensity_aug_batch
+
+    return fused_intensity_aug_batch(
+        key,
+        image,
+        gamma_range=(0.7, 1.5) if policy.intensity else (1.0, 1.0),
+        scale_delta=0.1 if policy.intensity else 0.0,
+        shift_delta=0.1 if policy.intensity else 0.0,
+        sigma=policy.noise_std if policy.noise else 0.0,
+        rician=True,
+    )
 
 
 @dataclass
@@ -184,6 +199,9 @@ class SegmentationTransforms:
         image, label = jax.vmap(one)(
             keys, batch["image"], batch["label"], fg, n_fg
         )
+        image = _batch_intensity(
+            jax.random.fold_in(key, 91), image, self.augmentations
+        )
         out = dict(batch)
         out["image"] = image
         out["label"] = label
@@ -250,7 +268,10 @@ class ClassificationTransforms:
             return image
 
         out = dict(batch)
-        out["image"] = jax.vmap(one)(keys, batch["image"])
+        image = jax.vmap(one)(keys, batch["image"])
+        out["image"] = _batch_intensity(
+            jax.random.fold_in(key, 91), image, self.augmentations
+        )
         return out
 
 
