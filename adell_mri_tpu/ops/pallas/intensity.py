@@ -144,19 +144,20 @@ def _fused_intensity_kernel_call(
 
 
 def _batch_kernel(seed_ref, par_ref, x_ref, o_ref, *, rician: bool, noise: bool):
-    """Per-sample-parameter variant: grid (B, row_blocks); par [B, 6]."""
+    """Per-sample-parameter variant: grid (B, row_blocks); par [B, 6] lives
+    unblocked in SMEM (SMEM blocks cannot split the batch dim) and is
+    indexed by the batch program id."""
+    bi = pl.program_id(0)
     if noise:
         pltpu.prng_seed(
-            seed_ref[0, 0]
-            + pl.program_id(0) * pl.num_programs(1)
-            + pl.program_id(1)
+            seed_ref[0, 0] + bi * pl.num_programs(1) + pl.program_id(1)
         )
-    lo = par_ref[0, 0]
-    hi = par_ref[0, 1]
-    gamma = par_ref[0, 2]
-    scale = par_ref[0, 3]
-    shift = par_ref[0, 4]
-    sigma = par_ref[0, 5]
+    lo = par_ref[bi, 0]
+    hi = par_ref[bi, 1]
+    gamma = par_ref[bi, 2]
+    scale = par_ref[bi, 3]
+    shift = par_ref[bi, 4]
+    sigma = par_ref[bi, 5]
     x = x_ref[0]
     span = jnp.maximum(hi - lo, 1e-6)
     unit = (x - lo) / span
@@ -189,7 +190,7 @@ def _fused_batch_kernel_call(seed, x, par, rician: bool, noise: bool):
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda bi, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 6), lambda bi, i: (bi, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (1, block, _LANES),
                 lambda bi, i: (bi, i, 0),
@@ -239,8 +240,15 @@ def fused_intensity_aug_batch(
     total = 1
     for s in x.shape[1:]:
         total *= s
+    # the kernel variants exercised so far (scalar-prefetch, batched SMEM
+    # params) wedge the axon remote-compile service (memory note
+    # axon-pallas-quirks), so the pallas path is opt-in; the XLA fallback
+    # is a fully fused elementwise chain and costs only the threefry bits
+    import os
+
+    use_kernel = os.environ.get("ADELL_PALLAS_INTENSITY", "0") == "1"
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    if on_tpu and total % _LANES == 0:
+    if use_kernel and on_tpu and total % _LANES == 0:
         par = jnp.stack([lo, hi, gamma, scale, shift, sig], axis=1)
         seed = jax.random.randint(kseed, (), 0, 2**31 - 1)
         return _fused_batch_kernel_call(
