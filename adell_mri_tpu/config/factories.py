@@ -97,12 +97,24 @@ def get_segmentation_network(
             dropout_param=cfg.get("dropout_param", 0.0),
         )
     if net_type in ("swin", "monai_swin"):
+        # reference configs may give embedding_size as a per-stage list and
+        # n_heads as a scalar (sample_configs/unet-swin.yaml)
+        embed = cfg.get("embed_dim", cfg.get("embedding_size", 24))
+        if isinstance(embed, (list, tuple)):
+            n_stages = len(embed)
+            embed = embed[0]
+        else:
+            n_stages = len(cfg.get("depths", (2, 2, 2)))
+        depths = tuple(cfg.get("depths", (2,) * n_stages))
+        heads = cfg.get("n_heads", cfg.get("num_heads", (3, 6, 12)))
+        if isinstance(heads, int):
+            heads = (heads,) * len(depths)
         return SWINUNet(
             spatial_dimensions=cfg.get("spatial_dimensions", 3),
             n_classes=n_classes,
-            embed_dim=cfg.get("embed_dim", 24),
-            depths=tuple(cfg.get("depths", (2, 2, 2))),
-            n_heads=tuple(cfg.get("n_heads", cfg.get("num_heads", (3, 6, 12)))),
+            embed_dim=embed,
+            depths=depths,
+            n_heads=tuple(heads),
             window_size=tuple(cfg.get("window_size", (4, 4, 4))),
             patch_size=tuple(cfg.get("patch_size", (2, 2, 2))),
             norm_type=cfg.get("norm_type", "instance"),

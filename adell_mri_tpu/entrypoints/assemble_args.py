@@ -149,3 +149,39 @@ class Parser(argparse.ArgumentParser):
             spec.update(overrides)
             self.add_argument(_flag(rename), dest=rename, **spec)
         return self
+
+    def parse_args(self, args=None, namespace=None):
+        """
+        Supports ``--params_from file.yaml``: stored values fill in any
+        argument NOT given on the command line — CLI always wins (parity:
+        utils/parser.py:51-135).
+        """
+        import sys as _sys
+
+        argv = list(_sys.argv[1:] if args is None else args)
+        if "--params_from" in argv:
+            idx = argv.index("--params_from")
+            path = argv[idx + 1]
+            del argv[idx : idx + 2]
+            import yaml
+
+            with open(path) as f:
+                stored = yaml.safe_load(f) or {}
+            given = {
+                a.split("=", 1)[0].lstrip("-")
+                for a in argv
+                if a.startswith("--")
+            }
+            for key, value in stored.items():
+                if key in given or key == "params_from":
+                    continue
+                flag = _flag(key)
+                if isinstance(value, bool):
+                    if value:
+                        argv.append(flag)
+                elif isinstance(value, (list, tuple)):
+                    argv.append(flag)
+                    argv.extend(str(v) for v in value)
+                elif value is not None:
+                    argv.extend([flag, str(value)])
+        return super().parse_args(argv, namespace)
