@@ -81,6 +81,10 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "semi_sl_weight": dict(
         type=float, default=0.01, help="Weight of the semi-supervised loss"
     ),
+    "sample_panel_every": dict(
+        type=int, default=0,
+        help="Writes a PNG panel of model samples every N epochs (0=off)",
+    ),
     "class_weights": dict(default=None, nargs="+", type=float, help="Class weights"),
     "weighted_sampling": dict(action="store_true", help="Class-weighted sampling"),
     "constant_ratio": dict(default=None, type=float, help="PartiallyRandomSampler keep ratio"),

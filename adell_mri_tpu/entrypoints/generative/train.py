@@ -7,6 +7,7 @@ dropout via Embedder).
 """
 
 import json
+import os
 
 import jax
 import numpy as np
@@ -48,6 +49,7 @@ ARG_KEYS = [
     "checkpoint_name",
     "monitor",
     "metric_path",
+    "sample_panel_every",
 ]
 
 
@@ -132,6 +134,28 @@ def main(arguments):
         },
         monitor=args.monitor,
     )
+    callbacks = []
+    if args.sample_panel_every:
+        from adell_mri_tpu.train.logging_utils import ImagePanelCallback
+
+        def sample_fn(state, rng):
+            def model_fn(x, t):
+                return model.apply({"params": state.params}, x, t)
+
+            return process.sample(
+                rng,
+                model_fn,
+                (4,) + base_size + (len(args.image_keys),),
+                skip_steps=max(process.n_timesteps - 50, 0),
+            )
+
+        callbacks.append(
+            ImagePanelCallback(
+                sample_fn,
+                os.path.join(args.checkpoint_dir, "panels"),
+                every_n_epochs=args.sample_panel_every,
+            )
+        )
     loop = TrainLoop(
         train_step=make_train_step(make_diffusion_step(model, process)),
         mesh=mesh,
@@ -140,6 +164,7 @@ def main(arguments):
         metric_logger=MetricLogger(csv_path=args.metric_path),
         monitor=args.monitor,
         seed=args.seed,
+        callbacks=callbacks,
     )
     state, history = loop.fit(state, loader)
     logger.info("done: %s", json.dumps(history[-1] if history else {}, default=float))

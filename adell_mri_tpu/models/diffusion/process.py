@@ -78,8 +78,9 @@ class DiffusionProcess:
         return xt, eps
 
     def ddpm_step(self, key, model_fn, xt, t):
-        """One reverse step given ε-prediction model_fn(x, t)."""
-        eps = model_fn(xt, t)
+        """One reverse step given ε-prediction model_fn(x, t); ``t`` is a
+        scalar timestep, broadcast per-sample for the model."""
+        eps = model_fn(xt, jnp.full((xt.shape[0],), t, jnp.int32))
         beta = self.betas[t]
         alpha = self.alphas[t]
         ab = self.alphas_bar[t]
@@ -144,7 +145,7 @@ class DiffusionProcess:
             xt, key = carry
             t = ts[i]
             t_next = jnp.where(i + 1 < n_steps, ts[jnp.minimum(i + 1, n_steps - 1)], 0)
-            eps = model_fn(xt, t)
+            eps = model_fn(xt, jnp.full((xt.shape[0],), t, jnp.int32))
             ab_t = self.alphas_bar[t]
             ab_n = jnp.where(
                 i + 1 < n_steps, self.alphas_bar[t_next], 1.0

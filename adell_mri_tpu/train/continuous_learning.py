@@ -45,3 +45,51 @@ def wrap_loss_with_ewc(
         return loss + pen, {**metrics, "ewc_penalty": pen}
 
     return wrapped
+
+
+def multi_phase_fit(
+    make_state: Callable,
+    make_loop: Callable,
+    train_loader,
+    val_loader=None,
+    learning_rates=(1e-3, 1e-4),
+    n_epochs=(10, "adaptive"),
+    monitor: str = "val_loss",
+    patience: int = 10,
+    params=None,
+):
+    """
+    Multi-phase training (parity: MultiPhaseTraining,
+    continuous_learning/callbacks.py:9): each phase runs with its own
+    learning rate; integer ``n_epochs`` phases run that many epochs,
+    ``"adaptive"`` phases run until ``monitor`` stops improving for
+    ``patience`` epochs, and a learning rate of ``"stop"`` ends training.
+    Parameters carry across phases; optimizer state restarts with each
+    phase's fresh learning rate (the functional analogue of the callback's
+    in-place param-group LR rewrite).
+
+    Args:
+        make_state: ``(params, learning_rate, n_epochs) -> TrainState``.
+        make_loop: ``(max_epochs, early_stopping) -> TrainLoop``.
+        params: initial parameter tree (phase 0).
+
+    Returns (final_state, list of per-phase histories).
+    """
+    histories = []
+    state = None
+    for lr, ne in zip(learning_rates, n_epochs):
+        if lr == "stop":
+            break
+        adaptive = ne == "adaptive"
+        max_epochs = int(1e6) if adaptive else int(ne)
+        loop = make_loop(
+            max_epochs=max_epochs,
+            early_stopping=patience if adaptive else None,
+        )
+        loop.monitor = monitor
+        state = make_state(
+            params if state is None else state.params, lr, max_epochs
+        )
+        state, history = loop.fit(state, train_loader, val_loader)
+        histories.append(history)
+    return state, histories

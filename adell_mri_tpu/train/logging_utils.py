@@ -104,3 +104,71 @@ def _is_number(v) -> bool:
         return True
     except (TypeError, ValueError):
         return False
+
+
+def save_image_panel(path, images, max_images: int = 16):
+    """
+    Tiles a batch of images/volumes into one PNG grid (parity:
+    utils/pl_callbacks.py — LogImage :195, LogImageFromDiffusionProcess
+    :276, LogImageFromGAN :326; this framework writes panels to disk and,
+    when a wandb backend is active, MetricLogger.log_image uploads them).
+    Volumes use their central slice; channels beyond the first are dropped.
+    """
+    import numpy as np
+    from PIL import Image
+
+    arr = np.asarray(images)[:max_images]
+    tiles = []
+    for img in arr:
+        if img.ndim == 4:  # [X, Y, Z, C] -> central z slice, first channel
+            img = img[:, :, img.shape[2] // 2, 0]
+        elif img.ndim == 3:  # [X, Y, C]
+            img = img[..., 0]
+        lo, hi = float(img.min()), float(img.max())
+        tiles.append(
+            np.uint8((img - lo) / max(hi - lo, 1e-6) * 255)
+        )
+    side = int(np.ceil(np.sqrt(len(tiles))))
+    h = max(t.shape[0] for t in tiles)
+    w = max(t.shape[1] for t in tiles)
+    panel = np.zeros((side * h, side * w), np.uint8)
+    for i, t in enumerate(tiles):
+        r, c = divmod(i, side)
+        panel[r * h : r * h + t.shape[0], c * w : c * w + t.shape[1]] = t
+    Image.fromarray(panel).save(path)
+    return path
+
+
+class ImagePanelCallback:
+    """
+    TrainLoop-compatible sampler panel: every ``every_n_epochs`` epochs
+    calls ``sample_fn(state, rng) -> [N, ...]`` and writes a PNG panel
+    (the diffusion/GAN image-logging callbacks of the reference).
+    """
+
+    def __init__(self, sample_fn, output_dir, every_n_epochs: int = 1,
+                 metric_logger=None, name: str = "samples"):
+        import os
+
+        self.sample_fn = sample_fn
+        self.output_dir = output_dir
+        self.every_n_epochs = every_n_epochs
+        self.metric_logger = metric_logger
+        self.name = name
+        os.makedirs(output_dir, exist_ok=True)
+
+    def on_epoch_end(self, state, metrics, epoch, rng=None):
+        import os
+
+        import jax
+
+        if (epoch + 1) % self.every_n_epochs:
+            return None
+        rng = rng if rng is not None else jax.random.PRNGKey(epoch)
+        images = self.sample_fn(state, rng)
+        path = os.path.join(
+            self.output_dir, f"{self.name}_epoch{epoch + 1}.png"
+        )
+        save_image_panel(path, images)
+        logger.info("wrote sample panel %s", path)
+        return None

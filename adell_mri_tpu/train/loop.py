@@ -36,6 +36,7 @@ class TrainLoop:
         metric_logger=None,
         seed: int = 42,
         eval_on_ema: bool = False,
+        callbacks=(),
     ):
         self.train_step = train_step
         self.eval_step = eval_step
@@ -50,6 +51,7 @@ class TrainLoop:
         self.metric_logger = metric_logger
         self.rng = jax.random.PRNGKey(seed)
         self.eval_on_ema = eval_on_ema
+        self.callbacks = list(callbacks)
 
     def _put(self, batch: Dict) -> Dict:
         batch = {
@@ -124,6 +126,16 @@ class TrainLoop:
                     self.ckpt_manager.save(
                         epoch + 1, state, metrics=all_metrics
                     )
+                stop = False
+                for cb in self.callbacks:
+                    hook = getattr(cb, "on_epoch_end", None)
+                    if hook is None:
+                        continue
+                    self.rng, cb_key = jax.random.split(self.rng)
+                    if hook(state, all_metrics, epoch, rng=cb_key) == "stop":
+                        stop = True
+                if stop:
+                    break
                 if self.early_stopping and self.monitor in all_metrics:
                     value = all_metrics[self.monitor]
                     better = best is None or (

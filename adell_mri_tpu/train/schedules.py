@@ -96,3 +96,25 @@ def onecycle_lr(base_lr: float, t_max: int, pct_start: float = 0.3, div_factor: 
         return jnp.where(step < up, rise, fall)
 
     return schedule
+
+
+def multi_phase_schedule(
+    learning_rates, phase_epochs, steps_per_epoch: int = 1
+):
+    """
+    Piecewise-constant schedule over explicit phases (the static case of
+    MultiPhaseTraining, continuous_learning/callbacks.py:9): phase i runs
+    ``phase_epochs[i]`` epochs at ``learning_rates[i]``.
+    """
+    import optax
+
+    boundaries = {}
+    step = 0
+    for lr_prev, epochs, lr_next in zip(
+        learning_rates[:-1], phase_epochs[:-1], learning_rates[1:]
+    ):
+        step += int(epochs) * steps_per_epoch
+        boundaries[step] = lr_next / lr_prev if lr_prev else 0.0
+    return optax.piecewise_constant_schedule(
+        float(learning_rates[0]), boundaries
+    )
