@@ -160,3 +160,60 @@ def shard_params(params, mesh: Mesh, fsdp_min_size: int = 2**18):
     return jax.tree.map(
         lambda x: jax.device_put(x, spec_for(x)), params
     )
+
+
+# default tensor-parallel rules: attention projections and MLP expansions
+# shard their OUTPUT feature axis; attention output / MLP contraction
+# kernels shard their INPUT axis so the pair needs only one all-reduce
+# (the Megatron column->row split)
+TP_COLUMN_NAMES = ("q", "k", "v", "query", "key", "value")
+TP_ROW_NAMES = ("proj", "out", "output")
+
+
+def shard_params_tp(params, mesh: Mesh, fsdp_min_size: int = 2**18):
+    """
+    Tensor-parallel parameter layout over the ``model`` axis, composed with
+    the FSDP layout for everything else: kernels of modules whose path
+    contains a TP_COLUMN_NAMES segment shard their last (output) axis;
+    TP_ROW_NAMES kernels shard their first (input) axis. XLA/GSPMD inserts
+    the matching all-gathers/reduce-scatters. With model=1 this degrades to
+    plain shard_params.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+    fsdp_size = mesh.shape[FSDP_AXIS]
+    if tp <= 1:
+        return shard_params(params, mesh, fsdp_min_size)
+
+    def spec_for(path, x) -> NamedSharding:
+        names = [
+            str(p.key) if hasattr(p, "key") else str(p) for p in path
+        ]
+        is_kernel = names and names[-1] == "kernel" and x.ndim >= 2
+        if is_kernel:
+            in_col = any(
+                any(seg == n or seg.startswith(n + "_") for n in TP_COLUMN_NAMES)
+                for seg in names
+            )
+            in_row = any(
+                any(seg == n or seg.startswith(n + "_") for n in TP_ROW_NAMES)
+                for seg in names
+            )
+            if in_col and x.shape[-1] % tp == 0:
+                spec = [None] * x.ndim
+                spec[-1] = MODEL_AXIS
+                return NamedSharding(mesh, P(*spec))
+            if in_row and x.shape[0] % tp == 0:
+                spec = [None] * x.ndim
+                spec[0] = MODEL_AXIS
+                return NamedSharding(mesh, P(*spec))
+        if fsdp_size > 1 and x.size >= fsdp_min_size:
+            for axis in sorted(range(x.ndim), key=lambda a: -x.shape[a]):
+                if x.shape[axis] % fsdp_size == 0:
+                    spec = [None] * x.ndim
+                    spec[axis] = FSDP_AXIS
+                    return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(x, spec_for(path, x)), params
+    )

@@ -92,3 +92,44 @@ def test_data_parallel_train_step_matches_single_device():
         np.asarray(s1.params["w"]), np.asarray(s2.params["w"]), rtol=1e-5
     )
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+
+
+def test_tensor_parallel_matches_replicated():
+    """shard_params_tp over the model axis must not change the math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adell_mri_tpu.models.classification.nets import ViTClassifier
+    from adell_mri_tpu.parallel.mesh import (
+        make_mesh,
+        shard_batch,
+        shard_params_tp,
+    )
+
+    devices = jax.devices()[:4]
+    mesh = make_mesh(devices, data=-1, fsdp=1, model=2)
+    vit = ViTClassifier(
+        n_classes=2, patch_size=(4, 4, 4), embed_dim=32, n_blocks=1, n_heads=4
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 8, 8, 8, 1)), jnp.float32
+    )
+    params = vit.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    ref = vit.apply({"params": params}, x)
+
+    with mesh:
+        sp = shard_params_tp(params, mesh)
+        xb = shard_batch({"image": x}, mesh)["image"]
+        out = jax.jit(lambda p, x: vit.apply({"params": p}, x))(sp, xb)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+    # at least one kernel actually landed on the model axis
+    from jax.sharding import PartitionSpec
+
+    specs = jax.tree.leaves(
+        jax.tree.map(lambda a: a.sharding.spec, sp),
+        is_leaf=lambda s: isinstance(s, PartitionSpec),
+    )
+    assert any("model" in str(s) for s in specs)
