@@ -113,6 +113,7 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     # classification specifics
     "classification_net_type": dict(default="cat", choices=["cat", "ord", "vgg", "vit", "factorized_vit", "unet"], help="Classification architecture"),
     "image_masking": dict(action="store_true", help="Mask image with mask key"),
+    "image_crop_from_mask": dict(action="store_true", help="Crop image from mask bounding box"),
     "correct_classification_bias": dict(action="store_true", help="Set output bias to log-odds"),
     # ssl specifics
     "ssl_method": dict(default="vicreg", choices=["simsiam", "byol", "vicreg", "vicregl", "barlow_twins", "simclr", "dino", "ibot", "mae", "ijepa"], help="SSL method"),

@@ -54,6 +54,9 @@ ARG_KEYS = [
     ("label_keys", "label_keys", dict(nargs=None, default="label")),
     "clinical_feature_keys",
     "adc_keys",
+    "mask_keys",
+    "image_masking",
+    "image_crop_from_mask",
     "filter_on_keys",
     "possible_labels",
     "positive_labels",
@@ -202,6 +205,9 @@ def main(arguments):
             adc_keys=args.adc_keys or (),
             augmentations=AugmentPolicy.from_flags(args.augment),
             clinical_feature_keys=feat_keys,
+            mask_key=(args.mask_keys or [None])[0],
+            image_masking=args.image_masking,
+            image_crop_from_mask=args.image_crop_from_mask,
         )
         load_fn = transforms.load_fn()
         train_list = data.to_datalist(train_pids)

@@ -212,7 +212,12 @@ class SegmentationTransforms:
 
 @dataclass
 class ClassificationTransforms:
-    """Parity: transform_factory/transforms.py:362."""
+    """
+    Parity: transform_factory/transforms.py:362. ``image_masking`` applies
+    the convex hull of ``mask_key`` multiplicatively to the images;
+    ``image_crop_from_mask`` crops them to the mask's bounding box with a
+    16-voxel margin before the final size (reference :466-481).
+    """
 
     image_keys: Sequence[str] = ("image",)
     label_key: str = "label"
@@ -222,11 +227,14 @@ class ClassificationTransforms:
     adc_keys: Sequence[str] = ()
     augmentations: AugmentPolicy = field(default_factory=AugmentPolicy)
     clinical_feature_keys: Sequence[str] = ()
+    mask_key: Optional[str] = None
+    image_masking: bool = False
+    image_crop_from_mask: bool = False
 
     def load_fn(self):
         base = make_load_fn(
             image_keys=self.image_keys,
-            label_keys=None,
+            label_keys=[self.mask_key] if self.mask_key else None,
             target_spacing=self.target_spacing,
             target_size=self.target_size,
             adc_keys=self.adc_keys,
@@ -235,13 +243,31 @@ class ClassificationTransforms:
         label_key = self.label_key
 
         def load(entry):
-            sample = base(entry)
-            sample["label"] = __import__("numpy").float32(
-                float(entry[label_key])
-            )
-            if self.clinical_feature_keys:
-                import numpy as np
+            import numpy as np
 
+            sample = base(entry)
+            if self.mask_key and (self.image_masking or self.image_crop_from_mask):
+                from adell_mri_tpu.transforms.labels import (
+                    convex_hull,
+                    crop_from_mask,
+                )
+
+                mask = sample.pop("label")  # the mask rode the label slot
+                sample.pop("fg_indices", None)
+                sample.pop("n_fg", None)
+                if self.image_masking:
+                    hull = convex_hull(mask)
+                    sample["image"] = sample["image"] * hull[..., None]
+                if self.image_crop_from_mask:
+                    # crop with 16px margin then restore the static size
+                    sample["image"] = crop_from_mask(
+                        sample["image"],
+                        mask,
+                        output_size=self.target_size,
+                        margin=16,
+                    )
+            sample["label"] = np.float32(float(entry[label_key]))
+            if self.clinical_feature_keys:
                 sample["features"] = np.asarray(
                     [float(entry[k]) for k in self.clinical_feature_keys],
                     np.float32,
