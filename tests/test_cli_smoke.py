@@ -1,0 +1,108 @@
+"""
+End-to-end CLI smoke: synthesize a tiny NIfTI cohort, run
+``segmentation train`` then ``segmentation predict`` through the real
+argv surface on the virtual CPU mesh. This is the wiring test the
+reference lacks (SURVEY.md §4: no integration tests upstream).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from adell_mri_tpu.__main__ import main as adell_main
+from adell_mri_tpu.data.nifti import write_nifti
+
+UNET_YAML = """
+spatial_dimensions: 3
+depth: [4, 8]
+kernel_sizes: [3, 3]
+strides: [1, 2]
+conv_type: regular
+link_type: identity
+upscale_type: upsample
+activation_fn: swish
+norm_type: instance
+dropout_rate: 0.0
+loss_fn:
+  focal:
+    gamma: 2.0
+"""
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cohort")
+    rng = np.random.default_rng(0)
+    aff = np.array(
+        [[-1.0, 0, 0, 10], [0, -1.0, 0, 20], [0, 0, 1.2, -5], [0, 0, 0, 1]]
+    )  # LPS, exercises reorientation
+    ds = {}
+    for i in range(4):
+        img = rng.normal(size=(16, 16, 8)).astype(np.float32)
+        mask = (rng.uniform(size=(16, 16, 8)) > 0.9).astype(np.float32)
+        ip = str(root / f"img_{i}.nii.gz")
+        mp = str(root / f"mask_{i}.nii.gz")
+        write_nifti(ip, img, aff)
+        write_nifti(mp, mask, aff)
+        ds[f"case_{i}"] = {"T2": ip, "mask": mp}
+    ds_path = str(root / "ds.json")
+    with open(ds_path, "w") as f:
+        json.dump(ds, f)
+    cfg_path = str(root / "unet.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(UNET_YAML)
+    return {"root": str(root), "ds": ds_path, "cfg": cfg_path}
+
+
+def test_segmentation_train_then_predict(cohort):
+    ckpt = os.path.join(cohort["root"], "ckpt")
+    adell_main(
+        [
+            "segmentation", "train",
+            "--dataset_json", cohort["ds"],
+            "--image_keys", "T2",
+            "--mask_keys", "mask",
+            "--config_file", cohort["cfg"],
+            "--pad_size", "16", "16", "8",
+            "--crop_size", "16", "16", "8",
+            "--target_spacing", "1.0", "1.0", "1.2",
+            "--batch_size", "2",
+            "--max_epochs", "1",
+            "--n_folds", "1",
+            "--dev", "cpu",
+            "--checkpoint_dir", ckpt,
+            "--cache_rate", "0.0",
+        ]
+    )
+    assert os.path.exists(
+        os.path.join(ckpt, "segmentation_fold0", "metadata.json")
+    )
+
+    preds = os.path.join(cohort["root"], "preds")
+    adell_main(
+        [
+            "segmentation", "predict",
+            "--dataset_json", cohort["ds"],
+            "--image_keys", "T2",
+            "--checkpoint_dir", ckpt,
+            "--sliding_window_size", "16", "16", "8",
+            "--output_path", preds,
+            "--dev", "cpu",
+        ]
+    )
+    out = [f for f in os.listdir(preds) if f.endswith(".nii.gz")]
+    assert len(out) == 4
+
+
+def test_utils_tools_run(cohort, capsys):
+    adell_main(
+        [
+            "utils", "describe_image",
+            "--input_path",
+            json.load(open(cohort["ds"]))["case_0"]["T2"],
+        ]
+    )
+    desc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert desc["shape"][:3] == [16, 16, 8]
