@@ -98,6 +98,11 @@ ARG_KEYS = [
     "project_name",
     "summary_name",
     "metric_path",
+    "correct_classification_bias",
+    "checkpoint",
+    "exclude_from_state_dict",
+    "freeze_regex",
+    "not_freeze_regex",
     "classification_net_type",
     "swa",
 ]
@@ -250,6 +255,36 @@ def main(arguments):
         params = model.init(
             {"params": jax.random.PRNGKey(args.seed)}, *init_args
         )["params"]
+        if args.correct_classification_bias and n_classes <= 2:
+            from adell_mri_tpu.train.checkpoints import (
+                correct_classification_bias,
+            )
+
+            params = correct_classification_bias(
+                params, [float(e[label_key]) for e in train_list]
+            )
+        if args.checkpoint:
+            import os as _os
+
+            from adell_mri_tpu.train.checkpoints import load_params_into
+
+            for ck_path in args.checkpoint:
+                src = CheckpointManager(
+                    _os.path.dirname(ck_path) or ".",
+                    name=_os.path.basename(ck_path).replace("_fold0", ""),
+                    fold=0,
+                )
+                loaded = src.restore(src.best_step())
+                if loaded is None:
+                    continue
+                params, skipped = load_params_into(
+                    params,
+                    loaded.get("params", loaded),
+                    exclude_patterns=args.exclude_from_state_dict or (),
+                )
+                logger.info(
+                    "warm start from %s (%d skipped)", ck_path, len(skipped)
+                )
         steps_per_epoch = max(len(train_loader), 1)
         schedule = cosine_annealing_with_warmup(
             learning_rate,
@@ -263,6 +298,18 @@ def main(arguments):
             clip_norm=args.gradient_clip_val,
             params=params,
         )
+        if args.freeze_regex or args.not_freeze_regex:
+            from adell_mri_tpu.train.checkpoints import freeze_mask_by_regex
+            from adell_mri_tpu.train.optim import freeze_wrap
+
+            tx = freeze_wrap(
+                tx,
+                freeze_mask_by_regex(
+                    params,
+                    freeze_patterns=args.freeze_regex or (),
+                    not_freeze_patterns=args.not_freeze_regex or (),
+                ),
+            )
         with mesh:
             params = shard_params(params, mesh)
             state = TrainState.create(model.apply, params, tx, with_ema=args.swa)

@@ -106,6 +106,10 @@ ARG_KEYS = [
     "swa",
     "semi_supervised",
     "semi_sl_weight",
+    "checkpoint",
+    "exclude_from_state_dict",
+    "freeze_regex",
+    "not_freeze_regex",
 ]
 
 
@@ -301,6 +305,32 @@ def main(arguments):
         params = model.init(
             {"params": jax.random.PRNGKey(args.seed)}, x0
         )["params"]
+        # warm start: load matching leaves from stored checkpoints (incl.
+        # SSL-encoder grafting via path-rename regexes; parity:
+        # load_checkpoint_to_model torch_utils.py:16 + train.py:659-719)
+        if args.checkpoint:
+            from adell_mri_tpu.train.checkpoints import load_params_into
+
+            for ck_path in args.checkpoint:
+                src = CheckpointManager(
+                    os.path.dirname(ck_path) or ".",
+                    name=os.path.basename(ck_path).replace("_fold0", ""),
+                    fold=0,
+                )
+                loaded = src.restore(src.best_step())
+                if loaded is None:
+                    logger.warning("no checkpoint at %s", ck_path)
+                    continue
+                params, skipped = load_params_into(
+                    params,
+                    loaded.get("params", loaded),
+                    exclude_patterns=args.exclude_from_state_dict or (),
+                )
+                logger.info(
+                    "warm start from %s (%d paths skipped)",
+                    ck_path,
+                    len(skipped),
+                )
         steps_per_epoch = max(len(train_loader), 1)
         schedule = cosine_annealing_with_warmup(
             learning_rate,
@@ -317,6 +347,16 @@ def main(arguments):
             clip_norm=args.gradient_clip_val,
             params=params,
         )
+        if args.freeze_regex or args.not_freeze_regex:
+            from adell_mri_tpu.train.checkpoints import freeze_mask_by_regex
+            from adell_mri_tpu.train.optim import freeze_wrap
+
+            mask = freeze_mask_by_regex(
+                params,
+                freeze_patterns=args.freeze_regex or (),
+                not_freeze_patterns=args.not_freeze_regex or (),
+            )
+            tx = freeze_wrap(tx, mask)
         with mesh:
             params = shard_params(params, mesh)
             state = TrainState.create(

@@ -218,3 +218,31 @@ def freeze_mask_by_regex(
         )
         mask[k] = not frozen
     return _unflatten(mask)
+
+
+def correct_classification_bias(params, labels, positive=1):
+    """
+    Sets the final classification bias to the train-set log-odds so the
+    network starts calibrated (parity: correct_classification_bias,
+    utils/torch_utils.py:169). The head bias is the LAST 1-D bias leaf of
+    size 1 or n_classes in flattened path order.
+    """
+    labels = np.asarray(labels)
+    p = float(np.mean(labels == positive))
+    p = min(max(p, 1e-6), 1 - 1e-6)
+    log_odds = float(np.log(p / (1 - p)))
+    flat = _flatten(params)
+    bias_paths = [
+        k
+        for k, v in flat.items()
+        if k.endswith("bias") and getattr(v, "ndim", 0) == 1
+        and v.shape[0] <= 16
+    ]
+    if not bias_paths:
+        logger.warning("no classification bias leaf found; skipping")
+        return params
+    target = bias_paths[-1]
+    v = flat[target]
+    flat[target] = np.full_like(np.asarray(v), log_odds)
+    logger.info("set %s to log-odds %.4f", target, log_odds)
+    return _unflatten(flat)

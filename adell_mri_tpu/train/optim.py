@@ -110,3 +110,20 @@ def lr_scale_by_regex(
     transforms = {pat.pattern: optax.scale(s) for pat, s in compiled}
     transforms["__default__"] = optax.identity()
     return optax.multi_transform(transforms, labels)
+
+
+def freeze_wrap(tx: optax.GradientTransformation, trainable_mask):
+    """
+    Wraps an optimizer so parameters whose mask leaf is False receive zero
+    updates (parity: conditional_parameter_freezing,
+    utils/torch_utils.py:119 — there requires_grad=False, here
+    optax.multi_transform over a trainable/frozen label tree).
+    """
+    import jax
+
+    labels = jax.tree.map(
+        lambda t: "train" if t else "freeze", trainable_mask
+    )
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels
+    )
