@@ -106,6 +106,7 @@ ARG_KEYS = [
     "swa",
     "semi_supervised",
     "semi_sl_weight",
+    "missing_to_empty",
     "checkpoint",
     "exclude_from_state_dict",
     "freeze_regex",
@@ -153,7 +154,13 @@ def main(arguments):
 
     data = Dataset(args.dataset_json, seed=args.seed)
     label_keys = args.mask_keys or []
-    presence = list(args.image_keys) + list(label_keys)
+    # with --missing_to_empty, absent modalities become zero tensors with
+    # zero availability weights instead of dropping the case
+    required_images = (
+        list(args.image_keys)[:1] if args.missing_to_empty
+        else list(args.image_keys)
+    )
+    presence = required_images + list(label_keys)
     data.apply_filters(
         presence_keys=presence,
         filter_on_keys=args.filter_on_keys,
@@ -236,6 +243,7 @@ def main(arguments):
             adc_keys=args.adc_keys or (),
             positive_labels=[int(x) for x in args.positive_labels],
             augmentations=AugmentPolicy.from_flags(args.augment),
+            missing_to_empty=bool(args.missing_to_empty),
         )
         load_fn = transforms.load_fn()
         train_list = data.to_datalist(train_pids)

@@ -122,6 +122,7 @@ def make_load_fn(
     positive_labels: Sequence[int] = (1,),
     scale_intensity: bool = True,
     extra_scalar_keys: Sequence[str] = (),
+    missing_to_empty: bool = False,
 ):
     """
     Builds the CachedVolumeDataset load_fn: reads every image key, RAS
@@ -135,7 +136,15 @@ def make_load_fn(
 
     def load_fn(entry: Dict) -> Dict:
         channels = []
+        weights = []
         for key in image_keys:
+            if missing_to_empty and key not in entry:
+                # fabricate an empty modality + zero availability weight
+                # (parity: CreateImageAndWeightsd,
+                # utils/monai_transforms/generic_data_ops.py:122)
+                channels.append(None)
+                weights.append(0.0)
+                continue
             img = reorient_to_ras(read_nifti(entry[key]))
             vol = resample_to_spec(img, target_spacing, target_size)
             if key in adc_keys:
@@ -146,8 +155,17 @@ def make_load_fn(
                 lo, hi = vol.min(), vol.max()
                 vol = (vol - lo) / max(hi - lo, 1e-6)
             channels.append(vol)
+            weights.append(1.0)
+        if missing_to_empty:
+            present = next(c for c in channels if c is not None)
+            channels = [
+                c if c is not None else np.zeros_like(present)
+                for c in channels
+            ]
         image = np.stack(channels, axis=-1).astype(np.float32)
         sample = {"image": image, "identifier": entry.get("identifier", "")}
+        if missing_to_empty:
+            sample["image_weights"] = np.asarray(weights, np.float32)
 
         if label_keys:
             labs = []

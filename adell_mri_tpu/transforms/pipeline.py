@@ -155,6 +155,7 @@ class SegmentationTransforms:
     augmentations: AugmentPolicy = field(default_factory=AugmentPolicy)
     pos_ratio: float = 0.5
     max_fg: int = 4096
+    missing_to_empty: bool = False
 
     def load_fn(self):
         return make_load_fn(
@@ -165,6 +166,7 @@ class SegmentationTransforms:
             adc_keys=self.adc_keys,
             positive_labels=self.positive_labels,
             label_mode=self.label_mode,
+            missing_to_empty=self.missing_to_empty,
             max_fg=self.max_fg,
         )
 
