@@ -49,7 +49,38 @@ def _cpu_monai_like_pipeline_volumes_per_sec() -> float:
     return 8.0 / per_vol  # 8 workers, perfectly parallel (upper bound)
 
 
+def _device_health_check(timeout_s: float = 120.0) -> bool:
+    """
+    The remote TPU compile service occasionally wedges (hangs all compiles
+    for ~30-60 min; see memory note axon-pallas-quirks). Probe with a tiny
+    matmul under a watchdog so a wedged tunnel fails fast and loudly
+    instead of hanging the benchmark runner.
+    """
+    import threading
+
+    ok = [False]
+
+    def probe():
+        import jax.numpy as jnp
+
+        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+        ok[0] = True
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok[0]
+
+
 def main():
+    import sys
+
+    if not _device_health_check():
+        print(
+            "bench: device unresponsive after 120s (wedged compile tunnel)",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     import jax
     import jax.numpy as jnp
 
