@@ -14,10 +14,14 @@ from adell_mri_tpu.transforms.augment import (
 
 
 def augment_pipeline_for_bench(shape):
-    """Batched standard-unet augment policy, used by bench.py."""
+    """Batched standard-unet augment policy (the REAL training path:
+    vmapped geometry + the fused batch intensity pass), used by bench.py."""
     import jax
 
-    from adell_mri_tpu.transforms.pipeline import _augment_one
+    from adell_mri_tpu.transforms.pipeline import (
+        _augment_one,
+        _batch_intensity,
+    )
 
     policy = AugmentPolicy(
         intensity=True, noise=True, affine=True, flip=True
@@ -25,9 +29,10 @@ def augment_pipeline_for_bench(shape):
 
     def batched(key, x):
         keys = jax.random.split(key, x.shape[0])
-        return jax.vmap(
+        out = jax.vmap(
             lambda k, img: _augment_one(k, img, None, policy)[0]
         )(keys, x)
+        return _batch_intensity(jax.random.fold_in(key, 91), out, policy)
 
     return batched
 

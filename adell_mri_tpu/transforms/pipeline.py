@@ -87,11 +87,27 @@ def _augment_one(
             shear_range=policy.shear_range if policy.shear else 0.0,
             translate_range=policy.translate_range,
         )
-        image = S.warp_affine(image, mat)
-        if label is not None:
-            lab = label[..., None] if label.ndim == ndim else label
-            lab = S.warp_affine(lab, mat, method="nearest")
-            label = lab[..., 0] if label.ndim == ndim else lab
+        if ndim == 3:
+            # gather-free shear-decomposed warp: ~28x faster than the
+            # XLA-gather path on TPU (spatial.py warp_affine_separable)
+            max_shift = S.separable_max_shift(
+                shape,
+                policy.rotate_range if policy.affine else 0.0,
+                policy.shear_range if policy.shear else 0.0,
+            )
+            image = S.warp_affine_separable(image, mat, max_shift=max_shift)
+            if label is not None:
+                lab = label[..., None] if label.ndim == ndim else label
+                lab = S.warp_affine_separable(
+                    lab, mat, max_shift=max_shift, method="nearest"
+                )
+                label = lab[..., 0] if label.ndim == ndim else lab
+        else:
+            image = S.warp_affine(image, mat)
+            if label is not None:
+                lab = label[..., None] if label.ndim == ndim else label
+                lab = S.warp_affine(lab, mat, method="nearest")
+                label = lab[..., 0] if label.ndim == ndim else lab
     if policy.flip:
         image_flipped = S.random_flip(keys[1], image, policy.flip_axes)
         if label is not None:

