@@ -70,13 +70,31 @@ def main(arguments):
     transforms = GenerationTransforms(
         image_keys=args.image_keys,
         target_spacing=args.target_spacing,
-        target_size=base_size,
+        # 2D GAN training on 3D volumes: load full volumes and take the
+        # central slice (slice datasets come through the DICOM layer)
+        target_size=base_size if sd == 3 else None,
     )
     base_load = transforms.load_fn()
 
+    def _fit_2d(img):
+        img = img[:, :, img.shape[2] // 2, :] if img.ndim == 4 else img
+        pads = []
+        for s, t in zip(img.shape[:2], base_size):
+            total = max(t - s, 0)
+            pads.append((total // 2, total - total // 2))
+        img = np.pad(img, pads + [(0, 0)])
+        sl = tuple(
+            slice((s - t) // 2, (s - t) // 2 + t)
+            for s, t in zip(img.shape[:2], base_size)
+        )
+        return img[sl + (Ellipsis,)]
+
     def load_fn(entry):
         s = base_load(entry)
-        s["image"] = (s["image"] * 2.0 - 1.0).astype(np.float32)  # [-1, 1]
+        img = s["image"]
+        if sd == 2:
+            img = _fit_2d(img)
+        s["image"] = (img * 2.0 - 1.0).astype(np.float32)  # [-1, 1]
         return s
 
     ds = CachedVolumeDataset(
