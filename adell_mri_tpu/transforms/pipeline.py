@@ -78,6 +78,7 @@ def _augment_one(
     shape = image.shape[:-1]
     keys = jax.random.split(key, 8)
 
+    fold_flip = policy.flip and (policy.affine or policy.shear) and ndim == 3
     if policy.affine or policy.shear:
         mat = S.random_affine_matrix(
             keys[0],
@@ -87,6 +88,11 @@ def _augment_one(
             shear_range=policy.shear_range if policy.shear else 0.0,
             translate_range=policy.translate_range,
         )
+        if fold_flip:
+            # flips are axis reflections — fold them into the warp matrix
+            # (a negative scale through the same separable passes) instead
+            # of paying a separate full-volume select+reverse
+            mat = S.compose_flips(keys[1], mat, shape, policy.flip_axes)
         if ndim == 3:
             # gather-free shear-decomposed warp: ~28x faster than the
             # XLA-gather path on TPU (spatial.py warp_affine_separable)
@@ -108,7 +114,7 @@ def _augment_one(
                 lab = label[..., None] if label.ndim == ndim else label
                 lab = S.warp_affine(lab, mat, method="nearest")
                 label = lab[..., 0] if label.ndim == ndim else lab
-    if policy.flip:
+    if policy.flip and not fold_flip:
         image_flipped = S.random_flip(keys[1], image, policy.flip_axes)
         if label is not None:
             lab = label[..., None] if label.ndim == ndim else label

@@ -524,3 +524,29 @@ def separable_max_shift(
 
     coeff = math.tan(min(rotate_range + shear_range, 1.0)) * 1.3
     return max(1, int(math.ceil(coeff * max(shape))))
+
+
+def compose_flips(
+    key: jax.Array,
+    matrix: jax.Array,
+    shape: Sequence[int],
+    axes: Sequence[int],
+    prob: float = 0.5,
+):
+    """
+    Folds per-axis random reflections into an affine warp matrix: axis d
+    flips with probability ``prob`` by negating its row about the volume
+    centre — the separable warp's scale pass then realizes the flip for
+    free (negative scale), saving a full-volume select+reverse per axis.
+    """
+    ndim = len(shape)
+    flips = jax.random.bernoulli(key, prob, (len(axes),))
+    diag = jnp.ones((ndim,))
+    trans = jnp.zeros((ndim,))
+    for i, d in enumerate(axes):
+        sign = jnp.where(flips[i], -1.0, 1.0)
+        diag = diag.at[d].set(sign)
+        # reflection about the centre: i -> (s-1) - i
+        trans = trans.at[d].set(jnp.where(flips[i], float(shape[d] - 1), 0.0))
+    f = _homogeneous(ndim, jnp.diag(diag), trans)
+    return matrix @ f
