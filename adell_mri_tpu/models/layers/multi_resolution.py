@@ -135,3 +135,33 @@ class FeaturePyramidNetworkBackbone(nn.Module):
             for o in outs
         ]
         return outs
+
+
+class GCN(nn.Module):
+    """
+    Global convolution network block (parity: GCN2d,
+    layers/multi_resolution.py:103 after arxiv 1703.02719): a large k x k
+    conv decomposed into two separable branches (1xk -> kx1 and kx1 -> 1xk)
+    whose sum covers the full receptive field at 2/k the cost. 2D input
+    [B, H, W, C].
+    """
+
+    out_channels: int
+    kernel_size: int = 7
+    norm_type: Optional[str] = None
+    activation_fn: Optional[str] = "relu"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        k = self.kernel_size
+        a = nn.Conv(self.out_channels, (1, k), padding="SAME")(x)
+        a = nn.Conv(self.out_channels, (k, 1), padding="SAME")(a)
+        b = nn.Conv(self.out_channels, (k, 1), padding="SAME")(x)
+        b = nn.Conv(self.out_channels, (1, k), padding="SAME")(b)
+        out = a + b
+        if self.norm_type or self.activation_fn:
+            from adell_mri_tpu.models.layers.adn import get_adn_fn
+
+            adn = get_adn_fn(2, self.norm_type, self.activation_fn, 0.0)
+            out = apply_adn(adn(self.out_channels), out, train)
+        return out

@@ -7,6 +7,7 @@ attention-gated U-Net skip links). Rank-agnostic, channels-last.
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.blocks import _tuple
@@ -70,3 +71,37 @@ class SelfAttentionBlock(nn.Module):
         psi = nn.relu(g + s)
         psi = nn.Conv(1, _tuple(1, ndim))(psi)
         return skip * nn.sigmoid(psi)
+
+
+class EfficientConditioningAttentionBlock(nn.Module):
+    """
+    Class-conditional channel gating (parity:
+    EfficientConditioningAttentionBlock, layers/class_attention.py:12 after
+    https://arxiv.org/abs/1910.03151): a class vector is projected to the
+    channel dimension and passed through a 1D conv (kernel size derived
+    from log2(C)/gamma, forced odd) or a linear layer, then a sigmoid gate
+    multiplies the feature map channels.
+    """
+
+    class_dimension: int
+    gamma: float = 2.0
+    b: float = 1.0
+    op_type: str = "conv"  # conv | linear
+
+    @nn.compact
+    def __call__(self, x, cls):
+        import math
+
+        c = x.shape[-1]
+        gate = nn.Dense(c, name="class_to_channels")(cls)  # [B, C]
+        if self.op_type == "conv":
+            k = int(math.log2(max(c, 2)) / self.gamma + self.b)
+            k = k + 1 if k % 2 == 0 else k
+            gate = nn.Conv(
+                1, (max(k, 1),), padding="SAME", name="channel_conv"
+            )(gate[..., None])[..., 0]
+        else:
+            gate = nn.Dense(c, name="channel_linear")(gate)
+        gate = jax.nn.sigmoid(gate)
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+        return x * gate.reshape(shape)

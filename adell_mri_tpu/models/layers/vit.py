@@ -499,3 +499,59 @@ class SWINTransformerBlockStack(nn.Module):
                     name=f"merge{stage}",
                 )(x)
         return x, feats
+
+
+class SliceLinearEmbedding(nn.Module):
+    """
+    Per-slice patch embedding for 2.5D transformers (parity:
+    SliceLinearEmbedding, vit.py:221): [B, H, W, D, C] -> per-slice token
+    sequences [B, D, n_patches(+1), E] with a shared within-slice
+    positional embedding and an optional per-slice class token.
+    """
+
+    patch_size: Sequence[int]  # (ph, pw)
+    embed_dim: Optional[int] = None
+    embed_method: str = "linear"
+    use_class_token: bool = False
+    learnable_embedding: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, d, c = x.shape
+        ph, pw = self.patch_size[:2]
+        dim = self.embed_dim or ph * pw * c
+        slices = x.transpose(0, 3, 1, 2, 4).reshape(b * d, h, w, c)
+        if self.embed_method == "convolutional":
+            tok = nn.Conv(dim, (ph, pw), strides=(ph, pw), name="embed")(
+                slices
+            )
+            tok = tok.reshape(b * d, -1, dim)
+        else:
+            gh, gw = h // ph, w // pw
+            tok = slices.reshape(b * d, gh, ph, gw, pw, c)
+            tok = tok.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b * d, gh * gw, ph * pw * c
+            )
+            tok = nn.Dense(dim, name="embed")(tok)
+        n = tok.shape[1]
+        if self.learnable_embedding:
+            pos = self.param(
+                "pos_embedding",
+                nn.initializers.normal(0.02),
+                (1, n, dim),
+            )
+        else:
+            pos = sinusoidal_positions(n, dim)[None]
+        tok = tok + pos
+        if self.use_class_token:
+            cls = self.param(
+                "class_token", nn.initializers.zeros, (1, 1, dim)
+            )
+            tok = jnp.concatenate(
+                [jnp.tile(cls, (b * d, 1, 1)), tok], axis=1
+            )
+            n = n + 1
+        if self.dropout > 0 and train:
+            tok = nn.Dropout(self.dropout)(tok, deterministic=False)
+        return tok.reshape(b, d, n, dim)

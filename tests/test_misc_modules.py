@@ -142,3 +142,55 @@ def test_mimunet_slicewise():
     v = m.init({"params": KEY}, x)
     pred, _ = m.apply(v, x)
     assert pred.shape == (1, 16, 16, 4, 1)
+
+
+def test_slice_linear_embedding():
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.layers.vit import SliceLinearEmbedding
+
+    x = jnp.ones((2, 16, 16, 8, 1))
+    m = SliceLinearEmbedding(
+        patch_size=(4, 4), embed_dim=32, use_class_token=True
+    )
+    out = m.apply(m.init({"params": jax.random.PRNGKey(0)}, x), x)
+    assert out.shape == (2, 8, 17, 32)  # 16 patches + class token per slice
+    conv = SliceLinearEmbedding(
+        patch_size=(4, 4), embed_dim=32, embed_method="convolutional"
+    )
+    out = conv.apply(conv.init({"params": jax.random.PRNGKey(0)}, x), x)
+    assert out.shape == (2, 8, 16, 32)
+
+
+def test_efficient_conditioning_attention():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adell_mri_tpu.models.layers.self_attention import (
+        EfficientConditioningAttentionBlock,
+    )
+
+    feat = jnp.ones((2, 8, 8, 4, 16))
+    cls = jnp.ones((2, 3))
+    for op in ("conv", "linear"):
+        m = EfficientConditioningAttentionBlock(class_dimension=3, op_type=op)
+        out = m.apply(
+            m.init({"params": jax.random.PRNGKey(0)}, feat, cls), feat, cls
+        )
+        assert out.shape == feat.shape
+        # sigmoid gate bounds the output by the input magnitude
+        assert float(jnp.abs(out).max()) <= float(jnp.abs(feat).max()) + 1e-6
+
+
+def test_gcn_block():
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.layers.multi_resolution import GCN
+
+    x = jnp.ones((2, 16, 16, 4))
+    m = GCN(out_channels=8, kernel_size=7)
+    out = m.apply(m.init({"params": jax.random.PRNGKey(0)}, x), x)
+    assert out.shape == (2, 16, 16, 8)
