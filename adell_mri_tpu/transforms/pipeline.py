@@ -93,9 +93,10 @@ def _augment_one(
             # (a negative scale through the same separable passes) instead
             # of paying a separate full-volume select+reverse
             mat = S.compose_flips(keys[1], mat, shape, policy.flip_axes)
-        if ndim == 3:
+        if ndim == 3 and jax.devices()[0].platform in ("tpu", "axon"):
             # gather-free shear-decomposed warp: ~28x faster than the
-            # XLA-gather path on TPU (spatial.py warp_affine_separable)
+            # XLA-gather path on TPU (spatial.py warp_affine_separable);
+            # on CPU the plain gather wins, so it keeps that path
             max_shift = S.separable_max_shift(
                 shape,
                 policy.rotate_range if policy.affine else 0.0,

@@ -428,7 +428,10 @@ def _shear_pass(vol, axis, shift, max_shift, method, cval):
         shift = jnp.round(shift)
     out = jnp.zeros_like(vol)
     for d in range(-max_shift, max_shift + 1):
-        w = _hat(shift - d)
+        # weights in the volume dtype: only two adjacent terms are nonzero
+        # so low-precision accumulation is safe, and bf16 halves the HBM
+        # traffic of the slice sweep
+        w = _hat(shift - d).astype(vol.dtype)
         sl = [slice(None)] * vol.ndim
         sl[axis] = slice(max_shift + d, max_shift + d + size)
         out = out + w * padded[tuple(sl)]
