@@ -51,6 +51,7 @@ ARG_KEYS = [
     "box_class_key",
     "shape_key",
     "anchor_csv",
+    "augment",
     "filter_on_keys",
     "cache_rate",
     "cache_dir",
@@ -190,7 +191,14 @@ def main(arguments):
         },
         monitor=args.monitor,
     )
+    from adell_mri_tpu.transforms import AugmentPolicy
+    from adell_mri_tpu.transforms.pipeline import DetectionTransforms
+
+    det_transforms = DetectionTransforms(
+        augmentations=AugmentPolicy.from_flags(args.augment)
+    )
     loop = TrainLoop(
+        augment_fn=det_transforms.augment if args.augment else None,
         train_step=make_train_step(make_lm(True)),
         eval_step=make_eval_step(make_lm(False)),
         mesh=mesh,

@@ -405,3 +405,65 @@ class GenerationTransforms:
 
     def augment(self, key, batch: Dict) -> Dict:
         return batch
+
+
+@dataclass
+class DetectionTransforms:
+    """
+    Parity: transform_factory/transforms.py:263 (DetectionTransforms) +
+    RandAffineWithBoxesd/RandRotateWithBoxesd
+    (utils/monai_transforms/bounding_boxes.py:449,537) — augmentation that
+    keeps images and box targets consistent. TPU-native: boxes are already
+    rasterized onto the anchor grid at load time, so the device augment
+    flips image and target grids TOGETHER (mirroring the in-cell center
+    offsets) and applies the fused intensity pass to the image only.
+    """
+
+    augmentations: AugmentPolicy = field(default_factory=AugmentPolicy)
+
+    def augment(self, key, batch: Dict) -> Dict:
+        policy = self.augmentations
+        out = dict(batch)
+        image = batch["image"]
+        ndim = image.ndim - 2
+        keys = jax.random.split(key, ndim + 1)
+        if policy.flip:
+            # all targets are [B, *G, channels]: objectness channels = A,
+            # center/size channels = A*ndim (anchor-major: a*ndim + d),
+            # classes channels = C
+            obj = batch["objectness"]
+            ctr = batch["center_offsets"]
+            sz = batch["sizes"]
+            cls = batch["classes"]
+            n_anchors = obj.shape[-1]
+            dim_idx = jnp.arange(ctr.shape[-1]) % ndim  # per-channel axis id
+            for d in range(ndim):
+                flip = jax.random.bernoulli(keys[d], 0.5, (image.shape[0],))
+                f_img = flip.reshape((-1,) + (1,) * (image.ndim - 1))
+                image = jnp.where(f_img, jnp.flip(image, axis=d + 1), image)
+
+                def gflip(t):
+                    ft = flip.reshape((-1,) + (1,) * (t.ndim - 1))
+                    return jnp.where(ft, jnp.flip(t, axis=d + 1), t)
+
+                obj_f = gflip(obj)
+                ctr_f = gflip(ctr)
+                # mirror the in-cell offset of the flipped axis where the
+                # matching anchor holds a box
+                obj_per_ctr = jnp.repeat(obj_f, ndim, axis=-1)
+                mirrored = jnp.where(
+                    (dim_idx == d) & (obj_per_ctr > 0),
+                    1.0 - ctr_f,
+                    ctr_f,
+                )
+                fcm = flip.reshape((-1,) + (1,) * (ctr.ndim - 1))
+                ctr = jnp.where(fcm, mirrored, ctr)
+                obj = obj_f
+                sz = gflip(sz)
+                cls = gflip(cls)
+            out.update(
+                objectness=obj, center_offsets=ctr, sizes=sz, classes=cls
+            )
+        image = _batch_intensity(keys[-1], image, policy)
+        out["image"] = image
+        return out

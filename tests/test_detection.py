@@ -120,3 +120,57 @@ def test_coarse_detector():
     v = m.init({"params": KEY}, x)
     out = m.apply(v, x)
     assert out.shape[-1] == 1
+
+
+def test_detection_transforms_flip_consistency():
+    """Image and anchor targets must flip together (DetectionTransforms)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adell_mri_tpu.transforms import AugmentPolicy
+    from adell_mri_tpu.transforms.pipeline import DetectionTransforms
+
+    rng = np.random.default_rng(0)
+    B, G, A, ndim = 4, (6, 6, 4), 2, 3
+    image = jnp.asarray(rng.normal(size=(B, 12, 12, 8, 1)), jnp.float32)
+    obj = jnp.asarray((rng.uniform(size=(B,) + G + (A,)) > 0.9), jnp.float32)
+    ctr = jnp.asarray(rng.uniform(size=(B,) + G + (A * ndim,)), jnp.float32)
+    sz = jnp.asarray(rng.normal(size=(B,) + G + (A * ndim,)), jnp.float32)
+    cls = jnp.asarray(rng.uniform(size=(B,) + G + (1,)), jnp.float32)
+    batch = {
+        "image": image, "objectness": obj, "center_offsets": ctr,
+        "sizes": sz, "classes": cls,
+    }
+    t = DetectionTransforms(
+        augmentations=AugmentPolicy(
+            flip=True, intensity=False, noise=False, affine=False
+        )
+    )
+    out = t.augment(jax.random.PRNGKey(3), batch)
+    for b in range(B):
+        # infer which axes flipped from the image, then check the targets
+        for d in range(ndim):
+            flipped = bool(
+                np.allclose(
+                    np.asarray(out["image"][b]),
+                    np.asarray(jnp.flip(image[b], axis=d)),
+                )
+            ) and not np.allclose(np.asarray(image[b]), np.asarray(jnp.flip(image[b], axis=d)))
+            if flipped:
+                np.testing.assert_allclose(
+                    np.asarray(out["objectness"][b]),
+                    np.asarray(jnp.flip(obj[b], axis=d)),
+                )
+                # mirrored offsets where boxes live, on the flipped axis
+                of = np.asarray(jnp.flip(ctr[b], axis=d))
+                oo = np.asarray(jnp.flip(obj[b], axis=d))
+                exp = of.copy()
+                for a in range(A):
+                    ch = a * ndim + d
+                    exp[..., ch] = np.where(
+                        oo[..., a] > 0, 1.0 - of[..., ch], of[..., ch]
+                    )
+                np.testing.assert_allclose(
+                    np.asarray(out["center_offsets"][b]), exp, atol=1e-6
+                )
