@@ -46,11 +46,14 @@ def make_segmentation_step(
     bottleneck_classification: bool = False,
     n_classes: int = 2,
     train: bool = True,
+    remat: bool = False,
 ):
     """
     Returns ``loss_and_metrics(params, batch, rng)``. Batch keys: ``image``
     [B,*S,C], ``label`` [B,*S] (or [B,*S,1]); optional ``skip_layer``,
-    ``features``.
+    ``features``. ``remat`` rematerializes the forward during backward
+    (jax.checkpoint) — 3D U-Nets at full volume easily exceed HBM with
+    stored activations; remat trades ~1/3 more FLOPs for O(layer) memory.
     """
     class_loss_fn = (
         cat_cross_entropy if n_classes > 2 else binary_cross_entropy
@@ -70,13 +73,19 @@ def make_segmentation_step(
             cond_kwargs["x_skip_layer"] = x_cond
         if x_fc is not None:
             cond_kwargs["x_feature_conditioning"] = x_fc
-        out = model.apply(
-            {"params": params},
-            x,
-            train=train,
-            rngs=rngs,
-            **cond_kwargs,
-        )
+
+        def apply_fn(params, x):
+            return model.apply(
+                {"params": params},
+                x,
+                train=train,
+                rngs=rngs,
+                **cond_kwargs,
+            )
+
+        if remat and train:
+            apply_fn = jax.checkpoint(apply_fn)
+        out = apply_fn(params, x)
         if deep_supervision:
             prediction, pred_class, deep_outputs = out
         else:
