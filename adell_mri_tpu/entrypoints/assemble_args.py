@@ -81,6 +81,11 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "semi_sl_weight": dict(
         type=float, default=0.01, help="Weight of the semi-supervised loss"
     ),
+    "remat": dict(
+        action="store_true",
+        help="Rematerialize the forward during backward (jax.checkpoint) — "
+        "trades ~1/3 more FLOPs for fitting full-volume activations in HBM",
+    ),
     "sample_panel_every": dict(
         type=int, default=0,
         help="Writes a PNG panel of model samples every N epochs (0=off)",

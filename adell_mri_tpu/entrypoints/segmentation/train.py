@@ -107,6 +107,7 @@ ARG_KEYS = [
     "semi_supervised",
     "semi_sl_weight",
     "missing_to_empty",
+    "remat",
     "checkpoint",
     "exclude_from_state_dict",
     "freeze_regex",
@@ -407,6 +408,7 @@ def main(arguments):
             bottleneck_classification=args.bottleneck_classification,
             n_classes=args.n_classes,
             train=True,
+            remat=args.remat,
         )
         eval_lm = make_segmentation_step(
             model,
