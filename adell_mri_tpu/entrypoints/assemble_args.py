@@ -59,7 +59,7 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "warmup_steps": dict(default=0.0, type=float, help="Warmup steps/epochs"),
     "start_decay": dict(default=None, type=float, help="When decay starts"),
     "n_classes": dict(type=int, default=2, help="Number of classes"),
-    "augment": dict(default=[], nargs="+", help="Augmentation flags (intensity noise rbf affine shear flip blur trivial)"),
+    "augment": dict(default=[], nargs="+", help="Augmentation flags (intensity noise rbf affine shear flip blur distort lowres trivial)"),
     "label_smoothing": dict(default=None, type=float, help="Label smoothing"),
     "mixup_alpha": dict(default=None, type=float, help="Alpha for mixup"),
     "partial_mixup": dict(default=None, type=float, help="Fraction for partial mixup"),
@@ -72,7 +72,16 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "accumulate_grad_batches": dict(default=1, type=int, help="Gradient accumulation steps"),
     "check_val_every_n_epoch": dict(default=1, type=int, help="Val frequency"),
     "early_stopping": dict(default=None, type=int, help="Early stopping patience"),
-    "swa": dict(action="store_true", help="Stochastic weight averaging (EMA here)"),
+    "swa": dict(
+        action="store_true",
+        help="Stochastic weight averaging (equal-weight running average of "
+        "params over the last quarter of training; validated/checkpointed)",
+    ),
+    "check_nan_loss": dict(
+        action="store_true",
+        help="NaN-loss forensics: check loss finiteness each step and dump "
+        "the in-flight batch to .npz before raising (costs a host sync)",
+    ),
     "semi_supervised": dict(
         action="store_true",
         help="Adds a contrastive loss on unlabeled cases (those in the "

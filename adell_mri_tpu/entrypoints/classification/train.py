@@ -85,6 +85,8 @@ ARG_KEYS = [
     "batch_size",
     "learning_rate",
     "optimizer",
+    "precision",
+    "accumulate_grad_batches",
     "gradient_clip_val",
     "check_val_every_n_epoch",
     "early_stopping",
@@ -310,9 +312,20 @@ def main(arguments):
                     not_freeze_patterns=args.not_freeze_regex or (),
                 ),
             )
+        if args.accumulate_grad_batches > 1:
+            from adell_mri_tpu.train.optim import accumulate_gradients
+
+            tx = accumulate_gradients(tx, args.accumulate_grad_batches)
         with mesh:
             params = shard_params(params, mesh)
-            state = TrainState.create(model.apply, params, tx, with_ema=args.swa)
+            state = TrainState.create(
+                model.apply,
+                params,
+                tx,
+                with_ema=args.swa,
+                ema_mode="swa" if args.swa else "ema",
+                swa_start_step=int(0.75 * args.max_epochs * steps_per_epoch),
+            )
 
         ckpt = CheckpointManager(
             args.checkpoint_dir,
@@ -371,10 +384,11 @@ def main(arguments):
         else:
             train_lm = make_classification_step(
                 model, loss_fn, n_classes=n_classes, train=True,
-                batch_preprocessing=batch_prep,
+                batch_preprocessing=batch_prep, precision=args.precision,
             )
             eval_lm = make_classification_step(
-                model, loss_fn, n_classes=n_classes, train=False
+                model, loss_fn, n_classes=n_classes, train=False,
+                precision=args.precision,
             )
         loop = TrainLoop(
             train_step=make_train_step(train_lm),
@@ -389,6 +403,7 @@ def main(arguments):
             ckpt_manager=ckpt,
             metric_logger=csv_logger,
             seed=args.seed + fold_idx,
+            eval_on_ema=args.swa,
         )
         state, history = loop.fit(state, train_loader, val_loader)
         final = history[-1] if history else {}

@@ -109,6 +109,8 @@ def main(arguments):
     ).shape[1:-1]
     logger.info("anchor grid: %s", grid)
 
+    MAX_BOXES = 16
+
     def load_fn(entry):
         channels = []
         for key in args.image_keys:
@@ -125,12 +127,22 @@ def main(arguments):
             boxes, classes, grid, anchors, base_size,
             n_classes=args.n_classes,
         )
+        # padded corner boxes ride along so geometric augmentation can warp
+        # them with the image and re-rasterize on device
+        n = min(len(boxes), MAX_BOXES)
+        boxes_pad = np.zeros((MAX_BOXES, 6), np.float32)
+        classes_pad = np.zeros((MAX_BOXES,), np.float32)
+        boxes_pad[:n] = boxes[:n]
+        classes_pad[:n] = classes[:n]
         return {
             "image": image,
             "objectness": np.moveaxis(obj, 0, -1),
             "center_offsets": np.moveaxis(ctr, 0, -1),
             "sizes": np.moveaxis(sz, 0, -1),
             "classes": np.moveaxis(cls, 0, -1),
+            "boxes": boxes_pad,
+            "box_classes": classes_pad,
+            "n_boxes": np.int32(n),
         }
 
     folds = get_folds(list(data.keys()), args.n_folds, args.seed)
@@ -195,7 +207,11 @@ def main(arguments):
     from adell_mri_tpu.transforms.pipeline import DetectionTransforms
 
     det_transforms = DetectionTransforms(
-        augmentations=AugmentPolicy.from_flags(args.augment)
+        augmentations=AugmentPolicy.from_flags(args.augment),
+        anchors=anchors,
+        grid_shape=grid,
+        input_shape=base_size,
+        n_classes=args.n_classes,
     )
     loop = TrainLoop(
         augment_fn=det_transforms.augment if args.augment else None,

@@ -87,6 +87,8 @@ ARG_KEYS = [
     "learning_rate",
     "optimizer",
     "precision",
+    "accumulate_grad_batches",
+    "check_nan_loss",
     "gradient_clip_val",
     "check_val_every_n_epoch",
     "early_stopping",
@@ -366,6 +368,10 @@ def main(arguments):
                 not_freeze_patterns=args.not_freeze_regex or (),
             )
             tx = freeze_wrap(tx, mask)
+        if args.accumulate_grad_batches > 1:
+            from adell_mri_tpu.train.optim import accumulate_gradients
+
+            tx = accumulate_gradients(tx, args.accumulate_grad_batches)
         with mesh:
             params = shard_params(params, mesh)
             state = TrainState.create(
@@ -373,6 +379,11 @@ def main(arguments):
                 params,
                 tx,
                 with_ema=args.swa or args.semi_supervised,
+                ema_mode="swa" if args.swa else "ema",
+                # SWA averages over the last quarter of training
+                swa_start_step=int(
+                    0.75 * args.max_epochs * max(len(train_loader), 1)
+                ),
             )
 
         ckpt = CheckpointManager(
@@ -409,6 +420,7 @@ def main(arguments):
             n_classes=args.n_classes,
             train=True,
             remat=args.remat,
+            precision=args.precision,
         )
         eval_lm = make_segmentation_step(
             model,
@@ -417,6 +429,7 @@ def main(arguments):
             bottleneck_classification=args.bottleneck_classification,
             n_classes=args.n_classes,
             train=False,
+            precision=args.precision,
         )
         if args.semi_supervised and unlabeled_pids:
             from adell_mri_tpu.train.semi_sl_steps import (
@@ -430,6 +443,11 @@ def main(arguments):
             train_step = make_semi_sl_train_step(semi_lm)
         else:
             train_step = make_train_step(train_lm)
+        nan_guard = None
+        if args.check_nan_loss:
+            from adell_mri_tpu.train.nan_guard import NaNGuard
+
+            nan_guard = NaNGuard(dump_dir=args.checkpoint_dir or ".")
         loop = TrainLoop(
             train_step=train_step,
             eval_step=make_eval_step(eval_lm),
@@ -443,6 +461,8 @@ def main(arguments):
             ckpt_manager=ckpt,
             metric_logger=csv_logger,
             seed=args.seed + fold_idx,
+            eval_on_ema=args.swa,
+            nan_guard=nan_guard,
         )
         state, history = loop.fit(state, train_loader, val_loader)
         final = history[-1] if history else {}

@@ -8,6 +8,8 @@ from adell_mri_tpu.models.detection.map import mean_average_precision
 from adell_mri_tpu.models.detection.anchors import (
     load_anchors_csv,
     boxes_to_anchor_targets,
+    boxes_to_anchor_targets_jax,
+    transform_boxes_affine,
     anchor_targets_to_boxes,
 )
 
@@ -21,5 +23,7 @@ __all__ = [
     "mean_average_precision",
     "load_anchors_csv",
     "boxes_to_anchor_targets",
+    "boxes_to_anchor_targets_jax",
+    "transform_boxes_affine",
     "anchor_targets_to_boxes",
 ]

@@ -119,3 +119,120 @@ def anchor_targets_to_boxes(
     if not boxes:
         return np.zeros((0, 2 * ndim), np.float32), np.zeros((0,), np.float32)
     return np.asarray(boxes, np.float32), np.asarray(scores, np.float32)
+
+
+def transform_boxes_affine(
+    boxes,
+    matrix,
+    valid,
+    out_shape: Sequence[int],
+    min_size: float = 1.0,
+):
+    """
+    Transforms corner boxes consistently with an image warped by
+    ``warp_affine(image, matrix)`` (parity: RandAffineWithBoxesd /
+    RandRotateWithBoxesd, utils/monai_transforms/bounding_boxes.py:449,537).
+
+    ``warp_affine`` maps OUTPUT voxel o to input sample ``matrix @ o``, so
+    image content at input point p lands at ``inv(matrix) @ p``; each box's
+    2^ndim corners are mapped and re-wrapped in an axis-aligned box (the
+    reference does the same corner/AABB dance in torch). Degenerate or
+    fully out-of-frame boxes are invalidated.
+
+    boxes [M, 2*ndim] voxel corners; matrix [(ndim+1)]^2 homogeneous;
+    valid [M] bool. Returns (new_boxes, new_valid); jit-safe.
+    """
+    import itertools
+
+    import jax.numpy as jnp
+
+    ndim = boxes.shape[-1] // 2
+    inv = jnp.linalg.inv(matrix)
+    lo, hi = boxes[:, :ndim], boxes[:, ndim:]
+    corner_list = []
+    for bits in itertools.product((0, 1), repeat=ndim):
+        sel = jnp.asarray(bits, jnp.float32)
+        corner_list.append(lo * (1 - sel) + hi * sel)
+    corners = jnp.stack(corner_list, axis=1)  # [M, 2^ndim, ndim]
+    ones = jnp.ones(corners.shape[:-1] + (1,), corners.dtype)
+    homo = jnp.concatenate([corners, ones], axis=-1)  # [M, 2^ndim, ndim+1]
+    mapped = jnp.einsum("ij,mcj->mci", inv, homo)[..., :ndim]
+    new_lo = jnp.min(mapped, axis=1)
+    new_hi = jnp.max(mapped, axis=1)
+    bound = jnp.asarray(out_shape, jnp.float32)
+    new_lo_c = jnp.clip(new_lo, 0.0, bound - 1.0)
+    new_hi_c = jnp.clip(new_hi, 0.0, bound - 1.0)
+    new_valid = (
+        valid
+        & jnp.all(new_hi_c - new_lo_c >= min_size, axis=-1)
+    )
+    return jnp.concatenate([new_lo_c, new_hi_c], axis=-1), new_valid
+
+
+def boxes_to_anchor_targets_jax(
+    boxes,
+    classes,
+    valid,
+    grid_shape: Sequence[int],
+    anchors,
+    input_shape: Sequence[int],
+    n_classes: int = 2,
+):
+    """
+    Jit-safe rasterization of padded corner boxes onto the anchor grid —
+    the on-device re-rasterization used after geometric augmentation
+    (device analogue of ``boxes_to_anchor_targets``; parity:
+    BBToAdjustedAnchorsd, utils/monai_transforms/bounding_boxes.py:198).
+
+    boxes [M, 2*ndim]; classes [M]; valid [M] bool (padding rows False).
+    Returns CHANNELS-LAST targets matching the batch layout:
+    (objectness [*G, A], center_offsets [*G, A*ndim],
+    sizes [*G, A*ndim] log-scale, class_targets [*G, max(1, n_classes-1)]).
+    Invalid boxes scatter to index -1 which jnp drops (mode="drop").
+    """
+    import jax.numpy as jnp
+
+    ndim = len(grid_shape)
+    anchors = jnp.asarray(anchors, jnp.float32)
+    A = anchors.shape[0]
+    stride = jnp.asarray(input_shape, jnp.float32) / jnp.asarray(
+        grid_shape, jnp.float32
+    )
+    lo, hi = boxes[:, :ndim], boxes[:, ndim:]
+    center = (lo + hi) / 2.0
+    size = jnp.maximum(hi - lo, 1e-3)
+    cell = jnp.clip(
+        (center / stride).astype(jnp.int32),
+        0,
+        jnp.asarray(grid_shape, jnp.int32) - 1,
+    )
+    inter = jnp.prod(jnp.minimum(anchors[None, :, :], size[:, None, :]), -1)
+    union = (
+        jnp.prod(anchors, -1)[None, :] + jnp.prod(size, -1)[:, None] - inter
+    )
+    a = jnp.argmax(inter / jnp.maximum(union, 1e-6), axis=-1)  # [M]
+    offset = center / stride - cell.astype(jnp.float32)
+    logsz = jnp.log(size / jnp.maximum(anchors[a], 1e-6))
+
+    # invalid rows scatter to a POSITIVE out-of-bounds index (dropped by
+    # mode="drop"); negative indices would wrap around to the last cell
+    cell_w = jnp.where(
+        valid[:, None], cell, jnp.asarray(grid_shape, jnp.int32)
+    )
+    idx = tuple(cell_w[:, d] for d in range(ndim))
+    G = tuple(grid_shape)
+    obj = jnp.zeros(G + (A,)).at[idx + (a,)].set(1.0, mode="drop")
+    ctr = jnp.zeros(G + (A * ndim,))
+    sz = jnp.zeros(G + (A * ndim,))
+    for d in range(ndim):
+        ctr = ctr.at[idx + (a * ndim + d,)].set(offset[:, d], mode="drop")
+        sz = sz.at[idx + (a * ndim + d,)].set(logsz[:, d], mode="drop")
+    n_cls = max(1, n_classes - 1)
+    cls = jnp.zeros(G + (n_cls,))
+    if n_classes > 2:
+        cls = cls.at[idx + (classes.astype(jnp.int32),)].set(1.0, mode="drop")
+    else:
+        cls = cls.at[idx + (jnp.zeros_like(a),)].set(
+            classes.astype(jnp.float32), mode="drop"
+        )
+    return obj, ctr, sz, cls

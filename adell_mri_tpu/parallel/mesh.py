@@ -63,12 +63,26 @@ def mesh_for_batch(
     """
     A pure-DP mesh using the largest device prefix whose size divides
     ``batch_size`` (the CLI path: small batches must not over-shard).
+    Stranding devices is a configuration error on a TPU slice, so a batch
+    size that does not divide the device count warns loudly with the batch
+    size that would use the full mesh.
     """
     import math
 
     if devices is None:
         devices = jax.devices()
     n = math.gcd(batch_size, len(devices))
+    if n < len(devices):
+        target = math.ceil(batch_size / len(devices)) * len(devices)
+        logger.warning(
+            "batch size %d does not divide %d devices: using only %d "
+            "device(s), %d idle. Set --batch_size %d to use the full mesh.",
+            batch_size,
+            len(devices),
+            n,
+            len(devices) - n,
+            target,
+        )
     return make_mesh(devices[:n])
 
 

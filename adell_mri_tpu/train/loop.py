@@ -37,6 +37,8 @@ class TrainLoop:
         seed: int = 42,
         eval_on_ema: bool = False,
         callbacks=(),
+        nan_guard=None,
+        nan_guard_every: int = 1,
     ):
         self.train_step = train_step
         self.eval_step = eval_step
@@ -52,6 +54,8 @@ class TrainLoop:
         self.rng = jax.random.PRNGKey(seed)
         self.eval_on_ema = eval_on_ema
         self.callbacks = list(callbacks)
+        self.nan_guard = nan_guard
+        self.nan_guard_every = max(1, int(nan_guard_every))
 
     def _put(self, batch: Dict) -> Dict:
         batch = {
@@ -64,7 +68,9 @@ class TrainLoop:
         return batch
 
     def _epoch(self, state, loader, epoch: int):
-        metric_sums: Dict[str, float] = {}
+        # metrics accumulate as device scalars (lazy adds) — converting per
+        # step would block dispatch pipelining, serializing host and device
+        metric_sums: Dict[str, jax.Array] = {}
         n = 0
         t0 = time.perf_counter()
         n_samples = 0
@@ -80,9 +86,13 @@ class TrainLoop:
             )
             for k, v in metrics.items():
                 if np.ndim(v) == 0:
-                    metric_sums[k] = metric_sums.get(k, 0.0) + float(v)
+                    metric_sums[k] = (
+                        metric_sums[k] + v if k in metric_sums else v
+                    )
+            if self.nan_guard is not None and n % self.nan_guard_every == 0:
+                self.nan_guard.check(metric_sums, state, batch, epoch, n)
         dt = time.perf_counter() - t0
-        out = {k: v / max(n, 1) for k, v in metric_sums.items()}
+        out = {k: float(v) / max(n, 1) for k, v in metric_sums.items()}
         out["samples_per_sec"] = n_samples / dt if dt > 0 else 0.0
         return state, out
 
@@ -92,7 +102,7 @@ class TrainLoop:
             if (self.eval_on_ema and state.ema_params is not None)
             else state.params
         )
-        metric_sums: Dict[str, float] = {}
+        metric_sums: Dict[str, jax.Array] = {}
         n = 0
         for batch in loader:
             batch = self._put(batch)
@@ -101,8 +111,14 @@ class TrainLoop:
             n += 1
             for k, v in metrics.items():
                 if np.ndim(v) == 0:
-                    metric_sums[k] = metric_sums.get(k, 0.0) + float(v)
-        return {f"val_{k}": v / max(n, 1) for k, v in metric_sums.items()}
+                    metric_sums[k] = (
+                        metric_sums[k] + v if k in metric_sums else v
+                    )
+            for cb in self.callbacks:
+                hook = getattr(cb, "on_validation_batch", None)
+                if hook is not None:
+                    hook(params, batch, metrics)
+        return {f"val_{k}": float(v) / max(n, 1) for k, v in metric_sums.items()}
 
     def fit(self, state, train_loader, val_loader=None):
         best = None

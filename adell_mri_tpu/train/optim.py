@@ -85,6 +85,20 @@ def get_optimizer(
     return tx
 
 
+def accumulate_gradients(
+    tx: optax.GradientTransformation, every: int
+) -> optax.GradientTransformation:
+    """
+    Gradient accumulation: the optimizer applies once every ``every`` steps
+    on the mean of the accumulated gradients (parity: Lightning
+    ``accumulate_grad_batches``, entrypoints/segmentation/train.py:793).
+    Identity when every <= 1. Memory cost: one grad-shaped accumulator.
+    """
+    if every is None or every <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=every).gradient_transformation()
+
+
 def lr_scale_by_regex(
     params, patterns: Dict[str, float]
 ) -> optax.GradientTransformation:

@@ -29,6 +29,12 @@ class TrainState(struct.PyTreeNode):
         pytree_node=False, default=None
     )
     ema_n_steps: Optional[int] = struct.field(pytree_node=False, default=None)
+    # "ema": exponential shadow; "swa": equal-weight running average of
+    # params from ``swa_start_step`` on (stochastic weight averaging —
+    # parity: the reference's Lightning --swa callback; here averaged
+    # per step inside the jit update instead of per epoch)
+    ema_mode: str = struct.field(pytree_node=False, default="ema")
+    swa_start_step: int = struct.field(pytree_node=False, default=0)
 
     @classmethod
     def create(
@@ -41,6 +47,8 @@ class TrainState(struct.PyTreeNode):
         ema_decay: float = 0.99,
         ema_final_decay: Optional[float] = None,
         ema_n_steps: Optional[int] = None,
+        ema_mode: str = "ema",
+        swa_start_step: int = 0,
     ) -> "TrainState":
         import jax.numpy as jnp  # local to keep module import light
 
@@ -56,6 +64,8 @@ class TrainState(struct.PyTreeNode):
             ema_decay=ema_decay,
             ema_final_decay=ema_final_decay,
             ema_n_steps=ema_n_steps,
+            ema_mode=ema_mode,
+            swa_start_step=swa_start_step,
         )
 
     def apply_gradients(self, grads, variables=None) -> "TrainState":
@@ -67,12 +77,22 @@ class TrainState(struct.PyTreeNode):
         new_params = optax.apply_updates(self.params, updates)
         new_ema = self.ema_params
         if self.ema_params is not None:
-            decay = ema_decay_at(
-                self.step,
-                self.ema_decay,
-                self.ema_final_decay,
-                self.ema_n_steps,
-            )
+            if self.ema_mode == "swa":
+                import jax.numpy as jnp
+
+                # equal-weight running mean from swa_start_step on; before
+                # that the shadow just tracks params (decay 0)
+                n = jnp.maximum(
+                    self.step.astype(jnp.float32) - self.swa_start_step, 0.0
+                )
+                decay = n / (n + 1.0)
+            else:
+                decay = ema_decay_at(
+                    self.step,
+                    self.ema_decay,
+                    self.ema_final_decay,
+                    self.ema_n_steps,
+                )
             new_ema = ema_update(self.ema_params, new_params, decay)
         return self.replace(
             step=self.step + 1,

@@ -22,6 +22,7 @@ from adell_mri_tpu.models.segmentation.losses import (
     binary_cross_entropy,
     cat_cross_entropy,
 )
+from adell_mri_tpu.train.precision import wrap_apply
 
 
 def _resize_to(y, spatial_shape):
@@ -47,6 +48,7 @@ def make_segmentation_step(
     n_classes: int = 2,
     train: bool = True,
     remat: bool = False,
+    precision: Optional[str] = None,
 ):
     """
     Returns ``loss_and_metrics(params, batch, rng)``. Batch keys: ``image``
@@ -54,6 +56,8 @@ def make_segmentation_step(
     ``features``. ``remat`` rematerializes the forward during backward
     (jax.checkpoint) — 3D U-Nets at full volume easily exceed HBM with
     stored activations; remat trades ~1/3 more FLOPs for O(layer) memory.
+    ``precision`` ("bf16"/"16"/...) applies the mixed-precision policy to
+    the forward (train/precision.py): bf16 convs on the MXU, f32 loss.
     """
     class_loss_fn = (
         cat_cross_entropy if n_classes > 2 else binary_cross_entropy
@@ -83,6 +87,7 @@ def make_segmentation_step(
                 **cond_kwargs,
             )
 
+        apply_fn = wrap_apply(apply_fn, precision)
         if remat and train:
             apply_fn = jax.checkpoint(apply_fn)
         out = apply_fn(params, x)
@@ -141,12 +146,17 @@ def make_classification_step(
     train: bool = True,
     batch_preprocessing=None,
     label_smoothing: Optional[float] = None,
+    precision: Optional[str] = None,
 ):
     """
     Classification loss step (parity: ClassPLABC, classification/pl.py:265).
     ``loss_fn(logits, labels) -> scalar``. Optional on-device mixup/label
     smoothing via ``batch_preprocessing`` (utils/batch_preprocessing.py:116).
     """
+    apply_fn = wrap_apply(
+        lambda params, x, **kw: model.apply({"params": params}, x, **kw),
+        precision,
+    )
 
     def loss_and_metrics(params, batch, rng):
         x = batch["image"]
@@ -155,7 +165,7 @@ def make_classification_step(
             rng, prep_rng = jax.random.split(rng)
             x, y = batch_preprocessing(prep_rng, x, y)
         rngs = {"dropout": rng, "ensemble": jax.random.fold_in(rng, 1)} if train else None
-        logits = model.apply({"params": params}, x, train=train, rngs=rngs)
+        logits = apply_fn(params, x, train=train, rngs=rngs)
         loss = loss_fn(logits, y)
         if n_classes > 2:
             acc = jnp.mean(

@@ -37,6 +37,8 @@ class AugmentPolicy:
     shear: bool = False
     flip: bool = True
     blur: bool = False
+    distort: bool = False  # elastic/grid distortion (RandGridDistortiond)
+    lowres: bool = False  # simulated low resolution (RandSimulateLowResolutiond)
     trivial: bool = False  # TrivialAugment OneOf with prob 1
     # ranges
     rotate_range: float = 0.26  # ~15 deg, MONAI default in reference
@@ -44,6 +46,9 @@ class AugmentPolicy:
     shear_range: float = 0.1
     translate_range: float = 0.0
     noise_std: float = 0.05
+    distort_prob: float = 0.2  # reference prob=0.2 (augmentations.py:51)
+    distort_magnitude: float = 2.0  # voxels, ~distort_limit 0.05 at 40vox
+    lowres_prob: float = 0.2
     flip_axes: Tuple[int, ...] = (0,)
 
     @classmethod
@@ -57,6 +62,8 @@ class AugmentPolicy:
             shear="shear" in flags,
             flip="flip" in flags,
             blur="blur" in flags,
+            distort="distort" in flags,
+            lowres="lowres" in flags,
             trivial="trivial" in flags,
             **kw,
         )
@@ -79,7 +86,20 @@ def _augment_one(
     keys = jax.random.split(key, 8)
 
     fold_flip = policy.flip and (policy.affine or policy.shear) and ndim == 3
-    if policy.affine or policy.shear:
+    # elastic distortion composes into the SAME warp as a displacement field
+    # (RandGridDistortiond parity, augmentations.py:51: limit 0.05, p=0.2);
+    # it forces the gather warp path since the shear-decomposed separable
+    # warp cannot carry a per-voxel displacement
+    displacement = None
+    if policy.distort:
+        do_distort = jax.random.bernoulli(keys[2], policy.distort_prob)
+        displacement = (
+            S.random_elastic_displacement(
+                keys[3], shape, magnitude=policy.distort_magnitude
+            )
+            * do_distort
+        )
+    if policy.affine or policy.shear or policy.distort:
         mat = S.random_affine_matrix(
             keys[0],
             shape,
@@ -93,7 +113,11 @@ def _augment_one(
             # (a negative scale through the same separable passes) instead
             # of paying a separate full-volume select+reverse
             mat = S.compose_flips(keys[1], mat, shape, policy.flip_axes)
-        if ndim == 3 and jax.devices()[0].platform in ("tpu", "axon"):
+        if (
+            displacement is None
+            and ndim == 3
+            and jax.devices()[0].platform in ("tpu", "axon")
+        ):
             # gather-free shear-decomposed warp: ~28x faster than the
             # XLA-gather path on TPU (spatial.py warp_affine_separable);
             # on CPU the plain gather wins, so it keeps that path
@@ -110,10 +134,12 @@ def _augment_one(
                 )
                 label = lab[..., 0] if label.ndim == ndim else lab
         else:
-            image = S.warp_affine(image, mat)
+            image = S.warp_affine(image, mat, displacement=displacement)
             if label is not None:
                 lab = label[..., None] if label.ndim == ndim else label
-                lab = S.warp_affine(lab, mat, method="nearest")
+                lab = S.warp_affine(
+                    lab, mat, method="nearest", displacement=displacement
+                )
                 label = lab[..., 0] if label.ndim == ndim else lab
     if policy.flip and not fold_flip:
         image_flipped = S.random_flip(keys[1], image, policy.flip_axes)
@@ -134,6 +160,10 @@ def _augment_one(
         image = I.bias_field(keys[6], image)
     if policy.blur:
         image = I.random_gaussian_smooth(keys[7], image)
+    if policy.lowres:
+        k_lr = jax.random.fold_in(keys[4], 3)
+        do_lr = jax.random.bernoulli(keys[4], policy.lowres_prob)
+        image = jnp.where(do_lr, I.low_resolution(k_lr, image), image)
     if policy.trivial and workhorse is not None:
         image = workhorse(keys[7], image)
     return image, label
@@ -420,9 +450,93 @@ class DetectionTransforms:
     """
 
     augmentations: AugmentPolicy = field(default_factory=AugmentPolicy)
+    # box re-rasterization spec: when set AND the batch carries padded
+    # corner boxes ("boxes" [B,M,2*ndim], "box_classes" [B,M],
+    # "n_boxes" [B]), geometric augmentation warps image and boxes
+    # TOGETHER (affine incl. folded flips) and re-rasterizes the anchor
+    # targets on device (parity: RandAffineWithBoxesd/RandRotateWithBoxesd,
+    # utils/monai_transforms/bounding_boxes.py:449,537)
+    anchors: Optional[object] = None
+    grid_shape: Optional[Sequence[int]] = None
+    input_shape: Optional[Sequence[int]] = None
+    n_classes: int = 2
+
+    def _augment_with_boxes(self, key, batch: Dict) -> Dict:
+        from adell_mri_tpu.models.detection.anchors import (
+            boxes_to_anchor_targets_jax,
+            transform_boxes_affine,
+        )
+
+        policy = self.augmentations
+        image = batch["image"]
+        ndim = image.ndim - 2
+        shape = image.shape[1:-1]
+        anchors = jnp.asarray(self.anchors, jnp.float32)
+
+        def one(key, image, boxes, classes, n_boxes):
+            k_mat, k_flip = jax.random.split(key)
+            mat = S.random_affine_matrix(
+                k_mat,
+                shape,
+                rotate_range=policy.rotate_range if policy.affine else 0.0,
+                scale_range=policy.scale_range if policy.affine else 0.0,
+                shear_range=policy.shear_range if policy.shear else 0.0,
+                translate_range=policy.translate_range,
+            )
+            if policy.flip:
+                mat = S.compose_flips(k_flip, mat, shape, policy.flip_axes)
+            if ndim == 3 and jax.devices()[0].platform in ("tpu", "axon"):
+                max_shift = S.separable_max_shift(
+                    shape,
+                    policy.rotate_range if policy.affine else 0.0,
+                    policy.shear_range if policy.shear else 0.0,
+                )
+                image = S.warp_affine_separable(
+                    image, mat, max_shift=max_shift
+                )
+            else:
+                image = S.warp_affine(image, mat)
+            valid = jnp.arange(boxes.shape[0]) < n_boxes
+            boxes, valid = transform_boxes_affine(boxes, mat, valid, shape)
+            obj, ctr, sz, cls = boxes_to_anchor_targets_jax(
+                boxes,
+                classes,
+                valid,
+                tuple(self.grid_shape),
+                anchors,
+                tuple(self.input_shape or shape),
+                n_classes=self.n_classes,
+            )
+            return image, obj, ctr, sz, cls
+
+        b = image.shape[0]
+        keys = jax.random.split(key, b)
+        image, obj, ctr, sz, cls = jax.vmap(one)(
+            keys,
+            image,
+            batch["boxes"],
+            batch["box_classes"],
+            batch["n_boxes"],
+        )
+        out = dict(batch)
+        out.update(
+            image=_batch_intensity(jax.random.fold_in(key, 91), image, policy),
+            objectness=obj,
+            center_offsets=ctr,
+            sizes=sz,
+            classes=cls,
+        )
+        return out
 
     def augment(self, key, batch: Dict) -> Dict:
         policy = self.augmentations
+        if (
+            (policy.affine or policy.shear)
+            and self.anchors is not None
+            and self.grid_shape is not None
+            and "boxes" in batch
+        ):
+            return self._augment_with_boxes(key, batch)
         out = dict(batch)
         image = batch["image"]
         ndim = image.ndim - 2

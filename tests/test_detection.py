@@ -174,3 +174,111 @@ def test_detection_transforms_flip_consistency():
                 np.testing.assert_allclose(
                     np.asarray(out["center_offsets"][b]), exp, atol=1e-6
                 )
+
+
+def test_boxes_to_anchor_targets_jax_matches_host():
+    """On-device rasterizer == host rasterizer (channels-last layout)."""
+    from adell_mri_tpu.models.detection import boxes_to_anchor_targets_jax
+
+    boxes = np.asarray(
+        [[4.0, 4.0, 2.0, 10.0, 10.0, 6.0], [16.0, 8.0, 4.0, 28.0, 20.0, 10.0]],
+        np.float32,
+    )
+    classes = np.asarray([1.0, 1.0], np.float32)
+    grid, inp = (8, 8, 4), (32, 32, 16)
+    obj_h, ctr_h, sz_h, cls_h = boxes_to_anchor_targets(
+        boxes, classes, grid, ANCHORS, inp
+    )
+    # pad and rasterize on device
+    M = 5
+    bp = np.zeros((M, 6), np.float32)
+    cp = np.zeros((M,), np.float32)
+    bp[:2], cp[:2] = boxes, classes
+    valid = jnp.arange(M) < 2
+    obj, ctr, sz, cls = jax.jit(
+        lambda b, c, v: boxes_to_anchor_targets_jax(
+            b, c, v, grid, ANCHORS, inp
+        )
+    )(jnp.asarray(bp), jnp.asarray(cp), valid)
+    np.testing.assert_allclose(np.asarray(obj), np.moveaxis(obj_h, 0, -1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ctr), np.moveaxis(ctr_h, 0, -1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sz), np.moveaxis(sz_h, 0, -1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cls), np.moveaxis(cls_h, 0, -1), atol=1e-6)
+
+
+def test_transform_boxes_affine_follows_content():
+    """A bright blob inside a box stays inside the transformed box after a
+    rotation warp (RandAffineWithBoxesd parity)."""
+    from adell_mri_tpu.models.detection import transform_boxes_affine
+    from adell_mri_tpu.transforms import spatial as S
+
+    shape = (24, 24, 12)
+    img = jnp.zeros(shape + (1,))
+    box = jnp.asarray([[14.0, 6.0, 4.0, 20.0, 12.0, 8.0]])
+    img = img.at[15:20, 7:12, 5:8, 0].set(1.0)
+    # 30-degree rotation about the z-pair + small scale
+    mat = (
+        S.center_matrix(shape, +1.0)
+        @ S.rotation_matrix(3, jnp.asarray([0.5, 0.0, 0.0]))
+        @ S.center_matrix(shape, -1.0)
+    )
+    warped = S.warp_affine(img, mat)
+    new_box, valid = transform_boxes_affine(
+        box, mat, jnp.asarray([True]), shape
+    )
+    assert bool(valid[0])
+    w = np.asarray(warped)[..., 0]
+    coords = np.argwhere(w > 0.5)
+    com = coords.mean(0)
+    nb = np.asarray(new_box[0])
+    assert np.all(com >= nb[:3] - 0.5) and np.all(com <= nb[3:] + 0.5)
+    # mass is preserved-ish (content did not vanish)
+    assert w.sum() > 0.5 * float(img.sum())
+
+
+def test_detection_transforms_affine_with_boxes():
+    """DetectionTransforms with affine: warped image + re-rasterized targets
+    stay consistent — decoding the augmented targets gives a box that covers
+    the augmented image blob."""
+    from adell_mri_tpu.transforms import AugmentPolicy
+    from adell_mri_tpu.transforms.pipeline import DetectionTransforms
+
+    shape, grid = (24, 24, 12), (6, 6, 3)
+    img = np.zeros((2,) + shape + (1,), np.float32)
+    img[:, 8:16, 8:16, 4:8, 0] = 1.0
+    box = np.zeros((2, 4, 6), np.float32)
+    box[:, 0] = [8.0, 8.0, 4.0, 16.0, 16.0, 8.0]
+    batch = {
+        "image": jnp.asarray(img),
+        "boxes": jnp.asarray(box),
+        "box_classes": jnp.ones((2, 4), jnp.float32),
+        "n_boxes": jnp.asarray([1, 1], jnp.int32),
+        # stale pre-aug targets that the augment must overwrite
+        "objectness": jnp.zeros((2,) + grid + (len(ANCHORS),)),
+        "center_offsets": jnp.zeros((2,) + grid + (len(ANCHORS) * 3,)),
+        "sizes": jnp.zeros((2,) + grid + (len(ANCHORS) * 3,)),
+        "classes": jnp.zeros((2,) + grid + (1,)),
+    }
+    tf = DetectionTransforms(
+        augmentations=AugmentPolicy.from_flags(
+            ["affine", "flip"], rotate_range=0.4, scale_range=0.1
+        ),
+        anchors=ANCHORS,
+        grid_shape=grid,
+        input_shape=shape,
+    )
+    out = jax.jit(tf.augment)(jax.random.PRNGKey(3), batch)
+    for b in range(2):
+        obj = np.moveaxis(np.asarray(out["objectness"][b]), -1, 0)
+        ctr = np.moveaxis(np.asarray(out["center_offsets"][b]), -1, 0)
+        sz = np.moveaxis(np.asarray(out["sizes"][b]), -1, 0)
+        assert obj.sum() == 1  # one box survived
+        dec, _ = anchor_targets_to_boxes(
+            obj, ctr, sz, ANCHORS, input_shape=shape, threshold=0.5
+        )
+        w = np.asarray(out["image"][b, ..., 0])
+        coords = np.argwhere(w > 0.5)
+        assert len(coords) > 0
+        com = coords.mean(0)
+        assert np.all(com >= dec[0][:3] - 1.5)
+        assert np.all(com <= dec[0][3:] + 1.5)

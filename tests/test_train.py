@@ -99,3 +99,137 @@ def test_segmentation_train_step_learns():
         state.ema_params,
     )
     assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_mixed_precision_step_bf16():
+    """bf16 policy: forward computes in bf16, params/grads stay f32,
+    loss decreases; outputs of the wrapped apply are f32."""
+    from adell_mri_tpu.train.precision import compute_dtype, wrap_apply
+
+    assert compute_dtype("32") is None
+    assert compute_dtype("bf16-mixed") == jnp.bfloat16
+    assert compute_dtype("16") == jnp.bfloat16
+    with pytest.raises(ValueError):
+        compute_dtype("int8")
+
+    model = UNet(
+        spatial_dimensions=3,
+        norm_type="instance",
+        dropout_param=0.0,
+        depth=(4, 8),
+        kernel_sizes=(3, 3),
+        strides=(2, 2),
+    )
+    x = jnp.zeros((2, 8, 8, 8, 1)).at[:, 2:6, 2:6, 2:6].set(1.0)
+    y = jnp.zeros((2, 8, 8, 8)).at[:, 2:6, 2:6, 2:6].set(1.0)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+
+    seen_dtypes = {}
+
+    def apply_fn(p, xx):
+        seen_dtypes["x"] = xx.dtype
+        out, _ = model.apply({"params": p}, xx)
+        return out
+
+    wrapped = wrap_apply(apply_fn, "bf16")
+    out = wrapped(params, x)
+    assert seen_dtypes["x"] == jnp.bfloat16
+    assert out.dtype == jnp.float32
+
+    tx = get_optimizer("adamw", learning_rate=5e-3, params=params)
+    state = TrainState.create(model.apply, params, tx)
+    loss = CompoundLoss({"dice": binary_generalized_dice_loss})
+    step = make_train_step(
+        make_segmentation_step(model, loss, precision="bf16")
+    )
+    batch = {"image": x, "label": y}
+    losses = []
+    for _ in range(10):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    # master params still f32
+    assert all(
+        p.dtype == jnp.float32
+        for p in jax.tree.leaves(state.params)
+        if jnp.issubdtype(p.dtype, jnp.floating)
+    )
+
+
+def test_gradient_accumulation_matches_big_batch():
+    """MultiSteps over k microbatches == one step on the concatenated batch
+    (SGD without momentum is linear in the gradient)."""
+    from adell_mri_tpu.train.optim import accumulate_gradients
+
+    import optax
+
+    w0 = {"w": jnp.ones((2,))}
+
+    def loss_fn(params, batch, rng):
+        loss = jnp.mean((params["w"] * batch["image"]) ** 2)
+        return loss, {"loss": loss}
+
+    xs = jnp.arange(8.0).reshape(4, 2)
+
+    # accumulated: 2 microbatches of 2
+    tx = accumulate_gradients(optax.sgd(0.1), 2)
+    state = TrainState.create(None, w0, tx)
+    step = make_train_step(loss_fn, donate=False)
+    for i in range(2):
+        batch = {"image": xs[2 * i : 2 * i + 2]}
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+
+    # single big batch
+    tx2 = optax.sgd(0.1)
+    state2 = TrainState.create(None, w0, tx2)
+    step2 = make_train_step(loss_fn, donate=False)
+    state2, _ = step2(state2, {"image": xs}, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(
+        np.asarray(state.params["w"]), np.asarray(state2.params["w"]),
+        rtol=1e-6,
+    )
+
+
+def test_swa_mode_equal_weight_average():
+    """SWA shadow = running mean of params after swa_start_step; before it,
+    the shadow tracks params exactly."""
+    import optax
+
+    w0 = {"w": jnp.zeros(())}
+
+    def loss_fn(params, batch, rng):
+        # constant gradient of -1 -> params increase by lr each step
+        loss = -params["w"]
+        return loss, {"loss": loss}
+
+    tx = optax.sgd(1.0)
+    state = TrainState.create(
+        None, w0, tx, with_ema=True, ema_mode="swa", swa_start_step=3
+    )
+    step = make_train_step(loss_fn, donate=False)
+    for _ in range(6):
+        state, _ = step(state, {"x": jnp.zeros(1)}, jax.random.PRNGKey(0))
+    # params after update k: k (k=1..6). SWA samples the params produced by
+    # updates with step counter >= swa_start_step=3, i.e. params 4, 5, 6;
+    # shadow = mean(4,5,6) = 5.0; before that it tracks params exactly.
+    assert float(state.params["w"]) == pytest.approx(6.0)
+    assert float(state.ema_params["w"]) == pytest.approx(5.0)
+
+
+def test_nan_guard_dumps_and_raises(tmp_path):
+    from adell_mri_tpu.train.nan_guard import NaNGuard
+
+    guard = NaNGuard(dump_dir=str(tmp_path))
+    state = TrainState.create(
+        None, {"w": jnp.ones(3)}, __import__("optax").sgd(0.1)
+    )
+    batch = {"image": jnp.ones((2, 4))}
+    # finite loss: no-op
+    guard.check({"loss": jnp.asarray(1.0)}, state, batch, 0, 1)
+    with pytest.raises(FloatingPointError):
+        guard.check({"loss": jnp.asarray(np.nan)}, state, batch, 0, 2)
+    dumps = list(tmp_path.glob("nan_dump_*.npz"))
+    assert len(dumps) == 1
+    data = np.load(dumps[0])
+    assert data["image"].shape == (2, 4)

@@ -126,3 +126,43 @@ def test_ssl_two_views():
     assert out["view1"].shape == (2, 8, 8, 4, 1)
     assert out["view2"].shape == (2, 8, 8, 4, 1)
     assert not np.allclose(np.asarray(out["view1"]), np.asarray(out["view2"]))
+
+
+def test_augment_distort_and_lowres_wired():
+    """distort composes an elastic displacement into the warp (label stays
+    consistent: binary, same support size roughly); lowres smooths only the
+    image. Both parse from flags."""
+    from adell_mri_tpu.transforms.pipeline import (
+        AugmentPolicy,
+        SegmentationTransforms,
+    )
+
+    policy = AugmentPolicy.from_flags(
+        ["distort", "lowres", "affine"],
+        distort_prob=1.0,
+        lowres_prob=1.0,
+        flip_axes=(0,),
+    )
+    assert policy.distort and policy.lowres
+    tf = SegmentationTransforms(augmentations=policy)
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(2, 12, 12, 8, 1)).astype(np.float32)
+    lab = np.zeros((2, 12, 12, 8), np.float32)
+    lab[:, 4:8, 4:8, 2:6] = 1.0
+    batch = {"image": jnp.asarray(img), "label": jnp.asarray(lab)}
+    out = jax.jit(tf.augment)(jax.random.PRNGKey(0), batch)
+    assert out["image"].shape == img.shape
+    assert out["label"].shape == lab.shape
+    # label stays binary under nearest-neighbour warp
+    uniq = np.unique(np.asarray(out["label"]))
+    assert set(uniq.tolist()) <= {0.0, 1.0}
+    # the warped label still has foreground (small elastic field)
+    assert np.asarray(out["label"]).sum() > 0
+    # distort actually moved something vs identity policy
+    identity = SegmentationTransforms(
+        augmentations=AugmentPolicy(
+            intensity=False, noise=False, affine=False, flip=False
+        )
+    )
+    out_id = jax.jit(identity.augment)(jax.random.PRNGKey(0), batch)
+    assert not np.allclose(np.asarray(out["image"]), np.asarray(out_id["image"]))
