@@ -25,6 +25,8 @@ from adell_mri_tpu.models.segmentation import (
     UNetPlusPlus,
 )
 from adell_mri_tpu.models.ssl import (
+    DINO,
+    IBOT,
     IJEPA,
     NonContrastiveWrapper,
     ViTMaskedAutoEncoder,
@@ -227,6 +229,27 @@ def get_ssl_network(
             n_heads=cfg.get("n_heads", 4),
             predictor_dim=cfg.get("predictor_dim", 96),
             predictor_blocks=cfg.get("predictor_blocks", 2),
+        )
+    if ssl_method == "dino":
+        return DINO(
+            patch_size=tuple(cfg.get("patch_size", (4, 4, 4))),
+            embed_dim=cfg.get("embed_dim", 192),
+            n_blocks=cfg.get("n_blocks", 4),
+            n_heads=cfg.get("n_heads", 4),
+            out_dim=cfg.get("out_dim", 4096),
+            hidden_dim=cfg.get("hidden_dim", 512),
+            bottleneck_dim=cfg.get("bottleneck_dim", 128),
+        )
+    if ssl_method == "ibot":
+        return IBOT(
+            patch_size=tuple(cfg.get("patch_size", (4, 4, 4))),
+            embed_dim=cfg.get("embed_dim", 192),
+            n_blocks=cfg.get("n_blocks", 4),
+            n_heads=cfg.get("n_heads", 4),
+            out_dim=cfg.get("out_dim", 4096),
+            hidden_dim=cfg.get("hidden_dim", 512),
+            bottleneck_dim=cfg.get("bottleneck_dim", 128),
+            n_mask_blocks=cfg.get("n_mask_blocks", 4),
         )
     if ssl_method == "mae":
         return ViTMaskedAutoEncoder(

@@ -133,6 +133,7 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "ssl_method": dict(default="vicreg", choices=["simsiam", "byol", "vicreg", "vicregl", "barlow_twins", "simclr", "dino", "ibot", "mae", "ijepa"], help="SSL method"),
     "ema": dict(action="store_true", help="EMA teacher"),
     "stop_gradient": dict(action="store_true", help="Stop gradient on target branch"),
+    "n_local_crops": dict(default=0, type=int, help="DINO multi-crop: number of extra small student views"),
     # prediction
     "output_path": dict(default="output", help="Output path"),
     "prediction_ids": dict(default=None, nargs="+", help="IDs to predict"),

@@ -26,10 +26,13 @@ from adell_mri_tpu.train.checkpoints import CheckpointManager
 from adell_mri_tpu.train.logging_utils import MetricLogger
 from adell_mri_tpu.train.loop import TrainLoop
 from adell_mri_tpu.train.ssl_steps import (
+    make_dino_step,
+    make_ibot_step,
     make_ijepa_step,
     make_mae_step,
     make_ssl_train_step,
     make_two_view_step,
+    make_vicregl_step,
 )
 from adell_mri_tpu.transforms import SSLTransforms
 from adell_mri_tpu.utils import get_logger
@@ -70,6 +73,7 @@ ARG_KEYS = [
     "ssl_method",
     "ema",
     "stop_gradient",
+    "n_local_crops",
 ]
 
 
@@ -112,6 +116,12 @@ def main(arguments):
         target_spacing=args.target_spacing,
         target_size=base_size,
         crop_size=crop_size,
+        # VICRegL matches local features by absolute position, so views
+        # must expose their crop warp matrices
+        expose_boxes=args.ssl_method == "vicregl",
+        n_local_crops=args.n_local_crops
+        if args.ssl_method == "dino"
+        else 0,
     )
     datalist = data.to_datalist()
     ds = CachedVolumeDataset(
@@ -135,11 +145,30 @@ def main(arguments):
     if args.ssl_method in ("mae", "ijepa"):
         rngs["masking"] = jax.random.PRNGKey(args.seed + 1)
         init_vars = model.init(rngs, x0, rng=jax.random.PRNGKey(0))
+    elif args.ssl_method == "ibot":
+        rngs["masking"] = jax.random.PRNGKey(args.seed + 1)
+        init_vars = model.init(rngs, x0, mask=True)
+    elif args.ssl_method == "vicregl":
+        init_vars = model.init(rngs, x0, ret="local")
     else:
         init_vars = model.init(rngs, x0)
     params = init_vars["params"]
     # mutable collections (batch-norm running stats) travel in the state
     variables = {k: v for k, v in init_vars.items() if k != "params"} or None
+    # DINO/iBOT prototype centers ride in the state's variables and are
+    # updated inside the jit step (the reference's async all_reduce
+    # centering, losses/dino.py:121)
+    import jax.numpy as jnp
+
+    out_dim = net_cfg.get("out_dim", 4096)
+    if args.ssl_method == "dino":
+        variables = {**(variables or {}), "dino_center": jnp.zeros(out_dim)}
+    elif args.ssl_method == "ibot":
+        variables = {
+            **(variables or {}),
+            "ibot_center_global": jnp.zeros(out_dim),
+            "ibot_center_mask": jnp.zeros(out_dim),
+        }
 
     steps_per_epoch = max(len(loader), 1)
     schedule = cosine_annealing_with_warmup(
@@ -155,7 +184,7 @@ def main(arguments):
         clip_norm=args.gradient_clip_val,
         params=params,
     )
-    use_ema = args.ema or args.ssl_method in ("byol", "ijepa", "dino")
+    use_ema = args.ema or args.ssl_method in ("byol", "ijepa", "dino", "ibot")
     with mesh:
         params = shard_params(params, mesh)
         state = TrainState.create(
@@ -171,6 +200,12 @@ def main(arguments):
         lm = make_mae_step(model)
     elif args.ssl_method == "ijepa":
         lm = make_ijepa_step(model)
+    elif args.ssl_method == "dino":
+        lm = make_dino_step(model)
+    elif args.ssl_method == "ibot":
+        lm = make_ibot_step(model)
+    elif args.ssl_method == "vicregl":
+        lm = make_vicregl_step(model)
     else:
         lm = make_two_view_step(
             model,

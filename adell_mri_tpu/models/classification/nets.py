@@ -82,7 +82,13 @@ class CatNet(nn.Module):
     feature_extraction: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_features: bool = False):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        return_features: bool = False,
+        return_feature_map: bool = False,
+    ):
         adn = get_adn_fn(
             self.spatial_dimensions,
             self.norm_type,
@@ -96,7 +102,11 @@ class CatNet(nn.Module):
             res_type=self.res_type,
             batch_ensemble=self.batch_ensemble,
         )
-        feats = GlobalPooling()(backbone(x, train=train))
+        fmap = backbone(x, train=train)
+        if return_feature_map:
+            # spatial feature map [B, *g, F] (VICRegL local features)
+            return fmap
+        feats = GlobalPooling()(fmap)
         if return_features or self.feature_extraction:
             return feats
         d = feats.shape[-1]

@@ -5,6 +5,8 @@ from adell_mri_tpu.models.ssl.masking import (
     get_masker,
 )
 from adell_mri_tpu.models.ssl.nets import (
+    DINO,
+    IBOT,
     ViTMaskedAutoEncoder,
     ConvNeXtAutoEncoder,
     IJEPA,
@@ -17,6 +19,8 @@ __all__ = [
     "random_masking",
     "block_masking",
     "get_masker",
+    "DINO",
+    "IBOT",
     "ViTMaskedAutoEncoder",
     "ConvNeXtAutoEncoder",
     "IJEPA",

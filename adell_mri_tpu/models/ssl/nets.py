@@ -65,13 +65,29 @@ class NonContrastiveWrapper(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, ret: str = "prediction"):
-        feats = self.backbone(x, train=train, return_features=True)
-        proj = feats
-        for i, d in enumerate(self.projection_dims):
-            proj = nn.Dense(d, name=f"proj_{i}")(proj)
-            if i < len(self.projection_dims) - 1:
-                proj = nn.relu(proj)
-        proj = nn.LayerNorm(name="proj_norm")(proj)
+        local = None
+        if ret == "local":
+            # VICRegL: spatial feature map projected position-wise with the
+            # SAME projector weights (Dense applies on the last axis)
+            local = self.backbone(x, train=train, return_feature_map=True)
+            feats = jnp.mean(local, axis=tuple(range(1, local.ndim - 1)))
+        else:
+            feats = self.backbone(x, train=train, return_features=True)
+        proj_layers = [
+            nn.Dense(d, name=f"proj_{i}")
+            for i, d in enumerate(self.projection_dims)
+        ]
+
+        def project(y):
+            for i, layer in enumerate(proj_layers):
+                y = layer(y)
+                if i < len(proj_layers) - 1:
+                    y = nn.relu(y)
+            return y
+
+        proj = nn.LayerNorm(name="proj_norm")(project(feats))
+        if ret == "local":
+            return proj, project(local)
         pred = proj
         for i, d in enumerate(self.prediction_dims):
             pred = nn.Dense(d, name=f"pred_{i}")(pred)
@@ -252,3 +268,108 @@ class IJEPA(nn.Module):
         return TransformerBlockStack(
             self.n_blocks, self.n_heads, name="target_encoder"
         )(tokens, train=False)
+
+
+class DINO(nn.Module):
+    """
+    DINO network (parity: self_supervised/dino.py:16): ViT encoder ->
+    projection MLP -> L2 norm -> weight-normalized prototypes. Sinusoidal
+    (non-learnable) positions so the SAME params serve global and local
+    crops of different sizes (multi-crop training, DINOPL pl.py:1130).
+    """
+
+    patch_size: Sequence[int] = (4, 4, 4)
+    embed_dim: int = 192
+    n_blocks: int = 4
+    n_heads: int = 4
+    out_dim: int = 4096
+    hidden_dim: int = 512
+    bottleneck_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ndim = x.ndim - 2
+        tokens = LinearEmbedding(
+            patch_size=tuple(self.patch_size[:ndim]),
+            embed_dim=self.embed_dim,
+            embed_method="convolutional",
+            learnable_embedding=False,
+            name="embed",
+        )(x, train=train)
+        enc = TransformerBlockStack(
+            self.n_blocks, self.n_heads, name="encoder"
+        )(tokens, train=train)
+        pooled = jnp.mean(enc, axis=1)
+        return DINOHead(
+            out_dim=self.out_dim,
+            hidden_dim=self.hidden_dim,
+            bottleneck_dim=self.bottleneck_dim,
+            name="head",
+        )(pooled, train=train)
+
+
+class IBOT(nn.Module):
+    """
+    iBOT (parity: self_supervised/ibot.py:16 + iBOTPL pl.py:1243): ViT
+    encoder whose patch tokens are partially replaced by a learned mask
+    token; a shared DINO head scores EVERY token against the prototypes.
+
+    ``__call__(x, mask=..., train=...)`` returns
+    (reduced [B, out_dim], token_logits [B, N, out_dim], mask [B, N]) —
+    reduced is the mean of token logits (reference reduce_fn="mean",
+    ibot.py reduce). Per-sample block masks (utils/masking.py parity) are
+    drawn from the "masking" rng stream; static shapes throughout
+    (multiplicative mask-token replacement, no gathers).
+    """
+
+    patch_size: Sequence[int] = (4, 4, 4)
+    embed_dim: int = 192
+    n_blocks: int = 4
+    n_heads: int = 4
+    out_dim: int = 4096
+    hidden_dim: int = 512
+    bottleneck_dim: int = 128
+    n_mask_blocks: int = 4
+
+    @nn.compact
+    def __call__(self, x, mask: bool = False, train: bool = False, rng=None):
+        from adell_mri_tpu.models.ssl.masking import block_masking
+
+        ndim = x.ndim - 2
+        p = tuple(self.patch_size[:ndim])
+        grid = [s // pi for s, pi in zip(x.shape[1:-1], p)]
+        b = x.shape[0]
+        tokens = LinearEmbedding(
+            patch_size=p,
+            embed_dim=self.embed_dim,
+            embed_method="convolutional",
+            learnable_embedding=False,
+            name="embed",
+        )(x, train=train)
+        n = tokens.shape[1]
+        if mask:
+            if rng is None:
+                rng = self.make_rng("masking")
+            masks = jax.vmap(
+                lambda k: block_masking(k, grid, n_blocks=self.n_mask_blocks)
+            )(jax.random.split(rng, b))  # [B, N]
+            mask_token = self.param(
+                "mask_token",
+                nn.initializers.normal(0.02),
+                (1, 1, self.embed_dim),
+            )
+            m = masks[..., None]
+            tokens = tokens * (1 - m) + mask_token * m
+        else:
+            masks = jnp.zeros((b, n))
+        enc = TransformerBlockStack(
+            self.n_blocks, self.n_heads, name="encoder"
+        )(tokens, train=train)
+        token_logits = DINOHead(
+            out_dim=self.out_dim,
+            hidden_dim=self.hidden_dim,
+            bottleneck_dim=self.bottleneck_dim,
+            name="head",
+        )(enc, train=train)
+        reduced = jnp.mean(token_logits, axis=1)
+        return reduced, token_logits, masks

@@ -122,14 +122,19 @@ def make_ssl_train_step(loss_and_metrics: Callable):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
-def make_dino_step(model, head_apply=None, use_sinkhorn: bool = False,
-                   student_temp: float = 0.1, teacher_temp: float = 0.04):
+def make_dino_step(model, use_sinkhorn: bool = False,
+                   student_temp: float = 0.1, teacher_temp: float = 0.04,
+                   center_momentum: float = 0.9):
     """
-    DINO step (parity: DINOPL, self_supervised/pl.py:1130): student sees both
-    views, EMA teacher sees both views, cross-view CE with centering carried
-    in the batch dict as ``center``. Returns
-    ``loss_and_metrics(params, batch, rng, ema_params)`` whose metrics dict
-    includes the updated center under "new_center".
+    DINO multi-crop step (parity: DINOPL, self_supervised/pl.py:1130 +
+    DinoLoss dino.py:121). Teacher (EMA params) sees the two GLOBAL views;
+    the student sees both global views and every local crop in
+    ``batch["local_crops"]`` ([B, n_local, *small_S, C], built by
+    SSLTransforms with n_local_crops > 0). Loss = mean CE over all
+    (teacher view i, student view j != i) pairs. The prototype center is
+    carried in the train state's ``variables`` under "dino_center" and
+    updated here (the reference's async all_reduce centering becomes a
+    global batch mean under pjit).
     """
 
     def forward(params, x, rng):
@@ -138,22 +143,192 @@ def make_dino_step(model, head_apply=None, use_sinkhorn: bool = False,
         )
 
     def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
-        v1, v2, center = batch["view1"], batch["view2"], batch["center"]
-        r1, r2 = jax.random.split(rng)
+        v_global = [batch["view1"], batch["view2"]]
+        variables = dict(variables or {})
+        center = variables.get("dino_center")
+        if center is None:
+            raise ValueError(
+                "DINO needs variables={'dino_center': zeros(out_dim)} in the"
+                " train state"
+            )
+        teacher_params = (
+            ema_params if ema_params is not None else params
+        )
+        keys = jax.random.split(rng, 8)
+        t_out = [
+            jax.lax.stop_gradient(forward(teacher_params, v, keys[i]))
+            for i, v in enumerate(v_global)
+        ]
+        s_out = [forward(params, v, keys[2 + i]) for i, v in enumerate(v_global)]
+        locals_ = batch.get("local_crops")
+        s_local = []
+        if locals_ is not None:
+            for i in range(locals_.shape[1]):
+                s_local.append(
+                    forward(params, locals_[:, i], jax.random.fold_in(keys[4], i))
+                )
+        total = 0.0
+        n_pairs = 0
+        new_center = jnp.zeros_like(center)
+        for ti, t in enumerate(t_out):
+            for si, s in enumerate(s_out):
+                if si == ti:
+                    continue
+                l, c = L.dino_loss(
+                    s, t, center, student_temp, teacher_temp,
+                    center_momentum=center_momentum,
+                    use_sinkhorn=use_sinkhorn,
+                )
+                total, n_pairs, new_center = total + l, n_pairs + 1, new_center + c
+            for s in s_local:
+                l, c = L.dino_loss(
+                    s, t, center, student_temp, teacher_temp,
+                    center_momentum=center_momentum,
+                    use_sinkhorn=use_sinkhorn,
+                )
+                total, n_pairs, new_center = total + l, n_pairs + 1, new_center + c
+        loss = total / max(n_pairs, 1)
+        variables["dino_center"] = new_center / max(n_pairs, 1)
+        return loss, {"loss": loss, "_variables": variables}
+
+    return loss_and_metrics
+
+
+def make_ibot_step(model, student_temp: float = 0.1,
+                   teacher_temp: float = 0.04, center_momentum: float = 0.9):
+    """
+    iBOT step (parity: iBOTPL, self_supervised/pl.py:1243): students see
+    MASKED views, the EMA teacher sees the same views unmasked; a global
+    DINO loss on the reduced logits (cross-view) plus a token-level DINO
+    loss at the masked positions (same view). Two separate centers ride in
+    the state's variables ("ibot_center_global"/"ibot_center_mask"),
+    matching the reference's two DinoLoss instances (loss_global/loss_mask).
+    """
+
+    def forward(params, x, rng, mask):
+        return model.apply(
+            {"params": params},
+            x,
+            mask=mask,
+            train=True,
+            rngs={"dropout": rng, "masking": jax.random.fold_in(rng, 7)},
+        )
+
+    def token_ce(s_tok, t_tok, m, center):
+        t_probs = jax.nn.softmax((t_tok - center) / teacher_temp, axis=-1)
+        s_logp = jax.nn.log_softmax(s_tok / student_temp, axis=-1)
+        ce = -jnp.sum(t_probs * s_logp, axis=-1)  # [B, N]
+        return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
+        v1, v2 = batch["view1"], batch["view2"]
+        variables = dict(variables or {})
+        cg = variables.get("ibot_center_global")
+        cm = variables.get("ibot_center_mask")
+        if cg is None or cm is None:
+            raise ValueError(
+                "iBOT needs variables with ibot_center_global and "
+                "ibot_center_mask zeros(out_dim)"
+            )
         teacher_params = ema_params if ema_params is not None else params
-        s1, s2 = forward(params, v1, r1), forward(params, v2, r2)
-        t1 = forward(teacher_params, v1, r1)
-        t2 = forward(teacher_params, v2, r2)
-        l1, c1 = L.dino_loss(
-            s1, t2, center, student_temp, teacher_temp,
-            use_sinkhorn=use_sinkhorn,
+        r1, r2 = jax.random.split(rng)
+        s_red1, s_tok1, m1 = forward(params, v1, r1, True)
+        s_red2, s_tok2, m2 = forward(params, v2, r2, True)
+        t_red1, t_tok1, _ = forward(teacher_params, v1, r1, False)
+        t_red2, t_tok2, _ = forward(teacher_params, v2, r2, False)
+        t_red1, t_tok1, t_red2, t_tok2 = jax.tree.map(
+            jax.lax.stop_gradient, (t_red1, t_tok1, t_red2, t_tok2)
         )
-        l2, c2 = L.dino_loss(
-            s2, t1, center, student_temp, teacher_temp,
-            use_sinkhorn=use_sinkhorn,
+        # global: cross-view DINO CE on reduced logits
+        lg1, c1 = L.dino_loss(
+            s_red1, t_red2, cg, student_temp, teacher_temp,
+            center_momentum=center_momentum,
         )
-        loss = 0.5 * (l1 + l2)
-        return loss, {"loss": loss, "new_center": 0.5 * (c1 + c2)}
+        lg2, c2 = L.dino_loss(
+            s_red2, t_red1, cg, student_temp, teacher_temp,
+            center_momentum=center_momentum,
+        )
+        loss_global = 0.5 * (lg1 + lg2)
+        # mask: token-level CE at masked positions, same view
+        loss_mask = 0.5 * (
+            token_ce(s_tok1, t_tok1, m1, cm) + token_ce(s_tok2, t_tok2, m2, cm)
+        )
+        tok_mean = 0.5 * (
+            jnp.mean(t_tok1, axis=(0, 1)) + jnp.mean(t_tok2, axis=(0, 1))
+        )
+        variables["ibot_center_global"] = 0.5 * (c1 + c2)
+        variables["ibot_center_mask"] = (
+            cm * center_momentum + tok_mean * (1 - center_momentum)
+        )
+        loss = loss_global + loss_mask
+        return loss, {
+            "loss": loss,
+            "loss_global": loss_global,
+            "loss_mask": loss_mask,
+            "_variables": variables,
+        }
+
+    return loss_and_metrics
+
+
+def make_vicregl_step(model, alpha: float = 0.75, top_k: int = 4,
+                      loss_kwargs: Optional[dict] = None):
+    """
+    VICRegL step (parity: VICRegLocalLoss, self_supervised/losses/vicreg.py:168
+    + the ExposeTransformKeyMetad crop-box plumbing,
+    transform_factory/augmentations.py:401-526). Requires batches built by
+    SSLTransforms(expose_boxes=True): each view carries its crop warp matrix
+    ("view{i}_mat", [B, ndim+1, ndim+1], output-voxel -> input-volume), from
+    which the absolute input-volume coordinate of every local feature is
+    computed; local features are matched by nearest coordinates both ways.
+    """
+    loss_kwargs = loss_kwargs or {}
+
+    def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
+        v1, v2 = batch["view1"], batch["view2"]
+        m1, m2 = batch["view1_mat"], batch["view2_mat"]
+        r1, r2 = jax.random.split(rng)
+        z1, l1 = model.apply(
+            {"params": params}, v1, train=True, ret="local",
+            rngs={"dropout": r1},
+        )
+        z2, l2 = model.apply(
+            {"params": params}, v2, train=True, ret="local",
+            rngs={"dropout": r2},
+        )
+
+        def coords(local, view_shape, mat):
+            # local: [B, *g, F] -> centers of each feature cell mapped
+            # through the view's warp matrix into input-volume coords
+            g = local.shape[1:-1]
+            ndim = len(g)
+            stride = jnp.asarray(
+                [s / gi for s, gi in zip(view_shape, g)], jnp.float32
+            )
+            mesh = jnp.stack(
+                jnp.meshgrid(
+                    *[jnp.arange(gi, dtype=jnp.float32) for gi in g],
+                    indexing="ij",
+                ),
+                axis=-1,
+            ).reshape(-1, ndim)  # [N, ndim]
+            centers = mesh * stride + stride / 2.0
+            homo = jnp.concatenate(
+                [centers, jnp.ones((centers.shape[0], 1))], axis=-1
+            )
+            # mat is per-sample [B, ndim+1, ndim+1]
+            return jnp.einsum("bij,nj->bni", mat, homo)[..., :ndim]
+
+        ndim = v1.ndim - 2
+        c1 = coords(l1, v1.shape[1:-1], m1)
+        c2 = coords(l2, v2.shape[1:-1], m2)
+        flat1 = l1.reshape(l1.shape[0], -1, l1.shape[-1])
+        flat2 = l2.reshape(l2.shape[0], -1, l2.shape[-1])
+        loss, comp = L.vicregl_loss(
+            z1, z2, flat1, flat2, c1, c2, alpha=alpha, top_k=top_k,
+            **loss_kwargs,
+        )
+        return loss, {"loss": loss, **comp}
 
     return loss_and_metrics
 

@@ -369,6 +369,18 @@ class SSLTransforms:
     crop_size: Optional[Sequence[int]] = None
     n_transforms: int = 3
     scaled_crop_range: Tuple[float, float] = (0.6, 1.0)
+    # DINO multi-crop: n_local_crops extra small student views
+    # (parity: get_augmentations_ssl crop strategies,
+    # transform_factory/augmentations.py:401-526)
+    n_local_crops: int = 0
+    local_crop_size: Optional[Sequence[int]] = None
+    local_crop_range: Tuple[float, float] = (0.3, 0.6)
+    # VICRegL: emit each view's crop warp matrix ("view{i}_mat") so local
+    # features can be matched by absolute position (ExposeTransformKeyMetad
+    # analogue, utils/monai_transforms/generic_data_ops.py:75); restricts
+    # the TrivialAugment registry to non-spatial ops so the matrix stays
+    # the only geometry
+    expose_boxes: bool = False
 
     def load_fn(self):
         return make_load_fn(
@@ -381,39 +393,83 @@ class SSLTransforms:
     def augment(self, key, batch: Dict) -> Dict:
         b = batch["image"].shape[0]
         ndim = batch["image"].ndim - 2
+        names = None
+        if self.expose_boxes:
+            from adell_mri_tpu.transforms.augment import (
+                generic_augments,
+                mri_specific_augments,
+            )
+
+            names = list(generic_augments) + list(mri_specific_augments)
         wh = AugmentationWorkhorse(
-            n_transforms=self.n_transforms, ndim=ndim
+            augmentations=names, n_transforms=self.n_transforms, ndim=ndim
         )
 
-        def one_view(key, image):
+        def crop_matrix(key, shape, crop_size, zoom_range):
+            """Random scaled crop at a random POSITION: zoom folded into
+            the warp, translation sampled so the crop stays in bounds.
+            Returns the output-voxel -> input-volume matrix."""
+            kz, kt = jax.random.split(key)
+            zoom = jax.random.uniform(
+                kz, (), minval=zoom_range[0], maxval=zoom_range[1]
+            )
+            scales = jnp.full((ndim,), zoom)
+            mat = (
+                S.center_matrix(shape, +1.0)
+                @ S.scale_shear_matrix(ndim, scales)
+                @ S.center_matrix(crop_size, -1.0)
+            )
+            half_slack = (
+                jnp.asarray(shape, jnp.float32)
+                - zoom * jnp.asarray(crop_size, jnp.float32)
+            ) / 2.0
+            t = (
+                jax.random.uniform(kt, (ndim,), minval=-1.0, maxval=1.0)
+                * jnp.maximum(half_slack, 0.0)
+            )
+            return mat.at[:ndim, ndim].add(t)
+
+        def one_view(key, image, crop_size, zoom_range):
             k1, k2 = jax.random.split(key)
             image = wh(k1, image)
-            if self.crop_size is not None:
-                # scaled crop: random zoom folded into the crop warp
-                zoom = jax.random.uniform(
-                    k2,
-                    (),
-                    minval=self.scaled_crop_range[0],
-                    maxval=self.scaled_crop_range[1],
-                )
-                shape = image.shape[:-1]
-                scales = jnp.full((ndim,), zoom)
-                mat = (
-                    S.center_matrix(shape, +1.0)
-                    @ S.scale_shear_matrix(ndim, scales)
-                    @ S.center_matrix(self.crop_size, -1.0)
-                )
-                image = S.warp_affine(
-                    image, mat, out_shape=tuple(self.crop_size)
-                )
-            return image
+            mat = jnp.eye(ndim + 1)
+            if crop_size is not None:
+                mat = crop_matrix(k2, image.shape[:-1], crop_size, zoom_range)
+                image = S.warp_affine(image, mat, out_shape=tuple(crop_size))
+            return image, mat
 
-        k1, k2 = jax.random.split(key)
-        keys1 = jax.random.split(k1, b)
-        keys2 = jax.random.split(k2, b)
+        def global_view(key, image):
+            return one_view(key, image, self.crop_size, self.scaled_crop_range)
+
+        k1, k2, k3 = jax.random.split(key, 3)
         out = dict(batch)
-        out["view1"] = jax.vmap(one_view)(keys1, batch["image"])
-        out["view2"] = jax.vmap(one_view)(keys2, batch["image"])
+        v1, m1 = jax.vmap(global_view)(
+            jax.random.split(k1, b), batch["image"]
+        )
+        v2, m2 = jax.vmap(global_view)(
+            jax.random.split(k2, b), batch["image"]
+        )
+        out["view1"], out["view2"] = v1, v2
+        if self.expose_boxes:
+            out["view1_mat"], out["view2_mat"] = m1, m2
+        if self.n_local_crops > 0:
+            lsize = tuple(
+                self.local_crop_size
+                or [max(1, s // 2) for s in (self.crop_size or v1.shape[1:-1])]
+            )
+
+            def local_view(key, image):
+                return one_view(key, image, lsize, self.local_crop_range)[0]
+
+            crops = []
+            for i in range(self.n_local_crops):
+                crops.append(
+                    jax.vmap(local_view)(
+                        jax.random.split(jax.random.fold_in(k3, i), b),
+                        batch["image"],
+                    )
+                )
+            out["local_crops"] = jnp.stack(crops, axis=1)
         return out
 
 

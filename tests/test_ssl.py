@@ -194,3 +194,111 @@ def test_convnext_autoencoder_roundtrip_shape():
     assert out.shape == x.shape
     feats = m.apply(v, x, return_features=True)
     assert feats.shape == (2, 8)
+
+
+def test_dino_multicrop_step_learns_and_centers_update():
+    from adell_mri_tpu.models.ssl import DINO
+    from adell_mri_tpu.train.ssl_steps import make_dino_step
+
+    model = DINO(
+        patch_size=(4, 4, 4), embed_dim=16, n_blocks=1, n_heads=2,
+        out_dim=32, hidden_dim=16, bottleneck_dim=8,
+    )
+    x = jax.random.normal(KEY, (2, 8, 8, 8, 1))
+    params = model.init({"params": KEY}, x)["params"]
+    tx = get_optimizer("adamw", learning_rate=1e-3, params=params)
+    state = TrainState.create(
+        model.apply, params, tx, with_ema=True,
+        variables={"dino_center": jnp.zeros(32)},
+    )
+    step = make_ssl_train_step(make_dino_step(model))
+    batch = {
+        "view1": x,
+        "view2": x + 0.02 * jax.random.normal(jax.random.PRNGKey(2), x.shape),
+        # two local crops at half size: same params must serve both shapes
+        "local_crops": jax.random.normal(jax.random.PRNGKey(3), (2, 2, 4, 4, 4, 1)),
+    }
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(4))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert float(jnp.abs(state.variables["dino_center"]).max()) > 0
+
+
+def test_ibot_step_learns_and_mask_loss_reported():
+    from adell_mri_tpu.models.ssl import IBOT
+    from adell_mri_tpu.train.ssl_steps import make_ibot_step
+
+    model = IBOT(
+        patch_size=(4, 4, 4), embed_dim=16, n_blocks=1, n_heads=2,
+        out_dim=32, hidden_dim=16, bottleneck_dim=8, n_mask_blocks=2,
+    )
+    x = jax.random.normal(KEY, (2, 8, 8, 8, 1))
+    variables = {
+        "ibot_center_global": jnp.zeros(32),
+        "ibot_center_mask": jnp.zeros(32),
+    }
+    params = model.init(
+        {"params": KEY, "masking": jax.random.PRNGKey(1)}, x, mask=True
+    )["params"]
+    # forward contract: (reduced, tokens, mask)
+    red, tok, m = model.apply(
+        {"params": params}, x, mask=True,
+        rngs={"masking": jax.random.PRNGKey(5)},
+    )
+    assert red.shape == (2, 32) and tok.shape == (2, 8, 32)
+    assert m.shape == (2, 8) and float(m.sum()) > 0
+    # unmasked: mask all zeros
+    _, _, m0 = model.apply({"params": params}, x, mask=False)
+    assert float(m0.sum()) == 0
+
+    tx = get_optimizer("adamw", learning_rate=1e-3, params=params)
+    state = TrainState.create(
+        model.apply, params, tx, with_ema=True, variables=variables
+    )
+    step = make_ssl_train_step(make_ibot_step(model))
+    batch = {
+        "view1": x,
+        "view2": x + 0.02 * jax.random.normal(jax.random.PRNGKey(2), x.shape),
+    }
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(4))
+        losses.append(float(metrics["loss"]))
+        assert "loss_global" in metrics and "loss_mask" in metrics
+    assert losses[-1] < losses[0]
+    assert float(jnp.abs(state.variables["ibot_center_mask"]).max()) > 0
+
+
+def test_vicregl_step_with_exposed_boxes():
+    """SSLTransforms(expose_boxes=True) emits per-view crop matrices; the
+    vicregl step matches local features by absolute position and learns."""
+    from adell_mri_tpu.train.ssl_steps import make_vicregl_step
+    from adell_mri_tpu.transforms import SSLTransforms
+
+    model = NonContrastiveWrapper(
+        backbone=_tiny_backbone(),
+        projection_dims=(16, 8),
+        prediction_dims=(8, 8),
+    )
+    tf = SSLTransforms(crop_size=(8, 8, 4), expose_boxes=True)
+    img = jax.random.normal(KEY, (2, 12, 12, 6, 1))
+    batch = jax.jit(tf.augment)(jax.random.PRNGKey(0), {"image": img})
+    assert "view1_mat" in batch and batch["view1_mat"].shape == (2, 4, 4)
+    assert batch["view1"].shape == (2, 8, 8, 4, 1)
+
+    params = model.init({"params": KEY}, batch["view1"], ret="local")["params"]
+    # local return contract
+    proj, local = model.apply({"params": params}, batch["view1"], ret="local")
+    assert proj.ndim == 2 and local.ndim == 5
+
+    tx = get_optimizer("adamw", learning_rate=1e-3, params=params)
+    state = TrainState.create(model.apply, params, tx)
+    step = make_ssl_train_step(make_vicregl_step(model, top_k=2))
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.PRNGKey(4))
+        losses.append(float(metrics["loss"]))
+        assert "local" in metrics
+    assert losses[-1] < losses[0]
