@@ -448,6 +448,15 @@ def main(arguments):
             from adell_mri_tpu.train.nan_guard import NaNGuard
 
             nan_guard = NaNGuard(dump_dir=args.checkpoint_dir or ".")
+        callbacks = []
+        if args.picai_eval:
+            from adell_mri_tpu.eval.callbacks import LesionEvalCallback
+
+            # lesion-level V_AP/V_AUC/V_score every validation epoch
+            # (parity: segmentation/pl.py:604-626)
+            callbacks.append(
+                LesionEvalCallback(model, n_classes=args.n_classes)
+            )
         loop = TrainLoop(
             train_step=train_step,
             eval_step=make_eval_step(eval_lm),
@@ -463,6 +472,7 @@ def main(arguments):
             seed=args.seed + fold_idx,
             eval_on_ema=args.swa,
             nan_guard=nan_guard,
+            callbacks=callbacks,
         )
         state, history = loop.fit(state, train_loader, val_loader)
         final = history[-1] if history else {}

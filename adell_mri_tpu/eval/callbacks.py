@@ -1,0 +1,84 @@
+"""
+Validation-epoch lesion evaluation.
+
+Parity target: adell_mri/modules/segmentation/pl.py:443-449,604-626 —
+``--picai_eval`` accumulates CPU predictions per validation step and runs the
+lesion-level PI-CAI evaluation in ``on_validation_epoch_end``, logging
+V_AP / V_AUC / V_score every epoch.
+"""
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from adell_mri_tpu.eval.lesion import evaluate
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class LesionEvalCallback:
+    """
+    TrainLoop callback: ``on_validation_batch`` runs its own jitted
+    probability forward on each validation batch and accumulates host-side
+    predictions; ``on_validation_end`` computes the lesion metrics and
+    returns {"V_AP", "V_AUC", "V_score"} merged into the epoch's validation
+    metrics. ``max_cases`` bounds host memory.
+    """
+
+    def __init__(
+        self,
+        model,
+        n_classes: int = 2,
+        max_cases: int = 128,
+        min_overlap: float = 0.10,
+        num_parallel_calls: int = 4,
+    ):
+        import jax
+
+        self.n_classes = n_classes
+        self.max_cases = max_cases
+        self.min_overlap = min_overlap
+        self.num_parallel_calls = num_parallel_calls
+        self._preds = []
+        self._labels = []
+
+        def predict(params, x):
+            out = model.apply({"params": params}, x, train=False)
+            pred = out[0] if isinstance(out, tuple) else out
+            # UNet folds sigmoid/softmax into final_layer: pred is already
+            # a probability map [B, *S, C_out]
+            if pred.shape[-1] == 1:
+                return pred[..., 0]
+            # multiclass: foreground probability = 1 - p(background)
+            return 1.0 - pred[..., 0]
+
+        self._predict = jax.jit(predict)
+
+    def on_validation_batch(self, params, batch: Dict, metrics: Dict):
+        if len(self._preds) >= self.max_cases:
+            return
+        pred = np.asarray(self._predict(params, batch["image"]))
+        label = np.asarray(batch["label"])
+        if label.ndim == pred.ndim + 1:
+            label = label[..., 0]
+        for i in range(pred.shape[0]):
+            if len(self._preds) >= self.max_cases:
+                break
+            self._preds.append(pred[i])
+            self._labels.append(label[i])
+
+    def on_validation_end(self, params) -> Optional[Dict[str, float]]:
+        if not self._preds:
+            return None
+        m = evaluate(
+            self._preds,
+            self._labels,
+            min_overlap=self.min_overlap,
+            num_parallel_calls=self.num_parallel_calls,
+        )
+        self._preds, self._labels = [], []
+        out = {"V_AP": m.AP, "V_AUC": m.auroc, "V_score": m.score}
+        return {
+            k: float(v) for k, v in out.items() if np.isfinite(v)
+        } or None

@@ -90,6 +90,12 @@ def evaluate_case(
     Single-case lesion matching (parity: picai_eval/eval.py:53).
     Returns (lesion_results, case_confidence): lesion_results is
     [(is_lesion, confidence)] per GT lesion and per unmatched candidate FP.
+
+    Matching is the reference's OPTIMAL assignment
+    (picai_eval/analysis_utils.py:80, scipy linear_sum_assignment over the
+    candidate/GT IoU matrix), not greedy best-first: with overlapping
+    candidates, greedy can steal a candidate from the only lesion it could
+    match.
     """
     if y_det_postprocess_func is not None:
         y_det = y_det_postprocess_func(y_det)
@@ -100,23 +106,34 @@ def evaluate_case(
     lesion_results: List[Tuple[int, float]] = []
     matched_candidates = set()
 
-    for gt_id in range(1, n_gt + 1):
-        gt = gt_labels == gt_id
-        best_iou, best_cand, best_conf = 0.0, None, 0.0
-        for cand_id, conf in confidences:
-            if cand_id in matched_candidates:
-                continue
-            cand = indexed_pred == cand_id
-            inter = np.logical_and(gt, cand).sum()
-            union = np.logical_or(gt, cand).sum()
-            iou = inter / union if union else 0.0
-            if iou > best_iou:
-                best_iou, best_cand, best_conf = iou, cand_id, conf
-        if best_iou > min_overlap and best_cand is not None:
-            matched_candidates.add(best_cand)
-            lesion_results.append((1, best_conf))
-        else:
-            lesion_results.append((1, 0.0))  # missed lesion
+    if n_gt > 0 and confidences:
+        from scipy.optimize import linear_sum_assignment
+
+        iou = np.zeros((n_gt, len(confidences)), np.float64)
+        gts = [gt_labels == gt_id for gt_id in range(1, n_gt + 1)]
+        cands = [indexed_pred == cand_id for cand_id, _ in confidences]
+        for i, gt in enumerate(gts):
+            for j, cand in enumerate(cands):
+                inter = np.logical_and(gt, cand).sum()
+                union = np.logical_or(gt, cand).sum()
+                iou[i, j] = inter / union if union else 0.0
+        # pairs at or below the overlap threshold can never match; zeroing
+        # them keeps them from attracting the assignment away from valid
+        # pairs (reference zeroes sub-threshold overlaps the same way)
+        iou[iou <= min_overlap] = 0.0
+        rows, cols = linear_sum_assignment(-iou)
+        assigned = {}
+        for i, j in zip(rows, cols):
+            if iou[i, j] > min_overlap:
+                assigned[i] = j
+                matched_candidates.add(confidences[j][0])
+        for i in range(n_gt):
+            if i in assigned:
+                lesion_results.append((1, confidences[assigned[i]][1]))
+            else:
+                lesion_results.append((1, 0.0))  # missed lesion
+    else:
+        lesion_results.extend((1, 0.0) for _ in range(n_gt))
     for cand_id, conf in confidences:
         if cand_id not in matched_candidates:
             lesion_results.append((0, conf))
@@ -172,6 +189,90 @@ class Metrics:
         p = np.asarray([conf for _, conf in flat])
         prec, rec, thr = precision_recall_curve(y, p)
         return prec, rec, thr
+
+    def froc(self) -> Tuple[np.ndarray, np.ndarray]:
+        """
+        FROC curve (parity: picai_eval/analysis_utils.py:200): lesion
+        sensitivity vs mean false positives per case, swept over candidate
+        confidence thresholds. Returns (fp_per_case, sensitivity), both
+        increasing with decreasing threshold.
+        """
+        n_cases = max(len(self.lesion_results), 1)
+        gts, fps = [], []
+        for rs in self.lesion_results.values():
+            for is_l, conf in rs:
+                (gts if is_l else fps).append(conf)
+        gts_arr = np.asarray(gts, np.float64)
+        fps_arr = np.asarray(fps, np.float64)
+        n_gt = max(len(gts_arr), 1)
+        thresholds = np.unique(
+            np.concatenate([gts_arr[gts_arr > 0], fps_arr])
+        )[::-1]
+        sens, fp_rate = [], []
+        for t in thresholds:
+            sens.append(float((gts_arr >= t).sum()) / n_gt)
+            fp_rate.append(float((fps_arr >= t).sum()) / n_cases)
+        return np.asarray(fp_rate), np.asarray(sens)
+
+    def froc_score(self, fp_points: Sequence[float] = (0.125, 0.25, 0.5, 1, 2, 4, 8)):
+        """Mean sensitivity at the standard FROC FP/case operating points."""
+        fp, sens = self.froc()
+        if len(fp) == 0:
+            return float("nan")
+        vals = [
+            float(sens[fp <= pt][-1]) if np.any(fp <= pt) else 0.0
+            for pt in fp_points
+        ]
+        return float(np.mean(vals))
+
+    def bootstrap(
+        self, n_bootstraps: int = 1000, ci: float = 0.95, seed: int = 42
+    ) -> Dict[str, Tuple[float, float, float]]:
+        """
+        Case-resampled bootstrap CIs for AP/AUROC/score (parity:
+        utils/bootstrap_metrics.py + picai_eval bootstrapping). Returns
+        {metric: (point, ci_low, ci_high)}.
+        """
+        rng = np.random.default_rng(seed)
+        sids = list(self.lesion_results.keys())
+        n = len(sids)
+        samples: Dict[str, List[float]] = {"AP": [], "auroc": [], "score": []}
+        for _ in range(n_bootstraps):
+            pick = rng.integers(0, n, size=n)
+            m = Metrics(
+                lesion_results={
+                    f"{i}_{sids[j]}": self.lesion_results[sids[j]]
+                    for i, j in enumerate(pick)
+                },
+                case_pred={
+                    f"{i}_{sids[j]}": self.case_pred[sids[j]]
+                    for i, j in enumerate(pick)
+                },
+                case_target={
+                    f"{i}_{sids[j]}": self.case_target[sids[j]]
+                    for i, j in enumerate(pick)
+                },
+            )
+            for k, v in (("AP", m.AP), ("auroc", m.auroc), ("score", m.score)):
+                if np.isfinite(v):
+                    samples[k].append(v)
+        alpha = (1 - ci) / 2
+        out = {}
+        for k, point in (
+            ("AP", self.AP),
+            ("auroc", self.auroc),
+            ("score", self.score),
+        ):
+            vs = samples[k]
+            if vs:
+                out[k] = (
+                    float(point),
+                    float(np.quantile(vs, alpha)),
+                    float(np.quantile(vs, 1 - alpha)),
+                )
+            else:
+                out[k] = (float(point), float("nan"), float("nan"))
+        return out
 
 
 def evaluate(

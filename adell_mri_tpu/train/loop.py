@@ -118,7 +118,14 @@ class TrainLoop:
                 hook = getattr(cb, "on_validation_batch", None)
                 if hook is not None:
                     hook(params, batch, metrics)
-        return {f"val_{k}": float(v) / max(n, 1) for k, v in metric_sums.items()}
+        out = {
+            f"val_{k}": float(v) / max(n, 1) for k, v in metric_sums.items()
+        }
+        for cb in self.callbacks:
+            hook = getattr(cb, "on_validation_end", None)
+            if hook is not None:
+                out.update(hook(params) or {})
+        return out
 
     def fit(self, state, train_loader, val_loader=None):
         best = None

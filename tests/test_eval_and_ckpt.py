@@ -130,3 +130,85 @@ def test_csv_logger(tmp_path):
     df = pd.read_csv(path)
     assert len(df) == 3
     assert set(df["metric"]) == {"dice", "loss"}
+
+
+def test_optimal_assignment_beats_greedy():
+    """One candidate overlapping two GT lesions: optimal assignment pairs it
+    with the lesion it overlaps most while the other lesion gets its own
+    candidate — total matches = 2."""
+    from adell_mri_tpu.eval.lesion import evaluate_case
+
+    det = np.zeros((40, 8, 8), np.float32)
+    true = np.zeros((40, 8, 8), np.float32)
+    # GT lesions A=[2:12) and B=[20:30) along x (full y/z)
+    true[2:12] = 1
+    true[20:30] = 1
+    # candidate c1 (conf .9) spans [5:27): IoU(A,c1)=0.28, IoU(B,c1)=0.28;
+    # candidate c2 (conf .5) = [0:4): IoU(A,c2)=0.167, IoU(B,c2)=0.
+    # Greedy gives A->c1 and leaves B unmatched; optimal assignment pairs
+    # A->c2 and B->c1 so BOTH lesions match.
+    det[5:27] = 0.9
+    det[0:4] = 0.5
+    results, conf = evaluate_case(det, true, min_overlap=0.1)
+    gt_entries = [r for r in results if r[0] == 1]
+    assert len(gt_entries) == 2
+    # both lesions matched (no 0-conf missed lesions) -> optimal assignment
+    assert all(c > 0 for _, c in gt_entries)
+    assert sorted(c for _, c in gt_entries) == [0.5, 0.9]
+
+
+def test_froc_and_bootstrap():
+    from adell_mri_tpu.eval.lesion import Metrics
+
+    m = Metrics(
+        lesion_results={
+            "a": [(1, 0.9), (0, 0.4)],
+            "b": [(1, 0.8)],
+            "c": [(1, 0.0), (0, 0.7)],  # one missed lesion, one FP
+            "d": [],
+        },
+        case_pred={"a": 0.9, "b": 0.8, "c": 0.7, "d": 0.05},
+        case_target={"a": 1, "b": 1, "c": 1, "d": 0},
+    )
+    fp, sens = m.froc()
+    assert len(fp) == len(sens) > 0
+    assert np.all(np.diff(fp) >= 0)  # fp/case increases as threshold drops
+    assert np.all(np.diff(sens) >= 0)
+    assert sens[-1] == pytest.approx(2 / 3)  # 2 of 3 lesions ever detected
+    assert fp[-1] == pytest.approx(2 / 4)  # 2 FPs over 4 cases
+    s = m.froc_score()
+    assert 0.0 <= s <= 1.0
+    boot = m.bootstrap(n_bootstraps=50, seed=0)
+    for k in ("AP", "auroc", "score"):
+        point, lo, hi = boot[k]
+        assert lo <= point <= hi or np.isnan(lo)
+
+
+def test_lesion_eval_callback_collects_and_reports():
+    import flax.linen as nn
+    from adell_mri_tpu.eval.callbacks import LesionEvalCallback
+
+    class Identity(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return x, None
+
+    model = Identity()
+    cb = LesionEvalCallback(model, max_cases=8)
+    true = np.zeros((2, 16, 16, 8, 1), np.float32)
+    true[:, 4:10, 4:10, 2:6] = 1.0
+    batch = {
+        "image": jnp.asarray(true * 0.95),
+        "label": jnp.asarray(true[..., 0]),
+    }
+    cb.on_validation_batch({}, batch, {})
+    neg = {
+        "image": jnp.zeros((2, 16, 16, 8, 1)),
+        "label": jnp.zeros((2, 16, 16, 8)),
+    }
+    cb.on_validation_batch({}, neg, {})
+    out = cb.on_validation_end({})
+    assert out is not None and "V_AP" in out and "V_AUC" in out
+    assert out["V_AP"] > 0.9 and out["V_AUC"] > 0.9
+    # state cleared for the next epoch
+    assert cb.on_validation_end({}) is None
