@@ -168,6 +168,7 @@ def get_classification_network(
             batch_ensemble=cfg.get("batch_ensemble", 0),
             norm_type=cfg.get("norm_type", "batch"),
             dropout_param=cfg.get("dropout_param", 0.0),
+            gp_head=bool(cfg.get("gaussian_process", False)),
         )
     elif net_type == "ord":
         net = OrdNet(

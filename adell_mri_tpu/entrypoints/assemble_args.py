@@ -137,7 +137,9 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     # prediction
     "output_path": dict(default="output", help="Output path"),
     "prediction_ids": dict(default=None, nargs="+", help="IDs to predict"),
-    "prediction_type": dict(default="probability", help="probability|logit|features"),
+    "prediction_type": dict(default="probability", help="probability|logit|features|set (conformal prediction sets; needs a calibrated checkpoint)"),
+    "calibration_ids": dict(default=None, nargs="+", help="Held-out IDs for conformal calibration (AdaptivePredictionSets) after training"),
+    "conformal_alpha": dict(default=0.2, type=float, help="Conformal miscoverage level alpha (reference default 0.2)"),
     "test_ids": dict(default=None, nargs="+", help="Test IDs"),
     "one_to_one": dict(action="store_true", help="One checkpoint per fold"),
     # detection

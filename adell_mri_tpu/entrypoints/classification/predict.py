@@ -4,6 +4,7 @@ to JSON (parity: entrypoints/classification/predict.py).
 """
 
 import json
+import os
 
 import jax
 import numpy as np
@@ -60,9 +61,51 @@ def main(arguments):
     )
     base_load = transforms.load_fn()
 
-    @jax.jit
-    def predict(x):
-        return model.apply({"params": params}, x[None])[0]
+    # GP-head mean-field correction when a fitted covariance is present
+    # (parity: classification/pl.py:381-392 + SNGP predictive variance)
+    gp_cov_path = os.path.join(mngr.dir, "gp_covariance.npy")
+    gp_cov = np.load(gp_cov_path) if os.path.exists(gp_cov_path) else None
+
+    if gp_cov is not None:
+        from adell_mri_tpu.models.layers.gaussian_process import (
+            predictive_logits,
+        )
+
+        cov = jax.numpy.asarray(gp_cov)
+
+        @jax.jit
+        def predict(x):
+            logits, inter = model.apply(
+                {"params": params}, x[None], mutable=["intermediates"]
+            )
+            phi = jax.tree.leaves(inter)[0]
+            phi = phi[0] if phi.ndim == 3 else phi
+            return predictive_logits(logits, phi, cov)[0]
+
+    else:
+
+        @jax.jit
+        def predict(x):
+            return model.apply({"params": params}, x[None])[0]
+
+    # conformal prediction sets (parity: predict_calibrated_step,
+    # classification/pl.py:438-459) from the train-time calibration
+    aps = None
+    if args.prediction_type == "set":
+        from adell_mri_tpu.models.layers.conformal import (
+            AdaptivePredictionSets,
+        )
+
+        conf_path = os.path.join(mngr.dir, "conformal.json")
+        if not os.path.exists(conf_path):
+            raise FileNotFoundError(
+                f"--prediction_type set needs {conf_path}; train with "
+                "--calibration_ids first"
+            )
+        with open(conf_path) as f:
+            conf = json.load(f)
+        aps = AdaptivePredictionSets(alpha=conf.get("alpha", 0.2))
+        aps.q_hat = conf["q_hat"]
 
     data = Dataset(args.dataset_json)
     pids = args.prediction_ids or list(data.keys())
@@ -77,6 +120,14 @@ def main(arguments):
         logits = np.asarray(predict(sample["image"]))
         if args.prediction_type == "logit":
             out[pid] = logits.tolist()
+        elif args.prediction_type == "set":
+            if n_classes == 2:
+                p1 = float(jax.nn.sigmoid(logits[0]))
+                probs = np.asarray([[1.0 - p1, p1]])
+            else:
+                probs = np.asarray(jax.nn.softmax(logits))[None]
+            members = aps(probs)[0]
+            out[pid] = [int(i) for i in np.nonzero(members)[0]]
         elif n_classes == 2:
             out[pid] = float(jax.nn.sigmoid(logits[0]))
         else:

@@ -9,8 +9,10 @@ mixup/label smoothing -> CSV metrics.
 """
 
 import json
+import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from adell_mri_tpu.config.factories import get_classification_network
@@ -107,6 +109,8 @@ ARG_KEYS = [
     "not_freeze_regex",
     "classification_net_type",
     "swa",
+    "calibration_ids",
+    "conformal_alpha",
 ]
 
 
@@ -164,7 +168,13 @@ def main(arguments):
         )
         feat_means, feat_stds = mat.mean(0).tolist(), mat.std(0).tolist()
 
-    folds = get_folds(list(data.keys()), args.n_folds, args.seed, args.folds)
+    fold_pids = list(data.keys())
+    if args.calibration_ids:
+        from adell_mri_tpu.data import parse_ids
+
+        calib_set = set(parse_ids(args.calibration_ids, "list"))
+        fold_pids = [p for p in fold_pids if p not in calib_set]
+    folds = get_folds(fold_pids, args.n_folds, args.seed, args.folds)
     csv_logger = MetricLogger(
         logger_type=args.logger_type,
         project_name=args.project_name,
@@ -408,3 +418,87 @@ def main(arguments):
         state, history = loop.fit(state, train_loader, val_loader)
         final = history[-1] if history else {}
         logger.info("fold %d done: %s", fold_idx, json.dumps(final, default=float))
+
+        # GP-head covariance fit over the train set (parity: on_fit_end,
+        # classification/pl.py:381-392); saved next to the checkpoint so
+        # predict applies the mean-field-corrected logits
+        if net_cfg.get("gaussian_process") and not feat_keys:
+            phis = []
+            for batch in train_loader:
+                x = jnp.asarray(batch["image"])
+                _, inter = model.apply(
+                    {"params": state.params},
+                    x,
+                    train=False,
+                    mutable=["intermediates"],
+                )
+                phis.append(
+                    np.asarray(jax.tree.leaves(inter["intermediates"])[0])
+                )
+            if phis:
+                from adell_mri_tpu.models.layers.gaussian_process import (
+                    fit_covariance,
+                )
+
+                cov = fit_covariance(jnp.concatenate(phis))
+                np.save(
+                    os.path.join(ckpt.dir, "gp_covariance.npy"),
+                    np.asarray(cov),
+                )
+                logger.info("GP covariance fitted over %d batches", len(phis))
+
+        # conformal calibration on held-out ids (parity: ClassPLABC.calibrate
+        # via AdaptivePredictionSets, classification/pl.py:394-459)
+        if args.calibration_ids:
+            from adell_mri_tpu.data import parse_ids
+            from adell_mri_tpu.models.layers.conformal import (
+                AdaptivePredictionSets,
+            )
+
+            calib_pids = [
+                p
+                for p in parse_ids(args.calibration_ids, "list")
+                if p in data.dataset
+            ]
+            calib_ds = CachedVolumeDataset(
+                data.to_datalist(calib_pids), load_fn, cache_rate=0.0
+            )
+            probs_all, labels_all = [], []
+            for i in range(len(calib_ds)):
+                sample = calib_ds[i]
+                x = jnp.asarray(sample["image"])[None]
+                if feat_keys:
+                    logits = model.apply(
+                        {"params": state.params},
+                        x,
+                        jnp.asarray(sample["features"])[None],
+                        train=False,
+                    )
+                else:
+                    logits = model.apply(
+                        {"params": state.params}, x, train=False
+                    )
+                logits = np.asarray(logits)[0]
+                if n_classes == 2:
+                    p1 = float(jax.nn.sigmoid(logits[0]))
+                    probs_all.append([1.0 - p1, p1])
+                else:
+                    probs_all.append(
+                        np.asarray(jax.nn.softmax(logits)).tolist()
+                    )
+                labels_all.append(int(sample["label"]))
+            if probs_all:
+                aps = AdaptivePredictionSets(
+                    alpha=args.conformal_alpha
+                ).calibrate(np.asarray(probs_all), np.asarray(labels_all))
+                with open(os.path.join(ckpt.dir, "conformal.json"), "w") as f:
+                    json.dump(
+                        {"q_hat": aps.q_hat, "alpha": aps.alpha,
+                         "n_calibration": len(probs_all)},
+                        f,
+                    )
+                logger.info(
+                    "conformal calibrated on %d cases (q_hat=%.4f)",
+                    len(probs_all),
+                    aps.q_hat,
+                )

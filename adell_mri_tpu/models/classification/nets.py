@@ -80,6 +80,9 @@ class CatNet(nn.Module):
     act_fn: str = "relu"
     dropout_param: float = 0.0
     feature_extraction: bool = False
+    # SNGP-style GP output head (parity: layers/gaussian_process.py:13 +
+    # post-fit covariance, classification/pl.py:381-392)
+    gp_head: bool = False
 
     @nn.compact
     def __call__(
@@ -112,6 +115,14 @@ class CatNet(nn.Module):
         d = feats.shape[-1]
         y = nn.Dense(d)(feats)
         y = nn.relu(y)
+        if self.gp_head:
+            from adell_mri_tpu.models.layers.gaussian_process import (
+                GaussianProcessLayer,
+            )
+
+            return GaussianProcessLayer(
+                _out_features(self.n_classes), name="gp"
+            )(y)
         return nn.Dense(_out_features(self.n_classes))(y)
 
 

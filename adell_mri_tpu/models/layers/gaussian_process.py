@@ -24,26 +24,23 @@ class GaussianProcessLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_f = x.shape[-1]
-        # fixed (non-trainable) random Fourier features
-        w = self.variable(
-            "gp", "rff_w",
-            lambda: jax.random.normal(
+        # fixed (non-trainable) random Fourier features: deterministic
+        # constants from a fixed seed, so no variable collection rides in
+        # the checkpoint and any apply() reproduces them exactly
+        w = (
+            jax.random.normal(
                 jax.random.PRNGKey(0), (in_f, self.n_random_features)
             )
-            / self.length_scale,
+            / self.length_scale
         )
-        b = self.variable(
-            "gp", "rff_b",
-            lambda: jax.random.uniform(
-                jax.random.PRNGKey(1), (self.n_random_features,),
-                maxval=2 * jnp.pi,
-            ),
+        b = jax.random.uniform(
+            jax.random.PRNGKey(1), (self.n_random_features,),
+            maxval=2 * jnp.pi,
         )
-        phi = jnp.sqrt(2.0 / self.n_random_features) * jnp.cos(
-            x @ w.value + b.value
-        )
+        phi = jnp.sqrt(2.0 / self.n_random_features) * jnp.cos(x @ w + b)
         logits = nn.Dense(self.out_features, use_bias=False, name="beta")(phi)
         # expose features for covariance fitting
+        # (apply with mutable=["intermediates"] to read them back)
         self.sow("intermediates", "phi", phi)
         return logits
 

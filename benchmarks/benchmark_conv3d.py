@@ -75,6 +75,7 @@ def main():
 
     dt = timed(mm, m)
     results["matmul_8192_tflops"] = 2 * 8192 ** 3 / dt / 1e12
+    print(f"matmul_8192_tflops: {results['matmul_8192_tflops']:.2f}", flush=True)
 
     # -------- single conv layers (NDHWC, bf16) --------
     def conv_bench(cin, cout, spatial, stride=1, transpose=False, name=""):
@@ -111,6 +112,7 @@ def main():
         ) * (stride ** 3 if transpose else 1) * BATCH
         results[f"conv{name}_ms"] = dt * 1e3
         results[f"conv{name}_tflops"] = fl / dt / 1e12
+        print(f"conv{name}: {dt*1e3:.2f} ms, {fl/dt/1e12:.2f} TFLOP/s", flush=True)
 
     conv_bench(1, 32, SHAPE, name="_stem_1to32_128")
     conv_bench(32, 32, SHAPE, name="_32to32_128")
@@ -131,6 +133,7 @@ def main():
         return x + jnp.mean(nn.swish(y)).astype(jnp.bfloat16)
 
     results["instnorm_swish_128x32ch_ms"] = timed(norm_act, x0) * 1e3
+    print(f"instnorm_swish: {results['instnorm_swish_128x32ch_ms']:.2f} ms", flush=True)
 
     # -------- im2col stem alternative --------
     @jax.jit
@@ -154,6 +157,7 @@ def main():
     results["stem_im2col_tflops"] = (
         flops_conv(SHAPE, 1, 32) * BATCH / dt / 1e12
     )
+    print(f"stem_im2col: {dt*1e3:.2f} ms", flush=True)
 
     # -------- full U-Net forward --------
     from adell_mri_tpu.models.segmentation.unet import UNet

@@ -106,3 +106,70 @@ def test_utils_tools_run(cohort, capsys):
     )
     desc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert desc["shape"][:3] == [16, 16, 8]
+
+
+CAT_YAML = """
+resnet_structure: [[4, 8, 3, 1]]
+norm_type: instance
+gaussian_process: true
+batch_size: 2
+learning_rate: 0.002
+"""
+
+
+def test_classification_gp_conformal_train_then_predict_sets(cohort):
+    """GP-head training fits a covariance, --calibration_ids fits conformal
+    APS, and predict --prediction_type set emits prediction sets using both
+    (VERDICT round-1 item 7)."""
+    root = cohort["root"]
+    # classification labels ride in the same dataset json
+    ds = json.load(open(cohort["ds"]))
+    for i, k in enumerate(sorted(ds)):
+        ds[k]["label"] = i % 2
+    ds_path = os.path.join(root, "ds_cls.json")
+    with open(ds_path, "w") as f:
+        json.dump(ds, f)
+    cfg_path = os.path.join(root, "cat.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(CAT_YAML)
+    ckpt = os.path.join(root, "ckpt_cls")
+    adell_main(
+        [
+            "classification", "train",
+            "--dataset_json", ds_path,
+            "--image_keys", "T2",
+            "--label_keys", "label",
+            "--config_file", cfg_path,
+            "--pad_size", "16", "16", "8",
+            "--target_spacing", "1.0", "1.0", "1.2",
+            "--batch_size", "2",
+            "--max_epochs", "1",
+            "--n_folds", "1",
+            "--dev", "cpu",
+            "--checkpoint_dir", ckpt,
+            "--cache_rate", "0.0",
+            "--calibration_ids", "case_0",
+        ]
+    )
+    run_dir = os.path.join(ckpt, "classification_fold0")
+    assert os.path.exists(os.path.join(run_dir, "gp_covariance.npy"))
+    conf = json.load(open(os.path.join(run_dir, "conformal.json")))
+    assert 0.0 < conf["q_hat"] <= 1.0 and conf["n_calibration"] == 1
+
+    out_path = os.path.join(root, "cls_sets.json")
+    adell_main(
+        [
+            "classification", "predict",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--prediction_type", "set",
+            "--output_path", out_path,
+            "--dev", "cpu",
+        ]
+    )
+    sets = json.load(open(out_path))
+    assert len(sets) == 4
+    for members in sets.values():
+        # non-empty subsets of {0, 1}
+        assert 1 <= len(members) <= 2
+        assert all(m in (0, 1) for m in members)
