@@ -4,7 +4,7 @@ from adell_mri_tpu.entrypoints.cli_utils import run_main
 
 supported_modes = {
     "train_3d": "adell_mri_tpu.entrypoints.ssl.train",
-    "train_2d": "adell_mri_tpu.entrypoints.ssl.train",
+    "train_2d": "adell_mri_tpu.entrypoints.ssl.train_2d",
     "train": "adell_mri_tpu.entrypoints.ssl.train",
     "predict_folder": "adell_mri_tpu.entrypoints.ssl.predict_folder",
     "model_to_export": "adell_mri_tpu.entrypoints.ssl.model_to_export",

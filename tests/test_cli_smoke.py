@@ -173,3 +173,66 @@ def test_classification_gp_conformal_train_then_predict_sets(cohort):
         # non-empty subsets of {0, 1}
         assert 1 <= len(members) <= 2
         assert all(m in (0, 1) for m in members)
+
+
+SSL2D_YAML = """
+backbone_structure: [[4, 8, 3, 1]]
+norm_type: instance
+projection_head: [16, 8]
+prediction_head: [8, 8]
+batch_size: 2
+learning_rate: 0.001
+"""
+
+
+def test_ssl_train_2d_from_dicom(tmp_path):
+    """ssl train_2d trains from a synthetic DICOM tree via DICOMDataset +
+    SliceSampler (VERDICT round-1 item 8)."""
+    from adell_mri_tpu.data.dicom import write_dicom
+
+    rng = np.random.default_rng(0)
+    ds = {}
+    for s in range(3):
+        study = {}
+        for se in range(2):
+            uid = f"series_{se}"
+            sedir = tmp_path / f"study_{s}" / uid
+            os.makedirs(sedir, exist_ok=True)
+            entries = []
+            for i in range(3):
+                arr = rng.normal(size=(20, 18)).astype(np.float32)
+                path = str(sedir / f"slice_{i}.dcm")
+                write_dicom(path, arr, series_uid=uid)
+                entries.append({"image": path})
+            study[uid] = entries
+        ds[f"study_{s}"] = study
+    ds_path = str(tmp_path / "dicom_ds.json")
+    with open(ds_path, "w") as f:
+        json.dump(ds, f)
+    cfg_path = str(tmp_path / "ssl2d.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(SSL2D_YAML)
+
+    ckpt = str(tmp_path / "ckpt")
+    metrics = str(tmp_path / "metrics.csv")
+    adell_main(
+        [
+            "ssl", "train_2d",
+            "--dataset_json", ds_path,
+            "--image_keys", "series_0", "series_1",
+            "--config_file", cfg_path,
+            "--crop_size", "16", "16",
+            "--random_crop_size", "12", "12",
+            "--ssl_method", "vicreg",
+            "--batch_size", "2",
+            "--max_epochs", "1",
+            "--n_series_iterations", "1",
+            "--dev", "cpu",
+            "--checkpoint_dir", ckpt,
+            "--metric_path", metrics,
+        ]
+    )
+    assert os.path.exists(
+        os.path.join(ckpt, "ssl2d_vicreg_fold0", "metadata.json")
+    )
+    assert os.path.exists(metrics)
