@@ -5,12 +5,18 @@ from adell_mri_tpu.models.gan.nets import (
     VariationalAutoEncoder,
 )
 from adell_mri_tpu.models.gan import losses
+from adell_mri_tpu.models.gan.conditional import (
+    ConditionalGenerator,
+    CrossAttention,
+    SpatialTransformer,
+)
 from adell_mri_tpu.models.gan.style import (
     EqualizedDense,
     EqualizedConv,
     MappingNetwork,
     ProGANGenerator,
     ProGANDiscriminator,
+    grow_params,
 )
 
 __all__ = [
@@ -19,9 +25,13 @@ __all__ = [
     "AutoEncoder",
     "VariationalAutoEncoder",
     "losses",
+    "ConditionalGenerator",
+    "CrossAttention",
+    "SpatialTransformer",
     "EqualizedDense",
     "EqualizedConv",
     "MappingNetwork",
     "ProGANGenerator",
     "ProGANDiscriminator",
+    "grow_params",
 ]

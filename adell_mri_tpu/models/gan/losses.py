@@ -59,11 +59,13 @@ def relativistic_g_loss(real_logits, fake_logits):
 # -- discriminator losses ----------------------------------------------------
 
 
-def adversarial_d_loss(real_logits, fake_logits):
+def adversarial_d_loss(real_logits, fake_logits, smoothing: float = 0.0):
+    """BCE discriminator loss; ``smoothing`` softens the real label to
+    1 - smoothing (parity: gan/losses.py:189-249 AdversarialLoss.ones_like_smooth)."""
     return 0.5 * (
         jnp.mean(
             optax.sigmoid_binary_cross_entropy(
-                real_logits, jnp.ones_like(real_logits)
+                real_logits, jnp.full_like(real_logits, 1.0 - smoothing)
             )
         )
         + jnp.mean(
@@ -149,6 +151,32 @@ def cycle_consistency_loss(x, x_reconstructed):
     return jnp.mean(jnp.abs(x - x_reconstructed))
 
 
+def minibatch_diversity(images):
+    """Mean cross-sample std (parity: gan/gan/pl.py:30
+    compute_minibatch_diversity); the ProGAN generator maximizes it."""
+    return jnp.mean(jnp.std(images, axis=0))
+
+
+def drift_penalty(logits):
+    """E[D(x)^2] drift regularizer (parity: gan/gan/pl.py:44 compute_drift)."""
+    return jnp.mean(logits**2)
+
+
+def semi_sl_class_loss(class_logits, class_target):
+    """ACGAN auxiliary classification loss (parity: gan/losses.py:404-446
+    SemiSLAdversarialLoss class term)."""
+    target = class_target.astype(jnp.int32).reshape(-1)
+    return jnp.mean(
+        optax.softmax_cross_entropy_with_integer_labels(class_logits, target)
+    )
+
+
+def semi_sl_reg_loss(reg_pred, reg_target):
+    """ACGAN auxiliary regression loss (parity: SemiSLAdversarialLoss reg
+    term, gan/losses.py:441)."""
+    return jnp.mean((reg_pred - reg_target.reshape(reg_pred.shape)) ** 2)
+
+
 def vae_kl_loss(mu, logvar):
     return -0.5 * jnp.mean(1 + logvar - mu**2 - jnp.exp(logvar))
 
@@ -158,10 +186,15 @@ GENERATOR_LOSSES = {
     "lsgan": lsgan_g_loss,
     "hinge": hinge_g_loss,
     "wgan": wgan_g_loss,
+    # relativistic losses take (real_logits, fake_logits); the step
+    # factories special-case the extra argument (parity: RelativisticGANPL,
+    # gan/pl/gan.py:1329)
+    "relativistic": relativistic_g_loss,
 }
 DISCRIMINATOR_LOSSES = {
     "adversarial": adversarial_d_loss,
     "lsgan": lsgan_d_loss,
     "hinge": hinge_d_loss,
     "wgan": wgan_d_loss,
+    "relativistic": relativistic_d_loss,
 }

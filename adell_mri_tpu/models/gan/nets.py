@@ -80,12 +80,20 @@ class Generator(nn.Module):
 
 
 class Discriminator(nn.Module):
-    """Conv discriminator; ``patch_gan`` keeps a spatial logit map."""
+    """Conv discriminator; ``patch_gan`` keeps a spatial logit map.
+
+    ``n_classes``/``n_reg`` grow auxiliary-classifier heads (parity:
+    gan/discriminator.py:11 with class/reg heads consumed by
+    SemiSLAdversarialLoss, gan/losses.py:383): when either is set the call
+    returns ``(adv_logits, class_logits_or_None, reg_pred_or_None)``.
+    """
 
     spatial_dimensions: int = 2
     depth: Sequence[int] = (32, 64, 128)
     patch_gan: bool = False
     cond_dim: Optional[int] = None
+    n_classes: Optional[int] = None
+    n_reg: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -103,12 +111,27 @@ class Discriminator(nn.Module):
             feats.append(h)
         if return_features:
             return feats
+        pooled = jnp.mean(h, axis=tuple(range(1, h.ndim - 1)))
         if self.patch_gan:
-            return nn.Conv(1, _tuple(3, ndim), padding="SAME")(h)
-        h = jnp.mean(h, axis=tuple(range(1, h.ndim - 1)))
-        if cond is not None and self.cond_dim:
-            h = jnp.concatenate([h, cond], axis=-1)
-        return nn.Dense(1)(h)
+            adv = nn.Conv(1, _tuple(3, ndim), padding="SAME")(h)
+        else:
+            hh = pooled
+            if cond is not None and self.cond_dim:
+                hh = jnp.concatenate([hh, cond], axis=-1)
+            adv = nn.Dense(1)(hh)
+        if self.n_classes is None and self.n_reg is None:
+            return adv
+        class_logits = (
+            nn.Dense(self.n_classes, name="class_head")(pooled)
+            if self.n_classes
+            else None
+        )
+        reg_pred = (
+            nn.Dense(self.n_reg, name="reg_head")(pooled)
+            if self.n_reg
+            else None
+        )
+        return adv, class_logits, reg_pred
 
 
 class AutoEncoder(nn.Module):

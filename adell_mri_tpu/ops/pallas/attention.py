@@ -282,6 +282,185 @@ def _flash_fwd_tiled(q, k, v, scale: float):
     )
 
 
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, L_ref, dl_ref, dq_ref, dq_sc, *, scale, n_kv
+):
+    """dQ accumulation: grid (b*h, q_blocks, kv_blocks), kv innermost.
+
+    Reuses the forward's logsumexp rows (L = m + log l) so p is recovered
+    per tile as exp(s - L) — never materializes N x N (VERDICT item 10:
+    training memory matches the forward's O(block) claim).
+    """
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    L = L_ref[0]
+    delta = dl_ref[0]
+    s = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * s.shape[1]
+    s = jnp.where(col < n_kv, s, _NEG)
+    p = jnp.exp(s - L)  # [BQ, BK] f32
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta) * scale
+    dq_sc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, L_ref, dl_ref, dk_ref, dv_ref,
+    dk_sc, dv_sc, *, scale, n_kv, n_q
+):
+    """dK/dV accumulation: grid (b*h, kv_blocks, q_blocks), q innermost."""
+    qq = pl.program_id(2)
+
+    @pl.when(qq == 0)
+    def _():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    # out-of-range q rows (last partial q block) read garbage memory —
+    # zero every q-side operand so not even 0 * NaN can contaminate the
+    # dk/dv accumulators (the contraction here runs over q rows)
+    row_ok = (
+        jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[1], 1), 0)
+        + qq * q_ref.shape[1]
+    ) < n_q
+    q = jnp.where(row_ok, q_ref[0], 0)
+    k = k_ref[0]
+    v = v_ref[0]
+    do = jnp.where(row_ok, do_ref[0], 0)
+    L = L_ref[0]
+    delta = jnp.where(row_ok, dl_ref[0], 0)
+    s = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + (
+        pl.program_id(1) * s.shape[1]
+    )
+    s = jnp.where(col < n_kv, s, _NEG)
+    p = jnp.where(row_ok, jnp.exp(s - L), 0.0)
+    dv_sc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta) * scale
+    dk_sc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qq == pl.num_programs(2) - 1)
+    def _():
+        dk_ref[0] = dk_sc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_pallas(q, k, v, out, m, l, g, scale: float):
+    """Blockwise Pallas backward reusing the forward's m/l stats.
+
+    Returns (dq, dk, dv) with O(block) VMEM — the training-memory
+    counterpart of _flash_fwd_tiled. Uses scratch accumulators + revisited
+    outputs, so it rides the same ADELL_PALLAS_TILED gate as the tiled
+    forward (the axon tunnel wedges on this kernel class; real TPU runtimes
+    take it).
+    """
+    b, h, nq, d = q.shape
+    n_kv = k.shape[2]
+    bq = min(_BQ, nq)
+    bk = min(_BK, n_kv)
+    bh = b * h
+    qf = q.reshape(bh, nq, d)
+    kf = k.reshape(bh, n_kv, d)
+    vf = v.reshape(bh, n_kv, d)
+    gf = g.reshape(bh, nq, d).astype(q.dtype)
+    # logsumexp rows + delta = rowsum(dO * O), the only forward residues
+    L = (m + jnp.log(jnp.maximum(l, 1e-30))).reshape(bh, nq, 1)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    ).reshape(bh, nq, 1)
+
+    q_spec = pl.BlockSpec(
+        (1, bq, d), lambda gidx, i, j: (gidx, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, bk, d), lambda gidx, i, j: (gidx, j, 0), memory_space=pltpu.VMEM
+    )
+    row_spec = pl.BlockSpec(
+        (1, bq, 1), lambda gidx, i, j: (gidx, i, 0), memory_space=pltpu.VMEM
+    )
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, n_kv=n_kv),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+        grid=(bh, pl.cdiv(nq, bq), pl.cdiv(n_kv, bk)),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+    )(qf, kf, vf, gf, L, delta)
+
+    # transposed grid: kv blocks outer, q blocks inner (sequential)
+    q_spec_t = pl.BlockSpec(
+        (1, bq, d), lambda gidx, j, i: (gidx, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec_t = pl.BlockSpec(
+        (1, bk, d), lambda gidx, j, i: (gidx, j, 0), memory_space=pltpu.VMEM
+    )
+    row_spec_t = pl.BlockSpec(
+        (1, bq, 1), lambda gidx, j, i: (gidx, i, 0), memory_space=pltpu.VMEM
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, n_kv=n_kv, n_q=nq),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_kv, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_kv, d), v.dtype),
+        ),
+        grid=(bh, pl.cdiv(n_kv, bk), pl.cdiv(nq, bq)),
+        in_specs=[
+            q_spec_t, kv_spec_t, kv_spec_t, q_spec_t, row_spec_t, row_spec_t
+        ],
+        out_specs=(kv_spec_t, kv_spec_t),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+    )(qf, kf, vf, gf, L, delta)
+    return (
+        dq.reshape(b, h, nq, d),
+        dk.reshape(b, h, n_kv, d),
+        dv.reshape(b, h, n_kv, d),
+    )
+
+
 def attention_reference(q, k, v, scale: Optional[float] = None):
     """Plain XLA softmax attention — oracle + CPU fallback + backward."""
     if scale is None:
@@ -293,6 +472,14 @@ def attention_reference(q, k, v, scale: Optional[float] = None):
     )
 
 
+def _pallas_capable() -> bool:
+    # ADELL_PALLAS_FORCE=1 lets tests drive the kernels in interpret mode
+    # on CPU (tests monkeypatch pallas_call with interpret=True)
+    return jax.devices()[0].platform in ("tpu", "axon") or (
+        os.environ.get("ADELL_PALLAS_FORCE", "0") == "1"
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale: Optional[float] = None):
     """
@@ -300,7 +487,7 @@ def flash_attention(q, k, v, scale: Optional[float] = None):
     q, k, v: [B, H, N, D]. On non-TPU platforms falls back to the XLA
     reference (numerically identical up to fp summation order).
     """
-    if jax.devices()[0].platform not in ("tpu", "axon"):
+    if not _pallas_capable():
         return attention_reference(q, k, v, scale)
     s = scale if scale is not None else q.shape[-1] ** -0.5
     res = _flash_fwd_raw(q, k, v, s)
@@ -310,14 +497,24 @@ def flash_attention(q, k, v, scale: Optional[float] = None):
 
 
 def _flash_fwd_vjp(q, k, v, scale):
-    out = flash_attention(q, k, v, scale)
-    return out, (q, k, v)
+    s = scale if scale is not None else q.shape[-1] ** -0.5
+    if _pallas_capable():
+        res = _flash_fwd_raw(q, k, v, s)
+        if res is not None:
+            out, m, l = res
+            return out, (q, k, v, out, m, l)
+    return attention_reference(q, k, v, scale), (q, k, v, None, None, None)
 
 
 def _flash_bwd_vjp(scale, res, g):
-    q, k, v = res
-    # blockwise recompute backward in XLA: cheap at <=32k tokens and XLA
-    # fuses it well; avoids a second Pallas kernel to maintain
+    q, k, v, out, m, l = res
+    s = scale if scale is not None else q.shape[-1] ** -0.5
+    if out is not None and _use_tiled():
+        # blockwise Pallas backward from the saved online-softmax stats:
+        # training memory stays O(block) at any sequence length
+        return _flash_bwd_pallas(q, k, v, out, m, l, g, s)
+    # axon-safe fallback: XLA recompute (materializes N x N in the bwd —
+    # fine at the <=32k token counts the default VMEM variant serves)
     def f(q, k, v):
         return attention_reference(q, k, v, scale)
 

@@ -61,29 +61,29 @@ def mesh_for_batch(
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     """
-    A pure-DP mesh using the largest device prefix whose size divides
-    ``batch_size`` (the CLI path: small batches must not over-shard).
-    Stranding devices is a configuration error on a TPU slice, so a batch
-    size that does not divide the device count warns loudly with the batch
-    size that would use the full mesh.
+    A pure-DP mesh over ALL devices. A batch size that does not divide the
+    device count is padded per step by ``shard_batch(..., pad=True)``
+    (sample duplication, the DistributedSampler semantics) rather than
+    stranding chips — idle devices on a TPU slice are a configuration
+    error, so this warns loudly with the batch size that avoids padding.
     """
     import math
 
     if devices is None:
         devices = jax.devices()
-    n = math.gcd(batch_size, len(devices))
-    if n < len(devices):
-        target = math.ceil(batch_size / len(devices)) * len(devices)
+    n = len(devices)
+    if batch_size % n != 0:
+        target = math.ceil(batch_size / n) * n
         logger.warning(
-            "batch size %d does not divide %d devices: using only %d "
-            "device(s), %d idle. Set --batch_size %d to use the full mesh.",
+            "batch size %d does not divide %d devices: train batches will "
+            "be padded to %d by duplicating samples (duplicates carry "
+            "gradient weight). Set --batch_size %d to avoid padding.",
             batch_size,
-            len(devices),
             n,
-            len(devices) - n,
+            target,
             target,
         )
-    return make_mesh(devices[:n])
+    return make_mesh(devices)
 
 
 def make_mesh(
@@ -121,13 +121,15 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+def shard_batch(batch: Dict, mesh: Mesh, pad: bool = False) -> Dict:
     """
     Device-puts every array leaf of a host batch with the batch axis sharded
-    over the mesh. Non-array leaves (identifiers) pass through. A trailing
-    partial batch whose size does not divide the data axes is replicated
-    instead (correct semantics at the cost of one extra compile for the
-    tail shape — only validation loaders keep partial batches).
+    over the mesh. Non-array leaves (identifiers) pass through. A batch
+    whose size does not divide the data axes is either padded by repeating
+    samples from the batch start (``pad=True`` — training: every chip
+    works, duplicates carry gradient weight, shapes stay constant so no
+    recompiles) or replicated (``pad=False`` — validation: exact metrics at
+    the cost of redundant compute on the tail batch).
     """
     sharding = batch_sharding(mesh)
     divisor = mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]
@@ -140,7 +142,24 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
         ),
         0,
     )
-    if batch_dim % divisor != 0:
+    if batch_dim % divisor != 0 and pad and batch_dim > 0:
+        pad_n = -batch_dim % divisor
+        idx = np.arange(pad_n) % batch_dim
+
+        def pad_leaf(x):
+            if (
+                isinstance(x, (np.ndarray, jax.Array))
+                and getattr(x, "ndim", 0) >= 1
+                and x.shape[0] == batch_dim
+            ):
+                x = np.asarray(x)
+                return np.concatenate([x, x[idx]], axis=0)
+            return x
+
+        batch = jax.tree.map(
+            pad_leaf, batch, is_leaf=lambda x: isinstance(x, list)
+        )
+    elif batch_dim % divisor != 0:
         sharding = replicated_sharding(mesh)
 
     def put(x):

@@ -57,14 +57,16 @@ class TrainLoop:
         self.nan_guard = nan_guard
         self.nan_guard_every = max(1, int(nan_guard_every))
 
-    def _put(self, batch: Dict) -> Dict:
+    def _put(self, batch: Dict, pad: bool = False) -> Dict:
         batch = {
             k: v
             for k, v in batch.items()
             if isinstance(v, (np.ndarray, jax.Array))
         }
         if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
+            # train batches pad to the data axes (all chips work, constant
+            # shapes); validation replicates partial tails (exact metrics)
+            return shard_batch(batch, self.mesh, pad=pad)
         return batch
 
     def _epoch(self, state, loader, epoch: int):
@@ -75,7 +77,7 @@ class TrainLoop:
         t0 = time.perf_counter()
         n_samples = 0
         for batch in loader:
-            batch = self._put(batch)
+            batch = self._put(batch, pad=True)
             self.rng, aug_key, step_key = jax.random.split(self.rng, 3)
             if self.augment_fn is not None:
                 batch = self.augment_fn(aug_key, batch)

@@ -191,3 +191,224 @@ def test_mapping_network_normalized_input():
     v = m.init({"params": KEY}, z)
     w = m.apply(v, z)
     assert np.all(np.isfinite(np.asarray(w)))
+
+
+def test_conditional_generator_class_and_context():
+    from adell_mri_tpu.models.gan import ConditionalGenerator
+
+    g = ConditionalGenerator(
+        spatial_dimensions=2, num_channels=(8, 16), num_res_blocks=1,
+        attention_levels=(False, True), cross_attention_dim=12,
+        num_class_embeds=3, num_head_channels=4,
+    )
+    x = jax.random.normal(KEY, (2, 16, 16, 1))
+    ctx = jax.random.normal(KEY, (2, 1, 12))
+    cls = jnp.asarray([0, 2])
+    v = g.init({"params": KEY}, x, ctx, cls)
+    out = g.apply(v, x, ctx, cls)
+    assert out.shape == (2, 16, 16, 1)
+    # class conditioning must change the output
+    out_other = g.apply(v, x, ctx, jnp.asarray([1, 1]))
+    assert not np.allclose(np.asarray(out), np.asarray(out_other))
+    # context conditioning must change the output
+    out_ctx = g.apply(v, x, ctx * 5.0, cls)
+    assert not np.allclose(np.asarray(out), np.asarray(out_ctx))
+    out2, feats = g.apply(v, x, ctx, cls, return_features=True)
+    assert feats.shape[1:3] == (8, 8)
+
+
+def test_acgan_conditional_steps():
+    from adell_mri_tpu.models.gan import ConditionalGenerator
+    from adell_mri_tpu.train.gan_steps import make_conditional_gan_steps
+
+    gen = ConditionalGenerator(
+        spatial_dimensions=2, num_channels=(8, 16), num_res_blocks=1,
+        attention_levels=(False, False), num_class_embeds=3,
+    )
+    disc = Discriminator(spatial_dimensions=2, depth=(8, 16), n_classes=3)
+    real = jnp.tanh(jax.random.normal(KEY, (2, 16, 16, 1)))
+    cls = jnp.asarray([0, 2])
+    g_params = gen.init({"params": KEY}, jnp.zeros_like(real), None, cls)[
+        "params"
+    ]
+    d_params = disc.init({"params": KEY}, real)["params"]
+    g_state = TrainState.create(
+        gen.apply, g_params, get_optimizer("adam", learning_rate=1e-4)
+    )
+    d_state = TrainState.create(
+        disc.apply, d_params, get_optimizer("adam", learning_rate=1e-4)
+    )
+    d_step, g_step = make_conditional_gan_steps(
+        gen, disc, smoothing=0.1, feature_matching_weight=1.0
+    )
+    batch = {"image": real, "class_target": cls}
+    d_state, d_m = d_step(d_state, g_state.params, batch, KEY)
+    g_state, g_m = g_step(g_state, d_state.params, batch, KEY)
+    # semi-SL heads supervised on real and fake (ref SemiSLAdversarialLoss)
+    assert {"real_class", "fake_class"} <= set(d_m)
+    assert "class" in g_m
+    assert all(np.isfinite(float(v)) for v in {**d_m, **g_m}.values())
+
+
+def test_image_to_image_identity_loss():
+    from adell_mri_tpu.models.gan import ConditionalGenerator
+    from adell_mri_tpu.train.gan_steps import make_conditional_gan_steps
+
+    gen = ConditionalGenerator(
+        spatial_dimensions=2, num_channels=(4, 8), attention_levels=(False, False)
+    )
+    disc = Discriminator(spatial_dimensions=2, depth=(4, 8))
+    a = jnp.tanh(jax.random.normal(KEY, (2, 16, 16, 1)))
+    b = -a
+    g_params = gen.init({"params": KEY}, a)["params"]
+    d_params = disc.init({"params": KEY}, b)["params"]
+    g_state = TrainState.create(
+        gen.apply, g_params, get_optimizer("adam", learning_rate=1e-4)
+    )
+    d_state = TrainState.create(
+        disc.apply, d_params, get_optimizer("adam", learning_rate=1e-4)
+    )
+    d_step, g_step = make_conditional_gan_steps(
+        gen, disc, lambda_identity=5.0, image_to_image=True
+    )
+    batch = {"image": b, "input_image": a}
+    d_state, _ = d_step(d_state, g_state.params, batch, KEY)
+    g_state, g_m = g_step(g_state, d_state.params, batch, KEY)
+    assert "identity" in g_m and np.isfinite(float(g_m["identity"]))
+
+
+def test_cycle_gan_steps_train():
+    from adell_mri_tpu.models.gan import ConditionalGenerator
+    from adell_mri_tpu.train.gan_steps import make_cycle_gan_steps
+
+    mk_gen = lambda: ConditionalGenerator(  # noqa: E731
+        spatial_dimensions=2, num_channels=(4, 8),
+        attention_levels=(False, False),
+    )
+    mk_disc = lambda: Discriminator(spatial_dimensions=2, depth=(4, 8))
+    gab, gba = mk_gen(), mk_gen()
+    da, db = mk_disc(), mk_disc()
+    a = jnp.tanh(jax.random.normal(KEY, (2, 16, 16, 1)))
+    b = -a
+    mk = lambda m, x, s: TrainState.create(  # noqa: E731
+        m.apply,
+        m.init({"params": jax.random.PRNGKey(s)}, x)["params"],
+        get_optimizer("adam", learning_rate=1e-3),
+    )
+    g_states = {"ab": mk(gab, a, 0), "ba": mk(gba, b, 1)}
+    d_states = {"a": mk(da, a, 2), "b": mk(db, b, 3)}
+    d_step, g_step = make_cycle_gan_steps(
+        gab, gba, db, da, lambda_cycle=10.0, lambda_identity=1.0,
+        cycle_symmetry=True,
+    )
+    batch = {"image_a": a, "image_b": b}
+    cycles = []
+    for i in range(3):
+        d_states, d_m = d_step(
+            d_states,
+            {"ab": g_states["ab"].params, "ba": g_states["ba"].params},
+            batch, jax.random.PRNGKey(i),
+        )
+        g_states, g_m = g_step(
+            g_states,
+            {"a": d_states["a"].params, "b": d_states["b"].params},
+            batch, jax.random.PRNGKey(i),
+        )
+        cycles.append(float(g_m["cycle"]))
+    assert all(np.isfinite(cycles))
+    # the cycle reconstruction objective must improve under optimization
+    assert cycles[-1] < cycles[0]
+
+
+def test_progan_growth_carries_params():
+    from adell_mri_tpu.models.gan import grow_params
+
+    z = jnp.zeros((1, 8))
+    g0 = ProGANGenerator(base_grid=(4, 4), depths=(16, 8, 8), stage=0, w_dim=8)
+    p0 = g0.init({"params": KEY}, z)["params"]
+    # pretend training happened
+    p0 = jax.tree.map(lambda x: x + 1.0, p0)
+    g1 = ProGANGenerator(base_grid=(4, 4), depths=(16, 8, 8), stage=1, w_dim=8)
+    p1_fresh = g1.init({"params": KEY}, z)["params"]
+    p1 = grow_params(p0, p1_fresh)
+    # level-0 block and mapping carried over
+    np.testing.assert_array_equal(
+        np.asarray(p1["block_0"]["EqualizedConv_0"]["kernel"]),
+        np.asarray(p0["block_0"]["EqualizedConv_0"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p1["const"]), np.asarray(p0["const"])
+    )
+    # stage-0's output rgb conv becomes stage-1's fade-in rgb conv
+    np.testing.assert_array_equal(
+        np.asarray(p1["torgb_0"]["kernel"]), np.asarray(p0["torgb_0"]["kernel"])
+    )
+    # new block is fresh
+    assert "block_1" in p1
+    out = g1.apply({"params": p1}, z, alpha=0.5)
+    assert out.shape == (1, 8, 8, 1)
+
+
+def test_progan_schedule():
+    from adell_mri_tpu.train.gan_steps import progan_level_schedule
+
+    sched = progan_level_schedule(
+        12, n_stages=2, epochs_per_level=4, transition_epochs=2
+    )
+    stages = [s for s, _, _ in sched]
+    assert stages == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2]
+    fading = [f for _, _, f in sched]
+    assert fading == [
+        False, False, False, False, True, True, False, False,
+        True, True, False, False,
+    ]
+
+
+def test_progan_steps_with_penalties():
+    from adell_mri_tpu.train.gan_steps import make_progan_steps
+
+    gen = ProGANGenerator(base_grid=(4, 4), depths=(8, 8), stage=1, w_dim=8)
+    disc = ProGANDiscriminator(depths=(8, 8), stage=1)
+    z = jnp.zeros((2, 8))
+    real = jnp.tanh(jax.random.normal(KEY, (2, 8, 8, 1)))
+    g_state = TrainState.create(
+        gen.apply,
+        gen.init({"params": KEY}, z)["params"],
+        get_optimizer("adam", learning_rate=1e-4),
+    )
+    d_state = TrainState.create(
+        disc.apply,
+        disc.init({"params": KEY}, real)["params"],
+        get_optimizer("adam", learning_rate=1e-4),
+    )
+    d_step, g_step = make_progan_steps(
+        gen, disc, latent_dim=8, r1_weight=1.0, diversity_weight=0.1
+    )
+    d_state, d_m = d_step(d_state, g_state.params, {"image": real}, KEY, 0.5)
+    g_state, g_m = g_step(g_state, d_state.params, {"image": real}, KEY, 0.5)
+    assert {"r1", "drift"} <= set(d_m)
+    assert "diversity" in g_m
+    assert np.isfinite(float(d_m["loss"])) and np.isfinite(float(g_m["loss"]))
+
+
+def test_relativistic_loss_wiring():
+    gen = Generator(
+        spatial_dimensions=2, depth=(8,), latent_dim=4, latent_grid=(8, 8)
+    )
+    disc = Discriminator(spatial_dimensions=2, depth=(8,))
+    real = jnp.tanh(jax.random.normal(KEY, (2, 16, 16, 1)))
+    z = jnp.zeros((2, 4))
+    g_params = gen.init({"params": KEY}, z)["params"]
+    d_params = disc.init({"params": KEY}, real)["params"]
+    g_state = TrainState.create(
+        gen.apply, g_params, get_optimizer("adam", learning_rate=1e-4)
+    )
+    d_state = TrainState.create(
+        disc.apply, d_params, get_optimizer("adam", learning_rate=1e-4)
+    )
+    d_step, g_step = make_gan_steps(
+        gen, disc, latent_dim=4, loss_type="relativistic"
+    )
+    d_state, d_m = d_step(d_state, g_state.params, {"image": real}, KEY)
+    g_state, g_m = g_step(g_state, d_state.params, {"image": real}, KEY)
+    assert np.isfinite(float(d_m["loss"])) and np.isfinite(float(g_m["loss"]))

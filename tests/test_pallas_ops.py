@@ -141,3 +141,54 @@ def test_fused_intensity_kernel_interpret():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("nq,nkv", [(1024, 1024), (1000, 520)])
+def test_flash_bwd_pallas_parity(interpret_pallas, monkeypatch, nq, nkv):
+    """Blockwise Pallas backward (dq/dk/dv from saved m/l stats) vs the XLA
+    oracle's gradients (VERDICT item 10)."""
+    monkeypatch.setenv("ADELL_PALLAS_TILED", "1")
+    monkeypatch.setenv("ADELL_PALLAS_FORCE", "1")
+    rng = np.random.default_rng(2)
+    d = 32
+    q = jnp.asarray(rng.normal(size=(1, 2, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, nkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, nkv, d)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for got, ref, name in ((gq, rq, "dq"), (gk, rk, "dk"), (gv, rv, "dv")):
+        err = float(jnp.abs(got - ref).max())
+        denom = float(jnp.abs(ref).max()) + 1e-6
+        assert err / denom < 2e-4, f"{name}: rel err {err / denom}"
+
+
+def test_flash_bwd_pallas_long_sequence(interpret_pallas, monkeypatch):
+    """8k+ tokens through the blockwise backward in interpret mode — the
+    memory-bounded training path the README claims (whole-volume token
+    counts)."""
+    monkeypatch.setenv("ADELL_PALLAS_TILED", "1")
+    monkeypatch.setenv("ADELL_PALLAS_FORCE", "1")
+    rng = np.random.default_rng(3)
+    n, d = 8192, 16
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(1, 1, n, d)), jnp.float32)
+        for _ in range(3)
+    )
+    g = jnp.asarray(rng.normal(size=(1, 1, n, d)), jnp.float32)
+    out, vjp = jax.vjp(lambda q, k, v: flash_attention(q, k, v), q, k, v)
+    dq, dk, dv = vjp(g)
+    _, ref_vjp = jax.vjp(
+        lambda q, k, v: attention_reference(q, k, v), q, k, v
+    )
+    rq, rk, rv = ref_vjp(g)
+    for got, ref in ((dq, rq), (dk, rk), (dv, rv)):
+        err = float(jnp.abs(got - ref).max())
+        denom = float(jnp.abs(ref).max()) + 1e-6
+        assert err / denom < 2e-4

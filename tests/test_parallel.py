@@ -133,3 +133,26 @@ def test_tensor_parallel_matches_replicated():
         is_leaf=lambda s: isinstance(s, PartitionSpec),
     )
     assert any("model" in str(s) for s in specs)
+
+
+def test_shard_batch_pads_to_full_mesh():
+    """batch 4 on 8 devices: pad=True duplicates samples so no chip idles
+    (DistributedSampler semantics); pad=False replicates (val tails)."""
+    import numpy as np
+
+    from adell_mri_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(jax.devices()[:8])
+    x = np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+    out = shard_batch({"x": x}, mesh, pad=True)["x"]
+    assert out.shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(out)[4:], x)  # wrapped copies
+    rep = shard_batch({"x": x}, mesh, pad=False)["x"]
+    assert rep.shape == (4, 3)
+
+
+def test_mesh_for_batch_uses_all_devices():
+    from adell_mri_tpu.parallel.mesh import mesh_for_batch
+
+    mesh = mesh_for_batch(4, jax.devices()[:8])
+    assert mesh.devices.size == 8
