@@ -146,6 +146,22 @@ def get_classification_network(
             n_blocks=cfg.get("n_blocks", 4),
             norm_type=cfg.get("norm_type", "batch"),
         )
+    elif net_type in ("convnext_backbone", "convnext_v2"):
+        # standalone patchify-stem ConvNeXt (parity: layers/conv_next.py:388
+        # ConvNeXt classifier over ConvNeXtBackbone/ConvNeXtV2Backbone)
+        from adell_mri_tpu.models.layers.conv_next import ConvNeXt
+
+        net = ConvNeXt(
+            structure=[
+                tuple(s) for s in cfg.get(
+                    "resnet_structure", ((64, 64, 7, 2), (128, 128, 7, 2))
+                )
+            ],
+            n_classes=n_classes,
+            first_layer_stride=cfg.get("first_layer_stride", 4),
+            maxpool_structure=cfg.get("maxpool_structure"),
+            v2=net_type == "convnext_v2",
+        )
     elif net_type in ("cat", "resnet", "convnext"):
         res_type = cfg.get(
             "res_type", "convnext" if net_type == "convnext" else "resnet"

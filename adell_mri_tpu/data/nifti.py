@@ -225,6 +225,31 @@ def orientation_codes(affine: np.ndarray) -> Tuple[int, ...]:
     return tuple(codes)
 
 
+def reorient_from_ras(data: np.ndarray, original_affine: np.ndarray) -> np.ndarray:
+    """
+    Inverse of :func:`reorient_to_ras` for a voxel array: takes data on the
+    RAS grid of a file whose affine was ``original_affine`` and returns it
+    in the ORIGINAL file's axis order and direction, so a written
+    prediction matches the source file voxel-for-voxel (the reference's
+    Invertd byte-layout parity, monai Invertd in
+    entrypoints/segmentation/predict.py).
+    """
+    codes = orientation_codes(original_affine)
+    perm = [0, 0, 0]
+    flips = [False, False, False]
+    for vox_axis, code in enumerate(codes):
+        world = abs(code) - 1
+        perm[world] = vox_axis
+        flips[world] = code < 0
+    out = data
+    for world in range(3):
+        if flips[world]:
+            out = np.flip(out, axis=world)
+    extra = list(range(3, out.ndim))
+    inv = list(np.argsort(perm))
+    return np.ascontiguousarray(np.transpose(out, inv + extra))
+
+
 def reorient_to_ras(img: NiftiImage) -> NiftiImage:
     """
     Permutes/flips voxel axes so axis 0 increases to the Right, axis 1 to

@@ -70,6 +70,11 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "precision": dict(type=str, default="32", help="Precision: 32|bf16"),
     "gradient_clip_val": dict(default=None, type=float, help="Gradient clipping value"),
     "accumulate_grad_batches": dict(default=1, type=int, help="Gradient accumulation steps"),
+    "profile_dir": dict(
+        default=None,
+        help="Capture a jax.profiler trace of a few train steps into this "
+        "directory (view with xprof/tensorboard)",
+    ),
     "check_val_every_n_epoch": dict(default=1, type=int, help="Val frequency"),
     "early_stopping": dict(default=None, type=int, help="Early stopping patience"),
     "swa": dict(
@@ -125,7 +130,7 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "flip_tta": dict(action="store_true", help="Flip test-time augmentation"),
     "mc_iterations": dict(default=None, type=int, help="MC dropout iterations"),
     # classification specifics
-    "classification_net_type": dict(default="cat", choices=["cat", "ord", "vgg", "vit", "factorized_vit", "unet"], help="Classification architecture"),
+    "classification_net_type": dict(default="cat", choices=["cat", "ord", "vgg", "vit", "factorized_vit", "unet", "resnet", "convnext", "convnext_backbone", "convnext_v2"], help="Classification architecture"),
     "image_masking": dict(action="store_true", help="Mask image with mask key"),
     "image_crop_from_mask": dict(action="store_true", help="Crop image from mask bounding box"),
     "correct_classification_bias": dict(action="store_true", help="Set output bias to log-odds"),
@@ -156,6 +161,28 @@ argument_factory: Dict[str, Dict[str, Any]] = {
 ArgKey = Union[str, Tuple[str, str], Tuple[str, str, Dict[str, Any]]]
 
 
+def _apply_overrides(params: Dict[str, Any], overrides: List[str]):
+    """Hydra-style ``a.b=value`` assignments into a nested dict (parity:
+    utils/parser.py:137-166). Values parse as YAML scalars/lists."""
+    import yaml
+
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override '{ov}' is not key=value")
+        key, raw = ov.split("=", 1)
+        try:
+            value = yaml.safe_load(raw)
+        except Exception:
+            value = raw
+        node = params
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"override '{ov}' descends into non-dict")
+        node[parts[-1]] = value
+
+
 class Parser(argparse.ArgumentParser):
     """argparse with registry lookups (parity: assemble_args.py:831-847)."""
 
@@ -178,11 +205,21 @@ class Parser(argparse.ArgumentParser):
         """
         Supports ``--params_from file.yaml``: stored values fill in any
         argument NOT given on the command line — CLI always wins (parity:
-        utils/parser.py:51-135).
+        utils/parser.py:51-135). ``--overrides a.b=1 c=[2,3]`` applies
+        hydra-style dotted-key overrides onto the stored params before the
+        fill (parity: utils/parser.py:137-166 ``compose``).
         """
         import sys as _sys
 
         argv = list(_sys.argv[1:] if args is None else args)
+        overrides = []
+        if "--overrides" in argv:
+            idx = argv.index("--overrides")
+            j = idx + 1
+            while j < len(argv) and not argv[j].startswith("--"):
+                overrides.append(argv[j])
+                j += 1
+            del argv[idx:j]
         if "--params_from" in argv:
             idx = argv.index("--params_from")
             path = argv[idx + 1]
@@ -191,6 +228,7 @@ class Parser(argparse.ArgumentParser):
 
             with open(path) as f:
                 stored = yaml.safe_load(f) or {}
+            _apply_overrides(stored, overrides)
             given = {
                 a.split("=", 1)[0].lstrip("-")
                 for a in argv
@@ -199,6 +237,20 @@ class Parser(argparse.ArgumentParser):
             for key, value in stored.items():
                 if key in given or key == "params_from":
                     continue
+                flag = _flag(key)
+                if isinstance(value, bool):
+                    if value:
+                        argv.append(flag)
+                elif isinstance(value, (list, tuple)):
+                    argv.append(flag)
+                    argv.extend(str(v) for v in value)
+                elif value is not None:
+                    argv.extend([flag, str(value)])
+        elif overrides:
+            # no stored params: overrides become plain --key value args
+            stored = {}
+            _apply_overrides(stored, overrides)
+            for key, value in stored.items():
                 flag = _flag(key)
                 if isinstance(value, bool):
                     if value:

@@ -88,8 +88,9 @@ def main(arguments):
     if n_classes == 2:
         results = binary_metrics(np.asarray(probs), np.asarray(targets))
     else:
-        hard = np.argmax(np.asarray(probs), -1)
-        results = {"accuracy": float((hard == np.asarray(targets)).mean())}
+        from adell_mri_tpu.eval.metrics import multiclass_metrics
+
+        results = multiclass_metrics(np.asarray(probs), np.asarray(targets))
     results["n_cases"] = len(targets)
     MetricLogger(csv_path=args.metric_path).log_metrics(results, step=0)
     print(json.dumps(results))

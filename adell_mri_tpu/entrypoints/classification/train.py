@@ -400,6 +400,15 @@ def main(arguments):
                 model, loss_fn, n_classes=n_classes, train=False,
                 precision=args.precision,
             )
+        # per-epoch validation metric dictionary (parity: the torchmetrics
+        # dicts updated in validation_step, classification/pl.py:99-160)
+        from adell_mri_tpu.eval.callbacks import ClassificationMetricsCallback
+
+        metrics_cb = ClassificationMetricsCallback(
+            model,
+            n_classes=n_classes,
+            feature_key="features" if feat_keys else None,
+        )
         loop = TrainLoop(
             train_step=make_train_step(train_lm),
             eval_step=make_eval_step(eval_lm),
@@ -414,6 +423,7 @@ def main(arguments):
             metric_logger=csv_logger,
             seed=args.seed + fold_idx,
             eval_on_ema=args.swa,
+            callbacks=(metrics_cb,),
         )
         state, history = loop.fit(state, train_loader, val_loader)
         final = history[-1] if history else {}

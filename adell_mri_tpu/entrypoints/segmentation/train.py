@@ -106,6 +106,7 @@ ARG_KEYS = [
     "deep_supervision",
     "picai_eval",
     "swa",
+    "profile_dir",
     "semi_supervised",
     "semi_sl_weight",
     "missing_to_empty",
@@ -473,6 +474,7 @@ def main(arguments):
             eval_on_ema=args.swa,
             nan_guard=nan_guard,
             callbacks=callbacks,
+            profile_dir=args.profile_dir,
         )
         state, history = loop.fit(state, train_loader, val_loader)
         final = history[-1] if history else {}

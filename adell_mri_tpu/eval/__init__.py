@@ -9,6 +9,9 @@ from adell_mri_tpu.eval.metrics import (
     binary_metrics,
     dice_score,
     expected_calibration_error,
+    iou_score,
+    multiclass_metrics,
+    segmentation_class_metrics,
 )
 from adell_mri_tpu.eval.bootstrap import bootstrap_metric
 
@@ -20,6 +23,9 @@ __all__ = [
     "dice_score",
     "auc_score",
     "binary_metrics",
+    "multiclass_metrics",
+    "segmentation_class_metrics",
+    "iou_score",
     "expected_calibration_error",
     "bootstrap_metric",
 ]

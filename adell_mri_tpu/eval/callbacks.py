@@ -82,3 +82,75 @@ class LesionEvalCallback:
         return {
             k: float(v) for k, v in out.items() if np.isfinite(v)
         } or None
+
+
+class ClassificationMetricsCallback:
+    """
+    TrainLoop callback: accumulates validation probabilities and labels,
+    emitting the full metric dictionary every validation epoch (parity:
+    the per-phase torchmetrics dicts the reference updates in
+    validation_step, classification/pl.py:99-160 + update_metrics —
+    Rec/Spe/Pr/F1/AUC/CalErr, macro-averaged with per-class entries for
+    nc > 2). Probabilities are computed by one extra jitted forward per
+    validation batch; ``max_cases`` bounds host memory.
+    """
+
+    def __init__(
+        self,
+        model,
+        n_classes: int = 2,
+        max_cases: int = 4096,
+        feature_key: Optional[str] = None,
+    ):
+        import jax
+
+        self.n_classes = n_classes
+        self.max_cases = max_cases
+        self.feature_key = feature_key
+        self._probs = []
+        self._labels = []
+
+        def predict(params, x, *feats):
+            logits = model.apply({"params": params}, x, *feats, train=False)
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            if n_classes > 2:
+                return jax.nn.softmax(logits, -1)
+            return jax.nn.sigmoid(
+                logits[..., 0] if logits.ndim > 1 else logits
+            )
+
+        self._predict = jax.jit(predict)
+
+    def on_validation_batch(self, params, batch: Dict, metrics: Dict):
+        if len(self._probs) >= self.max_cases:
+            return
+        args = (batch["image"],)
+        if self.feature_key and self.feature_key in batch:
+            args = args + (batch[self.feature_key],)
+        probs = np.asarray(self._predict(params, *args))
+        labels = np.asarray(batch["label"]).reshape(-1)
+        for i in range(probs.shape[0]):
+            if len(self._probs) >= self.max_cases:
+                break
+            self._probs.append(probs[i])
+            self._labels.append(labels[i])
+
+    def on_validation_end(self, params) -> Optional[Dict[str, float]]:
+        from adell_mri_tpu.eval.metrics import (
+            binary_metrics,
+            multiclass_metrics,
+        )
+
+        if not self._probs:
+            return None
+        probs = np.stack(self._probs)
+        labels = np.asarray(self._labels)
+        self._probs, self._labels = [], []
+        if self.n_classes > 2:
+            m = multiclass_metrics(probs, labels)
+        else:
+            m = binary_metrics(probs, labels)
+        return {
+            f"V_{k}": float(v) for k, v in m.items() if np.isfinite(v)
+        } or None

@@ -41,11 +41,65 @@ class InstanceNorm(nn.Module):
         return y
 
 
+class GlobalBatchNorm(nn.Module):
+    """
+    Batch normalization with TPU-native semantics: normalizes by
+    CURRENT-batch statistics, which under a pjit-sharded batch axis are
+    GLOBAL batch statistics (XLA inserts the cross-replica reduction the
+    reference needs Lightning sync_batchnorm for,
+    entrypoints/ssl/train_3d.py:337). Running averages are maintained only
+    when a ``batch_stats`` collection is actually threaded through apply
+    (the SSL student/teacher path) — a stateless apply (classification /
+    segmentation steps, which carry only params) neither reads nor writes
+    the collection, so eval works without restored running stats instead
+    of crashing on the missing collection.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        axes = tuple(range(x.ndim - 1))
+        has_ra = self.has_variable("batch_stats", "mean")
+        mutable_ra = self.is_mutable_collection("batch_stats")
+        ra_mean = ra_var = None
+        if has_ra or mutable_ra or self.is_initializing():
+            ra_mean = self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+            )
+            ra_var = self.variable(
+                "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+            )
+        if use_running_average and has_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)
+            if (
+                ra_mean is not None
+                and mutable_ra
+                and not self.is_initializing()
+            ):
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean.astype(
+                    jnp.float32
+                )
+                ra_var.value = m * ra_var.value + (1 - m) * var.astype(
+                    jnp.float32
+                )
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
 def make_norm(norm_fn: str, spatial_dim: int = 3) -> Callable[[], nn.Module]:
     """Norm constructor by name: batch / instance / layer / group / identity."""
     norm_fn = (norm_fn or "identity").lower()
     if norm_fn == "batch":
-        return lambda: nn.BatchNorm(use_running_average=None, momentum=0.9)
+        return lambda: GlobalBatchNorm(momentum=0.9)
     if norm_fn == "instance":
         return lambda: InstanceNorm()
     if norm_fn == "layer":
@@ -89,7 +143,7 @@ class ActDropNorm(nn.Module):
             elif op == "N":
                 norm = norm_ctor()
                 if norm is not None:
-                    if isinstance(norm, nn.BatchNorm):
+                    if isinstance(norm, (nn.BatchNorm, GlobalBatchNorm)):
                         x = norm(x, use_running_average=not train)
                     else:
                         x = norm(x)

@@ -59,6 +59,9 @@ class CheckpointManager:
 
     # -- metadata ----------------------------------------------------------
     def save_metadata(self, metadata: Dict[str, Any]):
+        # record the monitored metric so cross-fold best selection
+        # (predict --fold -1) knows the comparison direction
+        metadata = {"monitor": self.monitor, "mode": self.mode, **metadata}
         with open(os.path.join(self.dir, "metadata.json"), "w") as f:
             json.dump(metadata, f, default=str, indent=1)
 

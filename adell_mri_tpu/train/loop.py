@@ -39,6 +39,8 @@ class TrainLoop:
         callbacks=(),
         nan_guard=None,
         nan_guard_every: int = 1,
+        profile_dir: Optional[str] = None,
+        profile_steps=(10, 15),
     ):
         self.train_step = train_step
         self.eval_step = eval_step
@@ -56,6 +58,13 @@ class TrainLoop:
         self.callbacks = list(callbacks)
         self.nan_guard = nan_guard
         self.nan_guard_every = max(1, int(nan_guard_every))
+        # jax.profiler trace window (SURVEY §5 tracing/profiling): capture
+        # steps [start, stop) of the run into profile_dir for xprof/
+        # tensorboard; replaces Lightning's profiler hook
+        self.profile_dir = profile_dir
+        self.profile_steps = tuple(profile_steps)
+        self._global_step = 0
+        self._profiling = False
 
     def _put(self, batch: Dict, pad: bool = False) -> Dict:
         batch = {
@@ -77,6 +86,7 @@ class TrainLoop:
         t0 = time.perf_counter()
         n_samples = 0
         for batch in loader:
+            self._profile_tick()
             batch = self._put(batch, pad=True)
             self.rng, aug_key, step_key = jax.random.split(self.rng, 3)
             if self.augment_fn is not None:
@@ -97,6 +107,22 @@ class TrainLoop:
         out = {k: float(v) / max(n, 1) for k, v in metric_sums.items()}
         out["samples_per_sec"] = n_samples / dt if dt > 0 else 0.0
         return state, out
+
+    def _profile_tick(self):
+        if self.profile_dir is None:
+            return
+        start, stop = self.profile_steps
+        if self._global_step == start and not self._profiling:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+            logger.info(
+                "profiler: tracing steps %d-%d -> %s", start, stop,
+                self.profile_dir,
+            )
+        elif self._global_step == stop and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+        self._global_step += 1
 
     def _validate(self, state, loader):
         params = (
@@ -178,6 +204,9 @@ class TrainLoop:
                                 best,
                             )
                             break
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
         return state, history
 
 

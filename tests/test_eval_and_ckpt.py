@@ -212,3 +212,92 @@ def test_lesion_eval_callback_collects_and_reports():
     assert out["V_AP"] > 0.9 and out["V_AUC"] > 0.9
     # state cleared for the next epoch
     assert cb.on_validation_end({}) is None
+
+
+def test_multiclass_metrics_dict():
+    from adell_mri_tpu.eval.metrics import multiclass_metrics
+
+    rng = np.random.default_rng(0)
+    n, c = 200, 3
+    target = rng.integers(0, c, n)
+    probs = rng.dirichlet(np.ones(c), n)
+    # make predictions informative for a sane AUC
+    probs[np.arange(n), target] += 1.0
+    probs /= probs.sum(-1, keepdims=True)
+    m = multiclass_metrics(probs, target)
+    for k in ("accuracy", "precision", "recall", "specificity", "f1",
+              "auc", "ece", "precision_c0", "recall_c2", "f1_c1"):
+        assert k in m, k
+    assert m["accuracy"] == 1.0  # argmax matches by construction
+    assert m["auc"] > 0.9
+
+
+def test_binary_metrics_has_specificity():
+    from adell_mri_tpu.eval.metrics import binary_metrics
+
+    pred = np.asarray([0.9, 0.1, 0.8, 0.2])
+    target = np.asarray([1, 0, 1, 0])
+    m = binary_metrics(pred, target)
+    assert m["specificity"] == 1.0 and m["recall"] == 1.0
+
+
+def test_segmentation_class_metrics():
+    from adell_mri_tpu.eval.metrics import segmentation_class_metrics
+
+    pred = np.zeros((8, 8), int)
+    target = np.zeros((8, 8), int)
+    pred[:4] = 1
+    target[:4] = 1
+    pred[4:6] = 2
+    target[4:8] = 2
+    m = segmentation_class_metrics(pred, target, n_classes=3)
+    assert m["dice_c1"] == 1.0
+    assert 0 < m["dice_c2"] < 1
+    assert "dice_macro" in m and "iou_macro" in m
+
+
+def test_classification_metrics_callback():
+    import flax.linen as nn
+    import jax
+
+    from adell_mri_tpu.eval.callbacks import ClassificationMetricsCallback
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(3)(x.reshape(x.shape[0], -1))
+
+    model = Tiny()
+    x = np.random.default_rng(0).normal(size=(4, 2, 2, 1)).astype(np.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    cb = ClassificationMetricsCallback(model, n_classes=3)
+    batch = {"image": x, "label": np.asarray([0, 1, 2, 1])}
+    cb.on_validation_batch(params, batch, {})
+    out = cb.on_validation_end(params)
+    assert out is not None and "V_f1" in out and "V_specificity" in out
+    # state resets between epochs
+    assert cb.on_validation_end(params) is None
+
+
+def test_predict_fold_selection(tmp_path):
+    """--fold -1 picks the fold with the best monitored value."""
+    import json
+
+    from adell_mri_tpu.entrypoints.segmentation.predict import _select_fold
+
+    for fold, val in ((0, 0.5), (1, 0.8), (2, 0.7)):
+        d = tmp_path / f"segmentation_fold{fold}"
+        d.mkdir()
+        (d / "best.json").write_text(json.dumps({"step": 3, "value": val}))
+        (d / "metadata.json").write_text(
+            json.dumps({"monitor": "val_dice", "mode": "max"})
+        )
+    assert _select_fold(str(tmp_path), "segmentation", -1) == 1
+    assert _select_fold(str(tmp_path), "segmentation", 2) == 2
+    # min-mode metric flips the comparison
+    for fold in (0, 1, 2):
+        d = tmp_path / f"segmentation_fold{fold}"
+        (d / "metadata.json").write_text(
+            json.dumps({"monitor": "val_loss", "mode": "min"})
+        )
+    assert _select_fold(str(tmp_path), "segmentation", -1) == 0

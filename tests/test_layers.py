@@ -152,3 +152,40 @@ def test_resnet_ret_levels():
     assert m.apply(v, X2, ret="representation").shape == (2, 8)
     assert m.apply(v, X2, ret="projection").shape == (2, 8)
     assert m.apply(v, X2, ret="prediction").shape == (2, 2)
+
+
+def test_global_batch_norm_stateless_and_threaded():
+    """GlobalBatchNorm: stateless apply (no batch_stats threaded) uses
+    batch statistics in BOTH modes without crashing; threaded+mutable
+    apply maintains running averages (the SSL path)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adell_mri_tpu.models.layers.adn import GlobalBatchNorm
+
+    m = GlobalBatchNorm(momentum=0.5)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(2.0, 3.0, (8, 4)), jnp.float32
+    )
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x)
+    assert "batch_stats" in variables
+    # stateless eval: batch stats, normalized output, no crash
+    y = m.apply(
+        {"params": variables["params"]}, x, use_running_average=True
+    )
+    assert abs(float(y.mean())) < 1e-4
+    # threaded + mutable: running stats move toward batch stats
+    y2, new_vars = m.apply(
+        variables, x, use_running_average=False, mutable=["batch_stats"]
+    )
+    ra = np.asarray(new_vars["batch_stats"]["mean"])
+    assert np.all(np.abs(ra - 0.5 * np.asarray(x.mean(0))) < 1e-4)
+    # threaded running stats are USED at eval
+    y3 = m.apply(
+        {"params": variables["params"], "batch_stats": new_vars["batch_stats"]},
+        x,
+        use_running_average=True,
+    )
+    assert not np.allclose(np.asarray(y3), np.asarray(y))

@@ -112,17 +112,73 @@ def test_nn_and_anatomical_losses_finite():
     assert np.isfinite(float(acl(feats, probs, labels)))
 
 
-def test_ahnet_and_transfer():
-    m = AHNet(depth=(4, 8), dropout_param=0.0)
-    x = jnp.ones((1, 16, 16, 6, 1))
+def test_ahnet_2d_forward():
+    m = AHNet(spatial_dim=2, out_channels=8, n_layers=3, dropout_param=0.0)
+    x = jnp.ones((1, 32, 32, 1))
     v = m.init({"params": KEY}, x)
     pred, _ = m.apply(v, x)
-    assert pred.shape == (1, 16, 16, 6, 1)
-    # 2D -> 3D kernel transfer
+    assert pred.shape == (1, 32, 32, 1)
+    assert float(pred.min()) >= 0 and float(pred.max()) <= 1
+
+
+def test_ahnet_2d_to_3d_transfer():
+    """The reference's convert_to_3d flow (segmentation/ahnet.py:72-78):
+    train in 2D, transfer the trunk into the 3D net, fresh 3D decoders."""
+    m2 = AHNet(spatial_dim=2, out_channels=8, n_layers=3, dropout_param=0.0)
+    m3 = AHNet(spatial_dim=3, out_channels=8, n_layers=3, dropout_param=0.0)
+    x2 = jnp.ones((1, 32, 32, 1))
+    x3 = jnp.ones((1, 32, 32, 8, 1))
+    p2 = m2.init({"params": KEY}, x2)["params"]
+    p3 = m3.init({"params": KEY}, x3)["params"]
+    p3t = transfer_2d_to_3d(p2, p3)
+    # stem 7x7 kernel stacked 3x along z (AnysotropicHybridInput surgery)
+    k2 = np.asarray(p2["stem"]["conv"]["kernel"])
+    k3 = np.asarray(p3t["stem"]["conv"]["kernel"])
+    assert k3.shape[2] == 3
+    for z in range(3):
+        np.testing.assert_allclose(k3[:, :, z], k2)
+    # residual k x k kernel unsqueezed to (k, k, 1)
+    r2 = np.asarray(p2["res_0"]["conv_mid"]["kernel"])
+    r3 = np.asarray(p3t["res_0"]["conv_mid"]["kernel"])
+    assert r3.shape[2] == 1
+    np.testing.assert_allclose(r3[:, :, 0], r2)
+    # 3D decoder stays fresh (exists only in 3D)
+    assert "dec_0" in p3t
+    pred, _ = m3.apply({"params": p3t}, x3)
+    assert pred.shape == (1, 32, 32, 8, 1)
+    assert np.all(np.isfinite(np.asarray(pred)))
+
+
+def test_transfer_2d_to_3d_leaf_semantics():
     k2 = np.random.default_rng(0).normal(size=(3, 3, 4, 8)).astype(np.float32)
     k3 = np.zeros((3, 3, 1, 4, 8), np.float32)
     out = transfer_2d_to_3d({"w": k2}, {"w": k3})
     np.testing.assert_allclose(out["w"][:, :, 0], k2)
+
+
+def test_mimunet_pyramid_mode():
+    """2D module returning a feature pyramid -> 3D decode with links and
+    deep supervision (parity: mimunet.py v_module_2d + init_decoder)."""
+
+    class Pyramid2D(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            f1 = nn.Conv(4, (3, 3), padding="SAME")(x)
+            f2 = nn.Conv(8, (3, 3), strides=(2, 2), padding="SAME")(f1)
+            f3 = nn.Conv(16, (3, 3), strides=(2, 2), padding="SAME")(f2)
+            return [f1, f2, f3]
+
+    for link in ("identity", "conv", "residual"):
+        m = MIMUNet(
+            module_2d=Pyramid2D(), n_classes=2, link_type=link,
+            deep_supervision=(link == "conv"), dropout_param=0.0,
+        )
+        x = jnp.ones((1, 16, 16, 4, 1))
+        v = m.init({"params": KEY}, x)
+        logits, ds = m.apply(v, x)
+        assert logits.shape == (1, 16, 16, 4, 1)
+        if link == "conv":
+            assert ds is not None and len(ds) == 2
 
 
 def test_mimunet_slicewise():

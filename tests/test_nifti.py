@@ -68,3 +68,30 @@ def test_reorient_axis_swap():
     out = reorient_to_ras(NiftiImage(data, affine))
     assert out.data.shape == (5, 4, 3)
     assert orientation_codes(out.affine) == (1, 2, 3)
+
+
+def test_reorient_from_ras_roundtrip():
+    """reorient_to_ras then reorient_from_ras restores the original voxel
+    layout exactly (the Invertd byte-layout parity predict relies on)."""
+    from adell_mri_tpu.data.nifti import (
+        NiftiImage,
+        reorient_from_ras,
+        reorient_to_ras,
+    )
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(5, 6, 7)).astype(np.float32)
+    # LPS affine with permuted axes: x->-P, y->-R, z->S
+    affine = np.asarray(
+        [
+            [0.0, -1.0, 0.0, 3.0],
+            [-1.0, 0.0, 0.0, 5.0],
+            [0.0, 0.0, 1.5, -2.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+    img = NiftiImage(data=data, affine=affine, header=None)
+    ras = reorient_to_ras(img)
+    assert ras.data.shape != data.shape or not np.array_equal(ras.data, data)
+    back = reorient_from_ras(ras.data, affine)
+    np.testing.assert_array_equal(back, data)

@@ -233,3 +233,53 @@ def test_nan_guard_dumps_and_raises(tmp_path):
     assert len(dumps) == 1
     data = np.load(dumps[0])
     assert data["image"].shape == (2, 4)
+
+
+def test_parser_overrides():
+    """--overrides applies hydra-style dotted keys onto --params_from
+    values, CLI still wins (parity: utils/parser.py compose)."""
+    import yaml
+
+    from adell_mri_tpu.entrypoints.assemble_args import Parser
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.yaml")
+        yaml.safe_dump({"max_epochs": 7, "learning_rate": 0.1}, open(path, "w"))
+        parser = Parser(prog="t")
+        parser.add_argument_by_key(["max_epochs", "learning_rate", "seed"])
+        args = parser.parse_args(
+            ["--params_from", path, "--overrides", "max_epochs=9", "seed=3"]
+        )
+        assert args.max_epochs == 9  # override beats stored value
+        assert args.learning_rate == 0.1  # stored value survives
+        assert args.seed == 3  # override without stored key
+        # CLI wins over both
+        args = parser.parse_args(
+            ["--max_epochs", "2", "--params_from", path,
+             "--overrides", "max_epochs=9"]
+        )
+        assert args.max_epochs == 2
+
+
+def test_trainloop_profiler_hook(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.train.loop import TrainLoop
+
+    def step(state, batch, rng):
+        return state, {"loss": jnp.mean(batch["x"])}
+
+    loop = TrainLoop(
+        train_step=step, max_epochs=1,
+        profile_dir=str(tmp_path), profile_steps=(1, 3),
+    )
+    loader = [{"x": np.ones((2, 2), np.float32)} for _ in range(5)]
+    loop.fit({}, loader)
+    # a trace directory was produced
+    import glob
+
+    assert glob.glob(str(tmp_path) + "/**/*.xplane.pb", recursive=True) or \
+        glob.glob(str(tmp_path) + "/plugins/**", recursive=True)
