@@ -104,6 +104,44 @@ argument_factory: Dict[str, Dict[str, Any]] = {
         type=int, default=0,
         help="Writes a PNG panel of model samples every N epochs (0=off)",
     ),
+    # conditional generation (parity: cat_condition_keys /
+    # num_condition_keys / uncondition_proba / guidance_strength in the
+    # reference's generative entrypoints)
+    "cat_condition_keys": dict(
+        default=None, nargs="+",
+        help="Dataset keys used as categorical generation conditions",
+    ),
+    "num_condition_keys": dict(
+        default=None, nargs="+",
+        help="Dataset keys used as numerical generation conditions",
+    ),
+    "uncondition_proba": dict(
+        default=0.1, type=float,
+        help="Classifier-free-guidance dropout: probability of replacing "
+        "the condition with the null embedding during training",
+    ),
+    "guidance_strength": dict(
+        default=0.0, type=float,
+        help="Classifier-free guidance weight w at sampling: "
+        "(1+w)*eps_cond - w*eps_uncond",
+    ),
+    "cat_condition": dict(
+        default=None, nargs="+",
+        help="Categorical condition values to sample with (one per "
+        "cat_condition_key)",
+    ),
+    "num_condition": dict(
+        default=None, nargs="+", type=float,
+        help="Numerical condition values to sample with",
+    ),
+    "skip_steps": dict(
+        default=0, type=int,
+        help="Partial denoise: skip the first N reverse steps starting "
+        "from a provided input image",
+    ),
+    "ema_decay": dict(
+        default=0.99, type=float, help="EMA decay for teacher/shadow params",
+    ),
     "class_weights": dict(default=None, nargs="+", type=float, help="Class weights"),
     "weighted_sampling": dict(action="store_true", help="Class-weighted sampling"),
     "constant_ratio": dict(default=None, type=float, help="PartiallyRandomSampler keep ratio"),

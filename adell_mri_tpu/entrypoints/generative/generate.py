@@ -24,6 +24,9 @@ ARG_KEYS = [
     "dev",
     "seed",
     ("batch_size", "n_samples", dict(default=1, help="Number of samples")),
+    "guidance_strength",
+    "cat_condition",
+    "num_condition",
 ]
 
 
@@ -41,6 +44,9 @@ def main(arguments):
     t_args = meta["transform_arguments"]
     size = tuple(t_args["target_size"])
     depth = tuple(net_cfg["depth"])
+    cat_maps = net_cfg.get("cat_maps") or []
+    num_keys = net_cfg.get("num_condition_keys") or []
+    conditional = bool(cat_maps or num_keys)
     model = DiffusionUNet(
         spatial_dimensions=net_cfg["spatial_dimensions"],
         depth=depth,
@@ -50,17 +56,87 @@ def main(arguments):
     )
     process = DiffusionProcess(n_timesteps=net_cfg["n_timesteps"])
     x0 = np.zeros((1,) + size + (net_cfg["in_channels"],), np.float32)
-    params0 = model.init(
-        {"params": jax.random.PRNGKey(0)}, x0, np.zeros((1,), np.int32)
-    )["params"]
-    params = mngr.restore(mngr.best_step(), target={"params": params0})["params"]
 
     import jax.numpy as jnp
 
-    def model_fn(xt, t):
-        return model.apply(
-            {"params": params}, xt, jnp.full((xt.shape[0],), t)
+    n = args.n_samples
+    if conditional:
+        from adell_mri_tpu.models.diffusion import Embedder
+
+        emb_size = net_cfg.get("embedding_size", 128)
+        embedder = Embedder(
+            cat_feat=tuple(len(m) for m in cat_maps),
+            n_num_feat=len(num_keys),
+            embedding_size=emb_size,
         )
+        cat0 = [np.zeros((1,), np.int32)] * len(cat_maps) or None
+        num0 = np.zeros((1, len(num_keys)), np.float32) if num_keys else None
+        emb_params0 = embedder.init(
+            {"params": jax.random.PRNGKey(0)}, cat0, num0, batch_size=1
+        )["params"]
+        cond0 = np.zeros((1, emb_size), np.float32)
+        unet_params0 = model.init(
+            {"params": jax.random.PRNGKey(0)}, x0, np.zeros((1,), np.int32),
+            cond_embedding=cond0,
+        )["params"]
+        restored = mngr.restore(
+            mngr.best_step(),
+            target={"params": {"unet": unet_params0, "embedder": emb_params0}},
+        )["params"]
+        unet_params, emb_params = restored["unet"], restored["embedder"]
+        # condition values -> embeddings (classifier-free guidance uses the
+        # null embedding for the unconditional branch)
+        x_cat = None
+        if cat_maps:
+            vals = args.cat_condition or []
+            if len(vals) != len(cat_maps):
+                raise ValueError(
+                    f"--cat_condition needs {len(cat_maps)} value(s)"
+                )
+            x_cat = [
+                jnp.full((n,), m[str(v)], jnp.int32)
+                for v, m in zip(vals, cat_maps)
+            ]
+        x_num = None
+        if num_keys:
+            vals = args.num_condition or []
+            if len(vals) != len(num_keys):
+                raise ValueError(
+                    f"--num_condition needs {len(num_keys)} value(s)"
+                )
+            x_num = jnp.tile(
+                jnp.asarray(vals, jnp.float32)[None], (n, 1)
+            )
+        cond_emb = embedder.apply({"params": emb_params}, x_cat, x_num)
+        null_emb = embedder.apply(
+            {"params": emb_params}, None, None, batch_size=n
+        )
+        w = args.guidance_strength
+
+        def model_fn(xt, t):
+            tvec = jnp.full((xt.shape[0],), t)
+            eps_c = model.apply(
+                {"params": unet_params}, xt, tvec, cond_embedding=cond_emb
+            )
+            if w == 0.0:
+                return eps_c
+            eps_u = model.apply(
+                {"params": unet_params}, xt, tvec, cond_embedding=null_emb
+            )
+            return (1.0 + w) * eps_c - w * eps_u
+
+    else:
+        params0 = model.init(
+            {"params": jax.random.PRNGKey(0)}, x0, np.zeros((1,), np.int32)
+        )["params"]
+        params = mngr.restore(mngr.best_step(), target={"params": params0})[
+            "params"
+        ]
+
+        def model_fn(xt, t):
+            return model.apply(
+                {"params": params}, xt, jnp.full((xt.shape[0],), t)
+            )
 
     shape = (args.n_samples,) + size + (net_cfg["in_channels"],)
     key = jax.random.PRNGKey(args.seed)

@@ -50,6 +50,9 @@ ARG_KEYS = [
     "monitor",
     "metric_path",
     "sample_panel_every",
+    "cat_condition_keys",
+    "num_condition_keys",
+    "uncondition_proba",
 ]
 
 
@@ -58,9 +61,11 @@ def main(arguments):
     parser.add_argument_by_key(ARG_KEYS)
     args = parser.parse_args(arguments)
 
+    cat_keys = args.cat_condition_keys or []
+    num_keys = args.num_condition_keys or []
     data = Dataset(args.dataset_json, seed=args.seed)
     data.apply_filters(
-        presence_keys=list(args.image_keys),
+        presence_keys=list(args.image_keys) + cat_keys + num_keys,
         filter_on_keys=args.filter_on_keys,
     )
     if args.subsample_size:
@@ -76,8 +81,31 @@ def main(arguments):
         target_spacing=args.target_spacing,
         target_size=base_size,
     )
+    datalist = data.to_datalist()
+
+    # categorical condition value -> integer maps (parity:
+    # CategoricalConversion inside the reference's Embedder factory)
+    cat_maps = []
+    for key in cat_keys:
+        values = sorted({str(e[key]) for e in datalist})
+        cat_maps.append({v: i for i, v in enumerate(values)})
+    base_load = transforms.load_fn()
+
+    def load_fn(entry):
+        s = base_load(entry)
+        if cat_keys:
+            s["cond_cat"] = np.asarray(
+                [m[str(entry[k])] for k, m in zip(cat_keys, cat_maps)],
+                np.int32,
+            )
+        if num_keys:
+            s["cond_num"] = np.asarray(
+                [float(entry[k]) for k in num_keys], np.float32
+            )
+        return s
+
     ds = CachedVolumeDataset(
-        data.to_datalist(), transforms.load_fn(),
+        datalist, load_fn,
         cache_rate=args.cache_rate, cache_dir=args.cache_dir,
     )
     loader = DataLoader(
@@ -100,9 +128,33 @@ def main(arguments):
         schedule=cfg.get("beta_schedule", "linear"),
     )
     x0 = np.zeros((1,) + base_size + (len(args.image_keys),), np.float32)
-    params = model.init(
-        {"params": jax.random.PRNGKey(args.seed)}, x0, np.zeros((1,), np.int32)
-    )["params"]
+    embedder = None
+    if cat_keys or num_keys:
+        from adell_mri_tpu.models.diffusion import Embedder
+
+        embedder = Embedder(
+            cat_feat=tuple(len(m) for m in cat_maps),
+            n_num_feat=len(num_keys),
+            embedding_size=cfg.get("embedding_size", 128),
+            uncondition_proba=args.uncondition_proba,
+        )
+        cat0 = [np.zeros((1,), np.int32)] * len(cat_keys) or None
+        num0 = np.zeros((1, len(num_keys)), np.float32) if num_keys else None
+        emb_params = embedder.init(
+            {"params": jax.random.PRNGKey(args.seed + 1)}, cat0, num0,
+            batch_size=1,
+        )["params"]
+        cond0 = np.zeros((1, cfg.get("embedding_size", 128)), np.float32)
+        unet_params = model.init(
+            {"params": jax.random.PRNGKey(args.seed)}, x0,
+            np.zeros((1,), np.int32), cond_embedding=cond0,
+        )["params"]
+        params = {"unet": unet_params, "embedder": emb_params}
+    else:
+        params = model.init(
+            {"params": jax.random.PRNGKey(args.seed)}, x0,
+            np.zeros((1,), np.int32),
+        )["params"]
     schedule = cosine_annealing_with_warmup(
         learning_rate,
         t_max=args.max_epochs * max(len(loader), 1),
@@ -126,6 +178,10 @@ def main(arguments):
                 "spatial_dimensions": sd,
                 "n_timesteps": process.n_timesteps,
                 "in_channels": len(args.image_keys),
+                "embedding_size": cfg.get("embedding_size", 128),
+                "cat_maps": cat_maps,
+                "num_condition_keys": list(num_keys),
+                "cat_condition_keys": list(cat_keys),
             },
             "transform_arguments": {
                 "image_keys": list(args.image_keys),
@@ -140,7 +196,12 @@ def main(arguments):
 
         def sample_fn(state, rng):
             def model_fn(x, t):
-                return model.apply({"params": state.params}, x, t)
+                p = (
+                    state.params["unet"]
+                    if embedder is not None
+                    else state.params
+                )
+                return model.apply({"params": p}, x, t)
 
             return process.sample(
                 rng,
@@ -157,7 +218,9 @@ def main(arguments):
             )
         )
     loop = TrainLoop(
-        train_step=make_train_step(make_diffusion_step(model, process)),
+        train_step=make_train_step(
+            make_diffusion_step(model, process, embedder=embedder)
+        ),
         mesh=mesh,
         max_epochs=args.max_epochs,
         ckpt_manager=ckpt,

@@ -95,6 +95,18 @@ def main(arguments):
         help="write predictions on the RAS grid instead of inverting back "
         "to the source file's voxel layout",
     )
+    # postprocessing (parity: the reference predict's threshold /
+    # keep_largest_connected_component / extract_lesions flags)
+    parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument(
+        "--keep_largest_connected_component", action="store_true",
+        help="binary predictions keep only the largest foreground component",
+    )
+    parser.add_argument(
+        "--extract_lesions", action="store_true",
+        help="write the PI-CAI lesion-candidate map (labelled components "
+        "with per-lesion confidence) instead of the raw output",
+    )
     args = parser.parse_args(arguments)
 
     # checkpoint + metadata (transform args travel with the weights)
@@ -181,12 +193,27 @@ def main(arguments):
             out = reorient_from_ras(inv, orig_affine)
             affine = orig_affine
         out_path = os.path.join(args.output_path, f"{pid}_prob.nii.gz")
-        if args.prediction_type == "probability":
+        if args.extract_lesions:
+            from adell_mri_tpu.eval.lesion import extract_lesion_candidates
+
+            cand_map, _, _ = extract_lesion_candidates(
+                out, threshold="dynamic"
+            )
+            writer.put(out_path, cand_map.astype(np.float32), affine)
+        elif args.prediction_type == "probability":
             writer.put(out_path, out.astype(np.float32), affine)
         else:
-            writer.put(
-                out_path, (out > 0.5).astype(np.uint8), affine
-            )
+            hard = (out > args.threshold).astype(np.uint8)
+            if args.keep_largest_connected_component:
+                from scipy import ndimage as _ndi
+
+                labelled, n = _ndi.label(hard)
+                if n > 1:
+                    sizes = _ndi.sum(hard, labelled, range(1, n + 1))
+                    hard = (labelled == (int(np.argmax(sizes)) + 1)).astype(
+                        np.uint8
+                    )
+            writer.put(out_path, hard, affine)
         logger.info("predicted %s -> %s", pid, out_path)
     writer.close()
 

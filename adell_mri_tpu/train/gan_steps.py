@@ -517,13 +517,20 @@ def make_diffusion_step(model, process, embedder=None):
             r_t, (x0.shape[0],), 0, process.n_timesteps
         )
         xt, eps = process.q_sample(r_n, x0, t)
-        cond = None
         variables = {"params": params}
         model_kwargs = {}
-        if embedder is not None and "cond_cat" in batch:
+        has_cond = "cond_cat" in batch or "cond_num" in batch
+        if embedder is not None and has_cond:
+            cond_cat = batch.get("cond_cat")
+            if cond_cat is not None:
+                # collated as [B, n_cat]; the Embedder wants one [B] array
+                # per categorical condition
+                cond_cat = [
+                    cond_cat[:, i] for i in range(cond_cat.shape[1])
+                ]
             cond = embedder.apply(
                 {"params": params["embedder"]},
-                batch.get("cond_cat"),
+                cond_cat,
                 batch.get("cond_num"),
                 train=True,
                 rngs={"uncondition": r_c},
