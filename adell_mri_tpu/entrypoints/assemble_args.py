@@ -140,7 +140,8 @@ argument_factory: Dict[str, Dict[str, Any]] = {
         "from a provided input image",
     ),
     "ema_decay": dict(
-        default=0.99, type=float, help="EMA decay for teacher/shadow params",
+        default=None, type=float,
+        help="EMA decay for teacher/shadow params (default: per-method)",
     ),
     "class_weights": dict(default=None, nargs="+", type=float, help="Class weights"),
     "weighted_sampling": dict(action="store_true", help="Class-weighted sampling"),

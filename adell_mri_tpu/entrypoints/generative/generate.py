@@ -27,6 +27,7 @@ ARG_KEYS = [
     "guidance_strength",
     "cat_condition",
     "num_condition",
+    "skip_steps",
 ]
 
 
@@ -34,6 +35,10 @@ def main(arguments):
     parser = Parser(prog="adell generative generate")
     parser.add_argument_by_key(ARG_KEYS)
     parser.add_argument("--ddim_steps", type=int, default=None)
+    parser.add_argument(
+        "--input_image", default=None,
+        help="Source NIfTI for partial denoise (used with --skip_steps)",
+    )
     args = parser.parse_args(arguments)
 
     mngr = CheckpointManager(
@@ -140,11 +145,29 @@ def main(arguments):
 
     shape = (args.n_samples,) + size + (net_cfg["in_channels"],)
     key = jax.random.PRNGKey(args.seed)
+    x_start = None
+    if args.skip_steps and args.input_image:
+        # partial denoise from a source volume (parity: skip_steps in the
+        # reference's DiffusionUNetPL sampling)
+        from adell_mri_tpu.transforms.pipeline import make_load_fn
+
+        load = make_load_fn(
+            image_keys=["image"], label_keys=None,
+            target_spacing=t_args.get("target_spacing"),
+            target_size=size,
+        )
+        vol = load({"image": args.input_image, "identifier": "src"})["image"]
+        x_start = jnp.tile(
+            jnp.asarray(vol)[None], (args.n_samples,) + (1,) * vol.ndim
+        )
     if args.ddim_steps:
         samples = process.ddim_sample(key, model_fn, shape, n_steps=args.ddim_steps)
     else:
         samples = jax.jit(
-            lambda k: process.sample(k, model_fn, shape)
+            lambda k: process.sample(
+                k, model_fn, shape, skip_steps=args.skip_steps,
+                x_start=x_start,
+            )
         )(key)
     samples = np.asarray(samples)
     os.makedirs(args.output_path, exist_ok=True)

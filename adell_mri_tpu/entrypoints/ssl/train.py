@@ -72,6 +72,7 @@ ARG_KEYS = [
     "metric_path",
     "ssl_method",
     "ema",
+    "ema_decay",
     "stop_gradient",
     "n_local_crops",
 ]
@@ -190,7 +191,7 @@ def main(arguments):
         state = TrainState.create(
             model.apply, params, tx,
             with_ema=use_ema,
-            ema_decay=0.996,
+            ema_decay=args.ema_decay if args.ema_decay is not None else 0.996,
             ema_final_decay=1.0,
             ema_n_steps=args.max_epochs * steps_per_epoch,
             variables=variables,

@@ -412,3 +412,38 @@ def test_relativistic_loss_wiring():
     d_state, d_m = d_step(d_state, g_state.params, {"image": real}, KEY)
     g_state, g_m = g_step(g_state, d_state.params, {"image": real}, KEY)
     assert np.isfinite(float(d_m["loss"])) and np.isfinite(float(g_m["loss"]))
+
+
+def test_conditional_diffusion_step_and_cfg():
+    """Conditional DDPM training step (Embedder with [B, n_cat] collated
+    conditions) + classifier-free-guidance sampling arithmetic."""
+    model = DiffusionUNet(
+        spatial_dimensions=2, depth=(4, 8), attention_levels=(False, False),
+        temb_dim=8,
+    )
+    emb = Embedder(cat_feat=(3,), n_num_feat=1, embedding_size=8,
+                   uncondition_proba=0.5)
+    x = jax.random.normal(KEY, (2, 8, 8, 1))
+    cond0 = jnp.zeros((2, 8))
+    unet_params = model.init(
+        {"params": KEY}, x, jnp.asarray([0, 1]), cond_embedding=cond0
+    )["params"]
+    emb_params = emb.init(
+        {"params": KEY, "uncondition": KEY},
+        [jnp.zeros((2,), jnp.int32)], jnp.zeros((2, 1)),
+    )["params"]
+    params = {"unet": unet_params, "embedder": emb_params}
+    process = DiffusionProcess(n_timesteps=10)
+    lm = make_diffusion_step(model, process, embedder=emb)
+    batch = {
+        "image": x,
+        "cond_cat": jnp.asarray([[0], [2]], jnp.int32),  # collated [B, n_cat]
+        "cond_num": jnp.ones((2, 1)),
+    }
+    loss, metrics = lm(params, batch, KEY)
+    assert np.isfinite(float(loss))
+    # CFG: null embedding differs from conditional embedding
+    cond_emb = emb.apply({"params": emb_params},
+                         [jnp.asarray([1, 1])], jnp.ones((2, 1)))
+    null_emb = emb.apply({"params": emb_params}, None, None, batch_size=2)
+    assert not np.allclose(np.asarray(cond_emb), np.asarray(null_emb))
