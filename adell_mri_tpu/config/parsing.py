@@ -35,33 +35,52 @@ def load_yaml(path: str) -> Dict[str, Any]:
 
 
 def build_compound_loss(
-    loss_spec: Dict[str, Dict[str, Any]], n_classes: int = 2
+    loss_spec: Dict[str, Dict[str, Any]],
+    n_classes: int = 2,
+    param_overrides: Dict[str, Any] = None,
 ) -> CompoundLoss:
     """
     ``{"dice": {"eps": ...}, "focal": {...}}`` -> CompoundLoss, binary or
     categorical chosen by n_classes (parity: config_parsing.py loss
-    materialization + utils.get_loss_param_dict).
+    materialization + utils.get_loss_param_dict). ``param_overrides``
+    (e.g. {"gamma": 3.0} from --loss_gamma) route into every member loss
+    whose signature accepts the key — the reference's get_loss_param_dict
+    per-loss param routing (utils/utils.py:160).
     """
+    import inspect
+
     kind = "categorical" if n_classes > 2 else "binary"
     losses = {}
     for name, params in (loss_spec or {"dice": {}}).items():
         fn = loss_factory[kind][name]
-        losses[name] = {"fn": fn, "params": dict(params or {})}
+        params = dict(params or {})
+        for k, v in (param_overrides or {}).items():
+            if v is None:
+                continue
+            if k in inspect.signature(fn).parameters:
+                params[k] = v
+        losses[name] = {"fn": fn, "params": params}
     return CompoundLoss(losses)
 
 
 def parse_config_unet(
-    config_file: str, n_keys: int = 1, n_classes: int = 2
+    config_file: str,
+    n_keys: int = 1,
+    n_classes: int = 2,
+    loss_param_overrides: Dict[str, Any] = None,
 ) -> Tuple[Dict[str, Any], CompoundLoss]:
     """
     Loads a U-Net YAML (e.g. sample_configs/u-net-3d-resnet.yaml), splits
     training keys from network keys, injects channel counts and builds the
-    loss (parity: config_parsing.py:30).
+    loss (parity: config_parsing.py:30). ``loss_param_overrides`` routes
+    CLI loss knobs (--loss_gamma etc.) into compatible member losses.
     """
     config = load_yaml(config_file)
     config["n_channels"] = int(config.get("n_channels", 1)) * n_keys
     loss_spec = config.get("loss_fn", {"dice": {}})
-    loss = build_compound_loss(loss_spec, n_classes)
+    loss = build_compound_loss(
+        loss_spec, n_classes, param_overrides=loss_param_overrides
+    )
     network_config = {
         k: v for k, v in config.items() if k not in _TRAINING_KEYS
     }

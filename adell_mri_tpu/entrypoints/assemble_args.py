@@ -139,6 +139,24 @@ argument_factory: Dict[str, Dict[str, Any]] = {
         help="Partial denoise: skip the first N reverse steps starting "
         "from a provided input image",
     ),
+    "lr_encoder": dict(
+        default=None, type=float,
+        help="Separate learning rate for encoder parameters (enc_* path "
+        "regex; parity: encoder-LR split)",
+    ),
+    "loss_gamma": dict(
+        default=None, type=float,
+        help="Focal gamma routed into compatible losses",
+    ),
+    "loss_comb": dict(
+        default=None, type=float,
+        help="Hybrid/unified focal combination weight (lam)",
+    ),
+    "steps_per_epoch": dict(
+        default=None, type=int,
+        help="Cap the number of train batches per epoch "
+        "(Lightning limit_train_batches analogue)",
+    ),
     "ema_decay": dict(
         default=None, type=float,
         help="EMA decay for teacher/shadow params (default: per-method)",

@@ -109,6 +109,7 @@ ARG_KEYS = [
     "not_freeze_regex",
     "classification_net_type",
     "swa",
+    "steps_per_epoch",
     "calibration_ids",
     "conformal_alpha",
 ]
@@ -298,6 +299,8 @@ def main(arguments):
                     "warm start from %s (%d skipped)", ck_path, len(skipped)
                 )
         steps_per_epoch = max(len(train_loader), 1)
+        if args.steps_per_epoch:
+            steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
         schedule = cosine_annealing_with_warmup(
             learning_rate,
             t_max=args.max_epochs * steps_per_epoch,
@@ -424,6 +427,7 @@ def main(arguments):
             seed=args.seed + fold_idx,
             eval_on_ema=args.swa,
             callbacks=(metrics_cb,),
+            steps_per_epoch=args.steps_per_epoch,
         )
         state, history = loop.fit(state, train_loader, val_loader)
         final = history[-1] if history else {}

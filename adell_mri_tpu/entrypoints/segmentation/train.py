@@ -85,6 +85,10 @@ ARG_KEYS = [
     "dropout_param",
     "batch_size",
     "learning_rate",
+    "lr_encoder",
+    "loss_gamma",
+    "loss_comb",
+    "steps_per_epoch",
     "optimizer",
     "precision",
     "accumulate_grad_batches",
@@ -178,7 +182,8 @@ def main(arguments):
         raise ValueError("no samples left after filtering")
 
     config, loss_fn = parse_config_unet(
-        args.config_file, n_keys=len(args.image_keys), n_classes=args.n_classes
+        args.config_file, n_keys=len(args.image_keys), n_classes=args.n_classes,
+        loss_param_overrides={"gamma": args.loss_gamma, "lam": args.loss_comb},
     )
     net_cfg = config["network"]
     train_cfg = config["training"]
@@ -344,6 +349,8 @@ def main(arguments):
                     len(skipped),
                 )
         steps_per_epoch = max(len(train_loader), 1)
+        if args.steps_per_epoch:
+            steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
         schedule = cosine_annealing_with_warmup(
             learning_rate,
             t_max=args.max_epochs * steps_per_epoch,
@@ -359,6 +366,19 @@ def main(arguments):
             clip_norm=args.gradient_clip_val,
             params=params,
         )
+        if args.lr_encoder is not None and learning_rate > 0:
+            # encoder-LR split (parity: segmentation/pl.py:526-564 —
+            # encoder params matched by name get their own learning rate)
+            import optax
+
+            from adell_mri_tpu.train.optim import lr_scale_by_regex
+
+            tx = optax.chain(
+                tx,
+                lr_scale_by_regex(
+                    params, {r"^enc_": args.lr_encoder / learning_rate}
+                ),
+            )
         if args.freeze_regex or args.not_freeze_regex:
             from adell_mri_tpu.train.checkpoints import freeze_mask_by_regex
             from adell_mri_tpu.train.optim import freeze_wrap
@@ -475,6 +495,7 @@ def main(arguments):
             nan_guard=nan_guard,
             callbacks=callbacks,
             profile_dir=args.profile_dir,
+            steps_per_epoch=args.steps_per_epoch,
         )
         state, history = loop.fit(state, train_loader, val_loader)
         final = history[-1] if history else {}

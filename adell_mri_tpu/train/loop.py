@@ -41,6 +41,7 @@ class TrainLoop:
         nan_guard_every: int = 1,
         profile_dir: Optional[str] = None,
         profile_steps=(10, 15),
+        steps_per_epoch: Optional[int] = None,
     ):
         self.train_step = train_step
         self.eval_step = eval_step
@@ -65,6 +66,8 @@ class TrainLoop:
         self.profile_steps = tuple(profile_steps)
         self._global_step = 0
         self._profiling = False
+        # cap on train batches per epoch (Lightning limit_train_batches)
+        self.steps_per_epoch = steps_per_epoch
 
     def _put(self, batch: Dict, pad: bool = False) -> Dict:
         batch = {
@@ -86,6 +89,8 @@ class TrainLoop:
         t0 = time.perf_counter()
         n_samples = 0
         for batch in loader:
+            if self.steps_per_epoch is not None and n >= self.steps_per_epoch:
+                break
             self._profile_tick()
             batch = self._put(batch, pad=True)
             self.rng, aug_key, step_key = jax.random.split(self.rng, 3)

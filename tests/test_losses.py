@@ -82,3 +82,18 @@ def test_compound_loss_weights_and_replace():
     np.testing.assert_allclose(float(total), 2 * float(ind["dice"]), rtol=1e-6)
     cl.replace_item("focal", "gamma", 0.5)
     assert cl.losses["focal"]["params"]["gamma"] == 0.5
+
+
+def test_loss_param_overrides_route_by_signature():
+    """--loss_gamma/--loss_comb route only into member losses whose
+    signature accepts the key (parity: utils.get_loss_param_dict)."""
+    from adell_mri_tpu.config.parsing import build_compound_loss
+
+    loss = build_compound_loss(
+        {"focal": {}, "dice": {}},
+        n_classes=2,
+        param_overrides={"gamma": 5.0, "lam": 0.7},
+    )
+    assert loss.losses["focal"]["params"].get("gamma") == 5.0
+    assert "gamma" not in loss.losses["dice"]["params"]
+    assert "lam" not in loss.losses["focal"]["params"]
