@@ -7,6 +7,7 @@ from adell_mri_tpu.parallel.mesh import (
     shard_params,
     local_device_count,
 )
+from adell_mri_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
 
 __all__ = [
     "get_devices",
@@ -16,4 +17,6 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "local_device_count",
+    "pipeline_apply",
+    "stack_stage_params",
 ]
