@@ -16,7 +16,12 @@ Design notes (scaling-book recipe):
   t - s at tick t (devices idle in the fill/drain bubble compute garbage
   that is masked out of the output);
 - outputs are valid on the LAST stage only; a ``psum`` over the masked
-  per-device buffers replicates them (cheap: one output-sized collective).
+  per-device buffers replicates them (cheap: one output-sized collective);
+- the schedule is REVERSE-DIFFERENTIABLE: the fori_loop has static bounds
+  (lowers to scan) and ppermute transposes to the inverse ring, so
+  ``jax.grad`` through ``pipeline_apply`` reproduces the sequential
+  model's gradients exactly (tested) — this is trainable pipeline
+  parallelism, not an inference-only primitive.
 """
 
 from typing import Callable

@@ -244,3 +244,56 @@ def test_moe_capacity_drops_tokens():
     norms = np.linalg.norm(np.asarray(y).reshape(-1, 8), axis=-1)
     assert (norms == 0).sum() > 0  # dropped tokens
     assert (norms > 0).sum() > 0  # routed tokens
+
+
+def test_pipeline_parallel_is_trainable():
+    """Gradients flow through the fill-drain schedule: grad of a pipelined
+    loss wrt stage params matches the sequential oracle (fori_loop with
+    static bounds lowers to scan; ppermute transposes to the reverse
+    permutation)."""
+    import numpy as np
+
+    from adell_mri_tpu.parallel.mesh import make_mesh
+    from adell_mri_tpu.parallel.pipeline import (
+        pipeline_apply,
+        stack_stage_params,
+    )
+
+    mesh = make_mesh(jax.devices()[:4], data=1, fsdp=1, model=4)
+    rng = np.random.default_rng(0)
+    d = 8
+    stages = [
+        {
+            "w": jnp.asarray(rng.normal(scale=0.3, size=(d, d)), jnp.float32),
+            "b": jnp.asarray(rng.normal(size=(d,)), jnp.float32),
+        }
+        for _ in range(4)
+    ]
+
+    def stage_fn(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    xs = jnp.asarray(rng.normal(size=(5, 2, d)), jnp.float32)
+    stacked = stack_stage_params(stages)
+
+    def loss_pp(sp):
+        with mesh:
+            return jnp.sum(
+                pipeline_apply(stage_fn, sp, xs, mesh, axis="model") ** 2
+            )
+
+    def loss_seq(stage_list):
+        h = xs
+        for p in stage_list:
+            h = jax.vmap(lambda x, p=p: stage_fn(p, x))(h)
+        return jnp.sum(h**2)
+
+    g_pp = jax.grad(loss_pp)(stacked)
+    g_seq = jax.tree.map(
+        lambda *ps: jnp.stack(ps), *jax.grad(loss_seq)(stages)
+    )
+    err = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq))
+    )
+    assert err < 1e-4
