@@ -192,3 +192,18 @@ def test_flash_bwd_pallas_long_sequence(interpret_pallas, monkeypatch):
         err = float(jnp.abs(got - ref).max())
         denom = float(jnp.abs(ref).max()) + 1e-6
         assert err / denom < 2e-4
+
+
+@pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 1)])
+def test_conv3d_im2col_matches_xla(strides):
+    """The im2col matmul lowering is mathematically identical to the XLA
+    conv (the alternative lowering for the 3D-conv wall, ops/conv.py)."""
+    from adell_mri_tpu.ops.conv import conv3d_im2col, conv3d_xla
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 6, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 5)), jnp.float32)
+    a = conv3d_xla(x, w, strides=strides)
+    b = conv3d_im2col(x, w, strides=strides)
+    assert a.shape == b.shape
+    assert float(jnp.abs(a - b).max()) < 1e-4
