@@ -236,3 +236,83 @@ def test_ssl_train_2d_from_dicom(tmp_path):
         os.path.join(ckpt, "ssl2d_vicreg_fold0", "metadata.json")
     )
     assert os.path.exists(metrics)
+
+
+def test_all_entrypoints_build_parsers():
+    """Every entrypoint's ARG_KEYS resolve against the registry and the
+    parser builds + prints help without error (catches registry drift and
+    dead-key references)."""
+    import importlib
+    import pkgutil
+
+    import pytest as _pytest
+
+    import adell_mri_tpu.entrypoints as ep
+
+    found = 0
+    for modinfo in pkgutil.walk_packages(ep.__path__, ep.__name__ + "."):
+        if modinfo.name.endswith("__main__"):
+            continue
+        try:
+            mod = importlib.import_module(modinfo.name)
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"import {modinfo.name}: {e}")
+        keys = getattr(mod, "ARG_KEYS", None)
+        if keys is None:
+            continue
+        from adell_mri_tpu.entrypoints.assemble_args import Parser
+
+        parser = Parser(prog=modinfo.name)
+        parser.add_argument_by_key(keys)
+        with _pytest.raises(SystemExit):
+            parser.parse_args(["--help"])
+        found += 1
+    assert found >= 15, f"only {found} entrypoints with ARG_KEYS found"
+
+
+def test_gan_modes_cli(cohort, tmp_path):
+    """The three GAN training modes exercise end-to-end through argv:
+    conditional ACGAN, CycleGAN, progressive growing (VERDICT r1 item 4)."""
+    root = cohort["root"]
+    # add class labels + a second modality to the dataset for conditioning
+    with open(cohort["ds"]) as f:
+        ds = json.load(f)
+    for i, (k, v) in enumerate(ds.items()):
+        v["grade"] = i % 2
+        v["adc"] = v["T2"]  # same file as a stand-in second domain
+    ds2 = str(tmp_path / "ds_gan.json")
+    with open(ds2, "w") as f:
+        json.dump(ds, f)
+    cfg = str(tmp_path / "gan.yaml")
+    with open(cfg, "w") as f:
+        f.write(
+            "batch_size: 2\nnum_channels: [4, 8]\ndisc_depth: [4, 8]\n"
+            "attention_levels: [false, false]\n"
+            "depths: [8, 8]\nbase_resolution: 4\nlatent_dim: 8\n"
+        )
+    base = [
+        "generative_gan", "train", "--dataset_json", ds2,
+        "--image_keys", "T2", "--pad_size", "8", "8",
+        "--target_spacing", "1", "1", "1.2", "--config_file", cfg,
+        "--max_epochs", "1", "--batch_size", "2", "--cache_rate", "1.0",
+        "--dev", "cpu", "--seed", "0",
+    ]
+    adell_main(base + [
+        "--generator_type", "conditional", "--class_target_key", "grade",
+        "--checkpoint_dir", str(tmp_path / "c1"),
+        "--metric_path", str(tmp_path / "m1.csv"),
+    ])
+    adell_main(base + [
+        "--input_image_key", "adc", "--cycle_consistency",
+        "--lambda_cycle", "10", "--lambda_identity", "1",
+        "--checkpoint_dir", str(tmp_path / "c2"),
+        "--metric_path", str(tmp_path / "m2.csv"),
+    ])
+    adell_main(base + [
+        "--progressive", "--epochs_per_level", "1", "--max_epochs", "2",
+        "--transition_epochs", "1", "--r1_weight", "1.0",
+        "--checkpoint_dir", str(tmp_path / "c3"),
+        "--metric_path", str(tmp_path / "m3.csv"),
+    ])
+    for m in ("m1.csv", "m2.csv", "m3.csv"):
+        assert os.path.exists(tmp_path / m)
