@@ -106,11 +106,15 @@ class MultiHeadAttention(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """Pre-LN MHA + MLP block (parity: vit.py:884)."""
+    """Pre-LN MHA + MLP block (parity: vit.py:884). ``moe_experts`` > 0
+    swaps the dense MLP for a routed top-1 MoE FFN (layers/moe.py; an
+    extension beyond the reference), whose load-balance aux loss is
+    collected in the "moe_aux" mutable collection when available."""
 
     n_heads: int
     mlp_ratio: float = 4.0
     dropout: float = 0.0
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(self, x, bias=None, train: bool = False):
@@ -120,6 +124,17 @@ class TransformerBlock(nn.Module):
             self.n_heads, dropout=self.dropout
         )(y, bias=bias, train=train)
         y = nn.LayerNorm()(x)
+        if self.moe_experts > 0:
+            from adell_mri_tpu.models.layers.moe import MoEFFN
+
+            y, aux = MoEFFN(
+                n_experts=self.moe_experts,
+                d_ff=int(dim * self.mlp_ratio),
+                name="moe",
+            )(y)
+            if self.is_mutable_collection("moe_aux"):
+                self.sow("moe_aux", "aux_loss", aux)
+            return x + y
         y = nn.Dense(int(dim * self.mlp_ratio))(y)
         y = nn.gelu(y)
         if self.dropout > 0 and train:
@@ -135,6 +150,7 @@ class TransformerBlockStack(nn.Module):
     n_heads: int
     mlp_ratio: float = 4.0
     dropout: float = 0.0
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(
@@ -146,7 +162,8 @@ class TransformerBlockStack(nn.Module):
         outs = []
         for i in range(self.n_blocks):
             x = TransformerBlock(
-                self.n_heads, self.mlp_ratio, self.dropout, name=f"block_{i}"
+                self.n_heads, self.mlp_ratio, self.dropout,
+                moe_experts=self.moe_experts, name=f"block_{i}"
             )(x, train=train)
             if return_at is not None and i in return_at:
                 outs.append(x)

@@ -189,3 +189,25 @@ def test_global_batch_norm_stateless_and_threaded():
         use_running_average=True,
     )
     assert not np.allclose(np.asarray(y3), np.asarray(y))
+
+
+def test_transformer_block_moe_option():
+    """moe_experts swaps the MLP for a routed MoE FFN; aux loss is sown
+    into the moe_aux collection."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from adell_mri_tpu.models.layers.vit import TransformerBlockStack
+
+    m = TransformerBlockStack(n_blocks=2, n_heads=2, moe_experts=4)
+    x = jnp.ones((1, 16, 8))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    out, aux_vars = m.apply({"params": v["params"]}, x, mutable=["moe_aux"])
+    assert out.shape == x.shape
+    leaves = jax.tree.leaves(aux_vars["moe_aux"])
+    assert len(leaves) == 2  # one aux loss per block
+    assert all(np.isfinite(float(a)) for a in leaves)
+    # plain apply (no mutable collection) also works
+    out2 = m.apply({"params": v["params"]}, x)
+    assert out2.shape == x.shape
