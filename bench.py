@@ -148,6 +148,21 @@ def main():
     aug_vps = timed(lambda k: aug_step(x, k))
     e2e_vps = timed(lambda k: fwd_step(params, x, k))
 
+    # device-health calibration: a dense bf16 matmul. Round-1 measured
+    # ~50 TFLOP/s on a healthy chip; the shared tunnel intermittently
+    # degrades 30-60x (see BASELINE.md round-2 caveat), so this field
+    # lets a reader separate service contention from code regressions.
+    m = 4096
+    a = jnp.ones((m, m), jnp.bfloat16)
+    mm = jax.jit(lambda a: (a @ a).astype(jnp.bfloat16))
+    cal = a
+    np.asarray(mm(cal)).ravel()[0]
+    t0 = time.perf_counter()
+    for _ in range(10):
+        cal = mm(cal)
+    np.asarray(cal).ravel()[0]
+    cal_tflops = 2 * m**3 * 10 / (time.perf_counter() - t0) / 1e12
+
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             baseline_vps = json.load(f)["cpu_monai_like_vps"]
@@ -164,6 +179,7 @@ def main():
                 "unit": "volumes/s",
                 "vs_baseline": round(aug_vps / baseline_vps, 3),
                 "aug_plus_forward_volumes_per_sec": round(e2e_vps, 3),
+                "matmul_tflops_calibration": round(cal_tflops, 2),
             }
         )
     )
