@@ -218,6 +218,34 @@ argument_factory: Dict[str, Dict[str, Any]] = {
 ArgKey = Union[str, Tuple[str, str], Tuple[str, str, Dict[str, Any]]]
 
 
+def _read_params(path: str) -> Dict[str, Any]:
+    """Reads ``--params_from`` sources (parity: utils/parser.py:20-115):
+    ``file.yaml`` / ``file.yaml:nested:key`` subfield selection, and
+    ``dvc[:key...]`` via ``dvc.api.params_show`` when dvc is installed."""
+    import yaml
+
+    parts = path.split(":")
+    if parts[0] == "dvc":
+        import importlib.util
+
+        if importlib.util.find_spec("dvc") is None:
+            raise ImportError(
+                "--params_from dvc:... requires the dvc package "
+                "(pip install dvc)"
+            )
+        import dvc.api
+
+        params = dvc.api.params_show()
+        keys = parts[1:]
+    else:
+        with open(parts[0]) as f:
+            params = yaml.safe_load(f) or {}
+        keys = parts[1:]
+    for k in keys:
+        params = params[k]
+    return params
+
+
 def _apply_overrides(params: Dict[str, Any], overrides: List[str]):
     """Hydra-style ``a.b=value`` assignments into a nested dict (parity:
     utils/parser.py:137-166). Values parse as YAML scalars/lists."""
@@ -281,10 +309,7 @@ class Parser(argparse.ArgumentParser):
             idx = argv.index("--params_from")
             path = argv[idx + 1]
             del argv[idx : idx + 2]
-            import yaml
-
-            with open(path) as f:
-                stored = yaml.safe_load(f) or {}
+            stored = _read_params(path)
             _apply_overrides(stored, overrides)
             given = {
                 a.split("=", 1)[0].lstrip("-")

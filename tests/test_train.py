@@ -283,3 +283,21 @@ def test_trainloop_profiler_hook(tmp_path):
 
     assert glob.glob(str(tmp_path) + "/**/*.xplane.pb", recursive=True) or \
         glob.glob(str(tmp_path) + "/plugins/**", recursive=True)
+
+
+def test_params_from_subkey_selection(tmp_path):
+    """--params_from file.yaml:nested selects a nested field (parity:
+    utils/parser.py read_param_file)."""
+    import yaml
+
+    from adell_mri_tpu.entrypoints.assemble_args import Parser
+
+    path = tmp_path / "p.yaml"
+    yaml.safe_dump(
+        {"training": {"max_epochs": 11, "seed": 5}, "other": {"max_epochs": 1}},
+        open(path, "w"),
+    )
+    parser = Parser(prog="t")
+    parser.add_argument_by_key(["max_epochs", "seed"])
+    args = parser.parse_args(["--params_from", f"{path}:training"])
+    assert args.max_epochs == 11 and args.seed == 5
