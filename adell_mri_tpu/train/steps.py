@@ -118,6 +118,7 @@ def make_segmentation_step(
         # soft dice metric for logging
         p = prediction[..., 0] if prediction.shape[-1] == 1 else prediction
         yb = y[..., 0] if (y.ndim == p.ndim + 1) else y
+        per_class_dice = None
         if n_classes <= 2:
             inter = jnp.sum(p * yb)
             denom = jnp.sum(p) + jnp.sum(yb)
@@ -128,12 +129,18 @@ def make_segmentation_step(
             denom = jnp.sum(p, axis=tuple(range(p.ndim - 1))) + jnp.sum(
                 oh, axis=tuple(range(p.ndim - 1))
             )
-            dice = jnp.mean((2 * inter + 1e-5) / (denom + 1e-5))
+            per_class_dice = (2 * inter + 1e-5) / (denom + 1e-5)
+            dice = jnp.mean(per_class_dice)
         metrics = {
             "loss": loss,
             "dice": dice,
             **{f"loss_{k}": v for k, v in individual.items()},
         }
+        if per_class_dice is not None:
+            # per-class training dice (parity: the per-phase torchmetrics
+            # dicts, segmentation/pl.py:145-192)
+            for k in range(n_classes):
+                metrics[f"dice_c{k}"] = per_class_dice[k]
         return loss, metrics
 
     return loss_and_metrics
