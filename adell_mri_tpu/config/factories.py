@@ -206,6 +206,7 @@ def get_classification_network(
             n_blocks=cfg.get("n_blocks", cfg.get("number_of_blocks", 4)),
             n_heads=cfg.get("n_heads", cfg.get("number_of_attention_heads", 4)),
             dropout_param=cfg.get("dropout_param", 0.0),
+            moe_experts=cfg.get("moe_experts", 0),
         )
     elif net_type == "factorized_vit":
         net = FactorizedViTClassifier(

@@ -220,6 +220,7 @@ class ViTClassifier(nn.Module):
     n_heads: int = 4
     dropout_param: float = 0.0
     use_class_token: bool = True
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -230,6 +231,7 @@ class ViTClassifier(nn.Module):
             n_heads=self.n_heads,
             dropout=self.dropout_param,
             use_class_token=self.use_class_token,
+            moe_experts=self.moe_experts,
         )(x, train=train)
         feats = tokens[:, 0] if self.use_class_token else SeqPool()(tokens)
         return nn.Dense(_out_features(self.n_classes))(feats)

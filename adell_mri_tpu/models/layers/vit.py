@@ -284,6 +284,7 @@ class ViT(nn.Module):
     embed_method: str = "linear"
     use_class_token: bool = False
     n_registers: int = 0
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(
@@ -301,7 +302,8 @@ class ViT(nn.Module):
             dropout=self.dropout,
         )(x, train=train)
         return TransformerBlockStack(
-            self.n_blocks, self.n_heads, self.mlp_ratio, self.dropout
+            self.n_blocks, self.n_heads, self.mlp_ratio, self.dropout,
+            moe_experts=self.moe_experts,
         )(tokens, train=train, return_at=return_at)
 
 
