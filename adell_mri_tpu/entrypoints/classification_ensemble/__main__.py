@@ -4,6 +4,8 @@ from adell_mri_tpu.entrypoints.cli_utils import run_main
 
 supported_modes = {
     "train": "adell_mri_tpu.entrypoints.classification_ensemble.train",
+    "predict": "adell_mri_tpu.entrypoints.classification_ensemble.predict",
+    "test": "adell_mri_tpu.entrypoints.classification_ensemble.test",
 }
 
 

@@ -69,9 +69,11 @@ def main(arguments):
     data = Dataset(args.dataset_json, seed=args.seed)
     data.apply_filters(presence_keys=list(args.image_keys) + [label_key])
     members = []
+    member_cfgs = []
     batch_size, lr = 4, 1e-3
     for cf in args.config_files or []:
         config = parse_config_cat(cf)
+        member_cfgs.append(config["network"])
         members.append(
             get_classification_network(
                 args.classification_net_type,
@@ -129,7 +131,18 @@ def main(arguments):
     )
     ckpt = CheckpointManager(
         args.checkpoint_dir, name=args.checkpoint_name or "ensemble", fold=0,
-        metadata={"n_members": len(members), "n_classes": args.n_classes},
+        metadata={
+            "n_members": len(members),
+            "n_classes": args.n_classes,
+            "net_type": args.classification_net_type,
+            "member_configs": member_cfgs,
+            "transform_arguments": {
+                "image_keys": list(args.image_keys),
+                "label_key": label_key,
+                "target_spacing": args.target_spacing,
+                "target_size": list(base_size),
+            },
+        },
         monitor=args.monitor,
     )
     loop = TrainLoop(

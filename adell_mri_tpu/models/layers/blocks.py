@@ -140,8 +140,11 @@ class VGGConvolution(nn.Module):
         x = apply_adn(adn(d), x, train)
         x = nn.Conv(2 * d, _tuple(3, ndim), padding="SAME")(x)
         x = apply_adn(adn(2 * d), x, train)
+        # SAME pooling: a spatial dim of 1 stays 1 instead of collapsing to
+        # an EMPTY axis (VALID (1-2)//2+1 == 0 -> NaN means downstream)
         x = nn.max_pool(
-            x, window_shape=_tuple(2, ndim), strides=_tuple(2, ndim)
+            x, window_shape=_tuple(2, ndim), strides=_tuple(2, ndim),
+            padding="SAME",
         )
         return x
 

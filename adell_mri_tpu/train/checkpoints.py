@@ -75,6 +75,11 @@ class CheckpointManager:
     # -- save/restore ------------------------------------------------------
     def save(self, step: int, state: Any, metrics: Optional[Dict] = None):
         tree = jax.tree.map(np.asarray, _savable(state))
+        # last-write-wins (Lightning semantics): orbax silently SKIPS a
+        # save whose step already exists, which resurrects stale weights
+        # when a run is restarted from scratch into the same directory
+        if step in self._mngr.all_steps():
+            self._mngr.delete(step)
         self._mngr.save(step, args=ocp.args.StandardSave(tree))
         self._mngr.wait_until_finished()
         if metrics and self.monitor in metrics:

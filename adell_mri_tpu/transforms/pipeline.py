@@ -321,7 +321,9 @@ class ClassificationTransforms:
                         output_size=self.target_size,
                         margin=16,
                     )
-            sample["label"] = np.float32(float(entry[label_key]))
+            # label_key=None: inference-time pipeline (predict entrypoints)
+            if label_key is not None and label_key in entry:
+                sample["label"] = np.float32(float(entry[label_key]))
             if self.clinical_feature_keys:
                 sample["features"] = np.asarray(
                     [float(entry[k]) for k in self.clinical_feature_keys],
