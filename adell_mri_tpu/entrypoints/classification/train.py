@@ -301,9 +301,12 @@ def main(arguments):
         steps_per_epoch = max(len(train_loader), 1)
         if args.steps_per_epoch:
             steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
+        sched_steps = max(
+            1, steps_per_epoch // max(1, args.accumulate_grad_batches)
+        )
         schedule = cosine_annealing_with_warmup(
             learning_rate,
-            t_max=args.max_epochs * steps_per_epoch,
+            t_max=args.max_epochs * sched_steps,
             n_warmup_steps=args.warmup_steps,
         )
         tx = get_optimizer(

@@ -145,6 +145,16 @@ def main(arguments):
 
     shape = (args.n_samples,) + size + (net_cfg["in_channels"],)
     key = jax.random.PRNGKey(args.seed)
+    if args.skip_steps and not args.input_image:
+        raise ValueError(
+            "--skip_steps needs --input_image (a source volume to "
+            "partially denoise from)"
+        )
+    if args.skip_steps and args.ddim_steps:
+        raise ValueError(
+            "--skip_steps (partial denoise) is a DDPM-path feature; "
+            "drop --ddim_steps to use it"
+        )
     x_start = None
     if args.skip_steps and args.input_image:
         # partial denoise from a source volume (parity: skip_steps in the

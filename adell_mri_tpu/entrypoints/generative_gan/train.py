@@ -306,6 +306,7 @@ def _train_regular(
         ]
         d_step, g_step = make_gan_steps(
             gen, disc, latent_dim=latent_dim, loss_type=args.loss_type,
+            smoothing=args.smoothing,
             gp_weight=args.gp_weight,
             feature_matching_weight=args.feature_matching,
         )
@@ -462,7 +463,13 @@ def _train_progressive(
             "target_size": list(base_size),
         },
     )
+    if len(loader) == 0:
+        raise ValueError(
+            "progressive training got an empty loader (batch_size larger "
+            "than the cohort with drop_last) — lower --batch_size"
+        )
     metrics = {}
+    alpha = 1.0
     step_in_transition = 0
     for epoch, (stage, in_stage, fading) in enumerate(schedule):
         if stage != built_stage:

@@ -54,9 +54,9 @@ def _select_fold(checkpoint_dir: str, name: str, fold: int) -> int:
 
     if fold >= 0:
         return fold
-    candidates = sorted(glob.glob(os.path.join(checkpoint_dir, f"{name}_fold*")))
-    best_fold, best_val, mode = 0, None, "min"
-    for c in candidates:
+    candidates = []
+    modes = []
+    for c in sorted(glob.glob(os.path.join(checkpoint_dir, f"{name}_fold*"))):
         bj = os.path.join(c, "best.json")
         if not os.path.exists(bj):
             continue
@@ -67,18 +67,27 @@ def _select_fold(checkpoint_dir: str, name: str, fold: int) -> int:
         except ValueError:
             continue
         meta = os.path.join(c, "metadata.json")
+        mode = None
         if os.path.exists(meta):
             with open(meta) as f:
                 md = _json.load(f)
             mode = md.get("mode") or (
                 "min" if "loss" in md.get("monitor", "val_loss") else "max"
             )
-        better = best_val is None or (
-            val < best_val if mode == "min" else val > best_val
-        )
-        if val is not None and better:
-            best_fold, best_val = f_idx, val
-    logger.info("selected fold %d (best %s)", best_fold, best_val)
+        if val is not None:
+            candidates.append((f_idx, val))
+            modes.append(mode)
+    if not candidates:
+        logger.info("no fold best.json found, defaulting to fold 0")
+        return 0
+    # one comparison direction for the whole run: the first fold that
+    # recorded one (folds missing metadata must not flip the direction)
+    known = [m for m in modes if m is not None]
+    mode = known[0] if known else "min"
+    best_fold, best_val = min(
+        candidates, key=lambda fv: fv[1] if mode == "min" else -fv[1]
+    )
+    logger.info("selected fold %d (best %s, mode %s)", best_fold, best_val, mode)
     return best_fold
 
 

@@ -351,10 +351,15 @@ def main(arguments):
         steps_per_epoch = max(len(train_loader), 1)
         if args.steps_per_epoch:
             steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
+        # optax.MultiSteps advances the schedule once per OPTIMIZER step,
+        # not per micro-batch — scale t_max/warmup accordingly
+        sched_steps = max(
+            1, steps_per_epoch // max(1, args.accumulate_grad_batches)
+        )
         schedule = cosine_annealing_with_warmup(
             learning_rate,
-            t_max=args.max_epochs * steps_per_epoch,
-            n_warmup_steps=args.warmup_steps * steps_per_epoch
+            t_max=args.max_epochs * sched_steps,
+            n_warmup_steps=args.warmup_steps * sched_steps
             if args.warmup_steps >= 1
             else args.warmup_steps,
             start_decay=args.start_decay,
@@ -401,9 +406,11 @@ def main(arguments):
                 tx,
                 with_ema=args.swa or args.semi_supervised,
                 ema_mode="swa" if args.swa else "ema",
-                # SWA averages over the last quarter of training
+                # SWA averages over the last quarter of training; uses the
+                # --steps_per_epoch-capped count (state.step counts every
+                # micro-batch, so this stays in micro-steps)
                 swa_start_step=int(
-                    0.75 * args.max_epochs * max(len(train_loader), 1)
+                    0.75 * args.max_epochs * steps_per_epoch
                 ),
             )
 

@@ -24,6 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.blocks import _tuple
+from adell_mri_tpu.models.gan.style import _up2 as _nearest_upsample
 
 
 def _gn(c: int) -> int:
@@ -258,8 +259,4 @@ class ConditionalGenerator(nn.Module):
         return h
 
 
-def _nearest_upsample(x, ndim: int):
-    """2x nearest-neighbour upsample over the spatial axes (static shapes)."""
-    for ax in range(1, 1 + ndim):
-        x = jnp.repeat(x, 2, axis=ax)
-    return x
+

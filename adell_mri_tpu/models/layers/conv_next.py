@@ -99,7 +99,7 @@ class ConvNeXt(nn.Module):
     v2: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, return_features: bool = False):
         h = ConvNeXtBackbone(
             structure=self.structure,
             first_layer_stride=self.first_layer_stride,
@@ -109,5 +109,9 @@ class ConvNeXt(nn.Module):
         )(x, train=train)
         h = jnp.mean(h, axis=tuple(range(1, h.ndim - 1)))
         h = nn.LayerNorm(name="head_norm")(h)
+        if return_features:
+            # pooled backbone features (GenericEnsemble / deconfounder
+            # member contract: net(x, train=..., return_features=True))
+            return h
         out = self.n_classes if self.n_classes > 2 else 1
         return nn.Dense(out, name="head")(h)

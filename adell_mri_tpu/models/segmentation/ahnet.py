@@ -267,36 +267,17 @@ def transfer_2d_to_3d(params_2d: Any, params_3d: Any) -> Any:
             return p2
         return p3
 
-    flat2 = _flatten("", params_2d)
-    flat3 = _flatten("", params_3d)
+    import flax
+
+    flat2 = flax.traverse_util.flatten_dict(params_2d)
+    flat3 = flax.traverse_util.flatten_dict(params_3d)
     out = {}
     for path, leaf3 in flat3.items():
         if path in flat2:
             out[path] = visit(flat2[path], leaf3)
         else:
             out[path] = leaf3
-    return _unflatten(out)
-
-
-def _flatten(prefix, tree):
-    flat = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            flat.update(_flatten(f"{prefix}/{k}", v))
-    else:
-        flat[prefix] = tree
-    return flat
-
-
-def _unflatten(flat):
-    tree: dict = {}
-    for path, leaf in flat.items():
-        parts = path.strip("/").split("/")
-        node = tree
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = leaf
-    return tree
+    return flax.traverse_util.unflatten_dict(out)
 
 
 class MIMUNet(nn.Module):

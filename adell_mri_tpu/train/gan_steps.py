@@ -21,6 +21,7 @@ def make_gan_steps(
     discriminator,
     latent_dim: int,
     loss_type: str = "adversarial",
+    smoothing: float = 0.0,
     gp_weight: float = 0.0,
     r1_weight: float = 0.0,
     feature_matching_weight: float = 0.0,
@@ -48,7 +49,10 @@ def make_gan_steps(
         def loss(params):
             real_logits = discriminator.apply({"params": params}, real)
             fake_logits = discriminator.apply({"params": params}, fake)
-            d_loss = d_loss_fn(real_logits, fake_logits)
+            if loss_type == "adversarial":
+                d_loss = d_loss_fn(real_logits, fake_logits, smoothing=smoothing)
+            else:
+                d_loss = d_loss_fn(real_logits, fake_logits)
             total = d_loss
             aux = {"d_loss": d_loss}
             if gp_weight > 0:

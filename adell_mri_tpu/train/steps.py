@@ -154,14 +154,20 @@ def make_classification_step(
     batch_preprocessing=None,
     label_smoothing: Optional[float] = None,
     precision: Optional[str] = None,
+    moe_aux_weight: float = 0.01,
 ):
     """
     Classification loss step (parity: ClassPLABC, classification/pl.py:265).
     ``loss_fn(logits, labels) -> scalar``. Optional on-device mixup/label
     smoothing via ``batch_preprocessing`` (utils/batch_preprocessing.py:116).
+    MoE members contribute moe_aux_weight x their sown load-balance loss.
     """
+    # mutable moe_aux collects the MoE load-balance losses sown by
+    # TransformerBlock (layers/vit.py); empty for dense models
     apply_fn = wrap_apply(
-        lambda params, x, **kw: model.apply({"params": params}, x, **kw),
+        lambda params, x, **kw: model.apply(
+            {"params": params}, x, mutable=["moe_aux"], **kw
+        ),
         precision,
     )
 
@@ -172,8 +178,15 @@ def make_classification_step(
             rng, prep_rng = jax.random.split(rng)
             x, y = batch_preprocessing(prep_rng, x, y)
         rngs = {"dropout": rng, "ensemble": jax.random.fold_in(rng, 1)} if train else None
-        logits = apply_fn(params, x, train=train, rngs=rngs)
+        logits, aux_vars = apply_fn(params, x, train=train, rngs=rngs)
         loss = loss_fn(logits, y)
+        aux_leaves = jax.tree.leaves(aux_vars.get("moe_aux", {}))
+        moe_aux = None
+        if aux_leaves:
+            # Switch/GShard load-balancing term: without it top-1 routing
+            # collapses onto one expert
+            moe_aux = sum(jnp.mean(a) for a in aux_leaves) / len(aux_leaves)
+            loss = loss + moe_aux_weight * moe_aux
         if n_classes > 2:
             acc = jnp.mean(
                 (jnp.argmax(logits, -1) == y.astype(jnp.int32)).astype(
@@ -183,7 +196,10 @@ def make_classification_step(
         else:
             prob = jax.nn.sigmoid(logits[..., 0] if logits.ndim > 1 else logits)
             acc = jnp.mean(((prob > 0.5) == (y > 0.5)).astype(jnp.float32))
-        return loss, {"loss": loss, "acc": acc}
+        metrics = {"loss": loss, "acc": acc}
+        if moe_aux is not None:
+            metrics["moe_aux"] = moe_aux
+        return loss, metrics
 
     return loss_and_metrics
 

@@ -301,3 +301,20 @@ def test_predict_fold_selection(tmp_path):
             json.dumps({"monitor": "val_loss", "mode": "min"})
         )
     assert _select_fold(str(tmp_path), "segmentation", -1) == 0
+
+
+def test_predict_fold_selection_missing_metadata(tmp_path):
+    """A fold without metadata.json must not flip the comparison mode."""
+    import json
+
+    from adell_mri_tpu.entrypoints.segmentation.predict import _select_fold
+
+    for fold, val in ((0, 0.5), (1, 0.9)):
+        d = tmp_path / f"segmentation_fold{fold}"
+        d.mkdir()
+        (d / "best.json").write_text(json.dumps({"step": 3, "value": val}))
+    # only fold0 records the (max) mode
+    (tmp_path / "segmentation_fold0" / "metadata.json").write_text(
+        json.dumps({"monitor": "val_dice", "mode": "max"})
+    )
+    assert _select_fold(str(tmp_path), "segmentation", -1) == 1
