@@ -62,14 +62,22 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from adell_mri_tpu.ops.conv import TpuConv
+
         ndim = x.ndim - 2
         strides = self.strides or [1] * len(self.out_channels)
-        for c, k, s in zip(self.out_channels, self.kernel_size, strides):
-            x = nn.Conv(
+        for i, (c, k, s) in enumerate(
+            zip(self.out_channels, self.kernel_size, strides)
+        ):
+            # TpuConv == nn.Conv (same param tree, named Conv_{i} for path
+            # compatibility) with an opt-in im2col lowering for the 3D-conv
+            # wall (ADELL_CONV_LOWERING=im2col, ops/conv.py)
+            x = TpuConv(
                 features=c,
                 kernel_size=_tuple(k, ndim),
                 strides=_tuple(s, ndim),
                 padding=self.padding,
+                name=f"Conv_{i}",
             )(x)
             x = apply_adn(self.adn_fn(c), x, train)
         return x

@@ -22,6 +22,7 @@ measures both on hardware.
 
 import os
 
+import flax.linen as _nn
 import jax
 import jax.numpy as jnp
 
@@ -88,3 +89,50 @@ def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
     if lowering == "im2col":
         return conv3d_im2col(x, w, strides, padding)
     return conv3d_xla(x, w, strides, padding)
+
+
+class TpuConv(_nn.Module):
+    """
+    Drop-in for channels-last ``nn.Conv`` whose 3D forward can route
+    through the im2col matmul lowering (``ADELL_CONV_LOWERING=im2col``;
+    measured up to 4.5x over XLA's 3D conv tiling on this stack — see
+    benchmarks/benchmark_conv3d.py). Parameter tree matches nn.Conv
+    (``kernel`` [*k, cin, cout], ``bias`` [cout]) so checkpoints are
+    interchangeable; give instances the name ``Conv_{i}`` to keep tree
+    paths identical to an nn.Conv at the same position.
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = None
+    padding: str = "SAME"
+    use_bias: bool = True
+
+    @_nn.compact
+    def __call__(self, x):
+        ndim = x.ndim - 2
+        k = tuple(self.kernel_size)
+        strides = tuple(self.strides or (1,) * ndim)
+        w = self.param(
+            "kernel",
+            _nn.initializers.lecun_normal(),
+            k + (x.shape[-1], self.features),
+        )
+        lowering = os.environ.get("ADELL_CONV_LOWERING", "xla")
+        if ndim == 3 and lowering == "im2col":
+            y = conv3d_im2col(x, w, strides, self.padding)
+        else:
+            spatial = "DHW"[3 - ndim:]
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape,
+                ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C"),
+            )
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=strides, padding=self.padding,
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        if self.use_bias:
+            b = self.param("bias", _nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y

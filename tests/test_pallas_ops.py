@@ -207,3 +207,27 @@ def test_conv3d_im2col_matches_xla(strides):
     b = conv3d_im2col(x, w, strides=strides)
     assert a.shape == b.shape
     assert float(jnp.abs(a - b).max()) < 1e-4
+
+
+def test_tpu_conv_module_lowering_parity(monkeypatch):
+    """TpuConv: xla and im2col lowerings agree; param tree matches nn.Conv."""
+    import flax.linen as nn
+
+    from adell_mri_tpu.ops.conv import TpuConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 6, 4)), jnp.float32)
+    m = TpuConv(features=5, kernel_size=(3, 3, 3), strides=(2, 2, 1))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+    monkeypatch.delenv("ADELL_CONV_LOWERING", raising=False)
+    y_xla = m.apply(v, x)
+    monkeypatch.setenv("ADELL_CONV_LOWERING", "im2col")
+    y_im = m.apply(v, x)
+    assert y_xla.shape == y_im.shape
+    assert float(jnp.abs(y_xla - y_im).max()) < 1e-4
+    ref = nn.Conv(5, (3, 3, 3), strides=(2, 2, 1), padding="SAME")
+    vr = ref.init({"params": jax.random.PRNGKey(0)}, x)
+    assert (
+        v["params"]["kernel"].shape == vr["params"]["kernel"].shape
+        and v["params"]["bias"].shape == vr["params"]["bias"].shape
+    )
