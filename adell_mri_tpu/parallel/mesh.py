@@ -38,6 +38,11 @@ def get_devices(dev_str: str = "tpu") -> Tuple[str, List[jax.Device]]:
     Parity: utils/pl_utils.py:422 — but instead of picking a DDP strategy,
     the returned devices seed a Mesh; parallelism is expressed by shardings.
     """
+    from adell_mri_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed()
     dev_str = (dev_str or "auto").lower()
     if ":" in dev_str:
         platform, idx_str = dev_str.split(":", 1)
