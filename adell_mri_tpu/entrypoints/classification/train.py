@@ -226,6 +226,13 @@ def main(arguments):
             mask_key=(args.mask_keys or [None])[0],
             image_masking=args.image_masking,
             image_crop_from_mask=args.image_crop_from_mask,
+            positive_labels=(
+                args.positive_labels
+                if (args.positive_labels and n_classes == 2
+                    and args.possible_labels
+                    and len(args.possible_labels) > 2)
+                else None
+            ),
         )
         load_fn = transforms.load_fn()
         train_list = data.to_datalist(train_pids)

@@ -71,13 +71,17 @@ def main(arguments):
     parser.add_argument_by_key(ARG_KEYS)
     args = parser.parse_args(arguments)
 
+    from adell_mri_tpu.parallel.mesh import use_device
+
+    use_device(args.dev)
+
     model, params, meta = build_ensemble_from_metadata(
         args.checkpoint_dir, args.checkpoint_name
     )
     t_args = meta["transform_arguments"]
     n_classes = meta.get("n_classes", 2)
     transforms = ClassificationTransforms(
-        image_keys=t_args["image_keys"],
+        image_keys=args.image_keys or t_args["image_keys"],
         label_key=None,
         target_spacing=t_args.get("target_spacing"),
         target_size=tuple(t_args["target_size"]),

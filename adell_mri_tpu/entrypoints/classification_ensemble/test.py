@@ -39,6 +39,10 @@ def main(arguments):
     parser.add_argument_by_key(ARG_KEYS)
     args = parser.parse_args(arguments)
 
+    from adell_mri_tpu.parallel.mesh import use_device
+
+    use_device(args.dev)
+
     model, params, meta = build_ensemble_from_metadata(
         args.checkpoint_dir, args.checkpoint_name
     )

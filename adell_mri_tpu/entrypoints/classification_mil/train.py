@@ -94,7 +94,11 @@ def main(arguments):
 
     data = Dataset(args.dataset_json, seed=args.seed)
     label_key = args.label_keys
-    data.apply_filters(presence_keys=list(args.image_keys) + [label_key])
+    data.apply_filters(
+        presence_keys=list(args.image_keys) + [label_key],
+        possible_labels=args.possible_labels,
+        label_keys=label_key if args.possible_labels else None,
+    )
     config = parse_config_2d_classifier_3d(
         args.config_file, mil_method=args.mil_method
     ) if args.config_file else {"network": {}, "training": {}}
@@ -153,7 +157,10 @@ def main(arguments):
         lr, t_max=args.max_epochs * max(len(train_loader), 1),
         n_warmup_steps=args.warmup_steps,
     )
-    tx = get_optimizer("adamw", learning_rate=schedule, params=params)
+    tx = get_optimizer(
+        args.optimizer if args.optimizer != "sgd" else "adamw",
+        learning_rate=schedule, params=params,
+    )
     platform, devices = get_devices(args.dev)
     mesh = mesh_for_batch(batch_size, devices)
     with mesh:

@@ -71,7 +71,6 @@ ARG_KEYS = [
     "checkpoint_name",
     "monitor",
     "metric_path",
-    "iou_threshold",
 ]
 
 
@@ -120,6 +119,12 @@ def main(arguments):
             channels.append((vol - lo) / max(hi - lo, 1e-6))
         image = np.stack(channels, axis=-1).astype(np.float32)
         boxes = np.asarray(entry[args.box_key], np.float32).reshape(-1, 6)
+        if args.shape_key and args.shape_key in entry:
+            # boxes are voxel coords of the ORIGINAL grid; rescale to the
+            # resampled base_size grid (ref shape_key semantics)
+            orig = np.asarray(entry[args.shape_key], np.float32)[:3]
+            scale = np.asarray(base_size, np.float32) / np.maximum(orig, 1)
+            boxes = boxes * np.concatenate([scale, scale])
         classes = np.asarray(
             entry.get(args.box_class_key, [1] * len(boxes)), np.float32
         )

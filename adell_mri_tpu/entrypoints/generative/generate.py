@@ -41,6 +41,10 @@ def main(arguments):
     )
     args = parser.parse_args(arguments)
 
+    from adell_mri_tpu.parallel.mesh import use_device
+
+    use_device(args.dev)
+
     mngr = CheckpointManager(
         args.checkpoint_dir, name=args.checkpoint_name or "diffusion", fold=0
     )

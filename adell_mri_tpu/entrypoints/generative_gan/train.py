@@ -113,6 +113,10 @@ def main(arguments):
     parser.add_argument("--drift_weight", type=float, default=0.001)
     args = parser.parse_args(arguments)
 
+    from adell_mri_tpu.parallel.mesh import use_device
+
+    use_device(args.dev)
+
     data = Dataset(args.dataset_json, seed=args.seed)
     presence = list(args.image_keys)
     if args.input_image_key:

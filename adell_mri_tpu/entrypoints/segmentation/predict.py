@@ -118,6 +118,10 @@ def main(arguments):
     )
     args = parser.parse_args(arguments)
 
+    from adell_mri_tpu.parallel.mesh import use_device
+
+    use_device(args.dev)
+
     # checkpoint + metadata (transform args travel with the weights)
     name = args.checkpoint_name or "segmentation"
     fold = _select_fold(args.checkpoint_dir, name, args.fold)

@@ -43,6 +43,10 @@ def main(arguments):
     parser.add_argument_by_key(ARG_KEYS)
     args = parser.parse_args(arguments)
 
+    from adell_mri_tpu.parallel.mesh import use_device
+
+    use_device(args.dev)
+
     mngr = CheckpointManager(
         args.checkpoint_dir, name=args.checkpoint_name or "segmentation", fold=0
     )

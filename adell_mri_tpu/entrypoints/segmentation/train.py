@@ -122,8 +122,12 @@ ARG_KEYS = [
 ]
 
 
-def get_folds(pids: List[str], n_folds: int, seed: int, explicit=None):
-    """K-fold split (parity: train.py:259-282)."""
+def get_folds(
+    pids: List[str], n_folds: int, seed: int, explicit=None,
+    val_fraction=None,
+):
+    """K-fold split (parity: train.py:259-282). ``val_fraction`` sets the
+    validation share for the single-fold path (ref --val_from_train)."""
     if explicit:
         from adell_mri_tpu.data import parse_ids
 
@@ -140,7 +144,7 @@ def get_folds(pids: List[str], n_folds: int, seed: int, explicit=None):
         rng = np.random.default_rng(seed)
         pids_arr = np.asarray(pids)
         idx = rng.permutation(len(pids_arr))
-        n_val = max(1, int(0.2 * len(pids_arr)))
+        n_val = max(1, int((val_fraction or 0.2) * len(pids_arr)))
         return [
             (
                 pids_arr[idx[n_val:]].tolist(),
@@ -168,7 +172,12 @@ def main(arguments):
         list(args.image_keys)[:1] if args.missing_to_empty
         else list(args.image_keys)
     )
-    presence = required_images + list(label_keys)
+    presence = (
+        required_images
+        + list(label_keys)
+        + list(args.skip_keys or [])
+        + list(args.feature_keys or [])
+    )
     data.apply_filters(
         presence_keys=presence,
         filter_on_keys=args.filter_on_keys,
@@ -181,8 +190,14 @@ def main(arguments):
     if len(data) == 0:
         raise ValueError("no samples left after filtering")
 
+    # possible_labels derives n_classes (parity: ref train.py:153-156 —
+    # two possible labels or explicit positive_labels mean binary)
+    n_classes = args.n_classes
+    if args.possible_labels:
+        n = len(args.possible_labels)
+        n_classes = 2 if (n == 2 or args.positive_labels) else n
     config, loss_fn = parse_config_unet(
-        args.config_file, n_keys=len(args.image_keys), n_classes=args.n_classes,
+        args.config_file, n_keys=len(args.image_keys), n_classes=n_classes,
         loss_param_overrides={"gamma": args.loss_gamma, "lam": args.loss_comb},
     )
     net_cfg = config["network"]
@@ -194,6 +209,36 @@ def main(arguments):
         net_cfg["dropout_param"] = args.dropout_param
     net_cfg["bottleneck_classification"] = args.bottleneck_classification
     net_cfg["deep_supervision"] = args.deep_supervision
+    skip_keys = list(args.skip_keys or [])
+    feature_keys = list(args.feature_keys or [])
+    if skip_keys:
+        # skip images are not warped by the device augment: geometric
+        # flags or random crops would desynchronize them from the image
+        geo = {"affine", "shear", "flip", "distort", "trivial"}
+        if geo & set(args.augment or []):
+            raise ValueError(
+                "--skip_keys composes with intensity-only augmentation; "
+                "drop the geometric --augment flags"
+            )
+        if args.random_crop_size:
+            raise ValueError(
+                "--skip_keys does not support --random_crop_size yet "
+                "(the crop would not be applied to the skip image)"
+            )
+        net_cfg["skip_conditioning"] = len(skip_keys)
+    if feature_keys:
+        net_cfg["feature_conditioning"] = len(feature_keys)
+        mat = np.asarray(
+            [
+                [float(data[k][fk]) for fk in feature_keys]
+                for k in data.keys()
+            ],
+            np.float32,
+        )
+        net_cfg["feature_conditioning_params"] = {
+            "mean": mat.mean(0).tolist(),
+            "std": np.maximum(mat.std(0), 1e-6).tolist(),
+        }
 
     # unlabeled stream for semi-supervised training: cases with images but
     # no masks (parity: CombinedLoader wiring, train.py:603-621)
@@ -231,7 +276,10 @@ def main(arguments):
     logger.info("platform=%s mesh=%s", platform, dict(mesh.shape))
 
     all_pids = list(data.keys())
-    folds = get_folds(all_pids, args.n_folds, args.seed, args.folds)
+    folds = get_folds(
+        all_pids, args.n_folds, args.seed, args.folds,
+        val_fraction=args.val_from_train,
+    )
     csv_logger = MetricLogger(
         logger_type=args.logger_type,
         project_name=args.project_name,
@@ -253,6 +301,8 @@ def main(arguments):
             positive_labels=[int(x) for x in args.positive_labels],
             augmentations=AugmentPolicy.from_flags(args.augment),
             missing_to_empty=bool(args.missing_to_empty),
+            skip_keys=skip_keys,
+            feature_keys=feature_keys,
         )
         load_fn = transforms.load_fn()
         train_list = data.to_datalist(train_pids)
@@ -313,14 +363,23 @@ def main(arguments):
         )
 
         model = get_segmentation_network(
-            args.segmentation_net_type, net_cfg, n_classes=args.n_classes
+            args.segmentation_net_type, net_cfg, n_classes=n_classes
         )
         example_shape = tuple(crop_size or base_size)
         x0 = np.zeros(
             (1,) + example_shape + (len(args.image_keys),), np.float32
         )
+        init_kwargs = {}
+        if skip_keys:
+            init_kwargs["x_skip_layer"] = np.zeros(
+                (1,) + example_shape + (len(skip_keys),), np.float32
+            )
+        if feature_keys:
+            init_kwargs["x_feature_conditioning"] = np.zeros(
+                (1, len(feature_keys)), np.float32
+            )
         params = model.init(
-            {"params": jax.random.PRNGKey(args.seed)}, x0
+            {"params": jax.random.PRNGKey(args.seed)}, x0, **init_kwargs
         )["params"]
         # warm start: load matching leaves from stored checkpoints (incl.
         # SSL-encoder grafting via path-rename regexes; parity:
@@ -429,7 +488,7 @@ def main(arguments):
                 },
                 "train_pids": train_pids,
                 "val_pids": val_pids,
-                "n_classes": args.n_classes,
+                "n_classes": n_classes,
                 "net_type": args.segmentation_net_type,
             },
             monitor=args.monitor,
@@ -445,7 +504,7 @@ def main(arguments):
             loss_fn,
             deep_supervision=deep_supervision,
             bottleneck_classification=args.bottleneck_classification,
-            n_classes=args.n_classes,
+            n_classes=n_classes,
             train=True,
             remat=args.remat,
             precision=args.precision,
@@ -455,7 +514,7 @@ def main(arguments):
             loss_fn,
             deep_supervision=deep_supervision,
             bottleneck_classification=args.bottleneck_classification,
-            n_classes=args.n_classes,
+            n_classes=n_classes,
             train=False,
             precision=args.precision,
         )

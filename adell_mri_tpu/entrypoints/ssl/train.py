@@ -117,6 +117,7 @@ def main(arguments):
         target_spacing=args.target_spacing,
         target_size=base_size,
         crop_size=crop_size,
+        adc_keys=args.adc_keys or (),
         # VICRegL matches local features by absolute position, so views
         # must expose their crop warp matrices
         expose_boxes=args.ssl_method == "vicregl",
@@ -212,6 +213,7 @@ def main(arguments):
             model,
             method=args.ssl_method,
             ema_teacher=use_ema,
+            stop_gradient=bool(args.stop_gradient),
         )
     ckpt = CheckpointManager(
         args.checkpoint_dir,
@@ -228,6 +230,9 @@ def main(arguments):
         },
         monitor=args.monitor,
     )
+    if args.resume_from_last and ckpt.status(args.max_epochs) == "finished":
+        logger.info("checkpoint already finished; nothing to do")
+        return
     loop = TrainLoop(
         train_step=make_ssl_train_step(lm),
         augment_fn=transforms.augment,

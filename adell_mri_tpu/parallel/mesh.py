@@ -61,6 +61,15 @@ def local_device_count(dev_str: str = "auto") -> int:
     return len(get_devices(dev_str)[1])
 
 
+def use_device(dev_str: str = "auto") -> jax.Device:
+    """Honors ``--dev`` on inference/test entrypoints that run on the
+    default backend rather than a mesh: resolves the platform and makes
+    its first device the JAX default. Returns the chosen device."""
+    _, devices = get_devices(dev_str)
+    jax.config.update("jax_default_device", devices[0])
+    return devices[0]
+
+
 def mesh_for_batch(
     batch_size: int,
     devices: Optional[Sequence[jax.Device]] = None,

@@ -22,6 +22,7 @@ def make_two_view_step(
     ema_teacher: bool = False,
     symmetrize: bool = True,
     loss_kwargs: Optional[dict] = None,
+    stop_gradient: bool = False,
 ):
     """
     Returns ``loss_and_metrics(params, batch, rng, ema_params=None)`` for
@@ -79,6 +80,9 @@ def make_two_view_step(
                 params, v1, r1, "projection", variables, mutable=True
             )
             z2, _ = forward(params, v2, r2, "projection", variables)
+            if stop_gradient:
+                # ref --stop_gradient: gradients flow through one branch
+                z2 = jax.lax.stop_gradient(z2)
             if method == "vicreg":
                 loss, comp = L.vicreg_loss(z1, z2, **loss_kwargs)
                 metrics = {"loss": loss, **comp}

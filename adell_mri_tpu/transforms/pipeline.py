@@ -209,9 +209,15 @@ class SegmentationTransforms:
     pos_ratio: float = 0.5
     max_fg: int = 4096
     missing_to_empty: bool = False
+    # aux-image skip conditioning (UNet x_skip_layer; ref skip_keys) and
+    # scalar feature conditioning (x_feature_conditioning; ref feature_keys).
+    # Skip images compose with intensity augmentation only — geometric
+    # augmentation does not warp them (the entrypoint rejects that combo).
+    skip_keys: Sequence[str] = ()
+    feature_keys: Sequence[str] = ()
 
     def load_fn(self):
-        return make_load_fn(
+        base = make_load_fn(
             image_keys=self.image_keys,
             label_keys=self.label_keys,
             target_spacing=self.target_spacing,
@@ -222,6 +228,32 @@ class SegmentationTransforms:
             missing_to_empty=self.missing_to_empty,
             max_fg=self.max_fg,
         )
+        skip_load = (
+            make_load_fn(
+                image_keys=self.skip_keys,
+                label_keys=None,
+                target_spacing=self.target_spacing,
+                target_size=self.target_size,
+            )
+            if self.skip_keys
+            else None
+        )
+        if skip_load is None and not self.feature_keys:
+            return base
+
+        import numpy as np
+
+        def load(entry):
+            sample = base(entry)
+            if skip_load is not None:
+                sample["skip_layer"] = skip_load(entry)["image"]
+            if self.feature_keys:
+                sample["features"] = np.asarray(
+                    [float(entry[k]) for k in self.feature_keys], np.float32
+                )
+            return sample
+
+        return load
 
     def augment(self, key, batch: Dict) -> Dict:
         """Batched device augmentation; jit this (or call inside the step)."""
@@ -285,6 +317,9 @@ class ClassificationTransforms:
     mask_key: Optional[str] = None
     image_masking: bool = False
     image_crop_from_mask: bool = False
+    # label values in this set map to 1, everything else to 0 (ref
+    # positive_labels binarization)
+    positive_labels: Optional[Sequence] = None
 
     def load_fn(self):
         base = make_load_fn(
@@ -323,7 +358,13 @@ class ClassificationTransforms:
                     )
             # label_key=None: inference-time pipeline (predict entrypoints)
             if label_key is not None and label_key in entry:
-                sample["label"] = np.float32(float(entry[label_key]))
+                if self.positive_labels is not None:
+                    sample["label"] = np.float32(
+                        str(entry[label_key])
+                        in {str(v) for v in self.positive_labels}
+                    )
+                else:
+                    sample["label"] = np.float32(float(entry[label_key]))
             if self.clinical_feature_keys:
                 sample["features"] = np.asarray(
                     [float(entry[k]) for k in self.clinical_feature_keys],
@@ -369,6 +410,7 @@ class SSLTransforms:
     target_spacing: Optional[Sequence[float]] = None
     target_size: Optional[Sequence[int]] = None
     crop_size: Optional[Sequence[int]] = None
+    adc_keys: Sequence[str] = ()
     n_transforms: int = 3
     scaled_crop_range: Tuple[float, float] = (0.6, 1.0)
     # DINO multi-crop: n_local_crops extra small student views
@@ -390,6 +432,7 @@ class SSLTransforms:
             label_keys=None,
             target_spacing=self.target_spacing,
             target_size=self.target_size,
+            adc_keys=self.adc_keys,
         )
 
     def augment(self, key, batch: Dict) -> Dict:
