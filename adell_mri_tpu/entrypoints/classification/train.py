@@ -226,11 +226,13 @@ def main(arguments):
             mask_key=(args.mask_keys or [None])[0],
             image_masking=args.image_masking,
             image_crop_from_mask=args.image_crop_from_mask,
+            # binarize against positive_labels whenever labels are
+            # enumerable and the task is binary (handles non-numeric and
+            # multi-valued label sets alike)
             positive_labels=(
                 args.positive_labels
                 if (args.positive_labels and n_classes == 2
-                    and args.possible_labels
-                    and len(args.possible_labels) > 2)
+                    and args.possible_labels)
                 else None
             ),
         )

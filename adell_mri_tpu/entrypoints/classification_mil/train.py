@@ -157,10 +157,7 @@ def main(arguments):
         lr, t_max=args.max_epochs * max(len(train_loader), 1),
         n_warmup_steps=args.warmup_steps,
     )
-    tx = get_optimizer(
-        args.optimizer if args.optimizer != "sgd" else "adamw",
-        learning_rate=schedule, params=params,
-    )
+    tx = get_optimizer(args.optimizer, learning_rate=schedule, params=params)
     platform, devices = get_devices(args.dev)
     mesh = mesh_for_batch(batch_size, devices)
     with mesh:

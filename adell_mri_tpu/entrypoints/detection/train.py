@@ -49,7 +49,6 @@ ARG_KEYS = [
     "image_keys",
     "box_key",
     "box_class_key",
-    "shape_key",
     "anchor_csv",
     "augment",
     "filter_on_keys",
@@ -112,19 +111,32 @@ def main(arguments):
 
     def load_fn(entry):
         channels = []
+        ref_img = None
         for key in args.image_keys:
             img = reorient_to_ras(read_nifti(entry[key]))
+            ref_img = ref_img or img
             vol = resample_to_spec(img, args.target_spacing, base_size)
             lo, hi = vol.min(), vol.max()
             channels.append((vol - lo) / max(hi - lo, 1e-6))
         image = np.stack(channels, axis=-1).astype(np.float32)
         boxes = np.asarray(entry[args.box_key], np.float32).reshape(-1, 6)
-        if args.shape_key and args.shape_key in entry:
-            # boxes are voxel coords of the ORIGINAL grid; rescale to the
-            # resampled base_size grid (ref shape_key semantics)
-            orig = np.asarray(entry[args.shape_key], np.float32)[:3]
-            scale = np.asarray(base_size, np.float32) / np.maximum(orig, 1)
-            boxes = boxes * np.concatenate([scale, scale])
+        # boxes are voxel coords of the RAS-reoriented source image; map
+        # them through EXACTLY the resample_to_spec geometry the image
+        # takes (spacing zoom then center crop/pad: dst = src*zoom - offset)
+        spacing = np.asarray(ref_img.spacing, np.float32)
+        tsp = np.asarray(
+            args.target_spacing if args.target_spacing else spacing,
+            np.float32,
+        )
+        zoom = spacing / tsp
+        resampled = np.round(
+            np.asarray(ref_img.data.shape[:3]) * zoom
+        ).astype(np.float32)
+        offset = (resampled - np.asarray(base_size, np.float32)) / 2.0
+        boxes = np.concatenate(
+            [boxes[:, :3] * zoom - offset, boxes[:, 3:] * zoom - offset],
+            axis=1,
+        )
         classes = np.asarray(
             entry.get(args.box_class_key, [1] * len(boxes)), np.float32
         )

@@ -139,7 +139,22 @@ def main(arguments):
 
     model = get_segmentation_network(net_type, net_cfg, n_classes=n_classes)
     x0 = np.zeros((1,) + tuple(target_size) + (len(image_keys),), np.float32)
-    params0 = model.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
+    # conditioning inputs must be present at init so the restore target
+    # carries the conditioned branches' params
+    meta_skip = t_args.get("skip_keys") or []
+    meta_feat = t_args.get("feature_keys") or []
+    init_kwargs = {}
+    if meta_skip:
+        init_kwargs["x_skip_layer"] = np.zeros(
+            (1,) + tuple(target_size) + (len(meta_skip),), np.float32
+        )
+    if meta_feat:
+        init_kwargs["x_feature_conditioning"] = np.zeros(
+            (1, len(meta_feat)), np.float32
+        )
+    params0 = model.init(
+        {"params": jax.random.PRNGKey(0)}, x0, **init_kwargs
+    )["params"]
 
     steps = [mngr.best_step()] if not args.checkpoint else None
     param_list = []
@@ -174,6 +189,12 @@ def main(arguments):
         rng=jax.random.PRNGKey(args.seed),
     )
 
+    # conditioning recorded at train time (skip images / scalar features):
+    # the conditioned forward runs whole-volume (train enforces no crops
+    # with conditioning, so the volume IS the model's input grid)
+    skip_keys = t_args.get("skip_keys") or []
+    feature_keys = t_args.get("feature_keys") or []
+
     data = Dataset(args.dataset_json)
     pids = args.prediction_ids or list(data.keys())
     os.makedirs(args.output_path, exist_ok=True)
@@ -195,7 +216,29 @@ def main(arguments):
             lo, hi = vol.min(), vol.max()
             channels.append((vol - lo) / max(hi - lo, 1e-6))
         x = np.stack(channels, axis=-1).astype(np.float32)
-        prob = np.asarray(inference(x))
+        if skip_keys or feature_keys:
+            cond_kwargs = {}
+            if skip_keys:
+                skips = [
+                    resample_to_spec(
+                        reorient_to_ras(read_nifti(entry[k])),
+                        target_spacing, target_size,
+                    )
+                    for k in skip_keys
+                ]
+                cond_kwargs["x_skip_layer"] = np.stack(skips, -1)[None].astype(
+                    np.float32
+                )
+            if feature_keys:
+                cond_kwargs["x_feature_conditioning"] = np.asarray(
+                    [[float(entry[k]) for k in feature_keys]], np.float32
+                )
+            pred, *_ = model.apply(
+                {"params": param_list[0]}, x[None], **cond_kwargs
+            )
+            prob = np.asarray(pred[0])
+        else:
+            prob = np.asarray(inference(x))
         # inverse resample back to original geometry (Invertd analogue)
         inv = _invert_geometry(prob[..., 0], ref_img, target_spacing)
         if args.keep_ras:

@@ -144,13 +144,19 @@ def get_folds(
         rng = np.random.default_rng(seed)
         pids_arr = np.asarray(pids)
         idx = rng.permutation(len(pids_arr))
-        n_val = max(1, int((val_fraction or 0.2) * len(pids_arr)))
+        frac = 0.2 if val_fraction is None else val_fraction
+        n_val = max(1, int(frac * len(pids_arr)))
         return [
             (
                 pids_arr[idx[n_val:]].tolist(),
                 pids_arr[idx[:n_val]].tolist(),
             )
         ]
+    if val_fraction is not None:
+        logger.warning(
+            "--val_from_train only applies with --n_folds <= 1; "
+            "k-fold validation splits are 1/n_folds"
+        )
     kf = KFold(n_splits=n_folds, shuffle=True, random_state=seed)
     pids_arr = np.asarray(pids)
     return [
@@ -190,12 +196,11 @@ def main(arguments):
     if len(data) == 0:
         raise ValueError("no samples left after filtering")
 
-    # possible_labels derives n_classes (parity: ref train.py:153-156 —
-    # two possible labels or explicit positive_labels mean binary)
+    # possible_labels derives n_classes (parity: ref train.py:153-156)
     n_classes = args.n_classes
     if args.possible_labels:
         n = len(args.possible_labels)
-        n_classes = 2 if (n == 2 or args.positive_labels) else n
+        n_classes = 2 if n <= 2 else n
     config, loss_fn = parse_config_unet(
         args.config_file, n_keys=len(args.image_keys), n_classes=n_classes,
         loss_param_overrides={"gamma": args.loss_gamma, "lam": args.loss_comb},
@@ -220,11 +225,15 @@ def main(arguments):
                 "--skip_keys composes with intensity-only augmentation; "
                 "drop the geometric --augment flags"
             )
-        if args.random_crop_size:
-            raise ValueError(
-                "--skip_keys does not support --random_crop_size yet "
-                "(the crop would not be applied to the skip image)"
-            )
+        if crop_tuple := (args.random_crop_size or args.crop_size):
+            if tuple(crop_tuple) != tuple(
+                args.pad_size or args.resize_size or crop_tuple
+            ):
+                raise ValueError(
+                    "--skip_keys does not support device-side cropping "
+                    "(the crop would not be applied to the skip image); "
+                    "drop --random_crop_size/--crop_size"
+                )
         net_cfg["skip_conditioning"] = len(skip_keys)
     if feature_keys:
         net_cfg["feature_conditioning"] = len(feature_keys)
@@ -481,6 +490,8 @@ def main(arguments):
                 "network_config": net_cfg,
                 "transform_arguments": {
                     "image_keys": list(args.image_keys),
+                    "skip_keys": skip_keys,
+                    "feature_keys": feature_keys,
                     "label_keys": list(label_keys),
                     "target_spacing": target_spacing,
                     "target_size": list(base_size),

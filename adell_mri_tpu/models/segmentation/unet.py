@@ -61,7 +61,14 @@ class _ConvUnit(nn.Module):
         s = _tuple(self.stride, ndim)
         ct = self.conv_type
         if ct in ("regular", "sae"):
-            x = nn.Conv(self.out_channels, k, strides=s, padding="SAME")(x)
+            from adell_mri_tpu.ops.conv import TpuConv
+
+            # nn.Conv-compatible (same param tree at Conv_0) with the
+            # opt-in im2col lowering for the 3D-conv wall (ops/conv.py)
+            x = TpuConv(
+                self.out_channels, k, strides=s, padding="SAME",
+                name="Conv_0",
+            )(x)
             if ct == "sae":
                 x = ConcurrentSqueezeAndExcite()(x)
         elif ct == "depthwise":

@@ -3,9 +3,16 @@ Multi-host (pod) initialization.
 
 The reference's distributed surface stops at single-host Lightning DDP
 (SURVEY.md §2.5). On TPU pods the SPMD programs in this framework extend
-across hosts for free once ``jax.distributed`` is initialized — the Mesh
-simply spans all global devices and GSPMD routes collectives over ICI/DCN.
-This module is the one hook the entrypoints need.
+across hosts once ``jax.distributed`` is initialized — the Mesh spans all
+global devices and GSPMD routes collectives over ICI/DCN.
+
+Data-feeding contract for multi-host TRAINING: every host must construct
+the IDENTICAL global batch (the loaders here are deterministic given the
+seed, so running the same entrypoint on each host satisfies this) —
+``jax.device_put(global_numpy, sharding)`` then places each host's
+addressable shards. ``shard_pids_for_host`` is for embarrassingly-parallel
+INFERENCE (each host predicts a disjoint case subset), not for training
+batches.
 
 Activation is by environment (so single-host runs pay nothing):
   ADELL_DISTRIBUTED=1           turn the hook on
@@ -55,9 +62,10 @@ def maybe_initialize_distributed() -> bool:
 
 
 def shard_pids_for_host(pids):
-    """Per-host dataset sharding for multi-host input pipelines: host k of
-    n loads every n-th case (the DistributedSampler split). Identity on a
-    single host."""
+    """Disjoint per-host case split for INFERENCE entrypoints (host k of n
+    takes every n-th case). Do NOT use for training loaders — training
+    hosts must build identical global batches (see module docstring).
+    Identity on a single host."""
     import jax
 
     n = jax.process_count()
