@@ -118,6 +118,9 @@ class TpuConv(_nn.Module):
             _nn.initializers.lecun_normal(),
             k + (x.shape[-1], self.features),
         )
+        # nn.Conv promotes the kernel to the input dtype (the bf16 policy
+        # may cast inputs but not params, or vice versa)
+        w = w.astype(x.dtype)
         lowering = os.environ.get("ADELL_CONV_LOWERING", "xla")
         if ndim == 3 and lowering == "im2col":
             y = conv3d_im2col(x, w, strides, self.padding)
