@@ -130,11 +130,13 @@ class TpuConv(_nn.Module):
                 x.shape, w.shape,
                 ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C"),
             )
+            # no preferred_element_type here: its transpose rule mixes
+            # dtypes in the backward; TPU bf16 convs accumulate f32 in
+            # the MXU regardless
             y = jax.lax.conv_general_dilated(
                 x, w, window_strides=strides, padding=self.padding,
                 dimension_numbers=dn,
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
+            )
         if self.use_bias:
             b = self.param("bias", _nn.initializers.zeros, (self.features,))
             y = y + b
