@@ -316,3 +316,81 @@ def test_gan_modes_cli(cohort, tmp_path):
     ])
     for m in ("m1.csv", "m2.csv", "m3.csv"):
         assert os.path.exists(tmp_path / m)
+
+
+def test_conditioned_segmentation_train_then_predict(cohort, tmp_path):
+    """--skip_keys/--feature_keys conditioning round-trips: metadata records
+    the keys, predict rebuilds and feeds them (VERDICT-r2 self-review
+    finding: conditioned checkpoints must stay usable for inference)."""
+    with open(cohort["ds"]) as f:
+        ds = json.load(f)
+    for i, v in enumerate(ds.values()):
+        v["aux"] = v["mask"]  # skip-conditioning image
+        v["psa"] = float(i)
+    ds2 = str(tmp_path / "ds_cond.json")
+    with open(ds2, "w") as f:
+        json.dump(ds, f)
+    ck = str(tmp_path / "ck")
+    adell_main([
+        "segmentation", "train", "--dataset_json", ds2,
+        "--image_keys", "T2", "--mask_keys", "mask",
+        "--skip_keys", "aux", "--feature_keys", "psa",
+        "--config_file", cohort["cfg"],
+        "--pad_size", "16", "16", "8",
+        "--target_spacing", "1", "1", "1.2",
+        "--batch_size", "2", "--max_epochs", "1", "--n_folds", "1",
+        "--dev", "cpu", "--cache_rate", "0.0",
+        "--checkpoint_dir", ck,
+        "--metric_path", str(tmp_path / "m.csv"), "--seed", "0",
+    ])
+    meta = json.load(open(os.path.join(ck, "segmentation_fold0", "metadata.json")))
+    assert meta["transform_arguments"]["skip_keys"] == ["aux"]
+    assert meta["transform_arguments"]["feature_keys"] == ["psa"]
+    out = str(tmp_path / "preds")
+    adell_main([
+        "segmentation", "predict", "--dataset_json", ds2,
+        "--checkpoint_dir", ck, "--output_path", out,
+        "--prediction_ids", "case_0", "--dev", "cpu", "--seed", "0",
+    ])
+    import numpy as _np
+
+    from adell_mri_tpu.data.nifti import read_nifti
+
+    pred = read_nifti(os.path.join(out, "case_0_prob.nii.gz"))
+    assert _np.isfinite(pred.data).all()
+
+
+def test_detection_box_geometry_map(tmp_path):
+    """Detection boxes map through the exact resample_to_spec geometry:
+    a box at known voxel coords lands where the image content lands."""
+    import numpy as _np
+
+    from adell_mri_tpu.data.nifti import NiftiImage, write_nifti
+    from adell_mri_tpu.transforms.host import resample_to_spec
+    from adell_mri_tpu.data.nifti import read_nifti, reorient_to_ras
+
+    # 2mm-spacing volume, a bright cube at voxels [10:14, 10:14, 5:7]
+    vol = _np.zeros((20, 20, 10), _np.float32)
+    vol[10:14, 10:14, 5:7] = 1.0
+    aff = _np.diag([2.0, 2.0, 2.0, 1.0])
+    p = str(tmp_path / "v.nii.gz")
+    write_nifti(p, vol, aff)
+    img = reorient_to_ras(read_nifti(p))
+    target_spacing = (1.0, 1.0, 1.0)
+    base_size = (32, 32, 16)
+    res = resample_to_spec(img, target_spacing, base_size)
+    # apply the SAME map the detection entrypoint applies to boxes
+    spacing = _np.asarray(img.spacing, _np.float32)
+    zoom = spacing / _np.asarray(target_spacing, _np.float32)
+    resampled = _np.round(_np.asarray(img.data.shape[:3]) * zoom).astype(
+        _np.float32
+    )
+    offset = (resampled - _np.asarray(base_size, _np.float32)) / 2.0
+    lo = _np.asarray([10, 10, 5], _np.float32) * zoom - offset
+    hi = _np.asarray([14, 14, 7], _np.float32) * zoom - offset
+    # the mapped box must cover the bright region of the resampled image
+    idx = _np.argwhere(res > 0.5)
+    assert idx.size > 0
+    img_lo, img_hi = idx.min(0), idx.max(0) + 1
+    assert _np.all(_np.abs(img_lo - lo) <= 2), (img_lo, lo)
+    assert _np.all(_np.abs(img_hi - hi) <= 2), (img_hi, hi)
