@@ -60,8 +60,21 @@ def main(arguments):
 
     model = get_segmentation_network(net_type, net_cfg, n_classes=n_classes)
     size = tuple(t_args.get("target_size"))
+    skip_keys = t_args.get("skip_keys") or []
+    feature_keys = t_args.get("feature_keys") or []
     x0 = np.zeros((1,) + size + (len(image_keys),), np.float32)
-    params0 = model.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
+    init_kwargs = {}
+    if skip_keys:
+        init_kwargs["x_skip_layer"] = np.zeros(
+            (1,) + size + (len(skip_keys),), np.float32
+        )
+    if feature_keys:
+        init_kwargs["x_feature_conditioning"] = np.zeros(
+            (1, len(feature_keys)), np.float32
+        )
+    params0 = model.init(
+        {"params": jax.random.PRNGKey(0)}, x0, **init_kwargs
+    )["params"]
     restored = mngr.restore(mngr.best_step(), target={"params": params0})
     params = restored["params"]
 
@@ -70,12 +83,19 @@ def main(arguments):
         label_keys=label_keys,
         target_spacing=t_args.get("target_spacing"),
         target_size=size,
+        skip_keys=skip_keys,
+        feature_keys=feature_keys,
     )
     load_fn = transforms.load_fn()
 
     @jax.jit
-    def predict(x):
-        pred, *_ = model.apply({"params": params}, x[None])
+    def predict(x, *cond):
+        kwargs = {}
+        if skip_keys:
+            kwargs["x_skip_layer"] = cond[0][None]
+        if feature_keys:
+            kwargs["x_feature_conditioning"] = cond[-1][None]
+        pred, *_ = model.apply({"params": params}, x[None], **kwargs)
         return pred[0]
 
     data = Dataset(args.dataset_json)
@@ -85,7 +105,12 @@ def main(arguments):
         if pid not in data.dataset:
             continue
         sample = load_fn({**data[pid], "identifier": pid})
-        prob = np.asarray(predict(sample["image"]))[..., 0]
+        cond = []
+        if skip_keys:
+            cond.append(sample["skip_layer"])
+        if feature_keys:
+            cond.append(sample["features"])
+        prob = np.asarray(predict(sample["image"], *cond))[..., 0]
         lab = sample["label"]
         dices.append(dice_score(prob, lab))
         ious.append(iou_score(prob, lab))
