@@ -50,11 +50,23 @@ def main(arguments):
     n_classes = metadata.get("n_classes", args.n_classes)
     net_type = metadata.get("net_type", args.classification_net_type)
     image_keys = args.image_keys or t_args.get("image_keys", ["image"])
+    feat_keys = t_args.get("clinical_feature_keys", []) or []
 
-    model = get_classification_network(net_type, net_cfg, n_classes=n_classes)
+    model = get_classification_network(
+        net_type, net_cfg, n_classes=n_classes,
+        clinical_feature_means=metadata.get("clinical_feature_means"),
+        clinical_feature_stds=metadata.get("clinical_feature_stds"),
+    )
     size = tuple(t_args.get("target_size"))
     x0 = np.zeros((1,) + size + (len(image_keys),), np.float32)
-    params0 = model.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
+    init_args = (
+        (x0, np.zeros((1, len(feat_keys)), np.float32))
+        if feat_keys
+        else (x0,)
+    )
+    params0 = model.init({"params": jax.random.PRNGKey(0)}, *init_args)[
+        "params"
+    ]
     params = mngr.restore(mngr.best_step(), target={"params": params0})["params"]
 
     transforms = ClassificationTransforms(
@@ -62,6 +74,7 @@ def main(arguments):
         label_key=t_args.get("label_key", "label"),
         target_spacing=t_args.get("target_spacing"),
         target_size=size,
+        clinical_feature_keys=feat_keys,
     )
     base_load = transforms.load_fn()
 
@@ -78,9 +91,11 @@ def main(arguments):
         cov = jax.numpy.asarray(gp_cov)
 
         @jax.jit
-        def predict(x):
+        def predict(x, *feats):
+            extra = tuple(f[None] for f in feats)
             logits, inter = model.apply(
-                {"params": params}, x[None], mutable=["intermediates"]
+                {"params": params}, x[None], *extra,
+                mutable=["intermediates"],
             )
             phi = jax.tree.leaves(inter)[0]
             phi = phi[0] if phi.ndim == 3 else phi
@@ -89,8 +104,9 @@ def main(arguments):
     else:
 
         @jax.jit
-        def predict(x):
-            return model.apply({"params": params}, x[None])[0]
+        def predict(x, *feats):
+            extra = tuple(f[None] for f in feats)
+            return model.apply({"params": params}, x[None], *extra)[0]
 
     # conformal prediction sets (parity: predict_calibrated_step,
     # classification/pl.py:438-459) from the train-time calibration
@@ -121,7 +137,8 @@ def main(arguments):
         if t_args.get("label_key", "label") not in entry:
             entry[t_args.get("label_key", "label")] = 0
         sample = base_load(entry)
-        logits = np.asarray(predict(sample["image"]))
+        cond = (sample["features"],) if feat_keys else ()
+        logits = np.asarray(predict(sample["image"], *cond))
         if args.prediction_type == "logit":
             out[pid] = logits.tolist()
         elif args.prediction_type == "set":

@@ -56,10 +56,21 @@ def main(arguments):
     label_key = t_args.get("label_key", "label")
     feat_keys = t_args.get("clinical_feature_keys", [])
 
-    model = get_classification_network(net_type, net_cfg, n_classes=n_classes)
+    model = get_classification_network(
+        net_type, net_cfg, n_classes=n_classes,
+        clinical_feature_means=metadata.get("clinical_feature_means"),
+        clinical_feature_stds=metadata.get("clinical_feature_stds"),
+    )
     size = tuple(t_args.get("target_size"))
     x0 = np.zeros((1,) + size + (len(image_keys),), np.float32)
-    params0 = model.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
+    init_args = (
+        (x0, np.zeros((1, len(feat_keys)), np.float32))
+        if feat_keys
+        else (x0,)
+    )
+    params0 = model.init({"params": jax.random.PRNGKey(0)}, *init_args)[
+        "params"
+    ]
     restored = mngr.restore(mngr.best_step(), target={"params": params0})
     params = restored["params"]
 
@@ -73,8 +84,9 @@ def main(arguments):
     load_fn = transforms.load_fn()
 
     @jax.jit
-    def predict(x):
-        return model.apply({"params": params}, x[None])[0]
+    def predict(x, *feats):
+        extra = tuple(f[None] for f in feats)
+        return model.apply({"params": params}, x[None], *extra)[0]
 
     data = Dataset(args.dataset_json)
     pids = args.test_ids or list(data.keys())
@@ -83,7 +95,8 @@ def main(arguments):
         if pid not in data.dataset:
             continue
         sample = load_fn({**data[pid], "identifier": pid})
-        logits = np.asarray(predict(sample["image"]))
+        cond = (sample["features"],) if feat_keys else ()
+        logits = np.asarray(predict(sample["image"], *cond))
         if n_classes == 2:
             probs.append(float(jax.nn.sigmoid(logits[0])))
         else:

@@ -369,6 +369,8 @@ def main(arguments):
                 "val_pids": val_pids,
                 "n_classes": n_classes,
                 "net_type": net_type,
+                "clinical_feature_means": feat_means,
+                "clinical_feature_stds": feat_stds,
             },
             monitor=args.monitor,
             mode="min" if "loss" in args.monitor else "max",
