@@ -329,9 +329,17 @@ class Parser(argparse.ArgumentParser):
                 elif value is not None:
                     argv.extend([flag, str(value)])
         elif overrides:
-            # no stored params: overrides become plain --key value args
+            # no stored params: overrides become plain --key value args.
+            # Explicitly typed CLI flags still win (same precedence as the
+            # params_from branch) — skip overrides already present in argv
             stored = {}
             _apply_overrides(stored, overrides)
+            given = {
+                a.split("=", 1)[0].lstrip("-")
+                for a in argv
+                if a.startswith("--")
+            }
+            stored = {k: v for k, v in stored.items() if k not in given}
             for key, value in stored.items():
                 flag = _flag(key)
                 if isinstance(value, bool):

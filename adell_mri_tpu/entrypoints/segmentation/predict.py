@@ -194,6 +194,35 @@ def main(arguments):
     # with conditioning, so the volume IS the model's input grid)
     skip_keys = t_args.get("skip_keys") or []
     feature_keys = t_args.get("feature_keys") or []
+    if skip_keys or feature_keys:
+        # the conditioned branch runs a single whole-volume forward with
+        # param_list[0]; inference-composition flags would be silently
+        # ignored, so say so loudly
+        ignored = []
+        if len(param_list) > 1:
+            ignored.append("multi-checkpoint ensembling")
+        if args.flip_tta:
+            ignored.append("--flip_tta")
+        if args.mc_iterations:
+            ignored.append("--mc_iterations")
+        if ignored:
+            logger.warning(
+                "conditioned prediction (skip/feature keys recorded at "
+                "train time) bypasses SegmentationInference; ignoring: %s",
+                ", ".join(ignored),
+            )
+        from adell_mri_tpu.transforms.host import make_load_fn
+
+        skip_load_fn = (
+            make_load_fn(
+                image_keys=skip_keys,
+                label_keys=None,
+                target_spacing=target_spacing,
+                target_size=target_size,
+            )
+            if skip_keys
+            else None
+        )
 
     data = Dataset(args.dataset_json)
     pids = args.prediction_ids or list(data.keys())
@@ -219,16 +248,12 @@ def main(arguments):
         if skip_keys or feature_keys:
             cond_kwargs = {}
             if skip_keys:
-                skips = [
-                    resample_to_spec(
-                        reorient_to_ras(read_nifti(entry[k])),
-                        target_spacing, target_size,
-                    )
-                    for k in skip_keys
-                ]
-                cond_kwargs["x_skip_layer"] = np.stack(skips, -1)[None].astype(
-                    np.float32
-                )
+                # load through the same make_load_fn path train/test use so
+                # skip inputs see the identical scale_intensity min-max
+                # normalization they saw at training time
+                cond_kwargs["x_skip_layer"] = skip_load_fn(entry)["image"][
+                    None
+                ].astype(np.float32)
             if feature_keys:
                 cond_kwargs["x_feature_conditioning"] = np.asarray(
                     [[float(entry[k]) for k in feature_keys]], np.float32

@@ -53,6 +53,15 @@ class GlobalBatchNorm(nn.Module):
     segmentation steps, which carry only params) neither reads nor writes
     the collection, so eval works without restored running stats instead
     of crashing on the missing collection.
+
+    CAVEAT (inference semantics): because those stateless steps persist no
+    running averages, checkpoints trained with ``norm_type='batch'`` under
+    them normalize each EVAL batch by its own statistics — predictions
+    depend on eval-batch composition and diverge from the reference's
+    BatchNorm inference mode. For deployed models prefer
+    ``norm_type='instance'`` or ``'group'`` (deterministic per-sample);
+    'batch' is primarily for SSL pretraining where the sync-BN-for-free
+    semantics are the point.
     """
 
     momentum: float = 0.9

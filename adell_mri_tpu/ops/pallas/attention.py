@@ -317,7 +317,11 @@ def _bwd_dq_kernel(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta) * scale
+    # out-of-range kv columns (last partial kv block) read garbage v/k
+    # rows: p is exactly 0 there, but dp may be non-finite and 0 * inf
+    # = NaN would ride the kv contraction into valid dq rows — mask ds
+    # explicitly (mirror of the dkv kernel's row_ok guard)
+    ds = jnp.where(col < n_kv, p * (dp - delta) * scale, 0.0)
     dq_sc[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
