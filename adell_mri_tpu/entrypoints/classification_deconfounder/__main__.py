@@ -4,6 +4,8 @@ from adell_mri_tpu.entrypoints.cli_utils import run_main
 
 supported_modes = {
     "train": "adell_mri_tpu.entrypoints.classification_deconfounder.train",
+    "test": "adell_mri_tpu.entrypoints.classification_deconfounder.test",
+    "predict": "adell_mri_tpu.entrypoints.classification_deconfounder.predict",
 }
 
 

@@ -60,6 +60,25 @@ ARG_KEYS = [
 ]
 
 
+def build_deconfounder_model(net_cfg, cat_cards, n_cont, n_classes):
+    """Rebuilds the DeconfoundedNet from checkpoint metadata (shared by
+    train / test / predict so the parameter tree is identical)."""
+    backbone = CatNet(
+        spatial_dimensions=net_cfg.get("spatial_dimensions", 3),
+        resnet_structure=[
+            tuple(s) for s in net_cfg.get("resnet_structure", [(16, 16, 3, 1)])
+        ],
+        norm_type=net_cfg.get("norm_type", "instance"),
+        feature_extraction=True,
+    )
+    return DeconfoundedNet(
+        backbone=backbone,
+        n_classes=n_classes,
+        n_cat_deconfounder=list(cat_cards),
+        n_cont_deconfounder=n_cont,
+    )
+
+
 def main(arguments):
     parser = Parser(prog="adell classification_deconfounder train")
     parser.add_argument_by_key(ARG_KEYS)
@@ -92,19 +111,8 @@ def main(arguments):
         cat_maps.append({v: i for i, v in enumerate(values)})
         cat_cards.append(len(values))
 
-    backbone = CatNet(
-        spatial_dimensions=net_cfg.get("spatial_dimensions", 3),
-        resnet_structure=[
-            tuple(s) for s in net_cfg.get("resnet_structure", [(16, 16, 3, 1)])
-        ],
-        norm_type=net_cfg.get("norm_type", "instance"),
-        feature_extraction=True,
-    )
-    model = DeconfoundedNet(
-        backbone=backbone,
-        n_classes=args.n_classes,
-        n_cat_deconfounder=cat_cards,
-        n_cont_deconfounder=len(args.cont_confounder_keys),
+    model = build_deconfounder_model(
+        net_cfg, cat_cards, len(args.cont_confounder_keys), args.n_classes
     )
 
     transforms = ClassificationTransforms(
@@ -183,7 +191,18 @@ def main(arguments):
             "network_config": net_cfg,
             "cat_confounder_keys": list(args.cat_confounder_keys),
             "cont_confounder_keys": list(args.cont_confounder_keys),
+            # cardinalities rebuild the surrogate heads at test/predict
+            # without re-scanning the training dataset
+            "cat_confounder_cards": list(cat_cards),
             "n_classes": args.n_classes,
+            "transform_arguments": {
+                "image_keys": list(args.image_keys),
+                "label_key": label_key,
+                "target_size": list(base_size),
+                "target_spacing": (
+                    list(args.target_spacing) if args.target_spacing else None
+                ),
+            },
         },
         monitor=args.monitor,
     )

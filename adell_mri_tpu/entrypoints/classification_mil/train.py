@@ -85,6 +85,28 @@ class _SliceEncoder(nn.Module):
         )(x, train=train, return_features=True)
 
 
+def build_mil_model(net_cfg, mil_method: str, n_classes: int):
+    """Rebuilds the MIL model from checkpoint metadata (shared by train /
+    test / predict so the parameter tree is identical)."""
+    encoder = _SliceEncoder(
+        first_depth=net_cfg.get("first_depth", 16),
+        n_blocks=net_cfg.get("n_blocks", 3),
+    )
+    if mil_method == "transformer":
+        return TransformableTransformer(
+            module=encoder,
+            n_classes=n_classes,
+            embed_dim=net_cfg.get("embed_dim", 64),
+            n_blocks=net_cfg.get("transformer_blocks", 2),
+            n_heads=net_cfg.get("n_heads", 4),
+        )
+    return MultipleInstanceClassifier(
+        module=encoder,
+        n_classes=n_classes,
+        attention_dim=net_cfg.get("attention_dim", 64),
+    )
+
+
 def main(arguments):
     parser = Parser(prog="adell classification_mil train")
     parser.add_argument_by_key(ARG_KEYS)
@@ -107,24 +129,7 @@ def main(arguments):
     lr = args.learning_rate or train_cfg.get("learning_rate", 1e-3)
     base_size = tuple(args.pad_size)
 
-    encoder = _SliceEncoder(
-        first_depth=net_cfg.get("first_depth", 16),
-        n_blocks=net_cfg.get("n_blocks", 3),
-    )
-    if args.mil_method == "transformer":
-        model = TransformableTransformer(
-            module=encoder,
-            n_classes=args.n_classes,
-            embed_dim=net_cfg.get("embed_dim", 64),
-            n_blocks=net_cfg.get("transformer_blocks", 2),
-            n_heads=net_cfg.get("n_heads", 4),
-        )
-    else:
-        model = MultipleInstanceClassifier(
-            module=encoder,
-            n_classes=args.n_classes,
-            attention_dim=net_cfg.get("attention_dim", 64),
-        )
+    model = build_mil_model(net_cfg, args.mil_method, args.n_classes)
 
     transforms = ClassificationTransforms(
         image_keys=args.image_keys,
@@ -177,6 +182,9 @@ def main(arguments):
                 "image_keys": list(args.image_keys),
                 "label_key": label_key,
                 "target_size": list(base_size),
+                "target_spacing": (
+                    list(args.target_spacing) if args.target_spacing else None
+                ),
             },
             "n_classes": args.n_classes,
         },

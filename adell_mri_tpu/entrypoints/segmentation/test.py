@@ -123,7 +123,13 @@ def main(arguments):
         "n_cases": len(dices),
     }
     if args.picai_eval and preds:
-        m = picai_evaluate(preds, labels)
+        from adell_mri_tpu.eval.lesion import extract_lesion_candidates
+
+        m = picai_evaluate(
+            preds,
+            labels,
+            y_det_postprocess_func=lambda y: extract_lesion_candidates(y)[0],
+        )
         results.update({"AP": m.AP, "auroc": m.auroc, "score": m.score})
     MetricLogger(csv_path=args.metric_path).log_metrics(results, step=0)
     print(json.dumps(results))

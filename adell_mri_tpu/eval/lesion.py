@@ -99,7 +99,17 @@ def evaluate_case(
     """
     if y_det_postprocess_func is not None:
         y_det = y_det_postprocess_func(y_det)
-    _, confidences, indexed_pred = extract_lesion_candidates(y_det)
+    # detection-map contract (ref eval.py:53): y_det holds connected
+    # components of uniform confidence; candidates ARE its components with
+    # their (unrounded) max. Candidate extraction from a raw softmax map is
+    # the caller's job via y_det_postprocess_func (the reference wires
+    # extract_lesion_candidates there, segmentation/pl.py:604-611)
+    y_det = np.asarray(y_det, np.float32)
+    indexed_pred, n_cand = ndimage.label(y_det > 0)
+    confidences = [
+        (cand_id, float(y_det[indexed_pred == cand_id].max()))
+        for cand_id in range(1, n_cand + 1)
+    ]
 
     y_true = np.asarray(y_true) > 0.5
     gt_labels, n_gt = ndimage.label(y_true)

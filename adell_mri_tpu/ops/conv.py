@@ -15,9 +15,10 @@ XLA/TPU runtime tiles best:
   where XLA's conv tiling underutilizes the MXU (K dim k^3*Cin >= 128
   already at Cin=8 for k=3).
 
-``conv3d(..., lowering="auto")`` consults ``ADELL_CONV_LOWERING``
-(unset/"xla"/"im2col"); the benchmark in benchmarks/benchmark_conv3d.py
-measures both on hardware.
+``lowering="auto"`` (the default) picks im2col whenever the patch tensor
+fits ``ADELL_IM2COL_MAX_BYTES`` (4 GB default) and xla otherwise;
+``ADELL_CONV_LOWERING=xla|im2col`` forces either. The benchmark in
+benchmarks/benchmark_conv3d.py measures both on hardware.
 """
 
 import os
@@ -83,9 +84,41 @@ def conv3d_im2col(x, w, strides=(1, 1, 1), padding="SAME"):
     return out.reshape(b, od, oh, ow, cout)
 
 
+#: Patch-tensor budget for the auto heuristic. im2col materializes
+#: [B, *out_spatial, k^3*Cin]; above this it risks HBM pressure (and the
+#: backward materializes the same shape again for the dot's grad), so
+#: auto falls back to XLA's conv. v5e has 16 GB HBM; 4 GB leaves room for
+#: the rest of the step. Override with ADELL_IM2COL_MAX_BYTES.
+_IM2COL_MAX_BYTES = int(
+    os.environ.get("ADELL_IM2COL_MAX_BYTES", 4 * 1024**3)
+)
+
+
+def _im2col_patch_bytes(x_shape, k, strides, dtype):
+    out_spatial = [
+        -(-s // st) for s, st in zip(x_shape[1:4], strides)
+    ]  # SAME: ceil(in/stride)
+    voxels = x_shape[0]
+    for s in out_spatial:
+        voxels *= s
+    return voxels * k[0] * k[1] * k[2] * x_shape[4] * jnp.dtype(dtype).itemsize
+
+
+def _pick_lowering(x, k, strides):
+    """auto: im2col when its patch tensor fits the budget (it beat XLA's
+    3D-conv tiling at every UNet hot shape, up to 4.5x —
+    benchmarks/benchmark_conv3d.py / BASELINE.md), else xla."""
+    env = os.environ.get("ADELL_CONV_LOWERING", "auto")
+    if env in ("xla", "im2col"):
+        return env
+    if _im2col_patch_bytes(x.shape, k, strides, x.dtype) <= _IM2COL_MAX_BYTES:
+        return "im2col"
+    return "xla"
+
+
 def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
     if lowering == "auto":
-        lowering = os.environ.get("ADELL_CONV_LOWERING", "xla")
+        lowering = _pick_lowering(x, w.shape[:3], strides)
     if lowering == "im2col":
         return conv3d_im2col(x, w, strides, padding)
     return conv3d_xla(x, w, strides, padding)
@@ -93,10 +126,11 @@ def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
 
 class TpuConv(_nn.Module):
     """
-    Drop-in for channels-last ``nn.Conv`` whose 3D forward can route
-    through the im2col matmul lowering (``ADELL_CONV_LOWERING=im2col``;
-    measured up to 4.5x over XLA's 3D conv tiling on this stack — see
-    benchmarks/benchmark_conv3d.py). Parameter tree matches nn.Conv
+    Drop-in for channels-last ``nn.Conv`` whose 3D forward routes through
+    the im2col matmul lowering when the auto heuristic approves (measured
+    up to 4.5x over XLA's 3D conv tiling on this stack — see
+    benchmarks/benchmark_conv3d.py; force with ``ADELL_CONV_LOWERING``).
+    Parameter tree matches nn.Conv
     (``kernel`` [*k, cin, cout], ``bias`` [cout]) so checkpoints are
     interchangeable; give instances the name ``Conv_{i}`` to keep tree
     paths identical to an nn.Conv at the same position.
@@ -121,7 +155,9 @@ class TpuConv(_nn.Module):
         # nn.Conv promotes the kernel to the input dtype (the bf16 policy
         # may cast inputs but not params, or vice versa)
         w = w.astype(x.dtype)
-        lowering = os.environ.get("ADELL_CONV_LOWERING", "xla")
+        lowering = (
+            _pick_lowering(x, k, strides) if ndim == 3 else "xla"
+        )
         if ndim == 3 and lowering == "im2col":
             y = conv3d_im2col(x, w, strides, self.padding)
         else:

@@ -394,3 +394,151 @@ def test_detection_box_geometry_map(tmp_path):
     img_lo, img_hi = idx.min(0), idx.max(0) + 1
     assert _np.all(_np.abs(img_lo - lo) <= 2), (img_lo, lo)
     assert _np.all(_np.abs(img_hi - hi) <= 2), (img_hi, hi)
+
+
+MIL_YAML = """
+first_depth: 4
+n_blocks: 2
+attention_dim: 16
+batch_size: 2
+learning_rate: 0.001
+"""
+
+
+def test_mil_train_test_predict_roundtrip(cohort):
+    """classification_mil {train,test,predict} round-trip through checkpoint
+    metadata (VERDICT r2 item 3)."""
+    root = cohort["root"]
+    ds = json.load(open(cohort["ds"]))
+    for i, k in enumerate(sorted(ds)):
+        ds[k]["label"] = i % 2
+    ds_path = os.path.join(root, "ds_mil.json")
+    with open(ds_path, "w") as f:
+        json.dump(ds, f)
+    cfg_path = os.path.join(root, "mil.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(MIL_YAML)
+    ckpt = os.path.join(root, "ckpt_mil")
+    adell_main(
+        [
+            "classification_mil", "train",
+            "--dataset_json", ds_path,
+            "--image_keys", "T2",
+            "--label_keys", "label",
+            "--config_file", cfg_path,
+            "--pad_size", "16", "16", "8",
+            "--target_spacing", "1.0", "1.0", "1.2",
+            "--batch_size", "2",
+            "--max_epochs", "1",
+            "--n_folds", "1",
+            "--dev", "cpu",
+            "--checkpoint_dir", ckpt,
+            "--cache_rate", "0.0",
+        ]
+    )
+    meta = json.load(
+        open(os.path.join(ckpt, "mil_fold0", "metadata.json"))
+    )
+    assert meta["mil_method"] == "standard"
+
+    metric_path = os.path.join(root, "mil_metrics.csv")
+    adell_main(
+        [
+            "classification_mil", "test",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--metric_path", metric_path,
+            "--dev", "cpu",
+        ]
+    )
+    assert os.path.exists(metric_path)
+
+    out_path = os.path.join(root, "mil_preds.json")
+    adell_main(
+        [
+            "classification_mil", "predict",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--output_path", out_path,
+            "--dev", "cpu",
+        ]
+    )
+    preds = json.load(open(out_path))
+    assert len(preds) == 4
+    assert all(0.0 <= p <= 1.0 for p in preds.values())
+
+
+DECONF_YAML = """
+resnet_structure: [[4, 8, 3, 1]]
+norm_type: instance
+batch_size: 2
+learning_rate: 0.001
+"""
+
+
+def test_deconfounder_train_test_predict_roundtrip(cohort):
+    """classification_deconfounder {train,test,predict} round-trip: the
+    surrogate-head shapes rebuild from cat_confounder_cards metadata
+    (VERDICT r2 item 3)."""
+    root = cohort["root"]
+    ds = json.load(open(cohort["ds"]))
+    for i, k in enumerate(sorted(ds)):
+        ds[k]["label"] = i % 2
+        ds[k]["scanner"] = ["ge", "siemens"][i % 2]
+        ds[k]["age"] = 50.0 + i
+    ds_path = os.path.join(root, "ds_deconf.json")
+    with open(ds_path, "w") as f:
+        json.dump(ds, f)
+    cfg_path = os.path.join(root, "deconf.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(DECONF_YAML)
+    ckpt = os.path.join(root, "ckpt_deconf")
+    adell_main(
+        [
+            "classification_deconfounder", "train",
+            "--dataset_json", ds_path,
+            "--image_keys", "T2",
+            "--label_keys", "label",
+            "--cat_confounder_keys", "scanner",
+            "--cont_confounder_keys", "age",
+            "--config_file", cfg_path,
+            "--pad_size", "16", "16", "8",
+            "--target_spacing", "1.0", "1.0", "1.2",
+            "--batch_size", "2",
+            "--max_epochs", "1",
+            "--n_folds", "1",
+            "--dev", "cpu",
+            "--checkpoint_dir", ckpt,
+            "--cache_rate", "0.0",
+        ]
+    )
+    meta = json.load(
+        open(os.path.join(ckpt, "deconfounder_fold0", "metadata.json"))
+    )
+    assert meta["cat_confounder_cards"] == [2]
+
+    metric_path = os.path.join(root, "deconf_metrics.csv")
+    adell_main(
+        [
+            "classification_deconfounder", "test",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--metric_path", metric_path,
+            "--dev", "cpu",
+        ]
+    )
+    assert os.path.exists(metric_path)
+
+    out_path = os.path.join(root, "deconf_preds.json")
+    adell_main(
+        [
+            "classification_deconfounder", "predict",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--output_path", out_path,
+            "--dev", "cpu",
+        ]
+    )
+    preds = json.load(open(out_path))
+    assert len(preds) == 4
+    assert all(0.0 <= p <= 1.0 for p in preds.values())

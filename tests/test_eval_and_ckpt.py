@@ -154,7 +154,7 @@ def test_optimal_assignment_beats_greedy():
     assert len(gt_entries) == 2
     # both lesions matched (no 0-conf missed lesions) -> optimal assignment
     assert all(c > 0 for _, c in gt_entries)
-    assert sorted(c for _, c in gt_entries) == [0.5, 0.9]
+    assert sorted(c for _, c in gt_entries) == pytest.approx([0.5, 0.9], abs=1e-5)
 
 
 def test_froc_and_bootstrap():

@@ -54,9 +54,13 @@ def test_perfect_prediction_low_loss():
     perfect = TGT[..., None]
     imperfect = 1.0 - perfect
     assert float(
-        binary_generalized_dice_loss(perfect, TGT)
-    ) < float(binary_generalized_dice_loss(imperfect, TGT))
-    assert float(generalised_dice_score(perfect, TGT)) > 0.99
+        binary_generalized_dice_loss(perfect, TGT, smooth=0.0)
+    ) < float(binary_generalized_dice_loss(imperfect, TGT, smooth=0.0))
+    # reference gds contract: [B, C, V] operands, loss = 1 - 2*gds, so a
+    # perfect prediction gives 2*gds ~= 1 (losses.py:14-56)
+    p = perfect.reshape(perfect.shape[0], 1, -1)
+    t = TGT.reshape(TGT.shape[0], 1, -1)
+    assert float(jnp.mean(2 * generalised_dice_score(p, t))) > 0.99
 
 
 @pytest.mark.parametrize("name", list(loss_factory["categorical"]))
