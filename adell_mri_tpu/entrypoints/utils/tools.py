@@ -400,7 +400,7 @@ def bb_to_distances(argv):
             continue
         centers = np.stack([(b[:dim] + b[dim:]) / 2 for b in bb])
         d = np.linalg.norm(centers[:, None] - centers[None], axis=-1)
-        d = d + np.eye(len(bb)) * np.inf
+        np.fill_diagonal(d, np.inf)  # eye*inf would 0*inf-NaN off-diagonal
         dists.append(float(d.min()))
     if dists:
         q = np.quantile(dists, [0.05, 0.25, 0.5, 0.75, 0.95])

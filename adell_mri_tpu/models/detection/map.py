@@ -65,4 +65,5 @@ def mean_average_precision(
         average_precision(pred_boxes, pred_scores, true_boxes, t)
         for t in iou_thresholds
     ]
-    return float(np.nanmean(aps))
+    finite = [a for a in aps if np.isfinite(a)]
+    return float(np.mean(finite)) if finite else float("nan")
