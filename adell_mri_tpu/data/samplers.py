@@ -91,21 +91,39 @@ class WeightedSampler:
 
 
 class RandomSampler:
-    """Plain shuffled pass over ``n`` indices."""
+    """Plain shuffled pass over ``n`` indices. ``n_samples`` pins the epoch
+    length (with replacement when n_samples > n — parity with torch
+    RandomSampler(num_samples=...) under --samples_per_epoch /
+    --dataset_iterations_per_epoch)."""
 
-    def __init__(self, n: int, seed: int = 42, shuffle: bool = True):
+    def __init__(
+        self,
+        n: int,
+        seed: int = 42,
+        shuffle: bool = True,
+        n_samples: int = None,
+    ):
         self.n = n
         self.shuffle = shuffle
+        self.n_samples = n_samples
         self.rng = np.random.default_rng(seed)
 
+    def set_n_samples(self, n: int):
+        self.n_samples = n
+
     def __iter__(self) -> Iterator[int]:
+        if self.n_samples is not None and self.n_samples != self.n:
+            yield from self.rng.choice(
+                self.n, size=self.n_samples, replace=self.n_samples > self.n
+            ).tolist()
+            return
         idx = np.arange(self.n)
         if self.shuffle:
             self.rng.shuffle(idx)
         yield from idx.tolist()
 
     def __len__(self) -> int:
-        return self.n
+        return self.n_samples if self.n_samples is not None else self.n
 
 
 def class_weights_from_labels(labels: List) -> np.ndarray:

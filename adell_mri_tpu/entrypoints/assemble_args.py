@@ -37,7 +37,25 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "cache_rate": dict(default=1.0, type=float, help="Fraction of dataset cached in RAM"),
     "cache_dir": dict(default=None, help="Disk cache directory for preprocessed volumes"),
     "subsample_size": dict(default=None, type=int, help="Subsample dataset size"),
+    "sequence_paths": dict(
+        default=None, nargs="+",
+        help="Explicit file paths (one per image key) to predict on a "
+        "single case without a dataset JSON",
+    ),
+    "exclude_surrogate_variables": dict(
+        action="store_true",
+        help="Excludes deconfounder surrogate predictions from the output",
+    ),
+    "subsample_training_data": dict(
+        default=None, type=float,
+        help="Subsamples TRAINING data by this fraction (learning curves)",
+    ),
     "excluded_ids": dict(default=None, nargs="+", help="IDs excluded from the dataset"),
+    "excluded_ids_from_training_data": dict(
+        default=None, nargs="+",
+        help="IDs excluded from the training split only (still usable "
+        "for validation/test)",
+    ),
     "val_from_train": dict(default=None, type=float, help="Fraction of train used for val"),
     "n_folds": dict(default=5, type=int, help="Number of validation folds"),
     "folds": dict(default=None, nargs="+", help="Explicit fold specifications"),
@@ -157,6 +175,28 @@ argument_factory: Dict[str, Dict[str, Any]] = {
         help="Cap the number of train batches per epoch "
         "(Lightning limit_train_batches analogue)",
     ),
+    "dataset_iterations_per_epoch": dict(
+        default=1.0, type=float,
+        help="Number of dataset iterations per training epoch",
+    ),
+    "samples_per_epoch": dict(
+        default=None, type=int,
+        help="Number of training samples per epoch (drawn with "
+        "replacement; overrides dataset_iterations_per_epoch)",
+    ),
+    "validation_samples_per_epoch": dict(
+        default=None, type=int,
+        help="Number of validation samples per epoch",
+    ),
+    "sliding_window_val": dict(
+        action="store_true",
+        help="Validate whole volumes with overlap-averaged sliding-window "
+        "inference at the training crop size",
+    ),
+    "delete_checkpoints": dict(
+        action="store_true",
+        help="Deletes checkpoints after training (keeps metrics/metadata)",
+    ),
     "ema_decay": dict(
         default=None, type=float,
         help="EMA decay for teacher/shadow params (default: per-method)",
@@ -173,6 +213,14 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "logger_type": dict(default=None, help="wandb | mlflow | None"),
     "project_name": dict(default=None, help="Experiment tracker project"),
     "summary_name": dict(default=None, help="Run name"),
+    "summary_dir": dict(
+        default="summaries", help="Summary directory (wandb dir)"
+    ),
+    "tracking_uri": dict(default=None, help="MLflow tracking URI"),
+    "log_model": dict(
+        action="store_true",
+        help="Stores the best checkpoint with the logger as an artifact",
+    ),
     "metric_path": dict(default="metrics.csv", help="CSV metrics output path"),
     "freeze_regex": dict(default=None, nargs="+", help="Freeze params matching regex"),
     "not_freeze_regex": dict(default=None, nargs="+", help="Never freeze params matching regex"),

@@ -65,6 +65,8 @@ ARG_KEYS = [
     "cache_rate",
     "cache_dir",
     "subsample_size",
+    "subsample_training_data",
+    "excluded_ids_from_training_data",
     "n_folds",
     "folds",
     "target_spacing",
@@ -101,6 +103,9 @@ ARG_KEYS = [
     "logger_type",
     "project_name",
     "summary_name",
+    "summary_dir",
+    "tracking_uri",
+    "log_model",
     "metric_path",
     "correct_classification_bias",
     "checkpoint",
@@ -181,6 +186,9 @@ def main(arguments):
         project_name=args.project_name,
         run_name=args.summary_name,
         csv_path=args.metric_path,
+        summary_dir=args.summary_dir,
+        tracking_uri=args.tracking_uri,
+        log_model=args.log_model,
     )
 
     n_classes = args.n_classes
@@ -211,6 +219,22 @@ def main(arguments):
         )
 
     for fold_idx, (train_pids, val_pids) in enumerate(folds):
+        # training-split-only exclusions/subsampling (parity: ref
+        # classification/train.py:287-297, learning curves)
+        if args.excluded_ids_from_training_data:
+            excl = set(args.excluded_ids_from_training_data)
+            train_pids = [p for p in train_pids if p not in excl]
+        if args.subsample_training_data is not None:
+            rng = np.random.default_rng(args.seed + fold_idx)
+            n_keep = max(
+                1, int(len(train_pids) * args.subsample_training_data)
+            )
+            train_pids = [
+                train_pids[i]
+                for i in sorted(
+                    rng.choice(len(train_pids), size=n_keep, replace=False)
+                )
+            ]
         logger.info(
             "fold %d: %d train / %d val", fold_idx, len(train_pids), len(val_pids)
         )

@@ -21,6 +21,7 @@ ARG_KEYS = [
     "n_classes",
     "output_path",
     "prediction_type",
+    "exclude_surrogate_variables",
     "dev",
     "seed",
 ]
@@ -40,8 +41,14 @@ def main(arguments):
 
     @jax.jit
     def predict(x):
-        logits, *_ = model.apply({"params": params}, x[None])
-        return logits[0]
+        logits, cat_preds, cont_pred, _ = model.apply(
+            {"params": params}, x[None]
+        )
+        return (
+            logits[0],
+            [c[0] for c in cat_preds],
+            cont_pred[0] if cont_pred is not None else None,
+        )
 
     data = Dataset(args.dataset_json)
     pids = args.prediction_ids or list(data.keys())
@@ -53,13 +60,33 @@ def main(arguments):
         if label_key not in entry:
             entry[label_key] = 0
         sample = load_fn(entry)
-        logits = np.asarray(predict(sample["image"]))
+        logits, cat_preds, cont_pred = predict(sample["image"])
+        logits = np.asarray(logits)
         if args.prediction_type == "logit":
-            out[pid] = logits.tolist()
+            pred = logits.tolist()
         elif n_classes == 2:
-            out[pid] = float(jax.nn.sigmoid(logits[0]))
+            pred = float(jax.nn.sigmoid(logits[0]))
         else:
-            out[pid] = np.asarray(jax.nn.softmax(logits)).tolist()
+            pred = np.asarray(jax.nn.softmax(logits)).tolist()
+        if args.exclude_surrogate_variables or (
+            not cat_preds and cont_pred is None
+        ):
+            out[pid] = pred
+        else:
+            # surrogate-head predictions ride along unless excluded
+            # (parity: ref --exclude_surrogate_variables; the classifier
+            # itself never sees the surrogate subspace here)
+            out[pid] = {
+                "prediction": pred,
+                "cat_surrogates": [
+                    int(np.argmax(np.asarray(c))) for c in cat_preds
+                ],
+                "cont_surrogates": (
+                    np.asarray(cont_pred).tolist()
+                    if cont_pred is not None
+                    else None
+                ),
+            }
     with open(args.output_path, "w") as f:
         json.dump(out, f)
     print(json.dumps(out))

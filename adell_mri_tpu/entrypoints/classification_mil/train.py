@@ -112,6 +112,16 @@ def main(arguments):
     parser.add_argument_by_key(ARG_KEYS)
     parser.add_argument("--mil_method", default="standard",
                         choices=["standard", "transformer"])
+    # reference workflow: MIL heads over FROZEN pre-trained 2D slice
+    # encoders (ref entrypoints/classification_mil/train.py torchscript
+    # module_paths) — here module_paths warm-starts the encoder subtree
+    # and --freeze_module masks its gradients
+    parser.add_argument("--module_paths", nargs="+", default=None,
+                        help="checkpoint dir(s) to warm-start the slice "
+                        "encoder ('module' subtree) from")
+    parser.add_argument("--freeze_module", action="store_true",
+                        help="freeze the slice encoder (train only the MIL "
+                        "head — the reference's frozen-torchscript workflow)")
     args = parser.parse_args(arguments)
 
     data = Dataset(args.dataset_json, seed=args.seed)
@@ -158,11 +168,44 @@ def main(arguments):
 
     x0 = np.zeros((1,) + base_size + (len(args.image_keys),), np.float32)
     params = model.init({"params": jax.random.PRNGKey(args.seed)}, x0)["params"]
+    if args.module_paths:
+        import os
+
+        from adell_mri_tpu.train.checkpoints import load_params_into
+
+        for ck_path in args.module_paths:
+            src = CheckpointManager(
+                os.path.dirname(ck_path) or ".",
+                name=os.path.basename(ck_path).replace("_fold0", ""),
+                fold=0,
+            )
+            loaded = src.restore(src.best_step())
+            if loaded is None:
+                logger.warning("no checkpoint at %s", ck_path)
+                continue
+            src_params = loaded.get("params", loaded)
+            # graft into the encoder subtree; matching leaves only
+            params["module"], skipped = load_params_into(
+                params["module"],
+                src_params.get("module", src_params),
+                exclude_patterns=[],
+            )
+            logger.info(
+                "module warm-start from %s (%d leaves skipped)",
+                ck_path, len(skipped),
+            )
     schedule = cosine_annealing_with_warmup(
         lr, t_max=args.max_epochs * max(len(train_loader), 1),
         n_warmup_steps=args.warmup_steps,
     )
     tx = get_optimizer(args.optimizer, learning_rate=schedule, params=params)
+    if args.freeze_module:
+        from adell_mri_tpu.train.checkpoints import freeze_mask_by_regex
+        from adell_mri_tpu.train.optim import freeze_wrap
+
+        tx = freeze_wrap(
+            tx, freeze_mask_by_regex(params, freeze_patterns=[r"^module"])
+        )
     platform, devices = get_devices(args.dev)
     mesh = mesh_for_batch(batch_size, devices)
     with mesh:

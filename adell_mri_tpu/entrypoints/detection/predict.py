@@ -15,8 +15,9 @@ from adell_mri_tpu.train.checkpoints import CheckpointManager
 from adell_mri_tpu.transforms.host import resample_to_spec
 
 ARG_KEYS = [
-    "dataset_json",
+    ("dataset_json", "dataset_json", dict(required=False, default=None)),
     ("image_keys", "image_keys", dict(required=False, default=None)),
+    "sequence_paths",
     "prediction_ids",
     "checkpoint_dir",
     "checkpoint_name",
@@ -57,14 +58,25 @@ def main(arguments):
     def forward(x):
         return model.apply({"params": params}, x[None])
 
-    data = Dataset(args.dataset_json)
+    # --sequence_paths predicts one case from explicit file paths without
+    # a dataset JSON (parity: ref detection/predict.py:65-70)
+    if args.sequence_paths is not None:
+        if len(args.sequence_paths) != len(image_keys):
+            raise ValueError(
+                "sequence_paths and image_keys must have the same length"
+            )
+        dataset = {"case": dict(zip(image_keys, args.sequence_paths))}
+    elif args.dataset_json:
+        dataset = Dataset(args.dataset_json).dataset
+    else:
+        raise ValueError("one of --dataset_json/--sequence_paths is required")
     out = {}
-    for pid in args.prediction_ids or list(data.keys()):
-        if pid not in data.dataset:
+    for pid in args.prediction_ids or list(dataset):
+        if pid not in dataset:
             continue
         channels = []
         for key in image_keys:
-            img = reorient_to_ras(read_nifti(data[pid][key]))
+            img = reorient_to_ras(read_nifti(dataset[pid][key]))
             vol = resample_to_spec(img, None, base_size)
             lo, hi = vol.min(), vol.max()
             channels.append((vol - lo) / max(hi - lo, 1e-6))

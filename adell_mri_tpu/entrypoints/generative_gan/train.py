@@ -12,6 +12,10 @@ Modes (selected by flags):
   --cycle_consistency CycleGAN over (--input_image_key, image_keys[0])
   --progressive       ProGAN: one jitted program per resolution stage,
                       params carried between stages by level name
+  --gan_type stylegan StyleGAN: progressive + mapping network, per-block
+                      noise injection, style-mixing regularization and
+                      StyleGANLoss (ref gan/gan/style.py:358,
+                      loss_functions.py:12)
 """
 
 import json
@@ -38,6 +42,7 @@ from adell_mri_tpu.train.gan_steps import (
     make_cycle_gan_steps,
     make_gan_steps,
     make_progan_steps,
+    make_stylegan_steps,
     progan_level_schedule,
 )
 from adell_mri_tpu.train.logging_utils import MetricLogger
@@ -104,8 +109,12 @@ def main(arguments):
     parser.add_argument("--cycle_consistency", action="store_true")
     parser.add_argument("--lambda_cycle", type=float, default=10.0)
     parser.add_argument("--cycle_symmetry", action="store_true")
-    # progressive growing (parity: ProGANPL)
+    # progressive growing (parity: ProGANPL); --gan_type stylegan trains
+    # style-based (noise injection + style mixing + StyleGANLoss,
+    # ref gan/gan/style.py:358 + loss_functions.py:12)
     parser.add_argument("--progressive", action="store_true")
+    parser.add_argument("--gan_type", default="progan",
+                        choices=["progan", "stylegan"])
     parser.add_argument("--epochs_per_level", type=int, default=5)
     parser.add_argument("--transition_epochs", type=int, default=1)
     parser.add_argument("--r1_weight", type=float, default=0.0)
@@ -197,7 +206,7 @@ def main(arguments):
         latent_dim=latent_dim, depth=depth, latent_grid=latent_grid,
         n_classes=len(class_to_int) if class_to_int else None,
     )
-    if args.progressive:
+    if args.progressive or args.gan_type == "stylegan":
         metrics = _train_progressive(**common)
     elif args.cycle_consistency:
         metrics = _train_cycle(**common)
@@ -233,6 +242,11 @@ def _build_conditional(args, cfg, sd, out_channels, n_classes):
         num_res_blocks=cfg.get("num_res_blocks", 1),
         attention_levels=tuple(
             cfg.get("attention_levels", (False,) * (len(cfg.get("num_channels", (32, 64, 64))) - 1) + (True,))
+        ),
+        # per-level block-type matrix from the YAML, e.g.
+        # block_types: [res, attn, cross_attn] (ref generator.py:77-2413)
+        block_types=(
+            tuple(cfg["block_types"]) if cfg.get("block_types") else None
         ),
         cross_attention_dim=cfg.get("cross_attention_dim"),
         num_class_embeds=n_classes,
@@ -460,6 +474,7 @@ def _train_progressive(
     ckpt = CheckpointManager(
         args.checkpoint_dir, name=args.checkpoint_name or "progan", fold=0,
         metadata={
+            "gan_type": args.gan_type,
             "depths": list(depths),
             "base_grid": list(base_grid),
             "n_stages": n_stages,
@@ -477,9 +492,11 @@ def _train_progressive(
     step_in_transition = 0
     for epoch, (stage, in_stage, fading) in enumerate(schedule):
         if stage != built_stage:
+            style_based = args.gan_type == "stylegan"
             gen = ProGANGenerator(
                 spatial_dimensions=sd, base_grid=base_grid, depths=depths,
                 stage=stage, out_channels=out_channels, w_dim=latent_dim,
+                noise_injection=style_based,
             )
             disc = ProGANDiscriminator(
                 spatial_dimensions=sd, depths=depths, stage=stage,
@@ -487,9 +504,13 @@ def _train_progressive(
             res = tuple(g * 2**stage for g in base_grid)
             z0 = np.zeros((1, latent_dim), np.float32)
             x0 = np.zeros((1,) + res + (out_channels,), np.float32)
-            g_params = gen.init({"params": jax.random.PRNGKey(args.seed)}, z0)[
-                "params"
-            ]
+            g_params = gen.init(
+                {
+                    "params": jax.random.PRNGKey(args.seed),
+                    "noise": jax.random.PRNGKey(args.seed + 2),
+                },
+                z0,
+            )["params"]
             d_params = disc.init(
                 {"params": jax.random.PRNGKey(args.seed + 1)}, x0
             )["params"]
@@ -498,12 +519,19 @@ def _train_progressive(
                 d_params = grow_params(d_state.params, d_params)
             g_state = _mk_state(gen.apply, g_params, lr)
             d_state = _mk_state(disc.apply, d_params, lr)
-            d_step, g_step = make_progan_steps(
-                gen, disc, latent_dim=latent_dim,
-                r1_weight=args.r1_weight,
-                drift_weight=args.drift_weight,
-                diversity_weight=args.diversity_weight,
-            )
+            if style_based:
+                d_step, g_step = make_stylegan_steps(
+                    gen, disc, latent_dim=latent_dim,
+                    n_levels=stage + 1,
+                    gp_weight=args.gp_weight or 10.0,
+                )
+            else:
+                d_step, g_step = make_progan_steps(
+                    gen, disc, latent_dim=latent_dim,
+                    r1_weight=args.r1_weight,
+                    drift_weight=args.drift_weight,
+                    diversity_weight=args.diversity_weight,
+                )
             resize = jax.jit(
                 lambda x, res=res: jax.image.resize(
                     x, (x.shape[0],) + res + (x.shape[-1],), "linear"

@@ -62,9 +62,11 @@ ARG_KEYS = [
     "possible_labels",
     "positive_labels",
     "excluded_ids",
+    "excluded_ids_from_training_data",
     "cache_rate",
     "cache_dir",
     "subsample_size",
+    "subsample_training_data",
     "val_from_train",
     "n_folds",
     "folds",
@@ -89,6 +91,10 @@ ARG_KEYS = [
     "loss_gamma",
     "loss_comb",
     "steps_per_epoch",
+    "dataset_iterations_per_epoch",
+    "samples_per_epoch",
+    "validation_samples_per_epoch",
+    "sliding_window_val",
     "optimizer",
     "precision",
     "accumulate_grad_batches",
@@ -104,6 +110,10 @@ ARG_KEYS = [
     "logger_type",
     "project_name",
     "summary_name",
+    "summary_dir",
+    "tracking_uri",
+    "log_model",
+    "delete_checkpoints",
     "metric_path",
     "segmentation_net_type",
     "bottleneck_classification",
@@ -294,9 +304,27 @@ def main(arguments):
         project_name=args.project_name,
         run_name=args.summary_name,
         csv_path=args.metric_path,
+        summary_dir=args.summary_dir,
+        tracking_uri=args.tracking_uri,
+        log_model=args.log_model,
     )
 
     for fold_idx, (train_pids, val_pids) in enumerate(folds):
+        # training-split-only exclusions/subsampling (learning curves;
+        # parity: ref train.py subsample_training_data /
+        # excluded_ids_from_training_data, classification/train.py:287-297)
+        if args.excluded_ids_from_training_data:
+            excl = set(args.excluded_ids_from_training_data)
+            train_pids = [p for p in train_pids if p not in excl]
+        if args.subsample_training_data is not None:
+            rng = np.random.default_rng(args.seed + fold_idx)
+            n_keep = max(1, int(len(train_pids) * args.subsample_training_data))
+            train_pids = [
+                train_pids[i]
+                for i in sorted(
+                    rng.choice(len(train_pids), size=n_keep, replace=False)
+                )
+            ]
         logger.info(
             "fold %d: %d train / %d val", fold_idx, len(train_pids), len(val_pids)
         )
@@ -336,6 +364,14 @@ def main(arguments):
             )
         else:
             sampler = RandomSampler(len(train_ds), seed=args.seed)
+        # epoch sizing (parity: ref train.py:487-505 —
+        # samples_per_epoch wins over dataset_iterations_per_epoch)
+        if args.samples_per_epoch is not None:
+            sampler.set_n_samples(args.samples_per_epoch)
+        elif (args.dataset_iterations_per_epoch or 1.0) != 1.0:
+            sampler.set_n_samples(
+                max(1, int(len(train_ds) * args.dataset_iterations_per_epoch))
+            )
         train_loader = DataLoader(
             train_ds, sampler=sampler, batch_size=batch_size, drop_last=True,
             prefetch=max(args.n_workers, 2),
@@ -364,8 +400,15 @@ def main(arguments):
                 prefetch=1,
             )
             train_loader = CombinedLoader(train_loader, un_loader)
+        val_sampler = None
+        if args.validation_samples_per_epoch is not None:
+            val_sampler = RandomSampler(
+                len(val_ds), seed=args.seed + 7,
+                n_samples=args.validation_samples_per_epoch,
+            )
         val_loader = DataLoader(
             val_ds,
+            sampler=val_sampler,
             batch_size=max(1, min(batch_size, len(val_ds))),
             drop_last=True,
             prefetch=1,
@@ -541,6 +584,52 @@ def main(arguments):
             train_step = make_semi_sl_train_step(semi_lm)
         else:
             train_step = make_train_step(train_lm)
+        eval_step = make_eval_step(eval_lm)
+        if (
+            args.sliding_window_val
+            and crop_size
+            and tuple(crop_size) != tuple(base_size)
+        ):
+            # validate whole volumes stitched from overlap-averaged
+            # crop-size windows — the geometry the model trained on
+            # (parity: ref --sliding_window_val, seg train.py:373)
+            import jax.numpy as jnp
+
+            from adell_mri_tpu.inference.sliding_window import (
+                sliding_window_inference,
+            )
+
+            def _sw_eval_step(params, batch, rng):
+                def fwd(tiles):
+                    out = model.apply({"params": params}, tiles, train=False)
+                    return out[0]
+
+                pred = jax.vmap(
+                    lambda v: sliding_window_inference(
+                        fwd, v, tuple(crop_size)
+                    )
+                )(batch["image"])
+                y = jnp.round(batch["label"].astype(jnp.float32))
+                loss, individual = loss_fn(pred, y)
+                p = pred[..., 0] if pred.shape[-1] == 1 else pred
+                yb = y[..., 0] if y.ndim == p.ndim + 1 else y
+                if n_classes <= 2:
+                    inter = jnp.sum(p * yb)
+                    denom = jnp.sum(p) + jnp.sum(yb)
+                    dice = (2 * inter + 1e-5) / (denom + 1e-5)
+                else:
+                    oh = jax.nn.one_hot(yb.astype(jnp.int32), n_classes)
+                    ax = tuple(range(p.ndim - 1))
+                    inter = jnp.sum(p * oh, axis=ax)
+                    denom = jnp.sum(p, axis=ax) + jnp.sum(oh, axis=ax)
+                    dice = jnp.mean((2 * inter + 1e-5) / (denom + 1e-5))
+                return {
+                    "loss": loss,
+                    "dice": dice,
+                    **{f"loss_{k}": v for k, v in individual.items()},
+                }
+
+            eval_step = jax.jit(_sw_eval_step)
         nan_guard = None
         if args.check_nan_loss:
             from adell_mri_tpu.train.nan_guard import NaNGuard
@@ -557,7 +646,7 @@ def main(arguments):
             )
         loop = TrainLoop(
             train_step=train_step,
-            eval_step=make_eval_step(eval_lm),
+            eval_step=eval_step,
             augment_fn=transforms.augment,
             mesh=mesh,
             max_epochs=args.max_epochs,
@@ -580,4 +669,10 @@ def main(arguments):
             {k: v for k, v in final.items()}, step=args.max_epochs,
             fold=fold_idx, phase="final",
         )
+        if args.log_model:
+            csv_logger.log_artifact(ckpt.dir)
+        if args.delete_checkpoints:
+            # keep metrics + metadata, drop the weight payloads
+            # (parity: ref --delete_checkpoints)
+            ckpt.delete_steps()
         logger.info("fold %d done: %s", fold_idx, json.dumps(final, default=float))

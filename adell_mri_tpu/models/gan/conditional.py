@@ -160,6 +160,12 @@ class ConditionalGenerator(nn.Module):
     num_channels: Sequence[int] = (32, 64, 64)
     num_res_blocks: Union[int, Sequence[int]] = 1
     attention_levels: Sequence[bool] = (False, False, True)
+    # per-level block-type matrix (parity: the reference generator's
+    # Res/Attn/CrossAttn down/mid/up block config, gan/generator.py:77-2413):
+    # each entry is "res" | "attn" | "cross_attn". When set, supersedes
+    # ``attention_levels`` — "attn" runs SELF-attention (no context fed at
+    # that level), "cross_attn" attends over ``context``.
+    block_types: Optional[Sequence[str]] = None
     cross_attention_dim: Optional[int] = None
     num_class_embeds: Optional[int] = None
     n_reg_embeds: Optional[int] = None
@@ -186,6 +192,23 @@ class ConditionalGenerator(nn.Module):
         chans = tuple(self.num_channels)
         n_res = self._res_blocks()
         emb_dim = chans[0] * 4
+        if self.block_types is not None:
+            if len(self.block_types) != len(chans):
+                raise ValueError(
+                    "block_types needs one entry per level "
+                    f"({len(chans)}), got {list(self.block_types)}"
+                )
+            bad = set(self.block_types) - {"res", "attn", "cross_attn"}
+            if bad:
+                raise ValueError(f"unknown block types: {sorted(bad)}")
+            level_attn = [t != "res" for t in self.block_types]
+            level_ctx = [
+                context if t == "cross_attn" else None
+                for t in self.block_types
+            ]
+        else:
+            level_attn = list(self.attention_levels)
+            level_ctx = [context] * len(chans)
 
         emb = None
         if self.num_class_embeds is not None and class_labels is not None:
@@ -215,8 +238,8 @@ class ConditionalGenerator(nn.Module):
         for lvl, c in enumerate(chans):
             for b in range(n_res[lvl]):
                 h = GenResBlock(c, name=f"down_{lvl}_res_{b}")(h, emb)
-                if self.attention_levels[lvl]:
-                    h = attn(c, f"down_{lvl}_attn_{b}")(h, context)
+                if level_attn[lvl]:
+                    h = attn(c, f"down_{lvl}_attn_{b}")(h, level_ctx[lvl])
                 skips.append(h)
             if lvl != len(chans) - 1:
                 h = nn.Conv(
@@ -226,8 +249,8 @@ class ConditionalGenerator(nn.Module):
                 skips.append(h)
 
         h = GenResBlock(chans[-1], name="mid_res_1")(h, emb)
-        if self.attention_levels[-1]:
-            h = attn(chans[-1], "mid_attn")(h, context)
+        if level_attn[-1]:
+            h = attn(chans[-1], "mid_attn")(h, level_ctx[-1])
         h = GenResBlock(chans[-1], name="mid_res_2")(h, emb)
         bottleneck = h
 
@@ -239,8 +262,8 @@ class ConditionalGenerator(nn.Module):
                 elif skips:
                     skips.pop()
                 h = GenResBlock(c, name=f"up_{lvl}_res_{b}")(h, emb)
-                if self.attention_levels[lvl]:
-                    h = attn(c, f"up_{lvl}_attn_{b}")(h, context)
+                if level_attn[lvl]:
+                    h = attn(c, f"up_{lvl}_attn_{b}")(h, level_ctx[lvl])
             if lvl != 0:
                 h = _nearest_upsample(h, ndim)
                 h = nn.Conv(

@@ -93,11 +93,25 @@ class MappingNetwork(flax.linen.Module):
 
 class _StyleBlock(flax.linen.Module):
     features: int
+    noise_injection: bool = False
 
     @flax.linen.compact
     def __call__(self, x, w):
         ndim = x.ndim - 2
         x = EqualizedConv(self.features)(x)
+        if self.noise_injection and self.has_rng("noise"):
+            # StyleGAN per-activation noise with a learned per-channel
+            # scale (ref style.py StyleGAN: "Noise addition"); sampling
+            # without a 'noise' rng runs deterministically
+            scale = self.param(
+                "noise_scale",
+                flax.linen.initializers.zeros,
+                (self.features,),
+            )
+            nse = jax.random.normal(
+                self.make_rng("noise"), x.shape[: ndim + 1] + (1,)
+            )
+            x = x + nse * scale
         # AdaIN-style modulation
         style = EqualizedDense(2 * self.features)(w)
         scale, bias = jnp.split(style, 2, axis=-1)
@@ -137,18 +151,42 @@ class ProGANGenerator(flax.linen.Module):
     out_channels: int = 1
     w_dim: int = 128
     use_style: bool = True
+    noise_injection: bool = False  # StyleGAN per-block noise
 
     @flax.linen.compact
-    def __call__(self, z, alpha=1.0, train: bool = False):
+    def __call__(
+        self,
+        z,
+        alpha=1.0,
+        train: bool = False,
+        z2=None,
+        mixing_cutoff=None,
+    ):
+        """``z2``/``mixing_cutoff`` run StyleGAN style-mixing: levels below
+        the (traced) cutoff take w(z), levels at/above take w(z2) — both
+        through the SHARED mapping network (ref style.py StyleGAN)."""
         ndim = self.spatial_dimensions
-        w = MappingNetwork(self.w_dim, name="mapping")(z) if self.use_style else z
+        mapping = MappingNetwork(self.w_dim, name="mapping")
+        w = mapping(z) if self.use_style else z
+        w2 = None
+        if z2 is not None and self.use_style:
+            w2 = mapping(z2)
+
+        def w_at(lvl):
+            if w2 is None or mixing_cutoff is None:
+                return w
+            return jnp.where(lvl < mixing_cutoff, w, w2)
+
         const = self.param(
             "const",
             flax.linen.initializers.ones,
             (1,) + tuple(self.base_grid) + (self.depths[0],),
         )
         x = jnp.tile(const, (z.shape[0],) + (1,) * (ndim + 1))
-        x = _StyleBlock(self.depths[0], name="block_0")(x, w)
+        x = _StyleBlock(
+            self.depths[0], noise_injection=self.noise_injection,
+            name="block_0",
+        )(x, w_at(0))
         prev_rgb = None
         for lvl in range(1, self.stage + 1):
             x = _up2(x, ndim)
@@ -156,9 +194,11 @@ class ProGANGenerator(flax.linen.Module):
                 prev_rgb = EqualizedConv(
                     self.out_channels, 1, name=f"torgb_{lvl - 1}"
                 )(x)
-            x = _StyleBlock(_depth_at(self.depths, lvl), name=f"block_{lvl}")(
-                x, w
-            )
+            x = _StyleBlock(
+                _depth_at(self.depths, lvl),
+                noise_injection=self.noise_injection,
+                name=f"block_{lvl}",
+            )(x, w_at(lvl))
         rgb = EqualizedConv(
             self.out_channels, 1, name=f"torgb_{self.stage}"
         )(x)

@@ -123,6 +123,17 @@ class CheckpointManager:
             )
         return restored
 
+    def delete_steps(self):
+        """Removes every saved step's weight payload, keeping metadata.json
+        and best.json (parity: ref --delete_checkpoints — metrics survive,
+        weights go)."""
+        import shutil
+
+        for entry in os.listdir(self.dir):
+            path = os.path.join(self.dir, entry)
+            if os.path.isdir(path) and entry.isdigit():
+                shutil.rmtree(path, ignore_errors=True)
+
     def status(self, max_steps: int) -> str:
         """'finished' | 'resume' | 'fresh' (parity: pl_utils.py:323-341)."""
         latest = self.latest_step()

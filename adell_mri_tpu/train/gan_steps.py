@@ -507,6 +507,91 @@ def make_progan_steps(
     return jax.jit(d_step), jax.jit(g_step)
 
 
+def make_stylegan_steps(
+    generator,
+    discriminator,
+    latent_dim: int,
+    n_levels: int,
+    gp_weight: float = 10.0,
+    mixing_prob: float = 0.9,
+):
+    """
+    StyleGAN (d_step, g_step) for a fixed progressive stage (parity:
+    gan/gan/loss_functions.py:12 StyleGANLoss + gan/gan/style.py:358
+    StyleGAN): D loss = mean(sigmoid(fake)) - mean(sigmoid(real)) +
+    gp_weight * R1; G loss = mean(softplus(-fake)). The generator runs
+    style-mixing regularization — with probability ``mixing_prob`` a second
+    latent takes over at a random level — and per-block noise injection
+    (rngs={'noise': ...}).
+    """
+
+    def _gen_apply(params, z, rng, alpha):
+        r_mix, r_cut, r_z2, r_noise = jax.random.split(rng, 4)
+        z2 = jax.random.normal(r_z2, z.shape)
+        # cutoff in [1, n_levels]; cutoff > n_levels disables mixing
+        cutoff = jnp.where(
+            jax.random.uniform(r_mix) < mixing_prob,
+            jax.random.randint(r_cut, (), 1, n_levels + 1),
+            n_levels + 1,
+        )
+        return generator.apply(
+            {"params": params}, z, alpha=alpha, z2=z2, mixing_cutoff=cutoff,
+            rngs={"noise": r_noise},
+        )
+
+    def d_step(d_state, g_params, batch, rng, alpha):
+        real = batch["image"]
+        rng = jax.random.fold_in(rng, d_state.step)
+        rng_z, rng_g = jax.random.split(rng)
+        z = jax.random.normal(rng_z, (real.shape[0], latent_dim))
+        fake = jax.lax.stop_gradient(_gen_apply(g_params, z, rng_g, alpha))
+
+        def loss(params):
+            f = discriminator.apply({"params": params}, fake, alpha=alpha)
+            r = discriminator.apply({"params": params}, real, alpha=alpha)
+            d_loss = jnp.mean(jax.nn.sigmoid(f)) - jnp.mean(
+                jax.nn.sigmoid(r)
+            )
+            aux = {"d_loss": d_loss}
+            total = d_loss
+            if gp_weight > 0:
+                r1 = L.r1_penalty(
+                    lambda p, x: discriminator.apply(
+                        {"params": p}, x, alpha=alpha
+                    ),
+                    params,
+                    real,
+                )
+                total = total + gp_weight * r1
+                aux["r1"] = r1
+            aux["loss"] = total
+            return total, aux
+
+        (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(
+            d_state.params
+        )
+        return d_state.apply_gradients(grads), metrics
+
+    def g_step(g_state, d_params, batch, rng, alpha):
+        real = batch["image"]
+        rng = jax.random.fold_in(rng, g_state.step)
+        rng_z, rng_g = jax.random.split(rng)
+        z = jax.random.normal(rng_z, (real.shape[0], latent_dim))
+
+        def loss(params):
+            fake = _gen_apply(params, z, rng_g, alpha)
+            f = discriminator.apply({"params": d_params}, fake, alpha=alpha)
+            g_loss = jnp.mean(jax.nn.softplus(-f))
+            return g_loss, {"g_loss": g_loss, "loss": g_loss}
+
+        (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(
+            g_state.params
+        )
+        return g_state.apply_gradients(grads), metrics
+
+    return jax.jit(d_step), jax.jit(g_step)
+
+
 def make_diffusion_step(model, process, embedder=None):
     """
     DDPM ε-prediction step (parity: DiffusionUNetPL, diffusion/pl.py:21-233):

@@ -55,29 +55,52 @@ class MetricLogger:
         run_name: Optional[str] = None,
         csv_path: Optional[str] = None,
         config: Optional[Dict] = None,
+        summary_dir: Optional[str] = None,
+        tracking_uri: Optional[str] = None,
+        log_model: bool = False,
     ):
         self.csv = CSVLogger(csv_path) if csv_path else None
         self.backend = None
+        self.backend_type = None
+        self.log_model = log_model
         if logger_type == "wandb":
             try:
                 import wandb
 
                 self.backend = wandb.init(
-                    project=project_name, name=run_name, config=config or {}
+                    project=project_name, name=run_name, config=config or {},
+                    dir=summary_dir,
                 )
                 self._log = lambda m, step: self.backend.log(m, step=step)
+                self.backend_type = "wandb"
             except ImportError:
                 logger.warning("wandb not installed; falling back to CSV only")
         elif logger_type == "mlflow":
             try:
                 import mlflow
 
+                if tracking_uri:
+                    mlflow.set_tracking_uri(tracking_uri)
                 mlflow.set_experiment(project_name or "adell")
                 mlflow.start_run(run_name=run_name)
                 self._log = lambda m, step: mlflow.log_metrics(m, step=step)
                 self.backend = mlflow
+                self.backend_type = "mlflow"
             except ImportError:
                 logger.warning("mlflow not installed; falling back to CSV only")
+
+    def log_artifact(self, path: str):
+        """Uploads a file/dir to the tracker when --log_model is on
+        (parity: ref --log_model, assemble_args.py log_model)."""
+        if not self.log_model or self.backend is None:
+            return
+        try:
+            if self.backend_type == "wandb":
+                self.backend.save(path)
+            elif self.backend_type == "mlflow":
+                self.backend.log_artifact(path)
+        except Exception as exc:  # logging must not kill training
+            logger.warning("log_artifact(%s) failed: %s", path, exc)
 
     def log_metrics(self, metrics: Dict[str, float], step: int = 0, **tags):
         metrics = {

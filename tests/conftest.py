@@ -17,8 +17,42 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for tests"
+
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r2 item 9): `pytest -m fast` finishes in minutes on a
+# 1-core host; the full suite is the deep run. Files below are the
+# compile-heavy integration tier (measured per-file wall times in
+# BASELINE.md "test tiers"); everything else is marked fast.
+# ---------------------------------------------------------------------------
+
+SLOW_FILES = {
+    "test_cli_smoke.py",
+    "test_generative.py",
+    "test_misc_modules.py",
+    "test_layers.py",
+    "test_detection.py",
+    "test_models_extra.py",
+    "test_parallel.py",
+    "test_sample_configs.py",
+    "test_semi_supervised.py",
+    "test_ssl.py",
+    "test_train.py",
+    "test_transforms.py",
+    "test_unet.py",
+    "test_utils_tools.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)

@@ -447,3 +447,92 @@ def test_conditional_diffusion_step_and_cfg():
                          [jnp.asarray([1, 1])], jnp.ones((2, 1)))
     null_emb = emb.apply({"params": emb_params}, None, None, batch_size=2)
     assert not np.allclose(np.asarray(cond_emb), np.asarray(null_emb))
+
+
+def test_conditional_generator_block_types():
+    """Per-level block-type matrix (res/attn/cross_attn) supersedes
+    attention_levels; 'attn' self-attends without context, 'cross_attn'
+    consumes it (VERDICT r2 item 6; ref gan/generator.py:77-2413)."""
+    import jax
+    import numpy as np
+
+    from adell_mri_tpu.models.gan.conditional import ConditionalGenerator
+
+    gen = ConditionalGenerator(
+        spatial_dimensions=2,
+        num_channels=(4, 8),
+        num_res_blocks=1,
+        block_types=("res", "cross_attn"),
+        cross_attention_dim=6,
+        num_head_channels=4,
+    )
+    x = np.zeros((2, 8, 8, 1), np.float32)
+    ctx = np.zeros((2, 3, 6), np.float32)
+    params = gen.init({"params": jax.random.PRNGKey(0)}, x, context=ctx)[
+        "params"
+    ]
+    out = gen.apply({"params": params}, x, context=ctx)
+    assert out.shape == (2, 8, 8, 1)
+    # level 0 is pure res: no attention params exist there
+    assert not any("down_0_attn" in k for k in params)
+    assert any("down_1_attn" in k for k in params)
+
+    # "attn" runs self-attention: context must not be consumed
+    gen2 = ConditionalGenerator(
+        spatial_dimensions=2,
+        num_channels=(4, 8),
+        block_types=("res", "attn"),
+        num_head_channels=4,
+    )
+    params2 = gen2.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+    out2 = gen2.apply({"params": params2}, x)
+    assert out2.shape == (2, 8, 8, 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ConditionalGenerator(
+            spatial_dimensions=2, num_channels=(4, 8),
+            block_types=("res",),
+        ).init({"params": jax.random.PRNGKey(0)}, x)
+
+
+def test_stylegan_steps_train():
+    """make_stylegan_steps runs a d/g update with style mixing + noise
+    injection and finite losses (VERDICT r2 item 6)."""
+    import jax
+    import numpy as np
+
+    from adell_mri_tpu.models.gan.style import (
+        ProGANDiscriminator,
+        ProGANGenerator,
+    )
+    from adell_mri_tpu.train import TrainState, get_optimizer
+    from adell_mri_tpu.train.gan_steps import make_stylegan_steps
+
+    gen = ProGANGenerator(
+        spatial_dimensions=2, base_grid=(4, 4), depths=(8, 8),
+        stage=1, w_dim=8, noise_injection=True,
+    )
+    disc = ProGANDiscriminator(spatial_dimensions=2, depths=(8, 8), stage=1)
+    z0 = np.zeros((1, 8), np.float32)
+    x0 = np.zeros((1, 8, 8, 1), np.float32)
+    g_params = gen.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(2)}, z0
+    )["params"]
+    d_params = disc.init({"params": jax.random.PRNGKey(1)}, x0)["params"]
+    # noise-injection scales exist in the tree
+    flat = jax.tree_util.tree_leaves_with_path(g_params)
+    assert any("noise_scale" in jax.tree_util.keystr(p) for p, _ in flat)
+    tx = get_optimizer("adam", learning_rate=1e-3)
+    g_state = TrainState.create(gen.apply, g_params, tx)
+    d_state = TrainState.create(disc.apply, d_params, tx)
+    d_step, g_step = make_stylegan_steps(
+        gen, disc, latent_dim=8, n_levels=2, gp_weight=1.0
+    )
+    batch = {"image": np.random.default_rng(0).normal(size=(2, 8, 8, 1)).astype(np.float32)}
+    rng = jax.random.PRNGKey(3)
+    d_state, d_m = d_step(d_state, g_state.params, batch, rng, 1.0)
+    g_state, g_m = g_step(g_state, d_state.params, batch, rng, 1.0)
+    assert np.isfinite(float(d_m["loss"])) and np.isfinite(float(g_m["loss"]))
+    assert "r1" in d_m
