@@ -123,12 +123,12 @@ def main(arguments):
         "n_cases": len(dices),
     }
     if args.picai_eval and preds:
-        from adell_mri_tpu.eval.lesion import extract_lesion_candidates
-
         m = picai_evaluate(
             preds,
             labels,
-            y_det_postprocess_func=lambda y: extract_lesion_candidates(y)[0],
+            # parity: the reference's get_lesions default postprocess —
+            # a binary x > 0.1 map (segmentation/pl.py:75-95)
+            y_det_postprocess_func=lambda y: y > 0.1,
         )
         results.update({"AP": m.AP, "auroc": m.auroc, "score": m.score})
     MetricLogger(csv_path=args.metric_path).log_metrics(results, step=0)

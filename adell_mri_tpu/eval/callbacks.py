@@ -71,16 +71,15 @@ class LesionEvalCallback:
     def on_validation_end(self, params) -> Optional[Dict[str, float]]:
         if not self._preds:
             return None
-        from adell_mri_tpu.eval.lesion import extract_lesion_candidates
-
         m = evaluate(
             self._preds,
             self._labels,
             min_overlap=self.min_overlap,
             num_parallel_calls=self.num_parallel_calls,
-            # raw probability maps -> detection maps (parity: the
-            # reference's get_lesions postprocess, segmentation/pl.py:604)
-            y_det_postprocess_func=lambda y: extract_lesion_candidates(y)[0],
+            # the reference's validation postprocess is get_lesions with
+            # DEFAULTS: a binary x > 0.1 map, NOT candidate extraction
+            # (segmentation/pl.py:75-95,604-611)
+            y_det_postprocess_func=lambda y: y > 0.1,
         )
         self._preds, self._labels = [], []
         out = {"V_AP": m.AP, "V_AUC": m.auroc, "V_score": m.score}

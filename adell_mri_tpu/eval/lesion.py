@@ -19,65 +19,103 @@ import numpy as np
 from scipy import ndimage
 
 
+_STRUCT = np.ones((3, 3, 3))
+
+
+def _extract_static(
+    softmax: np.ndarray,
+    threshold: float,
+    min_voxels_detection: int,
+    max_prob_round_decimals,
+) -> Tuple[np.ndarray, List[Tuple[int, float]], np.ndarray]:
+    """Static-threshold extraction, formula-exact vs the reference
+    (extract_lesion_candidates.py:19-55): values BELOW threshold are
+    cleared (>= survives), 26-connectivity labelling, components with
+    count <= min_voxels_detection removed."""
+    struct = _STRUCT[
+        tuple(slice(None) if d < softmax.ndim else 1 for d in range(3))
+    ]
+    all_hard_blobs = np.zeros_like(softmax)
+    confidences: List[Tuple[int, float]] = []
+    clipped = softmax.copy()
+    clipped[softmax < threshold] = 0
+    blobs_index, num_blobs = ndimage.label(clipped, structure=struct)
+    for idx in range(1, num_blobs + 1):
+        hard_mask = blobs_index == idx
+        if np.count_nonzero(hard_mask) <= min_voxels_detection:
+            blobs_index[hard_mask] = 0
+            continue
+        hard_blob = hard_mask * clipped
+        max_prob = np.max(hard_blob)
+        if max_prob_round_decimals is not None:
+            max_prob = np.round(max_prob, max_prob_round_decimals)
+        hard_blob[hard_blob > 0] = max_prob
+        all_hard_blobs += hard_blob
+        confidences.append((idx, float(max_prob)))
+    return all_hard_blobs, confidences, blobs_index
+
+
 def extract_lesion_candidates(
     softmax: np.ndarray,
-    threshold: str = "dynamic",
+    threshold="dynamic-fast",
     min_voxels: int = 10,
-    max_prob_round_decimals: int = 4,
+    max_prob_round_decimals=None,
     num_lesions_to_extract: int = 5,
     dynamic_threshold_factor: float = 2.5,
+    remove_adjacent_lesion_candidates: bool = True,
 ) -> Tuple[np.ndarray, List[Tuple[int, float]], np.ndarray]:
     """
-    Extracts lesion candidates from a heatmap
-    (parity: extract_lesion_candidates.py:137).
+    Extracts lesion candidates from a heatmap — formula-exact vs the
+    reference (extract_lesion_candidates.py:137, defaults included;
+    tests/test_reference_parity.py compares against it directly).
 
     Returns (all_hard_blobs, [(index, confidence)...], indexed_pred).
-    ``dynamic``: iteratively take the max-probability blob above
-    max/dynamic_threshold_factor, remove, repeat.
+    ``dynamic``: iteratively take the global-max blob at threshold
+    max/dynamic_threshold_factor, skip candidates adjacent to already
+    extracted ones, remove, repeat. ``dynamic-fast``: one static pass at
+    max/dynamic_threshold_factor. Float: static threshold.
     """
     softmax = np.asarray(softmax, np.float32)
-    all_hard_blobs = np.zeros_like(softmax)
-    indexed_pred = np.zeros_like(softmax, dtype=np.int32)
-    confidences: List[Tuple[int, float]] = []
 
     if threshold == "dynamic":
+        struct = _STRUCT[
+            tuple(slice(None) if d < softmax.ndim else 1 for d in range(3))
+        ]
         working = softmax.copy()
-        idx = 0
-        while idx < num_lesions_to_extract:
-            max_prob = float(working.max())
-            if max_prob < 1e-5:
+        dynamic_hard_blobs = np.zeros_like(softmax)
+        confidences: List[Tuple[int, float]] = []
+        dynamic_indexed = np.zeros_like(softmax, dtype=np.int32)
+        while len(confidences) < num_lesions_to_extract:
+            tumor_index = 1 + len(confidences)
+            max_prob = np.max(working)
+            if max_prob < 0.01:  # ref failsafe stopping threshold
                 break
             thr = max_prob / dynamic_threshold_factor
-            mask = working > thr
-            labels, n = ndimage.label(mask)
-            if n == 0:
-                break
-            # the blob containing the global max
-            max_pos = np.unravel_index(np.argmax(working), working.shape)
-            blob_id = labels[max_pos]
-            blob = labels == blob_id
-            if blob.sum() >= min_voxels:
-                idx += 1
-                conf = round(max_prob, max_prob_round_decimals)
-                confidences.append((idx, conf))
-                all_hard_blobs[blob] = conf
-                indexed_pred[blob] = idx
-            working[blob] = 0.0
-    else:
-        thr = float(threshold)
-        mask = softmax > thr
-        labels, n = ndimage.label(mask)
-        idx = 0
-        for blob_id in range(1, n + 1):
-            blob = labels == blob_id
-            if blob.sum() < min_voxels:
-                continue
-            idx += 1
-            conf = round(float(softmax[blob].max()), max_prob_round_decimals)
-            confidences.append((idx, conf))
-            all_hard_blobs[blob] = conf
-            indexed_pred[blob] = idx
-    return all_hard_blobs, confidences, indexed_pred
+            all_hard_blobs, _, _ = _extract_static(
+                working, thr, min_voxels, max_prob_round_decimals
+            )
+            # re-computed max: the global max may sit in a too-small blob
+            max_prob = np.max(all_hard_blobs)
+            mask_current = all_hard_blobs == max_prob
+            mask_idx, _ = ndimage.label(mask_current, structure=struct)
+            mask_current = mask_idx == 1
+            hard_blob = all_hard_blobs * mask_current
+            grown = ndimage.binary_dilation(
+                dynamic_hard_blobs > 0, structure=struct
+            )
+            has_overlap = (mask_current & grown).any()
+            if not (remove_adjacent_lesion_candidates and has_overlap):
+                dynamic_hard_blobs += hard_blob
+                confidences.append((tumor_index, float(max_prob)))
+                dynamic_indexed += mask_current * tumor_index
+            working = working * (~mask_current)
+        return dynamic_hard_blobs, confidences, dynamic_indexed
+
+    if threshold == "dynamic-fast":
+        threshold = float(np.max(softmax) / dynamic_threshold_factor)
+    return _extract_static(
+        softmax, float(threshold), min_voxels, max_prob_round_decimals
+    )
 
 
 def evaluate_case(

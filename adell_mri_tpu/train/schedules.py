@@ -37,13 +37,17 @@ def cosine_annealing_with_warmup(
     n_warmup_steps = _resolve_fraction(n_warmup_steps, t_max)
     start_decay = _resolve_fraction(start_decay, t_max)
 
+    # decay starts at max(warmup, start_decay) — the reference's closed
+    # form (learning_rate.py:179: r = max(nws, ssd), cos over T_max - r)
+    decay_from = max(n_warmup_steps, start_decay)
+
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
         warm = eta_min + (base_lr - eta_min) * (step + 1) / jnp.maximum(
             1.0, n_warmup_steps
         )
-        decay_span = jnp.maximum(1.0, t_max - start_decay)
-        progress = jnp.clip((step - start_decay) / decay_span, 0.0, 1.0)
+        decay_span = jnp.maximum(1.0, t_max - decay_from)
+        progress = jnp.clip((step - decay_from) / decay_span, 0.0, 1.0)
         cos = eta_min + (base_lr - eta_min) * 0.5 * (
             1.0 + jnp.cos(jnp.pi * progress)
         )

@@ -375,3 +375,91 @@ def test_lesion_case_parity(ref_picai):
         ref_set = sorted((int(a), round(float(b), 6)) for a, b, *_ in ref_lr)
         our_set = sorted((int(a), round(float(b), 6)) for a, b in our_lr)
         assert our_set == ref_set, f"ours={our_set} ref={ref_set}"
+
+
+# ---------------------------------------------------------------------------
+# (d) schedules / conformal / lesion-candidate extraction vs reference
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "t_max,warmup,start_decay",
+    [(100, 0, None), (100, 10, None), (100, 10, 30), (50, 0.1, 0.5),
+     (100, 30, 10)],
+)
+def test_cosine_schedule_parity(torch, t_max, warmup, start_decay):
+    """Our optax-style schedule vs the reference CosineAnnealingWithWarmupLR
+    closed form at every step (ref learning_rate.py:106)."""
+    ref_lr = _ref_module("adell_mri.modules.learning_rate")
+    from adell_mri_tpu.train.schedules import cosine_annealing_with_warmup
+
+    base_lr = 0.01
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    kwargs = dict(T_max=t_max, n_warmup_steps=warmup)
+    if start_decay is not None:
+        kwargs["start_decay"] = start_decay
+    sched = ref_lr.CosineAnnealingWithWarmupLR(opt, **kwargs)
+    ours = cosine_annealing_with_warmup(
+        base_lr, t_max, n_warmup_steps=warmup, start_decay=start_decay
+    )
+    for step in range(t_max):
+        sched.last_epoch = step
+        ref_val = sched._get_closed_form_lr()[0]
+        our_val = float(ours(step))
+        assert our_val == pytest.approx(ref_val, rel=1e-5, abs=1e-8), (
+            f"step {step}: ours={our_val} ref={ref_val}"
+        )
+
+
+def test_conformal_aps_parity(torch):
+    """q_hat and the prediction sets vs the reference AdaptivePredictionSets
+    (ref conformal_prediction/conformal.py:7)."""
+    ref_conf = _ref_module("adell_mri.modules.conformal_prediction.conformal")
+    from adell_mri_tpu.models.layers.conformal import AdaptivePredictionSets
+
+    rng = np.random.default_rng(5)
+    n, c = 40, 4
+    logits = rng.normal(size=(n, c)).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    labels = rng.integers(0, c, size=n)
+
+    ref = ref_conf.AdaptivePredictionSets(alpha=0.2)
+    ref.update(torch.from_numpy(labels), torch.from_numpy(probs))
+    ref.calculate()
+
+    ours = AdaptivePredictionSets(alpha=0.2).calibrate(probs, labels)
+    assert ours.q_hat == pytest.approx(float(ref.qhat), abs=1e-6)
+
+    test_probs = rng.dirichlet(np.ones(c), size=16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(test_probs)).numpy()
+    ref_sets = ref_out[:, :c] > 0.5
+    our_sets = ours(test_probs)
+    np.testing.assert_array_equal(our_sets, ref_sets)
+
+
+def test_extract_lesion_candidates_parity():
+    """Dynamic candidate extraction vs the reference implementation on the
+    same heatmaps (ref modules/extract_lesion_candidates.py:137)."""
+    ref_elc = _ref_module("adell_mri.modules.extract_lesion_candidates")
+    from adell_mri_tpu.eval.lesion import extract_lesion_candidates
+
+    rng = np.random.default_rng(9)
+    from scipy import ndimage as ndi
+
+    for seed in range(4):
+        base = rng.normal(size=(24, 24, 12))
+        heat = ndi.gaussian_filter(np.maximum(base, 0), 2.0).astype(
+            np.float32
+        )
+        heat = heat / max(heat.max(), 1e-6) * 0.9
+        ref_hard, ref_confs, _ = ref_elc.extract_lesion_candidates(
+            heat, threshold="dynamic", max_prob_round_decimals=4
+        )
+        our_hard, our_confs, _ = extract_lesion_candidates(
+            heat, threshold="dynamic"
+        )
+        ref_set = sorted(round(float(cf), 6) for _, cf in ref_confs)
+        our_set = sorted(round(float(cf), 6) for _, cf in our_confs)
+        assert our_set == ref_set, f"ours={our_set} ref={ref_set}"
+        np.testing.assert_allclose(our_hard, ref_hard, atol=1e-6)
