@@ -74,6 +74,7 @@ def main(arguments):
         label_key=t_args.get("label_key", "label"),
         target_spacing=t_args.get("target_spacing"),
         target_size=size,
+        resize_size=t_args.get("resize_size"),
         clinical_feature_keys=feat_keys,
     )
     base_load = transforms.load_fn()

@@ -79,6 +79,7 @@ def main(arguments):
         label_key=label_key,
         target_spacing=t_args.get("target_spacing"),
         target_size=size,
+        resize_size=t_args.get("resize_size"),
         clinical_feature_keys=feat_keys,
     )
     load_fn = transforms.load_fn()

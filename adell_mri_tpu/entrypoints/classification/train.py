@@ -243,6 +243,7 @@ def main(arguments):
             label_key=label_key,
             target_spacing=args.target_spacing,
             target_size=base_size,
+            resize_size=args.resize_size,
             crop_size=crop_size,
             adc_keys=args.adc_keys or (),
             augmentations=AugmentPolicy.from_flags(args.augment),
@@ -387,6 +388,9 @@ def main(arguments):
                     "label_key": label_key,
                     "target_spacing": args.target_spacing,
                     "target_size": list(base_size),
+                    "resize_size": (
+                        list(args.resize_size) if args.resize_size else None
+                    ),
                     "clinical_feature_keys": list(feat_keys),
                 },
                 "train_pids": train_pids,

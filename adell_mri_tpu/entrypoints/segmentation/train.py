@@ -333,6 +333,7 @@ def main(arguments):
             label_keys=label_keys,
             target_spacing=target_spacing,
             target_size=base_size,
+            resize_size=args.resize_size,
             crop_size=crop_size if crop_size != base_size else None,
             adc_keys=args.adc_keys or (),
             positive_labels=[int(x) for x in args.positive_labels],
@@ -538,6 +539,9 @@ def main(arguments):
                     "label_keys": list(label_keys),
                     "target_spacing": target_spacing,
                     "target_size": list(base_size),
+                    "resize_size": (
+                        list(args.resize_size) if args.resize_size else None
+                    ),
                     "crop_size": list(crop_size) if crop_size else None,
                 },
                 "train_pids": train_pids,

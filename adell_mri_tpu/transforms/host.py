@@ -110,11 +110,97 @@ def precompute_fg_indices(
     return out, n
 
 
+def area_resize(vol: np.ndarray, out_shape: Sequence[int]) -> np.ndarray:
+    """
+    Adaptive-average ("area" mode) resize, exact vs
+    ``torch.nn.functional.interpolate(mode="area")`` /
+    ``adaptive_avg_pool``: output cell i averages source indices
+    [floor(i*in/out), ceil((i+1)*in/out)). Computed with one integral
+    image per call — O(voxels) regardless of zoom factor. This is the
+    engine under MONAI ``Resized(mode="area")``, the reference's image
+    resize (entrypoints/segmentation/train.py:180-203).
+    """
+    vol = np.asarray(vol, np.float64)
+    out_shape = tuple(int(s) for s in out_shape)
+    ndim = len(out_shape)
+    # integral image with a zero border on every resized axis
+    integ = vol
+    for ax in range(ndim):
+        integ = np.cumsum(integ, axis=ax)
+        pad = [(0, 0)] * integ.ndim
+        pad[ax] = (1, 0)
+        integ = np.pad(integ, pad)
+
+    bounds = []
+    for ax, out in enumerate(out_shape):
+        n = vol.shape[ax]
+        i = np.arange(out)
+        lo = np.floor(i * n / out).astype(np.int64)
+        hi = np.ceil((i + 1) * n / out).astype(np.int64)
+        bounds.append((lo, hi))
+
+    # inclusion-exclusion over the 2^ndim corners of each output box
+    out = np.zeros(
+        out_shape + vol.shape[ndim:], np.float64
+    )
+    count = np.ones(out_shape, np.float64)
+    for ax, (lo, hi) in enumerate(bounds):
+        shape = [1] * ndim
+        shape[ax] = -1
+        count = count * (hi - lo).reshape(shape)
+    for corner in range(2**ndim):
+        idx = []
+        sign = 1.0
+        for ax, (lo, hi) in enumerate(bounds):
+            if corner >> ax & 1:
+                idx.append(lo)
+            else:
+                idx.append(hi)
+            sign *= -1.0 if (corner >> ax & 1) else 1.0
+        grids = np.ix_(*idx)
+        out = out + sign * integ[grids]
+    count = count.reshape(out_shape + (1,) * (vol.ndim - ndim))
+    return (out / count).astype(np.float32)
+
+
+def center_crop_pad(vol: np.ndarray, target: Sequence[int]) -> np.ndarray:
+    """Center crop/pad on the leading len(target) axes (SpatialPadd +
+    CenterSpatialCropd composition)."""
+    target = tuple(int(t) for t in target)
+    for ax, t in enumerate(target):
+        s = vol.shape[ax]
+        if s < t:
+            pad = [(0, 0)] * vol.ndim
+            pad[ax] = ((t - s) // 2, t - s - (t - s) // 2)
+            vol = np.pad(vol, pad)
+        elif s > t:
+            lo = (s - t) // 2
+            sl = [slice(None)] * vol.ndim
+            sl[ax] = slice(lo, lo + t)
+            vol = vol[tuple(sl)]
+    return vol
+
+
+def nearest_resize(vol: np.ndarray, out_shape: Sequence[int]) -> np.ndarray:
+    """Nearest-neighbour resize on the leading len(out_shape) axes (the
+    reference's label resize mode)."""
+    out_shape = tuple(int(s) for s in out_shape)
+    # torch 'nearest' convention: src = floor(i * in / out)
+    idx = tuple(
+        np.minimum(
+            np.floor(np.arange(o) * vol.shape[ax] / o), vol.shape[ax] - 1
+        ).astype(np.int64)
+        for ax, o in enumerate(out_shape)
+    )
+    return vol[np.ix_(*idx)]
+
+
 def make_load_fn(
     image_keys: Sequence[str],
     label_keys: Optional[Sequence[str]] = None,
     target_spacing: Optional[Sequence[float]] = None,
     target_size: Optional[Sequence[int]] = None,
+    resize_size: Optional[Sequence[int]] = None,
     adc_keys: Sequence[str] = (),
     adc_factor: float = -2 / 3,
     max_fg: int = 4096,
@@ -146,7 +232,15 @@ def make_load_fn(
                 weights.append(0.0)
                 continue
             img = reorient_to_ras(read_nifti(entry[key]))
-            vol = resample_to_spec(img, target_spacing, target_size)
+            if resize_size is not None:
+                # reference order (transforms.py:152-173): Spacingd ->
+                # Resized(mode="area", SCALE not crop) -> pad/crop
+                vol = resample_to_spec(img, target_spacing, None)
+                vol = area_resize(vol, resize_size)
+                if target_size is not None:
+                    vol = center_crop_pad(vol, target_size)
+            else:
+                vol = resample_to_spec(img, target_spacing, target_size)
             if key in adc_keys:
                 # ADC conditional rescale (image_intensity_ops.py:77)
                 if vol.max() > 1e3:
@@ -171,9 +265,18 @@ def make_load_fn(
             labs = []
             for key in label_keys:
                 img = reorient_to_ras(read_nifti(entry[key]))
-                lab = resample_to_spec(
-                    img, target_spacing, target_size, interp_order=0
-                )
+                if resize_size is not None:
+                    # labels scale with nearest (Resized mode="nearest")
+                    lab = resample_to_spec(
+                        img, target_spacing, None, interp_order=0
+                    )
+                    lab = nearest_resize(lab, resize_size)
+                    if target_size is not None:
+                        lab = center_crop_pad(lab, target_size)
+                else:
+                    lab = resample_to_spec(
+                        img, target_spacing, target_size, interp_order=0
+                    )
                 labs.append(lab)
             lab = np.stack(labs, axis=0).max(axis=0)
             if label_mode == "binary":

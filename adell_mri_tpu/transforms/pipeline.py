@@ -201,6 +201,7 @@ class SegmentationTransforms:
     label_keys: Sequence[str] = ("label",)
     target_spacing: Optional[Sequence[float]] = None
     target_size: Optional[Sequence[int]] = None
+    resize_size: Optional[Sequence[int]] = None  # SCALE (area/nearest)
     crop_size: Optional[Sequence[int]] = None
     adc_keys: Sequence[str] = ()
     positive_labels: Sequence[int] = (1,)
@@ -222,6 +223,7 @@ class SegmentationTransforms:
             label_keys=self.label_keys,
             target_spacing=self.target_spacing,
             target_size=self.target_size,
+            resize_size=self.resize_size,
             adc_keys=self.adc_keys,
             positive_labels=self.positive_labels,
             label_mode=self.label_mode,
@@ -310,6 +312,7 @@ class ClassificationTransforms:
     label_key: str = "label"
     target_spacing: Optional[Sequence[float]] = None
     target_size: Optional[Sequence[int]] = None
+    resize_size: Optional[Sequence[int]] = None  # SCALE (area/nearest)
     crop_size: Optional[Sequence[int]] = None
     adc_keys: Sequence[str] = ()
     augmentations: AugmentPolicy = field(default_factory=AugmentPolicy)
@@ -327,6 +330,7 @@ class ClassificationTransforms:
             label_keys=[self.mask_key] if self.mask_key else None,
             target_spacing=self.target_spacing,
             target_size=self.target_size,
+            resize_size=self.resize_size,
             adc_keys=self.adc_keys,
             extra_scalar_keys=list(self.clinical_feature_keys),
         )

@@ -32,20 +32,17 @@ assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for tests"
 # ---------------------------------------------------------------------------
 
 SLOW_FILES = {
-    "test_cli_smoke.py",
-    "test_generative.py",
-    "test_misc_modules.py",
-    "test_layers.py",
-    "test_detection.py",
-    "test_models_extra.py",
-    "test_parallel.py",
-    "test_sample_configs.py",
-    "test_semi_supervised.py",
-    "test_ssl.py",
-    "test_train.py",
-    "test_transforms.py",
-    "test_unet.py",
-    "test_utils_tools.py",
+    "test_cli_smoke.py",      # 406 s
+    "test_generative.py",     # 460 s
+    "test_models_extra.py",   # 308 s
+    "test_transforms.py",     # 264 s
+    "test_misc_modules.py",   # 235 s
+    "test_ssl.py",            # 183 s
+    "test_layers.py",         # 163 s
+    "test_unet.py",           # 143 s
+    "test_detection.py",      # 105 s
+    "test_pallas_ops.py",     #  76 s
+    "test_train.py",          #  61 s
 }
 
 

@@ -463,3 +463,68 @@ def test_extract_lesion_candidates_parity():
         our_set = sorted(round(float(cf), 6) for _, cf in our_confs)
         assert our_set == ref_set, f"ours={our_set} ref={ref_set}"
         np.testing.assert_allclose(our_hard, ref_hard, atol=1e-6)
+
+
+def test_area_resize_matches_torch(torch):
+    """area_resize vs torch.nn.functional.interpolate(mode='area') — the
+    engine under MONAI Resized(mode='area'), the reference's image resize
+    (ref entrypoints/segmentation/train.py:180-203)."""
+    from adell_mri_tpu.transforms.host import area_resize
+
+    rng = np.random.default_rng(3)
+    for in_shape, out_shape in [
+        ((16, 14, 10), (8, 7, 5)),
+        ((15, 13, 9), (8, 8, 8)),
+        ((8, 8, 4), (12, 10, 6)),  # upscale
+        ((20, 20), (7, 11)),  # 2D
+    ]:
+        vol = rng.normal(size=in_shape).astype(np.float32)
+        ours = area_resize(vol, out_shape)
+        t_in = torch.from_numpy(vol)[None, None]
+        theirs = torch.nn.functional.interpolate(
+            t_in, size=out_shape, mode="area"
+        )[0, 0].numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_nearest_resize_matches_torch(torch):
+    from adell_mri_tpu.transforms.host import nearest_resize
+
+    rng = np.random.default_rng(4)
+    for in_shape, out_shape in [
+        ((16, 14, 10), (8, 7, 5)),
+        ((9, 9, 5), (12, 6, 8)),
+    ]:
+        vol = rng.normal(size=in_shape).astype(np.float32)
+        ours = nearest_resize(vol, out_shape)
+        t_in = torch.from_numpy(vol)[None, None]
+        theirs = torch.nn.functional.interpolate(
+            t_in, size=out_shape, mode="nearest"
+        )[0, 0].numpy()
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_resize_size_scales_not_crops(tmp_path):
+    """--resize_size must SCALE the volume (Resized), not center-crop: a
+    corner marker survives downscaling but would be cropped away."""
+    from adell_mri_tpu.data.nifti import write_nifti
+    from adell_mri_tpu.transforms.host import make_load_fn
+
+    vol = np.zeros((32, 32, 16), np.float32)
+    vol[:4, :4, :4] = 100.0  # corner marker
+    path = str(tmp_path / "v.nii.gz")
+    write_nifti(path, vol, np.diag([1.0, 1.0, 1.0, 1.0]))
+    load = make_load_fn(
+        image_keys=["image"], resize_size=(16, 16, 8),
+        scale_intensity=False,
+    )
+    out = load({"image": path})["image"][..., 0]
+    assert out.shape == (16, 16, 8)
+    assert out[:2, :2, :2].mean() > 10  # marker survived (scaled)
+    # a crop/pad of the same size would KEEP the corner empty
+    load_crop = make_load_fn(
+        image_keys=["image"], target_size=(16, 16, 8),
+        scale_intensity=False,
+    )
+    out_crop = load_crop({"image": path})["image"][..., 0]
+    assert out_crop[:2, :2, :2].mean() < 1e-3
