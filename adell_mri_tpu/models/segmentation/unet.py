@@ -46,7 +46,20 @@ from adell_mri_tpu.models.layers.self_attention import (
 
 
 class _ConvUnit(nn.Module):
-    """One conv_type-selected operation: conv(out, k, stride) + ADN."""
+    """One conv_type-selected encoder/decoder unit + outer ADN, matching
+    the REFERENCE's per-unit composition (capacity parity at the same
+    YAML — ref unet.py:246-340):
+
+    - regular/sae: Conv(in->in, k, stride) -> adn(in) -> Conv(in->out, k, 1)
+      (ref conv_block_3d:260); sae adds concurrent squeeze-excite;
+    - depthwise: grouped Conv(in->in, k, stride) -> adn(in) -> 1x1
+      Conv(in->out) (ref depthwise_conv_block_3d:292);
+    - resnet: bottleneck ResidualBlock (inter = in when in > 32, ref
+      res_block_conv_3d); strided units pool AFTER the block with SAME
+      padding (exactly n/s — the reference's MaxPool padding arithmetic
+      yields n/s + 1, an artifact its own decoder then re-interpolates
+      away; static TPU shapes want the exact halving).
+    """
 
     out_channels: int
     kernel_size: Union[int, Sequence[int]]
@@ -60,37 +73,47 @@ class _ConvUnit(nn.Module):
         k = _tuple(self.kernel_size, ndim)
         s = _tuple(self.stride, ndim)
         ct = self.conv_type
+        in_ch = x.shape[-1]
         if ct in ("regular", "sae"):
             from adell_mri_tpu.ops.conv import TpuConv
 
-            # nn.Conv-compatible (same param tree at Conv_0) with the
-            # opt-in im2col lowering for the 3D-conv wall (ops/conv.py)
+            # nn.Conv-compatible param trees (Conv_0/Conv_1) with the
+            # im2col lowering for the 3D-conv wall (ops/conv.py)
             x = TpuConv(
-                self.out_channels, k, strides=s, padding="SAME",
-                name="Conv_0",
+                in_ch, k, strides=s, padding="SAME", name="Conv_0",
+            )(x)
+            x = apply_adn(self.adn_fn(in_ch), x, train)
+            x = TpuConv(
+                self.out_channels, k, strides=_tuple(1, ndim),
+                padding="SAME", name="Conv_1",
             )(x)
             if ct == "sae":
                 x = ConcurrentSqueezeAndExcite()(x)
         elif ct == "depthwise":
-            if any(si != 1 for si in s):
-                x = nn.Conv(self.out_channels, k, strides=s, padding="SAME")(x)
-            else:
-                x = DepthwiseSeparableConv(
-                    self.out_channels, self.kernel_size
-                )(x, train=train)
+            x = nn.Conv(
+                in_ch, k, strides=s, padding="SAME",
+                feature_group_count=in_ch, name="Conv_dw",
+            )(x)
+            x = apply_adn(self.adn_fn(in_ch), x, train)
+            x = nn.Conv(
+                self.out_channels, _tuple(1, ndim), name="Conv_pw"
+            )(x)
         elif ct == "resnet":
+            x = ResidualBlock(
+                kernel_size=(
+                    self.kernel_size
+                    if isinstance(self.kernel_size, int)
+                    else self.kernel_size[0]
+                ),
+                # ref res_block_conv_3d: bottleneck only when in > 32
+                inter_channels=in_ch if in_ch > 32 else None,
+                out_channels=self.out_channels,
+                adn_fn=self.adn_fn,
+            )(x, train=train)
             if any(si != 1 for si in s):
-                x = nn.Conv(self.out_channels, k, strides=s, padding="SAME")(x)
-            else:
-                x = ResidualBlock(
-                    kernel_size=(
-                        self.kernel_size
-                        if isinstance(self.kernel_size, int)
-                        else self.kernel_size[0]
-                    ),
-                    inter_channels=self.out_channels,
-                    out_channels=self.out_channels,
-                )(x, train=train)
+                x = nn.max_pool(
+                    x, window_shape=s, strides=s, padding="SAME"
+                )
         elif ct in ("convnext", "convnextv2"):
             if any(si != 1 for si in s):
                 x = nn.Conv(self.out_channels, k, strides=s, padding="SAME")(x)
@@ -267,8 +290,13 @@ class UNet(nn.Module):
             if curr.shape[1:-1] != encoded.shape[1:-1]:
                 curr = resize_like(curr, encoded.shape[1:-1])
             curr = jnp.concatenate([curr, encoded], axis=-1)
+            # ref decoder conv map (unet.py:213-246): resnet encoders
+            # decode with REGULAR blocks, asp decodes with sae
+            dec_ct = {"resnet": "regular", "asp": "sae"}.get(
+                self.conv_type, self.conv_type
+            )
             curr = _ConvUnit(
-                d, dec_ks[i], 1, self.conv_type, adn_fn, name=f"dec_{i}"
+                d, dec_ks[i], 1, dec_ct, adn_fn, name=f"dec_{i}"
             )(curr, train=train)
             deep_outputs.append(curr)
 
