@@ -81,6 +81,7 @@ def get_segmentation_network(
             depth=tuple(cfg.get("depth", (16, 32, 64))),
             kernel_sizes=tuple(cfg.get("kernel_sizes", (3, 3, 3))),
             strides=tuple(cfg.get("strides", (2, 2, 2))),
+            conv_type=cfg.get("conv_type", "regular"),
             norm_type=cfg.get("norm_type", "instance"),
             activation_fn=cfg.get("activation_fn", "swish"),
             dropout_param=cfg.get("dropout_param", 0.0),

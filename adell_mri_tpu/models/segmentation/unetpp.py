@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
-from adell_mri_tpu.models.layers.blocks import _tuple, apply_adn, max_pool
+from adell_mri_tpu.models.layers.blocks import _tuple
 from adell_mri_tpu.models.layers.multi_resolution import resize_like
 
 
@@ -23,6 +23,7 @@ class UNetPlusPlus(nn.Module):
     depth: Sequence[int] = (16, 32, 64)
     kernel_sizes: Sequence[int] = (3, 3, 3)
     strides: Sequence[int] = (2, 2, 2)
+    conv_type: str = "regular"
     norm_type: str = "instance"
     activation_fn: str = "swish"
     dropout_param: float = 0.0
@@ -30,6 +31,8 @@ class UNetPlusPlus(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_logits: bool = False):
+        from adell_mri_tpu.models.segmentation.unet import _ConvUnit
+
         ndim = x.ndim - 2
         adn = get_adn_fn(
             ndim, self.norm_type, self.activation_fn, self.dropout_param
@@ -37,10 +40,15 @@ class UNetPlusPlus(nn.Module):
         L = len(self.depth)
 
         def conv_unit(y, ch, k, name):
-            y = nn.Conv(ch, _tuple(k, ndim), padding="SAME", name=name)(y)
-            return apply_adn(adn(ch), y, train)
+            # the reference UNet++ inherits the UNet's conv blocks
+            # (unetpp.py:17 subclasses UNet), so nodes carry the same
+            # two-conv capacity at the same YAML
+            return _ConvUnit(ch, k, 1, self.conv_type, adn, name=name)(
+                y, train=train
+            )
 
-        # column 0: plain encoder
+        # column 0: the UNet encoder (stride-1 unit + strided conv unit,
+        # parity: UNet.init_encoder inherited by the reference UNet++)
         nodes = {}
         curr = x
         for i in range(L):
@@ -49,7 +57,10 @@ class UNetPlusPlus(nn.Module):
             )
             nodes[(i, 0)] = curr
             if i < L - 1:
-                curr = max_pool(curr, self.strides[i])
+                curr = _ConvUnit(
+                    self.depth[i], self.kernel_sizes[i], self.strides[i],
+                    self.conv_type, adn, name=f"enc_ds_{i}",
+                )(curr, train=train)
 
         # nested columns
         for j in range(1, L):
