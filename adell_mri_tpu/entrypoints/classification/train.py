@@ -26,6 +26,7 @@ from adell_mri_tpu.data import (
     class_weights_from_labels,
 )
 from adell_mri_tpu.entrypoints.assemble_args import Parser
+from adell_mri_tpu.entrypoints.cli_utils import filter_training_pids
 from adell_mri_tpu.entrypoints.segmentation.train import get_folds
 from adell_mri_tpu.models.classification.losses import (
     binary_logistic_loss,
@@ -219,22 +220,13 @@ def main(arguments):
         )
 
     for fold_idx, (train_pids, val_pids) in enumerate(folds):
-        # training-split-only exclusions/subsampling (parity: ref
-        # classification/train.py:287-297, learning curves)
-        if args.excluded_ids_from_training_data:
-            excl = set(args.excluded_ids_from_training_data)
-            train_pids = [p for p in train_pids if p not in excl]
-        if args.subsample_training_data is not None:
-            rng = np.random.default_rng(args.seed + fold_idx)
-            n_keep = max(
-                1, int(len(train_pids) * args.subsample_training_data)
-            )
-            train_pids = [
-                train_pids[i]
-                for i in sorted(
-                    rng.choice(len(train_pids), size=n_keep, replace=False)
-                )
-            ]
+        train_pids = filter_training_pids(
+            train_pids,
+            excluded=args.excluded_ids_from_training_data,
+            subsample_fraction=args.subsample_training_data,
+            seed=args.seed,
+            fold_idx=fold_idx,
+        )
         logger.info(
             "fold %d: %d train / %d val", fold_idx, len(train_pids), len(val_pids)
         )
@@ -473,6 +465,8 @@ def main(arguments):
         )
         state, history = loop.fit(state, train_loader, val_loader)
         final = history[-1] if history else {}
+        if args.log_model:
+            csv_logger.log_artifact(ckpt.dir)
         logger.info("fold %d done: %s", fold_idx, json.dumps(final, default=float))
 
         # GP-head covariance fit over the train set (parity: on_fit_end,

@@ -19,3 +19,26 @@ def run_main(package: str, supported_modes: Dict[str, str], arguments: List[str]
         )
     module = importlib.import_module(supported_modes[mode], package)
     module.main(arguments[1:])
+
+
+def filter_training_pids(
+    train_pids, excluded=None, subsample_fraction=None, seed=42, fold_idx=0
+):
+    """Training-split-only exclusions + fractional subsampling (parity:
+    ref --excluded_ids_from_training_data / --subsample_training_data,
+    classification/train.py:287-297 — learning curves)."""
+    import numpy as np
+
+    if excluded:
+        excl = set(excluded)
+        train_pids = [p for p in train_pids if p not in excl]
+    if subsample_fraction is not None:
+        rng = np.random.default_rng(seed + fold_idx)
+        n_keep = max(1, int(len(train_pids) * subsample_fraction))
+        train_pids = [
+            train_pids[i]
+            for i in sorted(
+                rng.choice(len(train_pids), size=n_keep, replace=False)
+            )
+        ]
+    return train_pids

@@ -93,7 +93,8 @@ def main(arguments):
     parser.add_argument_by_key(ARG_KEYS)
     parser.add_argument("--n_critic", type=int, default=1)
     parser.add_argument("--loss_type", default="adversarial")
-    parser.add_argument("--gp_weight", type=float, default=0.0)
+    parser.add_argument("--gp_weight", type=float, default=None,
+                    help="WGAN-GP / R1 weight (stylegan defaults to 10, others to 0)")
     parser.add_argument("--smoothing", type=float, default=0.0)
     parser.add_argument("--feature_matching", type=float, default=0.0)
     # conditional generation (parity: GANPL classification_target_key /
@@ -295,7 +296,7 @@ def _train_regular(
             gen, disc,
             loss_type=args.loss_type,
             smoothing=args.smoothing,
-            gp_weight=args.gp_weight,
+            gp_weight=args.gp_weight or 0.0,
             r1_weight=args.r1_weight,
             feature_matching_weight=args.feature_matching,
             lambda_identity=args.lambda_identity,
@@ -325,7 +326,7 @@ def _train_regular(
         d_step, g_step = make_gan_steps(
             gen, disc, latent_dim=latent_dim, loss_type=args.loss_type,
             smoothing=args.smoothing,
-            gp_weight=args.gp_weight,
+            gp_weight=args.gp_weight or 0.0,
             feature_matching_weight=args.feature_matching,
         )
         meta = {
@@ -523,7 +524,7 @@ def _train_progressive(
                 d_step, g_step = make_stylegan_steps(
                     gen, disc, latent_dim=latent_dim,
                     n_levels=stage + 1,
-                    gp_weight=args.gp_weight or 10.0,
+                    gp_weight=(10.0 if args.gp_weight is None else args.gp_weight),
                 )
             else:
                 d_step, g_step = make_progan_steps(

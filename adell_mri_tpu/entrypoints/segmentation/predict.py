@@ -136,6 +136,7 @@ def main(arguments):
     image_keys = args.image_keys or t_args.get("image_keys", ["image"])
     target_spacing = t_args.get("target_spacing")
     target_size = t_args.get("target_size")
+    resize_size = t_args.get("resize_size")
 
     model = get_segmentation_network(net_type, net_cfg, n_classes=n_classes)
     x0 = np.zeros((1,) + tuple(target_size) + (len(image_keys),), np.float32)
@@ -241,7 +242,22 @@ def main(arguments):
                 orig_affine = raw.affine.copy()
             img = reorient_to_ras(raw)
             ref_img = ref_img or img
-            vol = resample_to_spec(img, target_spacing, target_size)
+            if resize_size:
+                # mirror the training load: Spacingd -> Resized(area)
+                # -> pad/crop (transforms/host.py make_load_fn)
+                from adell_mri_tpu.transforms.host import (
+                    area_resize,
+                    center_crop_pad,
+                )
+
+                vol = resample_to_spec(img, target_spacing, None)
+                vol = area_resize(vol, resize_size)
+                if target_size is not None and tuple(target_size) != tuple(
+                    resize_size
+                ):
+                    vol = center_crop_pad(vol, target_size)
+            else:
+                vol = resample_to_spec(img, target_spacing, target_size)
             lo, hi = vol.min(), vol.max()
             channels.append((vol - lo) / max(hi - lo, 1e-6))
         x = np.stack(channels, axis=-1).astype(np.float32)
@@ -265,7 +281,9 @@ def main(arguments):
         else:
             prob = np.asarray(inference(x))
         # inverse resample back to original geometry (Invertd analogue)
-        inv = _invert_geometry(prob[..., 0], ref_img, target_spacing)
+        inv = _invert_geometry(
+            prob[..., 0], ref_img, target_spacing, resize_size=resize_size
+        )
         if args.keep_ras:
             out, affine = inv, ref_img.affine
         else:
@@ -299,8 +317,11 @@ def main(arguments):
     writer.close()
 
 
-def _invert_geometry(pred, ref_img, target_spacing):
-    """Maps a prediction on the (spacing, size) grid back to ref voxels."""
+def _invert_geometry(pred, ref_img, target_spacing, resize_size=None):
+    """Maps a prediction on the (spacing[, resize], size) grid back to ref
+    voxels. With ``resize_size``, the forward path scaled the
+    spacing-resampled grid to resize_size (area mode) before any crop —
+    the inverse composes the scale factor into the coordinate map."""
     from scipy import ndimage
 
     orig_shape = ref_img.data.shape[:3]
@@ -309,8 +330,15 @@ def _invert_geometry(pred, ref_img, target_spacing):
         target_spacing = spacing
     zoom = np.asarray(spacing, float) / np.asarray(target_spacing, float)
     resampled_shape = np.round(np.asarray(orig_shape) * zoom).astype(int)
-    offset = (resampled_shape - np.asarray(pred.shape)) / 2.0
+    if resize_size is not None:
+        scale = np.asarray(resize_size, float) / np.maximum(
+            resampled_shape, 1
+        )
+        offset = (np.asarray(resize_size) - np.asarray(pred.shape)) / 2.0
+    else:
+        scale = np.ones(3)
+        offset = (resampled_shape - np.asarray(pred.shape)) / 2.0
     coords = np.indices(orig_shape).astype(np.float32)
     for d in range(3):
-        coords[d] = coords[d] * zoom[d] - offset[d]
+        coords[d] = coords[d] * zoom[d] * scale[d] - offset[d]
     return ndimage.map_coordinates(pred, coords, order=1, mode="constant")

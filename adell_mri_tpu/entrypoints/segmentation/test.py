@@ -83,6 +83,7 @@ def main(arguments):
         label_keys=label_keys,
         target_spacing=t_args.get("target_spacing"),
         target_size=size,
+        resize_size=t_args.get("resize_size"),
         skip_keys=skip_keys,
         feature_keys=feature_keys,
     )

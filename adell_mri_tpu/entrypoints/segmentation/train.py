@@ -29,6 +29,7 @@ from adell_mri_tpu.data import (
     RandomSampler,
 )
 from adell_mri_tpu.entrypoints.assemble_args import Parser
+from adell_mri_tpu.entrypoints.cli_utils import filter_training_pids
 from adell_mri_tpu.parallel.mesh import get_devices, mesh_for_batch, shard_params
 from adell_mri_tpu.train import (
     TrainState,
@@ -310,21 +311,13 @@ def main(arguments):
     )
 
     for fold_idx, (train_pids, val_pids) in enumerate(folds):
-        # training-split-only exclusions/subsampling (learning curves;
-        # parity: ref train.py subsample_training_data /
-        # excluded_ids_from_training_data, classification/train.py:287-297)
-        if args.excluded_ids_from_training_data:
-            excl = set(args.excluded_ids_from_training_data)
-            train_pids = [p for p in train_pids if p not in excl]
-        if args.subsample_training_data is not None:
-            rng = np.random.default_rng(args.seed + fold_idx)
-            n_keep = max(1, int(len(train_pids) * args.subsample_training_data))
-            train_pids = [
-                train_pids[i]
-                for i in sorted(
-                    rng.choice(len(train_pids), size=n_keep, replace=False)
-                )
-            ]
+        train_pids = filter_training_pids(
+            train_pids,
+            excluded=args.excluded_ids_from_training_data,
+            subsample_fraction=args.subsample_training_data,
+            seed=args.seed,
+            fold_idx=fold_idx,
+        )
         logger.info(
             "fold %d: %d train / %d val", fold_idx, len(train_pids), len(val_pids)
         )
@@ -402,15 +395,19 @@ def main(arguments):
             )
             train_loader = CombinedLoader(train_loader, un_loader)
         val_sampler = None
+        val_epoch_len = len(val_ds)
         if args.validation_samples_per_epoch is not None:
             val_sampler = RandomSampler(
                 len(val_ds), seed=args.seed + 7,
                 n_samples=args.validation_samples_per_epoch,
             )
+            # cap the batch by the SAMPLER length too — drop_last with a
+            # sampler shorter than the batch would yield zero val batches
+            val_epoch_len = args.validation_samples_per_epoch
         val_loader = DataLoader(
             val_ds,
             sampler=val_sampler,
-            batch_size=max(1, min(batch_size, len(val_ds))),
+            batch_size=max(1, min(batch_size, val_epoch_len)),
             drop_last=True,
             prefetch=1,
         )
@@ -604,15 +601,30 @@ def main(arguments):
             )
 
             def _sw_eval_step(params, batch, rng):
-                def fwd(tiles):
-                    out = model.apply({"params": params}, tiles, train=False)
-                    return out[0]
+                feats = batch.get("features")
 
-                pred = jax.vmap(
-                    lambda v: sliding_window_inference(
-                        fwd, v, tuple(crop_size)
+                def stitch(vol, feat=None):
+                    def fwd(tiles):
+                        kw = {}
+                        if feat is not None:
+                            # the conditioned network must also condition
+                            # at validation (FiLM over every window)
+                            kw["x_feature_conditioning"] = jnp.tile(
+                                feat[None], (tiles.shape[0], 1)
+                            )
+                        out = model.apply(
+                            {"params": params}, tiles, train=False, **kw
+                        )
+                        return out[0]
+
+                    return sliding_window_inference(
+                        fwd, vol, tuple(crop_size)
                     )
-                )(batch["image"])
+
+                if feats is None:
+                    pred = jax.vmap(stitch)(batch["image"])
+                else:
+                    pred = jax.vmap(stitch)(batch["image"], feats)
                 y = jnp.round(batch["label"].astype(jnp.float32))
                 loss, individual = loss_fn(pred, y)
                 p = pred[..., 0] if pred.shape[-1] == 1 else pred

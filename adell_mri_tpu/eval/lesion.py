@@ -143,14 +143,19 @@ def evaluate_case(
     # the caller's job via y_det_postprocess_func (the reference wires
     # extract_lesion_candidates there, segmentation/pl.py:604-611)
     y_det = np.asarray(y_det, np.float32)
-    indexed_pred, n_cand = ndimage.label(y_det > 0)
+    # 26-connectivity like the reference's parse_detection_map
+    # (analysis_utils.py:27-38) — 6-connectivity would split diagonal blobs
+    struct = _STRUCT[
+        tuple(slice(None) if d < y_det.ndim else 1 for d in range(3))
+    ]
+    indexed_pred, n_cand = ndimage.label(y_det > 0, structure=struct)
     confidences = [
         (cand_id, float(y_det[indexed_pred == cand_id].max()))
         for cand_id in range(1, n_cand + 1)
     ]
 
     y_true = np.asarray(y_true) > 0.5
-    gt_labels, n_gt = ndimage.label(y_true)
+    gt_labels, n_gt = ndimage.label(y_true, structure=struct)
     lesion_results: List[Tuple[int, float]] = []
     matched_candidates = set()
 

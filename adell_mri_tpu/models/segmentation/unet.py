@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
 from adell_mri_tpu.models.layers.blocks import (
-    DepthwiseSeparableConv,
     _tuple,
     apply_adn,
 )

@@ -94,11 +94,26 @@ class MetricLogger:
         (parity: ref --log_model, assemble_args.py log_model)."""
         if not self.log_model or self.backend is None:
             return
+        import os
+
         try:
             if self.backend_type == "wandb":
-                self.backend.save(path)
+                if os.path.isdir(path):
+                    # wandb.save takes a file GLOB — a bare directory
+                    # matches nothing; policy="now" uploads before any
+                    # later checkpoint deletion
+                    self.backend.save(
+                        os.path.join(path, "**", "*"),
+                        base_path=os.path.dirname(path),
+                        policy="now",
+                    )
+                else:
+                    self.backend.save(path, policy="now")
             elif self.backend_type == "mlflow":
-                self.backend.log_artifact(path)
+                if os.path.isdir(path):
+                    self.backend.log_artifacts(path)
+                else:
+                    self.backend.log_artifact(path)
         except Exception as exc:  # logging must not kill training
             logger.warning("log_artifact(%s) failed: %s", path, exc)
 

@@ -528,3 +528,50 @@ def test_resize_size_scales_not_crops(tmp_path):
     )
     out_crop = load_crop({"image": path})["image"][..., 0]
     assert out_crop[:2, :2, :2].mean() < 1e-3
+
+
+def test_lesion_eval_diagonal_connectivity(ref_picai):
+    """Diagonally-touching clusters are ONE component under the reference's
+    26-connectivity labelling; our evaluate_case must agree."""
+    from adell_mri_tpu.eval.lesion import evaluate_case as ours_case
+
+    det = np.zeros((12, 12, 6), np.float32)
+    det[2:4, 2:4, 1:3] = 0.8
+    det[4:6, 4:6, 3:5] = 0.8  # touches only at the (4,4,3) corner
+    true = np.zeros((12, 12, 6), np.int32)
+    true[2:6, 2:6, 1:5] = 1
+    ref_lr, ref_conf, _w, _i = ref_picai.evaluate_case(
+        y_det=det, y_true=true, min_overlap=0.10
+    )
+    our_lr, our_conf = ours_case(det, true, min_overlap=0.10)
+    ref_set = sorted((int(a), round(float(b), 6)) for a, b, *_ in ref_lr)
+    our_set = sorted((int(a), round(float(b), 6)) for a, b in our_lr)
+    assert our_set == ref_set, f"ours={our_set} ref={ref_set}"
+
+
+def test_invert_geometry_resize_roundtrip():
+    """Predictions on the resize grid map back to source voxels: a marker
+    at known source coords survives forward-resize + inverse."""
+    from adell_mri_tpu.data.nifti import NiftiImage
+    from adell_mri_tpu.entrypoints.segmentation.predict import (
+        _invert_geometry,
+    )
+    from adell_mri_tpu.transforms.host import area_resize
+
+    src = np.zeros((32, 32, 16), np.float32)
+    src[20:26, 8:14, 4:8] = 1.0
+    ref_img = NiftiImage(
+        data=src[..., None], affine=np.diag([1.0, 1.0, 1.0, 1.0])
+    )
+    pred = area_resize(src, (16, 16, 8))  # the forward resize path
+    inv = _invert_geometry(
+        pred, ref_img, target_spacing=(1.0, 1.0, 1.0),
+        resize_size=(16, 16, 8),
+    )
+    assert inv.shape == src.shape
+    # mass stays centered on the source marker
+    idx = np.argwhere(inv > 0.5)
+    assert idx.size > 0
+    lo, hi = idx.min(0), idx.max(0) + 1
+    assert np.all(np.abs(lo - [20, 8, 4]) <= 2), (lo,)
+    assert np.all(np.abs(hi - [26, 14, 8]) <= 2), (hi,)
