@@ -21,32 +21,60 @@ def box_volume(boxes):
     )
 
 
-def complete_iou_loss(pred_boxes, true_boxes, eps: float = 1e-6):
+def complete_iou_components(pred_boxes, true_boxes, eps: float = 1e-6):
     """
-    CIoU in n dims (parity: losses.py:7): 1 - IoU + center distance /
-    enclosing diagonal + aspect consistency.
+    The reference's CIoU decomposition, formula-exact (ref
+    object_detection/losses.py:7 — INCLUSIVE box sizes (+1), pairwise
+    arctan aspect-RATIO terms over dimension pairs, cpd = center dist /
+    enclosing-box diagonal). Returns (iou, cpd_component, ar_component).
     """
+    from itertools import combinations
+
     ndim = pred_boxes.shape[-1] // 2
-    lo = jnp.maximum(pred_boxes[..., :ndim], true_boxes[..., :ndim])
-    hi = jnp.minimum(pred_boxes[..., ndim:], true_boxes[..., ndim:])
-    inter = jnp.prod(jnp.maximum(hi - lo, 0.0), axis=-1)
-    union = box_volume(pred_boxes) + box_volume(true_boxes) - inter
-    iou = inter / jnp.maximum(union, eps)
-
-    pc = (pred_boxes[..., :ndim] + pred_boxes[..., ndim:]) / 2
-    tc = (true_boxes[..., :ndim] + true_boxes[..., ndim:]) / 2
-    center_dist = jnp.sum((pc - tc) ** 2, axis=-1)
-    enc_lo = jnp.minimum(pred_boxes[..., :ndim], true_boxes[..., :ndim])
-    enc_hi = jnp.maximum(pred_boxes[..., ndim:], true_boxes[..., ndim:])
-    diag = jnp.sum((enc_hi - enc_lo) ** 2, axis=-1)
-
-    ps = jnp.maximum(pred_boxes[..., ndim:] - pred_boxes[..., :ndim], eps)
-    ts = jnp.maximum(true_boxes[..., ndim:] - true_boxes[..., :ndim], eps)
-    v = jnp.mean((jnp.arctan(ts) - jnp.arctan(ps)) ** 2, axis=-1) * (
-        4 / jnp.pi**2
+    a_tl, b_tl = pred_boxes[..., :ndim], true_boxes[..., :ndim]
+    a_br, b_br = pred_boxes[..., ndim:], true_boxes[..., ndim:]
+    inter_tl = jnp.maximum(a_tl, b_tl)
+    inter_br = jnp.minimum(a_br, b_br)
+    a_size = a_br - a_tl + 1
+    b_size = b_br - b_tl + 1
+    inter_size = inter_br - inter_tl + 1
+    a_center = (a_tl + a_br) / 2
+    b_center = (b_tl + b_br) / 2
+    diag_tl = jnp.minimum(a_tl, b_tl)
+    diag_br = jnp.maximum(a_br, b_br)
+    inter_area = jnp.prod(inter_size, axis=-1)
+    union_area = (
+        jnp.prod(a_size, axis=-1) + jnp.prod(b_size, axis=-1) - inter_area
     )
-    alpha = v / jnp.maximum(1 - iou + v, eps)
-    return 1 - iou + center_dist / jnp.maximum(diag, eps) + alpha * v
+    iou = jnp.where(union_area > 0.0, inter_area / union_area, 0.0)
+    center_distance = jnp.sum((a_center - b_center) ** 2, axis=-1)
+    bb_distance = jnp.sum((diag_br - diag_tl) ** 2, axis=-1)
+    cpd_component = center_distance / bb_distance
+    pis = jnp.pi**2
+    ar_list = [
+        4
+        / pis
+        * (
+            jnp.arctan(a_size[..., i] / a_size[..., j])
+            - jnp.arctan(b_size[..., i] / b_size[..., j])
+        )
+        ** 2
+        for i, j in combinations(range(ndim), 2)
+    ]
+    v = sum(ar_list) / len(ar_list)
+    # eps guard: the reference's alpha is 0/0=NaN for IDENTICAL boxes
+    # (iou=1, v=0); indistinguishable for any real pair, NaN-free in
+    # training when a prediction lands exactly on its target
+    alpha = v / jnp.maximum((1 - iou) + v, eps)
+    ar_component = v * alpha
+    return iou, cpd_component, ar_component
+
+
+def complete_iou_loss(pred_boxes, true_boxes, eps: float = 1e-6):
+    """Combined CIoU loss: 1 - IoU + cpd + ar (the reference's PL step
+    combines the three components the same way, object_detection/pl.py)."""
+    iou, cpd, ar = complete_iou_components(pred_boxes, true_boxes, eps)
+    return 1 - iou + cpd + ar
 
 
 def yolo_loss(

@@ -61,24 +61,29 @@ def vicreg_loss(
     z2,
     lam: float = 25.0,
     mu: float = 25.0,
-    nu: float = 1.0,
+    nu: float = 0.1,
     gamma: float = 1.0,
     eps: float = 1e-4,
     axis_name: Optional[str] = None,
 ):
     """
-    VICReg (parity: vicreg.py:30-165). Stats are over the global batch under
-    pjit; with shard_map pass axis_name for explicit pmean.
-    Returns (total, dict of components).
+    VICReg, formula-exact vs the reference (vicreg.py:30-165 —
+    UNBIASED variance in the hinge, per-side var/cov halves, nu default
+    0.1; tests/test_reference_parity.py executes the reference class).
+    Stats are over the global batch under pjit; with shard_map pass
+    axis_name for explicit pmean. Returns (total, dict of components).
     """
 
     def _one_side(z):
+        n = z.shape[0]
         mean = _maybe_pmean(jnp.mean(z, axis=0), axis_name)
         zc = z - mean
-        var = _maybe_pmean(jnp.mean(zc**2, axis=0), axis_name)
+        # torch.var default: unbiased /(n-1) (ref variance_loss :58)
+        var = _maybe_pmean(
+            jnp.sum(zc**2, axis=0) / max(n - 1, 1), axis_name
+        )
         std = jnp.sqrt(var + eps)
         var_loss = jnp.mean(jax.nn.relu(gamma - std))
-        n = z.shape[0]
         cov = (zc.T @ zc) / max(n - 1, 1)
         cov = _maybe_pmean(cov, axis_name)
         d = z.shape[-1]
@@ -89,11 +94,14 @@ def vicreg_loss(
     v1, c1 = _one_side(z1)
     v2, c2 = _one_side(z2)
     inv = jnp.mean((z1 - z2) ** 2)
-    total = lam * inv + mu * (v1 + v2) + nu * (c1 + c2)
+    # the reference averages the two sides (vicreg_loss :141-150)
+    var_loss = (v1 + v2) / 2
+    cov_loss = (c1 + c2) / 2
+    total = lam * inv + mu * var_loss + nu * cov_loss
     return total, {
         "invariance": inv,
-        "variance": v1 + v2,
-        "covariance": c1 + c2,
+        "variance": var_loss,
+        "covariance": cov_loss,
     }
 
 
@@ -149,10 +157,21 @@ def barlow_twins_loss(z1, z2, lam: float = 5e-3, eps: float = 1e-5):
     return on_diag + lam * off_diag
 
 
-def ntxent_loss(z1, z2, temperature: float = 0.1, eps: float = 1e-8):
+def ntxent_loss(
+    z1,
+    z2,
+    temperature: float = 1.0,
+    eps: float = 1e-8,
+    apply_relu: bool = True,
+):
     """
-    SimCLR NT-Xent over the (global) batch (parity: ntxent.py:11).
+    SimCLR NT-Xent over the (global) batch, formula-exact vs the
+    reference (ntxent.py:11 — ReLU'd features and temperature 1.0 by
+    default; positives pair i <-> i+n).
     """
+    if apply_relu:
+        z1 = jax.nn.relu(z1)
+        z2 = jax.nn.relu(z2)
     z = jnp.concatenate([z1, z2], axis=0)
     z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), eps)
     n = z1.shape[0]

@@ -575,3 +575,112 @@ def test_invert_geometry_resize_roundtrip():
     lo, hi = idx.min(0), idx.max(0) + 1
     assert np.all(np.abs(lo - [20, 8, 4]) <= 2), (lo,)
     assert np.all(np.abs(hi - [26, 14, 8]) <= 2), (hi,)
+
+
+# ---------------------------------------------------------------------------
+# (e) SSL / detection / classification losses vs reference
+# ---------------------------------------------------------------------------
+
+
+def test_vicreg_parity(torch):
+    ref_v = _ref_module("adell_mri.modules.self_supervised.losses.vicreg")
+    from adell_mri_tpu.models.ssl.losses import vicreg_loss
+
+    rng = np.random.default_rng(7)
+    z1 = rng.normal(size=(16, 32)).astype(np.float32)
+    z2 = (z1 + rng.normal(scale=0.3, size=(16, 32))).astype(np.float32)
+    ref = ref_v.VICRegLoss(min_var=1.0, eps=1e-4, lam=25.0, mu=25.0, nu=0.1)
+    with torch.no_grad():
+        var_l, cov_l, inv_l = ref.vicreg_loss(
+            torch.from_numpy(z1), torch.from_numpy(z2)
+        )
+        ref_total = float(25.0 * inv_l + 25.0 * var_l + 0.1 * cov_l)
+    total, comps = vicreg_loss(z1, z2)
+    assert float(comps["variance"]) == pytest.approx(float(var_l), rel=1e-5)
+    assert float(comps["covariance"]) == pytest.approx(float(cov_l), rel=1e-5)
+    assert float(comps["invariance"]) == pytest.approx(float(inv_l), rel=1e-5)
+    assert float(total) == pytest.approx(ref_total, rel=1e-5)
+
+
+def test_simsiam_byol_parity(torch):
+    ref_f = _ref_module("adell_mri.modules.self_supervised.losses.functional")
+    from adell_mri_tpu.models.ssl.losses import byol_loss, simsiam_loss
+
+    rng = np.random.default_rng(8)
+    x1 = rng.normal(size=(12, 24)).astype(np.float32)
+    x2 = rng.normal(size=(12, 24)).astype(np.float32)
+    with torch.no_grad():
+        ref_ss = float(
+            ref_f.simsiam_loss(torch.from_numpy(x1), torch.from_numpy(x2))
+        )
+        ref_by = float(
+            ref_f.byol_loss(torch.from_numpy(x1), torch.from_numpy(x2))
+        )
+    assert float(simsiam_loss(x1, x2)) == pytest.approx(ref_ss, abs=1e-6)
+    assert float(byol_loss(x1, x2)) == pytest.approx(ref_by, abs=1e-6)
+
+
+def test_ntxent_parity(torch):
+    ref_n = _ref_module("adell_mri.modules.self_supervised.losses.ntxent")
+    from adell_mri_tpu.models.ssl.losses import ntxent_loss
+
+    rng = np.random.default_rng(9)
+    z1 = rng.normal(size=(10, 16)).astype(np.float32) + 0.5
+    z2 = rng.normal(size=(10, 16)).astype(np.float32) + 0.5
+    for temperature, relu in [(1.0, True), (0.5, False)]:
+        ref = ref_n.NTXentLoss(temperature=temperature, apply_relu=relu)
+        with torch.no_grad():
+            theirs = float(
+                ref(torch.from_numpy(z1), torch.from_numpy(z2))
+            )
+        ours = float(
+            ntxent_loss(z1, z2, temperature=temperature, apply_relu=relu)
+        )
+        assert ours == pytest.approx(theirs, rel=1e-4), (temperature, relu)
+
+
+def test_ciou_parity(torch):
+    ref_d = _ref_module("adell_mri.modules.object_detection.losses")
+    from adell_mri_tpu.models.detection.losses import (
+        complete_iou_components,
+    )
+
+    rng = np.random.default_rng(10)
+    tl = rng.uniform(0, 10, size=(8, 3)).astype(np.float32)
+    sz = rng.uniform(2, 8, size=(8, 3)).astype(np.float32)
+    a = np.concatenate([tl, tl + sz], -1)
+    tl2 = tl + rng.uniform(-2, 2, size=(8, 3)).astype(np.float32)
+    sz2 = sz + rng.uniform(-1, 1, size=(8, 3)).astype(np.float32)
+    b = np.concatenate([tl2, tl2 + np.maximum(sz2, 1)], -1).astype(np.float32)
+    with torch.no_grad():
+        r_iou, r_cpd, r_ar = ref_d.complete_iou_loss(
+            torch.from_numpy(a), torch.from_numpy(b), ndim=3
+        )
+    iou, cpd, ar = complete_iou_components(a, b)
+    np.testing.assert_allclose(np.asarray(iou), r_iou.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cpd), r_cpd.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(ar), r_ar.numpy(), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_ordinal_loss_parity(torch):
+    ref_c = _ref_module("adell_mri.modules.classification.losses")
+    from adell_mri_tpu.models.classification.losses import (
+        ordinal_sigmoidal_loss,
+    )
+
+    rng = np.random.default_rng(11)
+    n_classes = 4
+    logits = rng.normal(size=(10, n_classes - 1)).astype(np.float32)
+    labels = rng.integers(0, n_classes, size=10)
+    with torch.no_grad():
+        theirs = float(
+            ref_c.ordinal_sigmoidal_loss(
+                torch.from_numpy(logits),
+                torch.from_numpy(labels),
+                n_classes,
+            ).mean()
+        )
+    ours = float(ordinal_sigmoidal_loss(logits, labels, n_classes))
+    assert ours == pytest.approx(theirs, rel=1e-5)
