@@ -684,3 +684,25 @@ def test_ordinal_loss_parity(torch):
         )
     ours = float(ordinal_sigmoidal_loss(logits, labels, n_classes))
     assert ours == pytest.approx(theirs, rel=1e-5)
+
+
+def test_dino_sinkhorn_parity(torch):
+    """Sinkhorn-Knopp teacher normalization vs the reference (dino.py:154;
+    single-process world, so the all_reduce branches are no-ops)."""
+    ref_d = _ref_module("adell_mri.modules.self_supervised.losses.dino")
+    from adell_mri_tpu.models.ssl.losses import sinkhorn_knopp
+
+    rng = np.random.default_rng(12)
+    # scores scaled so exp(x/t2) stays in a well-conditioned f32 range:
+    # unit-normal scores at t2=0.05 span e^{+-60}, where weak rows
+    # underflow and the reference divides by zero (we guard at 1e-12) —
+    # a numerical-pathology regime, not a formula difference
+    scores = (0.1 * rng.normal(size=(8, 16))).astype(np.float32)
+    ref = ref_d.DinoLoss(
+        temperatures=(0.1, 0.05), n_features=16,
+        teacher_score_method="sk", sk_iterations=3,
+    )
+    with torch.no_grad():
+        theirs = ref.sinkhorn_knopp_teacher(torch.from_numpy(scores)).numpy()
+    ours = np.asarray(sinkhorn_knopp(scores, n_iter=3, eps=0.05))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-6)
