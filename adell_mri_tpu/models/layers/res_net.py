@@ -67,7 +67,10 @@ class ResNetBackbone(nn.Module):
         intermediates = []
         for stage_idx, (stage, pool) in enumerate(zip(self.structure, mp)):
             inp, inter, k, n_blocks = stage
-            for block_idx in range(n_blocks):
+            # the reference builds 1 + max(N-2, 0) + 1 = max(N, 2) blocks
+            # per stage (res_net.py init_layers: first block, N-2 middles,
+            # one final) — N=1 configs get TWO blocks; match the capacity
+            for block_idx in range(max(n_blocks, 2)):
                 out_ch = inp
                 x = self._block(k, inter, out_ch)(x, train=train)
             if self.batch_ensemble > 0:
