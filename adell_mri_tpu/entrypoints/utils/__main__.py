@@ -36,6 +36,7 @@ supported_modes = {
     # other
     "random_image_panel": P,
     "test_exported_model": P,
+    "import_torch_checkpoint": P,
 }
 
 

@@ -637,3 +637,156 @@ def test_exported_model(argv):
             }
         )
     )
+
+
+def import_torch_checkpoint(argv):
+    """
+    Migration path from the reference: converts a torch/Lightning U-Net
+    checkpoint saved by adell-mri (reference unet.py:31; Lightning wraps
+    the same module, segmentation/pl.py:668) into an orbax checkpoint +
+    metadata.json consumable by ``segmentation test|predict`` here.
+    Weight-transfer parity is exact (tests/test_reference_parity.py::
+    test_unet_weight_transfer_forward_parity).
+    """
+    p = argparse.ArgumentParser(prog="adell utils import_torch_checkpoint")
+    p.add_argument("--input_path", required=True,
+                   help="torch .pt/.ckpt file (raw state dict, "
+                        "{'state_dict': ...}, or a Lightning checkpoint)")
+    p.add_argument("--config_file", required=True,
+                   help="network YAML (same file the model was trained "
+                        "with: depth/conv_type/link_type/...)")
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_name", default="segmentation")
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--image_keys", nargs="+", required=True)
+    p.add_argument("--mask_keys", nargs="+", default=["mask"])
+    p.add_argument("--target_spacing", nargs="+", type=float, default=None)
+    p.add_argument("--target_size", nargs="+", type=int, required=True)
+    p.add_argument("--n_classes", type=int, default=2)
+    p.add_argument("--dev", default="cpu",
+                   help="device for the structural-validation init "
+                        "(conversion itself is host-side)")
+    args = p.parse_args(argv)
+
+    import jax
+    import torch  # CPU build; used only to deserialize the checkpoint
+
+    from adell_mri_tpu.parallel.mesh import use_device
+
+    use_device(args.dev)
+
+    from adell_mri_tpu.config.factories import get_segmentation_network
+    from adell_mri_tpu.config.parsing import load_yaml
+    from adell_mri_tpu.interop import import_reference_unet_state_dict
+    from adell_mri_tpu.train.checkpoints import CheckpointManager
+
+    payload = torch.load(
+        args.input_path, map_location="cpu", weights_only=False
+    )
+    sd = payload.get("state_dict", payload) if isinstance(
+        payload, dict
+    ) else payload
+    sd = {
+        k: v.detach().cpu().numpy()
+        for k, v in sd.items()
+        if hasattr(v, "detach")
+        # training-state entries the reference's own predict drops
+        # (predict.py:324-341)
+        and not k.startswith(("loss_fn.", "ema.", "criterion."))
+    }
+
+    cfg = load_yaml(args.config_file)
+    imported = import_reference_unet_state_dict(
+        sd,
+        depth=cfg.get("depth", (16, 32, 64)),
+        conv_type=cfg.get("conv_type", "regular"),
+        link_type=cfg.get("link_type", "identity"),
+        upscale_type=cfg.get("upscale_type", "upsample"),
+        norm_type=cfg.get("norm_type", "batch"),
+        activation_fn=cfg.get("activation_fn", "prelu"),
+        deep_supervision=cfg.get("deep_supervision", False),
+        bottleneck_classification=cfg.get(
+            "bottleneck_classification", False
+        ),
+        feature_conditioning=cfg.get("feature_conditioning"),
+    )
+    if "batch_stats" in imported:
+        print(
+            "WARNING: checkpoint carries BatchNorm running statistics; "
+            "the stateless predict path normalizes by eval-batch "
+            "statistics instead (GlobalBatchNorm caveat, "
+            "models/layers/adn.py). Prefer instance/group-norm models "
+            "for deployment."
+        )
+    if "feature_conditioning_params" in imported:
+        cfg["feature_conditioning_params"] = {
+            k: v.tolist()
+            for k, v in imported["feature_conditioning_params"].items()
+        }
+
+    # structural validation against a fresh init at the declared config
+    model = get_segmentation_network("unet", cfg, n_classes=args.n_classes)
+    size = tuple(args.target_size)
+    x0 = np.zeros((1,) + size + (len(args.image_keys),), np.float32)
+    init_kwargs = {}
+    if cfg.get("feature_conditioning"):
+        init_kwargs["x_feature_conditioning"] = np.zeros(
+            (1, cfg["feature_conditioning"]), np.float32
+        )
+    if cfg.get("skip_conditioning"):
+        init_kwargs["x_skip_layer"] = np.zeros(
+            (1,) + size + (cfg["skip_conditioning"],), np.float32
+        )
+    params0 = model.init(
+        {"params": jax.random.PRNGKey(0)}, x0, **init_kwargs
+    )["params"]
+    want = jax.tree.map(np.shape, params0)
+    got = jax.tree.map(np.shape, imported["params"])
+    if want != got:
+        raise ValueError(
+            "imported parameter tree does not match the config's "
+            "structure — wrong --config_file for this checkpoint?"
+        )
+
+    mngr = CheckpointManager(
+        args.checkpoint_dir,
+        name=args.checkpoint_name,
+        fold=args.fold,
+        metadata={
+            "network_config": cfg,
+            "transform_arguments": {
+                "image_keys": list(args.image_keys),
+                "skip_keys": [],
+                "feature_keys": [],
+                "label_keys": list(args.mask_keys),
+                "target_spacing": args.target_spacing,
+                "target_size": list(size),
+                "resize_size": None,
+                "crop_size": None,
+            },
+            "train_pids": [],
+            "val_pids": [],
+            "n_classes": args.n_classes,
+            "net_type": "unet",
+            "imported_from": args.input_path,
+        },
+        monitor="val_loss",
+        mode="min",
+    )
+    mngr.save(0, {"params": imported["params"]}, metrics={"val_loss": 0.0})
+    print(
+        json.dumps(
+            {
+                "checkpoint_dir": mngr.dir,
+                "n_parameters": int(
+                    sum(
+                        np.prod(s)
+                        for s in jax.tree.leaves(
+                            jax.tree.map(np.shape, imported["params"]),
+                            is_leaf=lambda x: isinstance(x, tuple),
+                        )
+                    )
+                ),
+            }
+        )
+    )

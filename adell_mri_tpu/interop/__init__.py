@@ -1,0 +1,7 @@
+from adell_mri_tpu.interop.torch_resnet import (  # noqa: F401
+    import_reference_resnet,
+    import_reference_resnet_backbone,
+)
+from adell_mri_tpu.interop.torch_unet import (  # noqa: F401
+    import_reference_unet_state_dict,
+)

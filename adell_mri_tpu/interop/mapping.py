@@ -1,0 +1,132 @@
+"""
+Shared torch-state-dict -> flax-param-tree mapping machinery for the
+reference-checkpoint interop (see torch_unet.py for the layout
+conventions and the parity-test evidence).
+"""
+
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+def _conv_w(w: np.ndarray) -> np.ndarray:
+    # (O, I, *k) -> (*k, I, O)
+    nd = w.ndim - 2
+    return np.transpose(w, tuple(range(2, 2 + nd)) + (1, 0))
+
+
+def _convT_w(w: np.ndarray) -> np.ndarray:
+    # (I, O, *k) -> (*k, I, O), with the spatial axes FLIPPED: torch's
+    # ConvTranspose is the adjoint of its correlation (kernel taps enter
+    # with opposite spatial sign to flax's fractionally-strided conv);
+    # verified exact for the reference's kernel==stride upscaling
+    nd = w.ndim - 2
+    w = w[(slice(None), slice(None)) + (slice(None, None, -1),) * nd]
+    return np.transpose(w, tuple(range(2, 2 + nd)) + (0, 1))
+
+
+def _put(tree: Dict[str, Any], path: Sequence[str], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+class _Mapper:
+    def __init__(
+        self,
+        sd: Mapping[str, np.ndarray],
+        norm_type: str,
+        activation_fn: str,
+        strict: bool,
+    ):
+        self.sd = {k: np.asarray(v) for k, v in sd.items()}
+        self.norm_type = norm_type
+        self.activation_fn = activation_fn
+        self.strict = strict
+        self.params: Dict[str, Any] = {}
+        self.batch_stats: Dict[str, Any] = {}
+        self.used = set()
+
+    def take(self, key: str) -> Optional[np.ndarray]:
+        if key in self.sd:
+            self.used.add(key)
+            return self.sd[key]
+        if self.strict:
+            raise KeyError(f"reference state dict is missing {key!r}")
+        return None
+
+    def conv(self, tkey: str, fpath: Tuple[str, ...], transpose=_conv_w):
+        w = self.take(f"{tkey}.weight")
+        if w is not None:
+            _put(self.params, fpath + ("kernel",), transpose(w))
+        b = self.take(f"{tkey}.bias") if f"{tkey}.bias" in self.sd else None
+        if b is not None:
+            self.used.add(f"{tkey}.bias")
+            _put(self.params, fpath + ("bias",), b)
+
+    def linear(self, tkey: str, fpath: Tuple[str, ...]):
+        w = self.take(f"{tkey}.weight")
+        if w is not None:
+            _put(self.params, fpath + ("kernel",), w.T)
+        b = self.take(f"{tkey}.bias")
+        if b is not None:
+            _put(self.params, fpath + ("bias",), b)
+
+    def adn(
+        self,
+        tkey: str,
+        fpath: Tuple[str, ...],
+        act: Optional[str] = None,
+        norm: Optional[str] = None,
+    ):
+        """One reference ActDropNorm (unet.py adn_fn :697 — ordering NDA,
+        registered as Sequential ``op`` with named children)."""
+        act = act if act is not None else self.activation_fn
+        norm_type = norm if norm is not None else self.norm_type
+        if act == "prelu":
+            w = self.take(f"{tkey}.op.activation.weight")
+            if w is not None:
+                _put(self.params, fpath + ("prelu",), w.reshape(-1)[:1])
+        nkey = f"{tkey}.op.normalization"
+        if norm_type == "batch":
+            w = self.take(f"{nkey}.weight")
+            b = self.take(f"{nkey}.bias")
+            sub = fpath + ("GlobalBatchNorm_0",)
+            if w is not None:
+                _put(self.params, sub + ("scale",), w)
+            if b is not None:
+                _put(self.params, sub + ("bias",), b)
+            rm = self.take(f"{nkey}.running_mean")
+            rv = self.take(f"{nkey}.running_var")
+            if rm is not None:
+                _put(self.batch_stats, sub + ("mean",), rm)
+            if rv is not None:
+                _put(self.batch_stats, sub + ("var",), rv)
+            self.used.add(f"{nkey}.num_batches_tracked")
+        elif norm_type == "instance_affine":
+            w = self.take(f"{nkey}.weight")
+            b = self.take(f"{nkey}.bias")
+            sub = fpath + ("InstanceNorm_0",)
+            if w is not None:
+                _put(self.params, sub + ("scale",), w)
+            if b is not None:
+                _put(self.params, sub + ("bias",), b)
+        elif norm_type == "layer":
+            w = self.take(f"{nkey}.weight")
+            b = self.take(f"{nkey}.bias")
+            sub = fpath + ("LayerNorm_0",)
+            if w is not None:
+                _put(self.params, sub + ("scale",), w)
+            if b is not None:
+                _put(self.params, sub + ("bias",), b)
+        # "instance" (non-affine) and "identity": no parameters
+
+    def conv_unit(self, tprefix: str, fname: str):
+        """Reference conv block + outer adn (conv_block_3d :260 wrapped at
+        init_encoder :555-568 / init_decoder :616-621) -> our _ConvUnit."""
+        self.conv(f"{tprefix}.0.0", (fname, "Conv_0"))
+        self.adn(f"{tprefix}.0.1", (fname, "ActDropNorm_0"))
+        self.conv(f"{tprefix}.0.2", (fname, "Conv_1"))
+        self.adn(f"{tprefix}.1", (fname, "ActDropNorm_1"))
+
+

@@ -1,0 +1,211 @@
+"""
+Reference ResNet interop: maps torch state dicts saved by the REFERENCE
+``ResNetBackbone``/``ResNet`` (adell_mri/modules/layers/res_net.py:51,327
+— stem at init_layers :172-184, stages :185-209, heads :278-368) onto the
+param trees of our ``models/layers/res_net.py`` modules.
+
+The headline use-case is the reference's SSL workflow: pre-train a ResNet
+with VICReg/SimSiam/BYOL, then graft its backbone into a U-Net encoder
+(ref entrypoints/segmentation/train.py:659-719). With this mapper those
+reference SSL checkpoints load straight into our backbone.
+
+Same layout conventions as torch_unet.py (see interop/mapping.py).
+Supported: res_type "resnet" (bottleneck ResidualBlock — what the
+reference's backbone always builds, init_layers :188), batch_ensemble=0.
+"""
+
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+from adell_mri_tpu.interop.mapping import _Mapper
+
+__all__ = [
+    "import_reference_resnet_backbone",
+    "import_reference_resnet",
+]
+
+
+def _res_block(
+    m: _Mapper,
+    tprefix: str,
+    fname: str,
+    in_ch: int,
+    out_ch: int,
+):
+    """One reference bottleneck ResidualBlock2d/3d (res_blocks.py:108 —
+    op = 1x1 -> adn -> kxk -> adn -> 1x1; final_op projects iff channel
+    counts differ; adn_op last) -> our ResidualBlock."""
+    m.conv(f"{tprefix}.op.0", (fname, "Conv_0"))
+    m.adn(f"{tprefix}.op.1", (fname, "ActDropNorm_0"))
+    m.conv(f"{tprefix}.op.2", (fname, "Conv_1"))
+    m.adn(f"{tprefix}.op.3", (fname, "ActDropNorm_1"))
+    m.conv(f"{tprefix}.op.4", (fname, "Conv_2"))
+    next_conv = 3
+    if in_ch != out_ch:
+        m.conv(f"{tprefix}.final_op", (fname, f"Conv_{next_conv}"))
+        next_conv += 1
+    m.adn(f"{tprefix}.adn_op", (fname, "ActDropNorm_2"))
+
+
+def import_reference_resnet_backbone(
+    state_dict: Mapping[str, np.ndarray],
+    *,
+    structure: Sequence[Tuple[int, int, int, int]],
+    norm_type: str = "batch",
+    activation_fn: str = "prelu",
+    torch_prefix: str = "",
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """
+    Converts a reference-``ResNetBackbone`` state dict into variables for
+    our ``ResNetBackbone`` at the same ``structure`` (list of
+    (channels, inter_channels, kernel_size, n_blocks) stage tuples).
+
+    ``torch_prefix`` strips a leading module path (e.g. ``"backbone."``
+    for a reference ``ResNet`` checkpoint, ``"res_net.backbone."`` for
+    SSL PL checkpoints).
+    """
+    if torch_prefix:
+        state_dict = {
+            k[len(torch_prefix):]: v
+            for k, v in state_dict.items()
+            if k.startswith(torch_prefix)
+        }
+    m = _Mapper(state_dict, norm_type, activation_fn, strict)
+
+    # stem (init_layers :173-180): conv7 -> adn -> conv3 -> adn
+    m.conv("input_layer.0", ("Conv_0",))
+    m.adn("input_layer.1", ("ActDropNorm_0",))
+    m.conv("input_layer.2", ("Conv_1",))
+    m.adn("input_layer.3", ("ActDropNorm_1",))
+
+    # stages (init_layers :185-209): max(N, 2) blocks each — first from
+    # prev_inp, middles + final at inp; flax auto-names ResidualBlock_{j}
+    # sequentially across ALL stages
+    j = 0
+    prev_inp = structure[0][0]
+    for s, stage in enumerate(structure):
+        inp, inter, k, n_blocks = stage
+        for b in range(max(n_blocks, 2)):
+            in_ch = prev_inp if b == 0 else inp
+            _res_block(
+                m,
+                f"operations.{s}.{b}",
+                f"ResidualBlock_{j}",
+                in_ch,
+                inp,
+            )
+            j += 1
+        prev_inp = inp
+
+    out: Dict[str, Any] = {"params": m.params}
+    if m.batch_stats:
+        out["batch_stats"] = m.batch_stats
+    if strict:
+        leftovers = [
+            k
+            for k in m.sd
+            if k not in m.used and not k.endswith("num_batches_tracked")
+        ]
+        if leftovers:
+            raise ValueError(
+                "unmapped reference parameters "
+                f"({len(leftovers)}): {leftovers[:8]}..."
+            )
+    return out
+
+
+def import_reference_resnet(
+    state_dict: Mapping[str, np.ndarray],
+    *,
+    structure: Sequence[Tuple[int, int, int, int]],
+    projection_head_structure: Optional[Sequence[int]] = None,
+    prediction_head_structure: Optional[Sequence[int]] = None,
+    norm_type: str = "batch",
+    activation_fn: str = "prelu",
+    head_norm_type: Optional[str] = None,
+    head_activation_fn: Optional[str] = None,
+    torch_prefix: str = "",
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """
+    Full reference ``ResNet`` (res_net.py:327): backbone + projection head
+    (Sequential(ProjectionHead, norm) — init_projection_head :357-368) +
+    optional prediction head. Head ADN config may differ from the
+    backbone's (the SSL factory passes its own), override via
+    ``head_norm_type``/``head_activation_fn``.
+    """
+    if torch_prefix:
+        state_dict = {
+            k[len(torch_prefix):]: v
+            for k, v in state_dict.items()
+            if k.startswith(torch_prefix)
+        }
+    backbone_keys = {
+        k: v for k, v in state_dict.items() if k.startswith("backbone.")
+    }
+    out = import_reference_resnet_backbone(
+        backbone_keys,
+        structure=structure,
+        norm_type=norm_type,
+        activation_fn=activation_fn,
+        torch_prefix="backbone.",
+        strict=strict,
+    )
+    params = {"ResNetBackbone_0": out["params"]}
+    batch_stats = (
+        {"ResNetBackbone_0": out["batch_stats"]}
+        if "batch_stats" in out
+        else {}
+    )
+    m = _Mapper(
+        state_dict,
+        head_norm_type or norm_type,
+        head_activation_fn or activation_fn,
+        strict,
+    )
+
+    def head(tprefix: str, fname: str, hidden: Sequence[int]):
+        # ProjectionHead op: linear_{i} = Sequential(Linear, adn) for
+        # hidden layers, bare final Linear (init_head :306-318)
+        sub: Dict[str, Any] = {}
+        for i in range(len(hidden)):
+            m.linear(f"{tprefix}.op.linear_{i}.0", (fname, f"Dense_{i}"))
+            m.adn(
+                f"{tprefix}.op.linear_{i}.1",
+                (fname, f"ActDropNorm_{i}"),
+            )
+        m.linear(
+            f"{tprefix}.op.linear_{len(hidden)}",
+            (fname, f"Dense_{len(hidden)}"),
+        )
+        return sub
+
+    if projection_head_structure is not None:
+        head(
+            "projection_head.0",
+            "ProjectionHead_0",
+            projection_head_structure[:-1],
+        )
+        # trailing norm: LayerNorm by default (init_projection_head :368)
+        d = projection_head_structure[-1]
+        ln_w = m.take("projection_head.1.weight")
+        ln_b = m.take("projection_head.1.bias")
+        if ln_w is not None and ln_w.shape == (d,):
+            m.params.setdefault("LayerNorm_0", {})["scale"] = ln_w
+            m.params["LayerNorm_0"]["bias"] = ln_b
+    if prediction_head_structure is not None:
+        head(
+            "prediction_head",
+            "ProjectionHead_1",
+            prediction_head_structure[:-1],
+        )
+
+    params.update(m.params)
+    if m.batch_stats:
+        batch_stats.update(m.batch_stats)
+    result: Dict[str, Any] = {"params": params}
+    if batch_stats:
+        result["batch_stats"] = batch_stats
+    return result

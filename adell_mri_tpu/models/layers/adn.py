@@ -110,6 +110,10 @@ def make_norm(norm_fn: str, spatial_dim: int = 3) -> Callable[[], nn.Module]:
     if norm_fn == "batch":
         return lambda: GlobalBatchNorm(momentum=0.9)
     if norm_fn == "instance":
+        # torch InstanceNorm{1,2,3}d defaults to affine=False
+        # (adn_fn.py norm_fn_dict); the affine variant is a separate key
+        return lambda: InstanceNorm(use_scale=False, use_bias=False)
+    if norm_fn == "instance_affine":
         return lambda: InstanceNorm()
     if norm_fn == "layer":
         return lambda: nn.LayerNorm()
@@ -122,14 +126,15 @@ def make_norm(norm_fn: str, spatial_dim: int = 3) -> Callable[[], nn.Module]:
 
 class ActDropNorm(nn.Module):
     """
-    Applies activation, dropout and normalization in a configurable order
-    (parity: adn_fn.py:56; default order A->D->N).
+    Applies normalization, dropout and activation in a configurable order
+    (parity: adn_fn.py:56 — the reference's default ordering is "NDA",
+    norm -> dropout -> act, and every reference call site uses it).
     """
 
     norm_fn: str = "batch"
     act_fn: str = "swish"
     dropout_param: float = 0.0
-    ordering: str = "ADN"
+    ordering: str = "NDA"
     spatial_dim: int = 3
     dropout_type: str = "dropout"  # "dropout" | "uout" (regularization.py:11)
 
@@ -137,7 +142,17 @@ class ActDropNorm(nn.Module):
     def __call__(self, x, train: bool = False):
         from adell_mri_tpu.models.layers.regularization import UOut
 
-        act = get_activation(self.act_fn)
+        if self.act_fn == "prelu":
+            # torch PReLU: ONE learnable slope shared across channels,
+            # init 0.25 (the fixed leaky_relu(0.25) in activations.py only
+            # matches at init; trained reference checkpoints carry a
+            # learned slope, so the ADN variant must be a parameter)
+            slope = self.param(
+                "prelu", nn.initializers.constant(0.25), (1,)
+            )
+            act = lambda x: jnp.where(x >= 0, x, slope * x)  # noqa: E731
+        else:
+            act = get_activation(self.act_fn)
         norm_ctor = make_norm(self.norm_fn, self.spatial_dim)
         for op in self.ordering.upper():
             if op == "A":
@@ -171,15 +186,19 @@ def get_adn_fn(
     (parity: adn_fn.py:205 — used by every model factory).
     """
 
-    def ctor(_features: Optional[int] = None) -> ActDropNorm:
+    def ctor(
+        _features: Optional[int] = None, name: Optional[str] = None
+    ) -> ActDropNorm:
         # _features accepted for call-site parity (torch norm layers need it;
-        # flax infers feature count at call time)
+        # flax infers feature count at call time); name pins the module path
+        # in the param tree (checkpoint/interop stability)
         return ActDropNorm(
             norm_fn=norm_fn,
             act_fn=act_fn,
             dropout_param=dropout_param,
             spatial_dim=spatial_dim,
             dropout_type=dropout_type,
+            name=name,
         )
 
     return ctor

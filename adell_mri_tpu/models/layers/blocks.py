@@ -36,16 +36,20 @@ def apply_adn(adn, x, train: bool):
 
 
 class GlobalPooling(nn.Module):
-    """Mean over all spatial axes (parity: standard_blocks.py:10)."""
+    """Global spatial pooling (parity: standard_blocks.py:10-35 — the
+    reference DEFAULTS TO MAX, and every classifier head uses that
+    default; "average"/"mean" is the opt-in)."""
 
-    mode: str = "mean"
+    mode: str = "max"
 
     @nn.compact
     def __call__(self, x):
         axes = tuple(range(1, x.ndim - 1))
         if self.mode == "max":
             return jnp.max(x, axis=axes)
-        return jnp.mean(x, axis=axes)
+        if self.mode in ("mean", "average"):
+            return jnp.mean(x, axis=axes)
+        raise NotImplementedError(f"pooling mode {self.mode!r}")
 
 
 class ConvBlock(nn.Module):

@@ -88,18 +88,22 @@ class ResNetBackbone(nn.Module):
 
 
 class ProjectionHead(nn.Module):
-    """MLP head with final LayerNorm (parity: res_net.py:278)."""
+    """MLP head (parity: res_net.py:278-324 — Linear + adn_fn per hidden
+    layer, bare final Linear; spatial inputs flatten + MAX-pool). The
+    reference ResNet appends the final norm OUTSIDE this head
+    (init_projection_head :357-368), mirrored in our ResNet below."""
 
     structure: Sequence[int]
+    adn_fn: AdnFactory = identity_adn
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        for i, h in enumerate(self.structure[:-1]):
+        if x.ndim > 2:
+            x = GlobalPooling()(x)
+        for h in self.structure[:-1]:
             x = nn.Dense(h)(x)
-            x = nn.relu(x)
-        x = nn.Dense(self.structure[-1])(x)
-        x = nn.LayerNorm()(x)
-        return x
+            x = apply_adn(self.adn_fn(h), x, train)
+        return nn.Dense(self.structure[-1])(x)
 
 
 class ResNet(nn.Module):
@@ -111,6 +115,9 @@ class ResNet(nn.Module):
     backbone_structure: Sequence[Tuple[int, int, int, int]]
     maxpool_structure: Optional[Sequence] = None
     adn_fn: AdnFactory = identity_adn
+    # heads take their own (1-d) ADN in the reference's factories — a
+    # spatial-dim norm cannot run on pooled [B, F] features
+    head_adn_fn: Optional[AdnFactory] = None
     res_type: str = "resnet"
     projection_head_structure: Optional[Sequence[int]] = None
     prediction_head_structure: Optional[Sequence[int]] = None
@@ -126,16 +133,22 @@ class ResNet(nn.Module):
             batch_ensemble=self.batch_ensemble,
         )
         x = backbone(x, train=train)
-        rep = GlobalPooling()(x)
+        rep = GlobalPooling()(x)  # max, the reference default
         # all heads are materialized unconditionally so params exist whatever
-        # `ret` was used at init (flax compact modules trace one call path)
-        proj = (
-            ProjectionHead(self.projection_head_structure)(rep, train=train)
-            if self.projection_head_structure is not None
-            else rep
-        )
+        # `ret` was used at init (flax compact modules trace one call path).
+        # Projection head carries a trailing LayerNorm (ref
+        # init_projection_head :357-368); the prediction head is bare.
+        head_adn = self.head_adn_fn or identity_adn
+        proj = rep
+        if self.projection_head_structure is not None:
+            proj = ProjectionHead(
+                self.projection_head_structure, adn_fn=head_adn
+            )(rep, train=train)
+            proj = nn.LayerNorm()(proj)
         pred = (
-            ProjectionHead(self.prediction_head_structure)(proj, train=train)
+            ProjectionHead(
+                self.prediction_head_structure, adn_fn=head_adn
+            )(proj, train=train)
             if self.prediction_head_structure is not None
             else proj
         )

@@ -73,13 +73,23 @@ class _ConvUnit(nn.Module):
         s = _tuple(self.stride, ndim)
         ct = self.conv_type
         in_ch = x.shape[-1]
+        # torch pads strided convs SYMMETRICALLY (p = k//2 per side, ref
+        # init_encoder :554,566) where TF/XLA "SAME" puts the odd pad on
+        # the high side — a one-voxel tap shift at every downsample; use
+        # explicit symmetric pads at stride > 1 for exact alignment
+        # (output sizes are identical: ceil(n/s) either way for odd k)
+        pad = (
+            tuple((ki // 2, ki // 2) for ki in k)
+            if any(si != 1 for si in s)
+            else "SAME"
+        )
         if ct in ("regular", "sae"):
             from adell_mri_tpu.ops.conv import TpuConv
 
             # nn.Conv-compatible param trees (Conv_0/Conv_1) with the
             # im2col lowering for the 3D-conv wall (ops/conv.py)
             x = TpuConv(
-                in_ch, k, strides=s, padding="SAME", name="Conv_0",
+                in_ch, k, strides=s, padding=pad, name="Conv_0",
             )(x)
             x = apply_adn(self.adn_fn(in_ch), x, train)
             x = TpuConv(
@@ -90,7 +100,7 @@ class _ConvUnit(nn.Module):
                 x = ConcurrentSqueezeAndExcite()(x)
         elif ct == "depthwise":
             x = nn.Conv(
-                in_ch, k, strides=s, padding="SAME",
+                in_ch, k, strides=s, padding=pad,
                 feature_group_count=in_ch, name="Conv_dw",
             )(x)
             x = apply_adn(self.adn_fn(in_ch), x, train)
@@ -169,7 +179,7 @@ class UNet(nn.Module):
     def _final_layer(self, x, adn_fn, train, ndim, apply_activation):
         d = x.shape[-1]
         x = nn.Conv(d, _tuple(3, ndim), padding="SAME")(x)
-        x = apply_adn(adn_fn(d), x, train)
+        x = apply_adn(adn_fn(d, name="final_adn"), x, train)
         out_ch = self.n_classes if self.n_classes > 2 else 1
         x = nn.Conv(out_ch, _tuple(1, ndim))(x)
         if apply_activation:
@@ -239,9 +249,14 @@ class UNet(nn.Module):
             if self.link_type == "identity":
                 encoded = link_in
             elif self.link_type == "conv":
-                encoded = _ConvUnit(
-                    d, 3, 1, "regular", adn_fn, name=f"link_{i}"
-                )(link_in, train=train)
+                # ref init_link_ops:482-502 — ONE conv + adn (not a full
+                # conv unit)
+                encoded = nn.Conv(
+                    d, _tuple(3, ndim), padding="SAME", name=f"link_{i}"
+                )(link_in)
+                encoded = apply_adn(
+                    adn_fn(d, name=f"link_adn_{i}"), encoded, train
+                )
             elif self.link_type == "residual":
                 encoded = ResidualBlock(
                     kernel_size=3,
@@ -260,12 +275,28 @@ class UNet(nn.Module):
                 encoded = nn.Conv(d, _tuple(1, ndim), name=f"link_proj_{i}")(
                     encoded
                 )
-            # feature FiLM gate (unet.py:716-740, forward :803-809)
+            # feature FiLM gate (unet.py:716-740, forward :803-809):
+            # Linear(F->d) -> ADN(batch, swish) -> Linear(d->d) ->
+            # ADN(batch, sigmoid), then channel-wise multiply
             if x_feature_conditioning is not None:
                 gate = nn.Dense(d, name=f"feat_cond_{i}")(
                     x_feature_conditioning
                 )
-                gate = jax.nn.sigmoid(gate)
+                gate = apply_adn(
+                    get_adn_fn(1, "batch", "swish", self.dropout_param)(
+                        d, name=f"feat_cond_adn_{i}"
+                    ),
+                    gate,
+                    train,
+                )
+                gate = nn.Dense(d, name=f"feat_cond_out_{i}")(gate)
+                gate = apply_adn(
+                    get_adn_fn(1, "batch", "sigmoid", self.dropout_param)(
+                        d, name=f"feat_cond_out_adn_{i}"
+                    ),
+                    gate,
+                    train,
+                )
                 gate = gate.reshape((gate.shape[0],) + (1,) * ndim + (d,))
                 encoded = encoded * gate
             # upscale (unet.py:415-459)
@@ -333,7 +364,7 @@ class UNet(nn.Module):
             for i, o in enumerate(deep_outputs):
                 d = o.shape[-1]
                 y = nn.Conv(d, _tuple(3, ndim), name=f"ds_conv_{i}")(o)
-                y = apply_adn(adn_fn(d), y, train)
+                y = apply_adn(adn_fn(d, name=f"ds_adn_{i}"), y, train)
                 y = nn.Conv(
                     self.n_classes if self.n_classes > 2 else 1,
                     _tuple(1, ndim),

@@ -22,6 +22,7 @@ benchmarks/benchmark_conv3d.py measures both on hardware.
 """
 
 import os
+from typing import Any
 
 import flax.linen as _nn
 import jax
@@ -55,6 +56,10 @@ def conv3d_im2col(x, w, strides=(1, 1, 1), padding="SAME"):
             pads.append((total // 2, total - total // 2))
         pads.append((0, 0))
         x = jnp.pad(x, pads)
+    elif padding != "VALID":
+        # explicit per-axis (low, high) pairs (torch-style symmetric
+        # padding differs from SAME at stride > 1)
+        x = jnp.pad(x, [(0, 0)] + [tuple(p) for p in padding] + [(0, 0)])
     b, d, h, ww_, _ = x.shape
     od = (d - kd) // strides[0] + 1
     oh = (h - kh) // strides[1] + 1
@@ -139,7 +144,8 @@ class TpuConv(_nn.Module):
     features: int
     kernel_size: tuple
     strides: tuple = None
-    padding: str = "SAME"
+    # "SAME" | "VALID" | tuple of per-axis (low, high) pairs
+    padding: Any = "SAME"
     use_bias: bool = True
 
     @_nn.compact

@@ -706,3 +706,351 @@ def test_dino_sinkhorn_parity(torch):
         theirs = ref.sinkhorn_knopp_teacher(torch.from_numpy(scores)).numpy()
     ours = np.asarray(sinkhorn_knopp(scores, n_iter=3, eps=0.05))
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Weight-transfer forward parity: REFERENCE UNet weights -> our UNet
+# (interop/torch_unet.py). Same weights => same outputs is the strongest
+# evidence for the Dice-within-1% axis: any downstream metric computed
+# from identical predictions is identical.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_unet_mod():
+    return _ref_module("adell_mri.modules.segmentation.unet")
+
+
+@pytest.mark.parametrize(
+    "link_type,upscale_type,norm,extras",
+    [
+        ("identity", "upsample", "instance", {}),
+        ("conv", "transpose", "instance", {}),
+        ("identity", "upsample", "batch", {}),
+        (
+            "conv",
+            "upsample",
+            "instance",
+            {"bottleneck_classification": True, "feature_conditioning": 2},
+        ),
+    ],
+)
+def test_unet_weight_transfer_forward_parity(
+    ref_unet_mod, torch, link_type, upscale_type, norm, extras
+):
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import import_reference_unet_state_dict
+    from adell_mri_tpu.models.segmentation.unet import UNet
+
+    depth = [4, 8, 16]
+    torch.manual_seed(42)
+    feature_conditioning = extras.get("feature_conditioning")
+    fc_params = None
+    if feature_conditioning:
+        fc_params = {
+            "mean": torch.tensor([1.0, -0.5]),
+            "std": torch.tensor([2.0, 0.5]),
+        }
+    ref = ref_unet_mod.UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type=link_type,
+        upscale_type=upscale_type,
+        interpolation="trilinear",
+        norm_type=norm,
+        dropout_type="dropout",
+        dropout_param=0.0,
+        activation_fn=torch.nn.PReLU,
+        in_channels=1,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+        bottleneck_classification=extras.get(
+            "bottleneck_classification", False
+        ),
+        feature_conditioning=feature_conditioning,
+        feature_conditioning_params=fc_params,
+    )
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 1, 16, 16, 8)).astype(np.float32)
+    feats = None
+    if feature_conditioning:
+        feats = rng.normal(size=(2, feature_conditioning)).astype(np.float32)
+
+    if norm == "batch":
+        # push the running stats away from (0, 1) so the transfer of
+        # running_mean/var is actually exercised
+        ref.train()
+        with torch.no_grad():
+            ref(torch.from_numpy(x))
+    ref.eval()
+    with torch.no_grad():
+        if feature_conditioning:
+            out = ref(
+                torch.from_numpy(x),
+                X_feature_conditioning=torch.from_numpy(feats),
+            )
+        else:
+            out = ref(torch.from_numpy(x))
+    ref_pred = out[0].numpy()
+    ref_bn = out[1].numpy() if out[1] is not None else None
+
+    sd = {k: v.detach().cpu().numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_unet_state_dict(
+        sd,
+        depth=depth,
+        link_type=link_type,
+        upscale_type=upscale_type,
+        norm_type=norm,
+        activation_fn="prelu",
+        bottleneck_classification=extras.get(
+            "bottleneck_classification", False
+        ),
+        feature_conditioning=feature_conditioning,
+    )
+    ours = UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type=link_type,
+        upscale_type=upscale_type,
+        interpolation="linear",
+        norm_type=norm,
+        dropout_param=0.0,
+        activation_fn="prelu",
+        in_channels=1,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+        bottleneck_classification=extras.get(
+            "bottleneck_classification", False
+        ),
+        feature_conditioning=feature_conditioning,
+        feature_conditioning_params=imported.get(
+            "feature_conditioning_params"
+        ),
+    )
+    x_cl = np.transpose(x, (0, 2, 3, 4, 1))  # NCDHW -> NDHWC
+    variables = {"params": imported["params"]}
+    if "batch_stats" in imported:
+        variables["batch_stats"] = imported["batch_stats"]
+
+    # shape-compatibility check against a fresh init: the imported tree
+    # must match the model's own param structure exactly
+    init_vars = ours.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(x_cl),
+        x_feature_conditioning=(
+            jnp.asarray(feats) if feats is not None else None
+        ),
+        train=False,
+    )
+    ref_shapes = jax.tree.map(jnp.shape, init_vars["params"])
+    got_shapes = jax.tree.map(np.shape, imported["params"])
+    assert ref_shapes == got_shapes
+
+    call_kwargs = {}
+    if feats is not None:
+        call_kwargs["x_feature_conditioning"] = jnp.asarray(feats)
+    out = ours.apply(
+        variables, jnp.asarray(x_cl), train=False, **call_kwargs
+    )
+    our_pred = np.transpose(np.asarray(out[0]), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_pred, ref_pred, atol=2e-5)
+    if ref_bn is not None:
+        np.testing.assert_allclose(
+            np.asarray(out[1]), ref_bn, atol=2e-5
+        )
+
+
+@pytest.mark.parametrize("with_heads", [False, True])
+def test_resnet_weight_transfer_forward_parity(torch, with_heads):
+    """Reference ResNetBackbone / ResNet -> our modules on the SAME
+    weights (interop/torch_resnet.py). This is the SSL-pretrained-encoder
+    migration path (ref entrypoints/segmentation/train.py:659-719)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import (
+        import_reference_resnet,
+        import_reference_resnet_backbone,
+    )
+    from adell_mri_tpu.models.layers.adn import get_adn_fn
+    from adell_mri_tpu.models.layers.res_net import ResNet, ResNetBackbone
+
+    ref_rn = _ref_module("adell_mri.modules.layers.res_net")
+    ref_adn = _ref_module("adell_mri.modules.layers.adn_fn")
+
+    structure = [(4, 4, 3, 1), (8, 8, 3, 2)]
+    adn_t = ref_adn.get_adn_fn(3, "instance", "prelu", 0.0)
+    adn_j = get_adn_fn(3, "instance", "prelu", 0.0)
+    torch.manual_seed(11)
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(2, 1, 16, 16, 8)).astype(np.float32)
+    x_cl = np.transpose(x, (0, 2, 3, 4, 1))
+
+    if not with_heads:
+        ref = ref_rn.ResNetBackbone(3, 1, structure, adn_fn=adn_t)
+        ref.eval()
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x)).numpy()
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        imported = import_reference_resnet_backbone(
+            sd, structure=structure, norm_type="instance"
+        )
+        ours = ResNetBackbone(structure=structure, adn_fn=adn_j)
+        init = ours.init(jax.random.PRNGKey(0), jnp.asarray(x_cl))
+        assert jax.tree.map(jnp.shape, init["params"]) == jax.tree.map(
+            np.shape, imported["params"]
+        )
+        y = ours.apply(
+            {"params": imported["params"]}, jnp.asarray(x_cl)
+        )
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(y), (0, 4, 1, 2, 3)), y_ref, atol=2e-5
+        )
+    else:
+        proj = [8, 6, 4]
+        pred = [4, 4]
+        # heads use a 1-d ADN (a spatial-dim norm crashes the
+        # reference's own ProjectionHead on [B, F] inputs); "layer" also
+        # exercises the trailing-norm mapping
+        adn_h_t = ref_adn.get_adn_fn(1, "layer", "prelu", 0.0)
+        ref = ref_rn.ResNet(
+            backbone_args=dict(
+                spatial_dim=3,
+                in_channels=1,
+                structure=structure,
+                adn_fn=adn_t,
+            ),
+            projection_head_args=dict(
+                in_channels=8, structure=proj, adn_fn=adn_h_t
+            ),
+            prediction_head_args=dict(
+                in_channels=4, structure=pred, adn_fn=adn_h_t
+            ),
+        )
+        ref.eval()
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x), ret="prediction").numpy()
+        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        imported = import_reference_resnet(
+            sd,
+            structure=structure,
+            projection_head_structure=proj,
+            prediction_head_structure=pred,
+            norm_type="instance",
+            head_norm_type="layer",
+        )
+        ours = ResNet(
+            backbone_structure=structure,
+            adn_fn=adn_j,
+            head_adn_fn=get_adn_fn(1, "layer", "prelu", 0.0),
+            projection_head_structure=proj,
+            prediction_head_structure=pred,
+        )
+        init = ours.init(jax.random.PRNGKey(0), jnp.asarray(x_cl))
+        assert jax.tree.map(jnp.shape, init["params"]) == jax.tree.map(
+            np.shape, imported["params"]
+        )
+        y = ours.apply(
+            {"params": imported["params"]},
+            jnp.asarray(x_cl),
+            ret="prediction",
+        )
+        # deep stack + LayerNorm: pure f32 accumulation-order noise
+        np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-5)
+
+
+def test_unet_weight_transfer_gradient_parity(ref_unet_mod, torch):
+    """Training-dynamics parity: with the SAME weights and input, d(mean
+    prediction)/d(params) matches the reference parameter-for-parameter.
+    The torch gradient dict is pushed through the SAME state-dict mapper
+    (every mapping op — transpose/flip/slice — is linear, so it maps
+    gradients exactly as it maps weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import import_reference_unet_state_dict
+    from adell_mri_tpu.models.segmentation.unet import UNet
+
+    depth = [4, 8, 16]
+    torch.manual_seed(21)
+    ref = ref_unet_mod.UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type="identity",
+        upscale_type="upsample",
+        interpolation="trilinear",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn=torch.nn.PReLU,
+        in_channels=1,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    ref.eval()
+    rng = np.random.default_rng(17)
+    x = rng.normal(size=(1, 1, 16, 16, 8)).astype(np.float32)
+    out = ref(torch.from_numpy(x))[0]
+    out.mean().backward()
+    torch_grads = {
+        k: p.grad.detach().numpy()
+        for k, p in ref.named_parameters()
+        if p.grad is not None
+    }
+
+    kwargs = dict(
+        depth=depth,
+        link_type="identity",
+        upscale_type="upsample",
+        norm_type="instance",
+        activation_fn="prelu",
+    )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_unet_state_dict(sd, **kwargs)
+    want_grads = import_reference_unet_state_dict(
+        torch_grads, **kwargs
+    )["params"]
+
+    model = UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type="identity",
+        upscale_type="upsample",
+        interpolation="linear",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn="prelu",
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    x_cl = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+
+    def loss(params):
+        pred, _ = model.apply({"params": params}, x_cl)
+        return jnp.mean(pred)
+
+    got_grads = jax.grad(loss)(
+        jax.tree.map(jnp.asarray, imported["params"])
+    )
+    # leafwise compare against the GLOBAL gradient scale: biases feeding
+    # an instance norm have mathematically ZERO gradient (the norm
+    # subtracts them exactly), so both frameworks emit uncorrelated
+    # numerical residue there — per-leaf relative tolerance would compare
+    # noise to noise. Kernel/slope grads match to ~2e-7 relative.
+    want_leaves, treedef_w = jax.tree_util.tree_flatten(want_grads)
+    got_leaves, treedef_g = jax.tree_util.tree_flatten(
+        jax.tree.map(np.asarray, got_grads)
+    )
+    assert treedef_w == treedef_g
+    gscale = max(np.abs(w).max() for w in want_leaves)
+    for w, g in zip(want_leaves, got_leaves):
+        assert np.abs(g - w).max() <= 2e-4 * gscale
