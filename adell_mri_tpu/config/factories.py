@@ -184,7 +184,11 @@ def get_classification_network(
             res_type=res_type,
             batch_ensemble=cfg.get("batch_ensemble", 0),
             norm_type=cfg.get("norm_type", "batch"),
+            # ref factory default when the YAML has no act key
+            # (network_factories.py:182-186)
+            act_fn=cfg.get("act_fn", cfg.get("activation_fn", "swish")),
             dropout_param=cfg.get("dropout_param", 0.0),
+            classification_structure=cfg.get("classification_structure"),
             gp_head=bool(cfg.get("gaussian_process", False)),
         )
     elif net_type == "ord":

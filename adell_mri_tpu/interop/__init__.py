@@ -1,4 +1,5 @@
 from adell_mri_tpu.interop.torch_resnet import (  # noqa: F401
+    import_reference_catnet,
     import_reference_resnet,
     import_reference_resnet_backbone,
 )

@@ -209,3 +209,70 @@ def import_reference_resnet(
     if batch_stats:
         result["batch_stats"] = batch_stats
     return result
+
+
+def import_reference_catnet(
+    state_dict: Mapping[str, np.ndarray],
+    *,
+    resnet_structure: Sequence[Tuple[int, int, int, int]],
+    classification_structure: Optional[Sequence[int]] = None,
+    norm_type: str = "batch",
+    activation_fn: str = "prelu",
+    strict: bool = True,
+) -> Dict[str, Any]:
+    """
+    Reference ``CatNet`` (classification/classification.py:263 — ResNet
+    backbone under ``res_net.`` plus a batch/gelu MLP head under
+    ``classification_layer.0``) -> our ``CatNet``. The reference registers
+    the backbone twice (``res_net`` and the ``feature_extraction`` alias,
+    classification.py:357-358); the duplicate key set is dropped.
+
+    NOTE on defaults: the reference's in-module default ADN act is PReLU
+    (adn_fn.py), but its network FACTORY passes act "swish" unless the
+    YAML overrides (network_factories.py:182-192) — pass whichever the
+    checkpoint was trained with.
+    """
+    sd = {
+        k: v
+        for k, v in state_dict.items()
+        if not k.startswith("feature_extraction.")
+    }
+    out = import_reference_resnet_backbone(
+        sd,
+        structure=resnet_structure,
+        norm_type=norm_type,
+        activation_fn=activation_fn,
+        torch_prefix="res_net.",
+        strict=False,
+    )
+    params: Dict[str, Any] = {"ResNetBackbone_0": out["params"]}
+    batch_stats: Dict[str, Any] = (
+        {"ResNetBackbone_0": out["batch_stats"]}
+        if "batch_stats" in out
+        else {}
+    )
+
+    last = resnet_structure[-1][0]
+    hidden = list(classification_structure or [last] * 3)
+    # head ADN is fixed at (batch, gelu, 0.1)
+    # (init_classification_layer :381)
+    m = _Mapper(sd, "batch", "gelu", strict)
+    for k in list(m.sd):
+        if k.startswith("res_net."):
+            m.used.add(k)
+    # MLP op layout (linear_blocks.py:83-101): Linear/adn pairs for the
+    # hidden layers, then the final Linear
+    for i in range(len(hidden)):
+        m.linear(f"classification_layer.0.op.{2 * i}", (f"Dense_{i}",))
+        m.adn(f"classification_layer.0.op.{2 * i + 1}", (f"ActDropNorm_{i}",))
+    m.linear(
+        f"classification_layer.0.op.{2 * len(hidden)}",
+        (f"Dense_{len(hidden)}",),
+    )
+    params.update(m.params)
+    if m.batch_stats:
+        batch_stats.update(m.batch_stats)
+    result: Dict[str, Any] = {"params": params}
+    if batch_stats:
+        result["batch_stats"] = batch_stats
+    return result

@@ -23,6 +23,7 @@ from adell_mri_tpu.models.layers.blocks import (
     MLP,
     VGGConvolution,
     _tuple,
+    apply_adn,
 )
 from adell_mri_tpu.models.layers.res_net import ResNetBackbone
 from adell_mri_tpu.models.layers.vit import (
@@ -44,6 +45,9 @@ class VGG(nn.Module):
     first_depth: int = 16
     n_blocks: int = 4
     norm_type: str = "batch"
+    # ref head: GlobalPooling(max) + MLP([512]*3, batch/gelu/0.1 ADN)
+    # (classification.py:209-216)
+    classification_structure: Sequence[int] = (512, 512, 512)
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_features: bool = False):
@@ -55,9 +59,11 @@ class VGG(nn.Module):
         feats = GlobalPooling()(x)
         if return_features:
             return feats
-        y = nn.Dense(feats.shape[-1])(feats)
-        y = nn.relu(y)
-        return nn.Dense(_out_features(self.n_classes))(y)
+        return MLP(
+            hidden_dims=tuple(self.classification_structure),
+            out_dim=_out_features(self.n_classes),
+            adn_fn=get_adn_fn(1, "batch", "gelu", 0.1),
+        )(feats, train=train)
 
 
 class CatNet(nn.Module):
@@ -77,8 +83,12 @@ class CatNet(nn.Module):
     res_type: str = "resnet"
     batch_ensemble: int = 0
     norm_type: str = "batch"
-    act_fn: str = "relu"
+    act_fn: str = "swish"  # ref factory default (network_factories.py:186)
     dropout_param: float = 0.0
+    # classifier MLP hidden structure; None -> [last_size] * 3 with a
+    # (batch, gelu, 0.1) 1-d ADN, the reference's head
+    # (init_classification_layer, classification.py:370-384)
+    classification_structure: Optional[Sequence[int]] = None
     feature_extraction: bool = False
     # SNGP-style GP output head (parity: layers/gaussian_process.py:13 +
     # post-fit covariance, classification/pl.py:381-392)
@@ -113,8 +123,16 @@ class CatNet(nn.Module):
         if return_features or self.feature_extraction:
             return feats
         d = feats.shape[-1]
-        y = nn.Dense(d)(feats)
-        y = nn.relu(y)
+        hidden = (
+            list(self.classification_structure)
+            if self.classification_structure is not None
+            else [d] * 3
+        )
+        head_adn = get_adn_fn(1, "batch", "gelu", 0.1)
+        y = feats
+        for h in hidden:
+            y = nn.Dense(h)(y)
+            y = apply_adn(head_adn(h), y, train)
         if self.gp_head:
             from adell_mri_tpu.models.layers.gaussian_process import (
                 GaussianProcessLayer,

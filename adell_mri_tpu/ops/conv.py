@@ -109,13 +109,27 @@ def _im2col_patch_bytes(x_shape, k, strides, dtype):
     return voxels * k[0] * k[1] * k[2] * x_shape[4] * jnp.dtype(dtype).itemsize
 
 
+_DEFAULT_BACKEND = None
+
+
+def _tpu_backend() -> bool:
+    global _DEFAULT_BACKEND
+    if _DEFAULT_BACKEND is None:
+        _DEFAULT_BACKEND = jax.default_backend()
+    return _DEFAULT_BACKEND not in ("cpu", "gpu")
+
+
 def _pick_lowering(x, k, strides):
     """auto: im2col when its patch tensor fits the budget (it beat XLA's
     3D-conv tiling at every UNet hot shape, up to 4.5x —
-    benchmarks/benchmark_conv3d.py / BASELINE.md), else xla."""
+    benchmarks/benchmark_conv3d.py / BASELINE.md), else xla. The win is a
+    TPU MXU-tiling property: on CPU/GPU the materialized k^3 patch tensor
+    is pure overhead, so auto only fires on TPU-like backends."""
     env = os.environ.get("ADELL_CONV_LOWERING", "auto")
     if env in ("xla", "im2col"):
         return env
+    if not _tpu_backend():
+        return "xla"
     if _im2col_patch_bytes(x.shape, k, strides, x.dtype) <= _IM2COL_MAX_BYTES:
         return "im2col"
     return "xla"

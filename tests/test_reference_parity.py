@@ -1054,3 +1054,119 @@ def test_unet_weight_transfer_gradient_parity(ref_unet_mod, torch):
     gscale = max(np.abs(w).max() for w in want_leaves)
     for w, g in zip(want_leaves, got_leaves):
         assert np.abs(g - w).max() <= 2e-4 * gscale
+
+
+def test_catnet_weight_transfer_forward_parity(torch):
+    """Reference CatNet (ResNet backbone + batch/gelu MLP head) -> our
+    CatNet on the SAME weights — the classification-AUC-parity migration
+    path (interop.import_reference_catnet)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import import_reference_catnet
+    from adell_mri_tpu.models.classification.nets import CatNet
+
+    # classification.py imports segmentation.unet; stub that package
+    # chain first (its real __init__ pulls lightning)
+    _ref_module("adell_mri.modules.segmentation.unet")
+    ref_c = _ref_module(
+        "adell_mri.modules.classification.classification.classification"
+    )
+    ref_adn = _ref_module("adell_mri.modules.layers.adn_fn")
+
+    structure = [(4, 4, 3, 1), (8, 8, 3, 2)]
+    torch.manual_seed(23)
+    ref = ref_c.CatNet(
+        spatial_dimensions=3,
+        in_channels=1,
+        n_classes=2,
+        resnet_structure=structure,
+        maxpool_structure=[2, 2],
+        adn_fn=ref_adn.get_adn_fn(3, "instance", "prelu", 0.0),
+    )
+    ref.eval()
+    rng = np.random.default_rng(29)
+    x = rng.normal(size=(2, 1, 16, 16, 8)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_catnet(
+        sd, resnet_structure=structure, norm_type="instance"
+    )
+    ours = CatNet(
+        spatial_dimensions=3,
+        n_classes=2,
+        resnet_structure=structure,
+        maxpool_structure=[2, 2],
+        norm_type="instance",
+        act_fn="prelu",
+        dropout_param=0.0,
+    )
+    x_cl = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+    init = ours.init(jax.random.PRNGKey(0), x_cl)
+    assert jax.tree.map(jnp.shape, init["params"]) == jax.tree.map(
+        np.shape, imported["params"]
+    )
+    variables = {"params": imported["params"]}
+    if "batch_stats" in imported:
+        variables["batch_stats"] = imported["batch_stats"]
+    y = ours.apply(variables, x_cl, train=False)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=5e-5)
+
+
+def test_optimizer_trajectory_parity(torch):
+    """optax chains built by train/optim.get_optimizer follow torch's
+    update trajectories (SGD-nesterov is the segmentation default,
+    segmentation/pl.py:526-564; AdamW the SSL default, self_supervised/
+    pl.py:213). Quadratic objective, 6 steps, identical starts."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from adell_mri_tpu.train.optim import get_optimizer
+
+    rng = np.random.default_rng(31)
+    w0 = rng.normal(size=(5, 3)).astype(np.float32)
+    target = rng.normal(size=(5, 3)).astype(np.float32)
+
+    for name, torch_ctor in [
+        (
+            "sgd",
+            lambda p: torch.optim.SGD(
+                p,
+                lr=0.05,
+                momentum=0.99,
+                nesterov=True,
+                weight_decay=0.005,
+            ),
+        ),
+        (
+            "adamw",
+            lambda p: torch.optim.AdamW(p, lr=0.05, weight_decay=0.005),
+        ),
+    ]:
+        wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt_t = torch_ctor([wt])
+        tgt = torch.from_numpy(target)
+        for _ in range(6):
+            opt_t.zero_grad()
+            ((wt - tgt) ** 2).mean().backward()
+            opt_t.step()
+
+        tx = get_optimizer(
+            name, learning_rate=0.05, momentum=0.99, weight_decay=0.005
+        )
+        wj = {"w": jnp.asarray(w0.copy())}
+        state = tx.init(wj)
+        tj = jnp.asarray(target)
+        gfn = jax.grad(lambda p: jnp.mean((p["w"] - tj) ** 2))
+        for _ in range(6):
+            upd, state = tx.update(gfn(wj), state, wj)
+            wj = optax.apply_updates(wj, upd)
+        np.testing.assert_allclose(
+            np.asarray(wj["w"]),
+            wt.detach().numpy(),
+            atol=1e-5,
+            err_msg=name,
+        )
