@@ -39,7 +39,10 @@ class _Mapper:
         activation_fn: str,
         strict: bool,
     ):
-        self.sd = {k: np.asarray(v) for k, v in sd.items()}
+        # COPY: tensor.detach().numpy() aliases live torch parameter
+        # storage — without a copy, later in-place optimizer steps on the
+        # source model would silently mutate the imported tree
+        self.sd = {k: np.array(v) for k, v in sd.items()}
         self.norm_type = norm_type
         self.activation_fn = activation_fn
         self.strict = strict

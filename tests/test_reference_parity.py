@@ -1170,3 +1170,113 @@ def test_optimizer_trajectory_parity(torch):
             atol=1e-5,
             err_msg=name,
         )
+
+
+def test_training_trajectory_parity(ref_unet_mod, torch):
+    """The north-star capstone: starting from the SAME weights (via the
+    interop transfer), feeding the SAME batches, optimizing the SAME loss
+    (the reference's own binary focal, executed from /root/reference on
+    the torch side and our jnp twin on ours) with the SAME SGD-nesterov
+    optimizer, the two frameworks' per-step training losses track each
+    other — identical training dynamics imply Dice parity at any epoch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from adell_mri_tpu.interop import import_reference_unet_state_dict
+    from adell_mri_tpu.models.segmentation.losses import binary_focal_loss
+    from adell_mri_tpu.models.segmentation.unet import UNet
+
+    ref_losses = _ref_module("adell_mri.modules.segmentation.losses")
+
+    depth = [4, 8, 16]
+    torch.manual_seed(33)
+    ref = ref_unet_mod.UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type="identity",
+        upscale_type="upsample",
+        interpolation="trilinear",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn=torch.nn.PReLU,
+        in_channels=1,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    ref.eval()  # dropout is 0 anyway; keeps norm semantics fixed
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_unet_state_dict(
+        sd,
+        depth=depth,
+        link_type="identity",
+        upscale_type="upsample",
+        norm_type="instance",
+        activation_fn="prelu",
+    )
+
+    rng = np.random.default_rng(41)
+    n_steps = 8
+    xs = rng.normal(size=(n_steps, 2, 1, 16, 16, 8)).astype(np.float32)
+    ys = (
+        rng.uniform(size=(n_steps, 2, 1, 16, 16, 8)) > 0.7
+    ).astype(np.float32)
+
+    lr, mom = 0.05, 0.9
+
+    # ---- torch side: reference model + reference loss ----
+    opt = torch.optim.SGD(
+        ref.parameters(), lr=lr, momentum=mom, nesterov=True
+    )
+    t_losses = []
+    for i in range(n_steps):
+        opt.zero_grad()
+        pred = ref(torch.from_numpy(xs[i]))[0]
+        loss = ref_losses.binary_focal_loss(
+            pred, torch.from_numpy(ys[i]), alpha=1.0, gamma=2.0
+        ).mean()
+        loss.backward()
+        opt.step()
+        t_losses.append(float(loss))
+
+    # ---- ours: transferred weights + jnp twin loss ----
+    model = UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type="identity",
+        upscale_type="upsample",
+        interpolation="linear",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn="prelu",
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    params = jax.tree.map(jnp.asarray, imported["params"])
+    tx = optax.sgd(lr, momentum=mom, nesterov=True)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            pred, _ = model.apply({"params": p}, x)
+            return jnp.mean(
+                binary_focal_loss(pred[..., 0], y[..., 0], alpha=1.0, gamma=2.0)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    j_losses = []
+    for i in range(n_steps):
+        x_cl = jnp.asarray(np.transpose(xs[i], (0, 2, 3, 4, 1)))
+        y_cl = jnp.asarray(np.transpose(ys[i], (0, 2, 3, 4, 1)))
+        params, opt_state, loss = step(params, opt_state, x_cl, y_cl)
+        j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3)
