@@ -238,6 +238,7 @@ class ViTClassifier(nn.Module):
     n_heads: int = 4
     dropout_param: float = 0.0
     use_class_token: bool = True
+    use_seq_pool: bool = False
     moe_experts: int = 0
 
     @nn.compact
@@ -251,8 +252,21 @@ class ViTClassifier(nn.Module):
             use_class_token=self.use_class_token,
             moe_experts=self.moe_experts,
         )(x, train=train)
-        feats = tokens[:, 0] if self.use_class_token else SeqPool()(tokens)
-        return nn.Dense(_out_features(self.n_classes))(feats)
+        # ref pooling order: seq-pool > class token > token mean
+        # (classification.py:782-787)
+        if self.use_seq_pool:
+            feats = SeqPool()(tokens)
+        elif self.use_class_token:
+            feats = tokens[:, 0]
+        else:
+            feats = jnp.mean(tokens, axis=1)
+        # ref head: one-hidden-layer MLP with (layer, gelu) ADN
+        # (classification.py:741-748)
+        return MLP(
+            hidden_dims=(self.embed_dim,),
+            out_dim=_out_features(self.n_classes),
+            adn_fn=get_adn_fn(1, "layer", "gelu", 0.0),
+        )(feats, train=train)
 
 
 class FactorizedViTClassifier(nn.Module):
@@ -274,7 +288,11 @@ class FactorizedViTClassifier(nn.Module):
             n_heads=self.n_heads,
             dropout=self.dropout_param,
         )(x, train=train)
-        return nn.Dense(_out_features(self.n_classes))(tokens[:, 0])
+        return MLP(
+            hidden_dims=(self.embed_dim,),
+            out_dim=_out_features(self.n_classes),
+            adn_fn=get_adn_fn(1, "layer", "gelu", 0.0),
+        )(tokens[:, 0], train=train)
 
 
 class TabularClassifier(nn.Module):
