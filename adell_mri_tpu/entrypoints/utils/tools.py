@@ -641,12 +641,13 @@ def test_exported_model(argv):
 
 def import_torch_checkpoint(argv):
     """
-    Migration path from the reference: converts a torch/Lightning U-Net
-    checkpoint saved by adell-mri (reference unet.py:31; Lightning wraps
-    the same module, segmentation/pl.py:668) into an orbax checkpoint +
-    metadata.json consumable by ``segmentation test|predict`` here.
+    Migration path from the reference: converts a torch/Lightning
+    checkpoint saved by adell-mri (UNet — reference unet.py:31 /
+    segmentation/pl.py:668 — or CatNet, classification.py:263) into an
+    orbax checkpoint + metadata.json consumable by
+    ``segmentation test|predict`` / ``classification test|predict`` here.
     Weight-transfer parity is exact (tests/test_reference_parity.py::
-    test_unet_weight_transfer_forward_parity).
+    test_*_weight_transfer_forward_parity).
     """
     p = argparse.ArgumentParser(prog="adell utils import_torch_checkpoint")
     p.add_argument("--input_path", required=True,
@@ -655,11 +656,16 @@ def import_torch_checkpoint(argv):
     p.add_argument("--config_file", required=True,
                    help="network YAML (same file the model was trained "
                         "with: depth/conv_type/link_type/...)")
+    p.add_argument("--net_type", default="unet", choices=["unet", "cat"])
     p.add_argument("--checkpoint_dir", required=True)
-    p.add_argument("--checkpoint_name", default="segmentation")
+    p.add_argument("--checkpoint_name", default=None,
+                   help="defaults to 'segmentation' / 'classification' "
+                        "by net type")
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--image_keys", nargs="+", required=True)
     p.add_argument("--mask_keys", nargs="+", default=["mask"])
+    p.add_argument("--label_key", default="label",
+                   help="classification label key (net_type=cat)")
     p.add_argument("--target_spacing", nargs="+", type=float, default=None)
     p.add_argument("--target_size", nargs="+", type=int, required=True)
     p.add_argument("--n_classes", type=int, default=2)
@@ -675,9 +681,15 @@ def import_torch_checkpoint(argv):
 
     use_device(args.dev)
 
-    from adell_mri_tpu.config.factories import get_segmentation_network
+    from adell_mri_tpu.config.factories import (
+        get_classification_network,
+        get_segmentation_network,
+    )
     from adell_mri_tpu.config.parsing import load_yaml
-    from adell_mri_tpu.interop import import_reference_unet_state_dict
+    from adell_mri_tpu.interop import (
+        import_reference_catnet,
+        import_reference_unet_state_dict,
+    )
     from adell_mri_tpu.train.checkpoints import CheckpointManager
 
     payload = torch.load(
@@ -696,20 +708,37 @@ def import_torch_checkpoint(argv):
     }
 
     cfg = load_yaml(args.config_file)
-    imported = import_reference_unet_state_dict(
-        sd,
-        depth=cfg.get("depth", (16, 32, 64)),
-        conv_type=cfg.get("conv_type", "regular"),
-        link_type=cfg.get("link_type", "identity"),
-        upscale_type=cfg.get("upscale_type", "upsample"),
-        norm_type=cfg.get("norm_type", "batch"),
-        activation_fn=cfg.get("activation_fn", "prelu"),
-        deep_supervision=cfg.get("deep_supervision", False),
-        bottleneck_classification=cfg.get(
-            "bottleneck_classification", False
-        ),
-        feature_conditioning=cfg.get("feature_conditioning"),
-    )
+    cfg = cfg.get("network", cfg)
+    if args.net_type == "cat":
+        imported = import_reference_catnet(
+            sd,
+            resnet_structure=[
+                tuple(s)
+                for s in cfg.get(
+                    "resnet_structure", ((64, 128, 5, 2), (128, 256, 3, 5))
+                )
+            ],
+            classification_structure=cfg.get("classification_structure"),
+            norm_type=cfg.get("norm_type", "batch"),
+            activation_fn=cfg.get(
+                "act_fn", cfg.get("activation_fn", "swish")
+            ),
+        )
+    else:
+        imported = import_reference_unet_state_dict(
+            sd,
+            depth=cfg.get("depth", (16, 32, 64)),
+            conv_type=cfg.get("conv_type", "regular"),
+            link_type=cfg.get("link_type", "identity"),
+            upscale_type=cfg.get("upscale_type", "upsample"),
+            norm_type=cfg.get("norm_type", "batch"),
+            activation_fn=cfg.get("activation_fn", "prelu"),
+            deep_supervision=cfg.get("deep_supervision", False),
+            bottleneck_classification=cfg.get(
+                "bottleneck_classification", False
+            ),
+            feature_conditioning=cfg.get("feature_conditioning"),
+        )
     if "batch_stats" in imported:
         print(
             "WARNING: checkpoint carries BatchNorm running statistics; "
@@ -725,18 +754,25 @@ def import_torch_checkpoint(argv):
         }
 
     # structural validation against a fresh init at the declared config
-    model = get_segmentation_network("unet", cfg, n_classes=args.n_classes)
     size = tuple(args.target_size)
     x0 = np.zeros((1,) + size + (len(args.image_keys),), np.float32)
     init_kwargs = {}
-    if cfg.get("feature_conditioning"):
-        init_kwargs["x_feature_conditioning"] = np.zeros(
-            (1, cfg["feature_conditioning"]), np.float32
+    if args.net_type == "cat":
+        model = get_classification_network(
+            "cat", cfg, n_classes=args.n_classes
         )
-    if cfg.get("skip_conditioning"):
-        init_kwargs["x_skip_layer"] = np.zeros(
-            (1,) + size + (cfg["skip_conditioning"],), np.float32
+    else:
+        model = get_segmentation_network(
+            "unet", cfg, n_classes=args.n_classes
         )
+        if cfg.get("feature_conditioning"):
+            init_kwargs["x_feature_conditioning"] = np.zeros(
+                (1, cfg["feature_conditioning"]), np.float32
+            )
+        if cfg.get("skip_conditioning"):
+            init_kwargs["x_skip_layer"] = np.zeros(
+                (1,) + size + (cfg["skip_conditioning"],), np.float32
+            )
     params0 = model.init(
         {"params": jax.random.PRNGKey(0)}, x0, **init_kwargs
     )["params"]
@@ -748,27 +784,46 @@ def import_torch_checkpoint(argv):
             "structure — wrong --config_file for this checkpoint?"
         )
 
+    if args.net_type == "cat":
+        t_args = {
+            "image_keys": list(args.image_keys),
+            "label_key": args.label_key,
+            "target_spacing": args.target_spacing,
+            "target_size": list(size),
+            "resize_size": None,
+            "clinical_feature_keys": [],
+        }
+        extra = {
+            "clinical_feature_means": None,
+            "clinical_feature_stds": None,
+        }
+        default_name = "classification"
+    else:
+        t_args = {
+            "image_keys": list(args.image_keys),
+            "skip_keys": [],
+            "feature_keys": [],
+            "label_keys": list(args.mask_keys),
+            "target_spacing": args.target_spacing,
+            "target_size": list(size),
+            "resize_size": None,
+            "crop_size": None,
+        }
+        extra = {}
+        default_name = "segmentation"
     mngr = CheckpointManager(
         args.checkpoint_dir,
-        name=args.checkpoint_name,
+        name=args.checkpoint_name or default_name,
         fold=args.fold,
         metadata={
             "network_config": cfg,
-            "transform_arguments": {
-                "image_keys": list(args.image_keys),
-                "skip_keys": [],
-                "feature_keys": [],
-                "label_keys": list(args.mask_keys),
-                "target_spacing": args.target_spacing,
-                "target_size": list(size),
-                "resize_size": None,
-                "crop_size": None,
-            },
+            "transform_arguments": t_args,
             "train_pids": [],
             "val_pids": [],
             "n_classes": args.n_classes,
-            "net_type": "unet",
+            "net_type": args.net_type,
             "imported_from": args.input_path,
+            **extra,
         },
         monitor="val_loss",
         mode="min",

@@ -149,7 +149,7 @@ def _cpu_baseline() -> dict:
     return cached
 
 
-def _device_health_check(timeout_s: float = 120.0) -> bool:
+def _device_health_check(timeout_s: float = None) -> bool:
     """
     The remote TPU compile service occasionally wedges (hangs all compiles
     for ~30-60 min; see memory note axon-pallas-quirks). Probe with a tiny
@@ -158,6 +158,11 @@ def _device_health_check(timeout_s: float = 120.0) -> bool:
     """
     import threading
 
+    if timeout_s is None:
+        # 2026-08-17: the compile service has been seen taking 77-525 s
+        # even for tiny programs while still producing correct results —
+        # a 120 s probe would abort a bench that could finish (slowly)
+        timeout_s = float(os.environ.get("ADELL_BENCH_PROBE_TIMEOUT", 420))
     ok = [False]
 
     def probe():
@@ -177,7 +182,8 @@ def main():
 
     if not _device_health_check():
         print(
-            "bench: device unresponsive after 120s (wedged compile tunnel)",
+            "bench: device unresponsive after the probe timeout "
+            "(wedged compile tunnel; raise ADELL_BENCH_PROBE_TIMEOUT?)",
             file=sys.stderr,
         )
         raise SystemExit(2)
