@@ -733,6 +733,7 @@ def ref_unet_mod():
             "instance",
             {"bottleneck_classification": True, "feature_conditioning": 2},
         ),
+        ("identity", "upsample", "instance", {"spatial_dimensions": 2}),
     ],
 )
 def test_unet_weight_transfer_forward_parity(
@@ -745,6 +746,7 @@ def test_unet_weight_transfer_forward_parity(
     from adell_mri_tpu.models.segmentation.unet import UNet
 
     depth = [4, 8, 16]
+    sdim = extras.get("spatial_dimensions", 3)
     torch.manual_seed(42)
     feature_conditioning = extras.get("feature_conditioning")
     fc_params = None
@@ -754,11 +756,11 @@ def test_unet_weight_transfer_forward_parity(
             "std": torch.tensor([2.0, 0.5]),
         }
     ref = ref_unet_mod.UNet(
-        spatial_dimensions=3,
+        spatial_dimensions=sdim,
         conv_type="regular",
         link_type=link_type,
         upscale_type=upscale_type,
-        interpolation="trilinear",
+        interpolation="trilinear" if sdim == 3 else "bilinear",
         norm_type=norm,
         dropout_type="dropout",
         dropout_param=0.0,
@@ -775,7 +777,8 @@ def test_unet_weight_transfer_forward_parity(
         feature_conditioning_params=fc_params,
     )
     rng = np.random.default_rng(7)
-    x = rng.normal(size=(2, 1, 16, 16, 8)).astype(np.float32)
+    spatial = (16, 16, 8) if sdim == 3 else (16, 16)
+    x = rng.normal(size=(2, 1) + spatial).astype(np.float32)
     feats = None
     if feature_conditioning:
         feats = rng.normal(size=(2, feature_conditioning)).astype(np.float32)
@@ -812,7 +815,7 @@ def test_unet_weight_transfer_forward_parity(
         feature_conditioning=feature_conditioning,
     )
     ours = UNet(
-        spatial_dimensions=3,
+        spatial_dimensions=sdim,
         conv_type="regular",
         link_type=link_type,
         upscale_type=upscale_type,
@@ -833,7 +836,8 @@ def test_unet_weight_transfer_forward_parity(
             "feature_conditioning_params"
         ),
     )
-    x_cl = np.transpose(x, (0, 2, 3, 4, 1))  # NCDHW -> NDHWC
+    axes = (0, 2, 3, 4, 1) if sdim == 3 else (0, 2, 3, 1)
+    x_cl = np.transpose(x, axes)  # channels-first -> channels-last
     variables = {"params": imported["params"]}
     if "batch_stats" in imported:
         variables["batch_stats"] = imported["batch_stats"]
@@ -858,7 +862,8 @@ def test_unet_weight_transfer_forward_parity(
     out = ours.apply(
         variables, jnp.asarray(x_cl), train=False, **call_kwargs
     )
-    our_pred = np.transpose(np.asarray(out[0]), (0, 4, 1, 2, 3))
+    inv = (0, 4, 1, 2, 3) if sdim == 3 else (0, 3, 1, 2)
+    our_pred = np.transpose(np.asarray(out[0]), inv)
     np.testing.assert_allclose(our_pred, ref_pred, atol=2e-5)
     if ref_bn is not None:
         np.testing.assert_allclose(
