@@ -98,6 +98,12 @@ def get_segmentation_network(
             feature_size=cfg.get("feature_size", 16),
             norm_type=cfg.get("norm_type", "instance"),
             dropout_param=cfg.get("dropout_param", 0.0),
+            skip_conditioning=cfg.get("skip_conditioning"),
+            feature_conditioning=cfg.get("feature_conditioning"),
+            bottleneck_classification=cfg.get(
+                "bottleneck_classification", False
+            ),
+            deep_supervision=cfg.get("deep_supervision", False),
         )
     if net_type in ("swin", "monai_swin"):
         # reference configs may give embedding_size as a per-stage list and
@@ -122,6 +128,12 @@ def get_segmentation_network(
             patch_size=tuple(cfg.get("patch_size", (2, 2, 2))),
             norm_type=cfg.get("norm_type", "instance"),
             dropout_param=cfg.get("dropout_param", 0.0),
+            skip_conditioning=cfg.get("skip_conditioning"),
+            feature_conditioning=cfg.get("feature_conditioning"),
+            bottleneck_classification=cfg.get(
+                "bottleneck_classification", False
+            ),
+            deep_supervision=cfg.get("deep_supervision", False),
         )
     raise NotImplementedError(f"segmentation net_type {net_type!r}")
 

@@ -53,6 +53,43 @@ class _DecoderStage(nn.Module):
         return x
 
 
+class _SkipCondition(nn.Module):
+    """The reference UNet's skip conditioning applied to a transformer
+    decoder skip (UNETR/SWINUNet inherit both from UNet — aux-volume
+    concat, forward :796-799, and the two-layer feature gate MLP,
+    :716-740)."""
+
+    dropout_param: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self, skip, x_skip_layer, x_feature_conditioning, train: bool = False
+    ):
+        ndim = skip.ndim - 2
+        if x_skip_layer is not None:
+            cond = resize_like(
+                x_skip_layer, skip.shape[1:-1], method="nearest"
+            )
+            skip = jnp.concatenate([skip, cond], axis=-1)
+        if x_feature_conditioning is not None:
+            d = skip.shape[-1]
+            gate = nn.Dense(d, name="feat_cond")(x_feature_conditioning)
+            gate = apply_adn(
+                get_adn_fn(1, "batch", "swish", self.dropout_param)(d),
+                gate,
+                train,
+            )
+            gate = nn.Dense(d, name="feat_cond_out")(gate)
+            gate = apply_adn(
+                get_adn_fn(1, "batch", "sigmoid", self.dropout_param)(d),
+                gate,
+                train,
+            )
+            gate = gate.reshape((gate.shape[0],) + (1,) * ndim + (d,))
+            skip = skip * gate
+        return skip
+
+
 class UNETR(nn.Module):
     """
     ViT encoder + progressive-deconv skips + conv decoder (parity:
@@ -70,10 +107,25 @@ class UNETR(nn.Module):
     activation_fn: str = "swish"
     dropout_param: float = 0.0
     return_at: Optional[Sequence[int]] = None
+    # full UNet conditioning surface (inherited by the reference's UNETR,
+    # unetr.py:60-64)
+    skip_conditioning: Optional[int] = None
+    feature_conditioning: Optional[int] = None
+    bottleneck_classification: bool = False
+    deep_supervision: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_logits: bool = False):
+    def __call__(
+        self,
+        x,
+        x_skip_layer=None,
+        x_feature_conditioning=None,
+        train: bool = False,
+        return_logits: bool = False,
+    ):
         ndim = x.ndim - 2
+        if x_skip_layer is not None and x_skip_layer.ndim < x.ndim:
+            x_skip_layer = x_skip_layer[..., None]
         spatial = x.shape[1:-1]
         p = tuple(self.patch_size[:ndim])
         grid = [s // pi for s, pi in zip(spatial, p)]
@@ -124,23 +176,49 @@ class UNETR(nn.Module):
             f * (2 ** (n_inter + 1)), _tuple(2, ndim), strides=_tuple(2, ndim)
         )(bottleneck)
         curr = apply_adn(adn(curr.shape[-1]), curr, train)
+        deep_outputs = []
         for i in range(len(skips) - 1, -1, -1):
+            skip = _SkipCondition(
+                self.dropout_param, name=f"cond_{i}"
+            )(skips[i], x_skip_layer, x_feature_conditioning, train=train)
             curr = _DecoderStage(
                 out_channels=max(f * (2**i), f), adn_fn=adn,
                 name=f"dec_{i}",
-            )(curr, skips[i], train=train)
+            )(curr, skip, train=train)
+            deep_outputs.append(curr)
         if curr.shape[1:-1] != spatial:
             curr = resize_like(curr, spatial)
         out_ch = self.n_classes if self.n_classes > 2 else 1
         logits = nn.Conv(out_ch, _tuple(1, ndim))(curr)
-        if return_logits:
-            return logits, None
-        pred = (
+        pred = logits if return_logits else (
             jax.nn.softmax(logits, -1)
             if self.n_classes > 2
             else jax.nn.sigmoid(logits)
         )
-        return pred, None
+        bn_out = None
+        if self.bottleneck_classification:
+            pooled = jnp.max(
+                bottleneck.reshape(
+                    bottleneck.shape[0], -1, bottleneck.shape[-1]
+                ),
+                axis=1,
+            )
+            bn_out = nn.Dense(out_ch, name="bottleneck_classifier")(pooled)
+        if self.deep_supervision:
+            ds = []
+            for i, o in enumerate(deep_outputs):
+                d = o.shape[-1]
+                y = nn.Conv(d, _tuple(3, ndim), name=f"ds_conv_{i}")(o)
+                y = apply_adn(adn(d, name=f"ds_adn_{i}"), y, train)
+                y = nn.Conv(out_ch, _tuple(1, ndim), name=f"ds_out_{i}")(y)
+                y = (
+                    jax.nn.softmax(y, -1)
+                    if self.n_classes > 2
+                    else jax.nn.sigmoid(y)
+                )
+                ds.append(y)
+            return pred, bn_out, ds
+        return pred, bn_out
 
 
 class SWINUNet(nn.Module):
@@ -158,10 +236,23 @@ class SWINUNet(nn.Module):
     norm_type: str = "instance"
     activation_fn: str = "swish"
     dropout_param: float = 0.0
+    skip_conditioning: Optional[int] = None
+    feature_conditioning: Optional[int] = None
+    bottleneck_classification: bool = False
+    deep_supervision: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_logits: bool = False):
+    def __call__(
+        self,
+        x,
+        x_skip_layer=None,
+        x_feature_conditioning=None,
+        train: bool = False,
+        return_logits: bool = False,
+    ):
         ndim = x.ndim - 2
+        if x_skip_layer is not None and x_skip_layer.ndim < x.ndim:
+            x_skip_layer = x_skip_layer[..., None]
         spatial = x.shape[1:-1]
         adn = get_adn_fn(
             ndim, self.norm_type, self.activation_fn, self.dropout_param
@@ -181,20 +272,46 @@ class SWINUNet(nn.Module):
         skips = [z0] + feats[:-1]
 
         curr = bottleneck
+        deep_outputs = []
         for i in range(len(skips) - 1, -1, -1):
+            skip = _SkipCondition(
+                self.dropout_param, name=f"cond_{i}"
+            )(skips[i], x_skip_layer, x_feature_conditioning, train=train)
             curr = _DecoderStage(
                 out_channels=max(skips[i].shape[-1], f), adn_fn=adn,
                 name=f"dec_{i}",
-            )(curr, skips[i], train=train)
+            )(curr, skip, train=train)
+            deep_outputs.append(curr)
         if curr.shape[1:-1] != spatial:
             curr = resize_like(curr, spatial)
         out_ch = self.n_classes if self.n_classes > 2 else 1
         logits = nn.Conv(out_ch, _tuple(1, ndim))(curr)
-        if return_logits:
-            return logits, None
-        pred = (
+        pred = logits if return_logits else (
             jax.nn.softmax(logits, -1)
             if self.n_classes > 2
             else jax.nn.sigmoid(logits)
         )
-        return pred, None
+        bn_out = None
+        if self.bottleneck_classification:
+            pooled = jnp.max(
+                bottleneck.reshape(
+                    bottleneck.shape[0], -1, bottleneck.shape[-1]
+                ),
+                axis=1,
+            )
+            bn_out = nn.Dense(out_ch, name="bottleneck_classifier")(pooled)
+        if self.deep_supervision:
+            ds = []
+            for i, o in enumerate(deep_outputs):
+                d = o.shape[-1]
+                y = nn.Conv(d, _tuple(3, ndim), name=f"ds_conv_{i}")(o)
+                y = apply_adn(adn(d, name=f"ds_adn_{i}"), y, train)
+                y = nn.Conv(out_ch, _tuple(1, ndim), name=f"ds_out_{i}")(y)
+                y = (
+                    jax.nn.softmax(y, -1)
+                    if self.n_classes > 2
+                    else jax.nn.sigmoid(y)
+                )
+                ds.append(y)
+            return pred, bn_out, ds
+        return pred, bn_out

@@ -119,3 +119,40 @@ def test_brunet_missing_branch():
     v = m.init({"params": KEY}, [x, x], w)
     pred, _ = m.apply(v, [x, x], w)
     assert pred.shape == x.shape[:-1] + (1,)
+
+
+@pytest.mark.parametrize("cls_name", ["unetr", "swin"])
+def test_transformer_seg_conditioning_surface(cls_name):
+    """UNETR/SWINUNet carry the full UNet conditioning surface the
+    reference inherits (unetr.py:60-64): skip/feature conditioning,
+    bottleneck head, deep supervision."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.segmentation.unetr import SWINUNet, UNETR
+
+    x = jnp.ones((1, 16, 16, 16, 1))
+    sk = jnp.ones((1, 16, 16, 16, 1))
+    fc = jnp.ones((1, 3))
+    if cls_name == "unetr":
+        m = UNETR(
+            patch_size=(4, 4, 4), embed_dim=32, n_blocks=4, n_heads=2,
+            feature_size=4, skip_conditioning=1, feature_conditioning=3,
+            bottleneck_classification=True, deep_supervision=True,
+        )
+    else:
+        m = SWINUNet(
+            embed_dim=8, depths=(2, 2), n_heads=(2, 2),
+            window_size=(2, 2, 2), patch_size=(2, 2, 2),
+            skip_conditioning=1, feature_conditioning=3,
+            bottleneck_classification=True, deep_supervision=True,
+        )
+    v = m.init(
+        jax.random.PRNGKey(0), x, x_skip_layer=sk, x_feature_conditioning=fc
+    )
+    pred, bn, ds = m.apply(
+        v, x, x_skip_layer=sk, x_feature_conditioning=fc
+    )
+    assert pred.shape == (1, 16, 16, 16, 1)
+    assert bn.shape == (1, 1)
+    assert all(d.shape[0] == 1 and d.shape[-1] == 1 for d in ds)
