@@ -55,6 +55,12 @@ def _unet_kwargs(cfg: Dict[str, Any], n_classes: int) -> Dict[str, Any]:
         feature_conditioning=cfg.get("feature_conditioning"),
         feature_conditioning_params=cfg.get("feature_conditioning_params"),
         deep_supervision=cfg.get("deep_supervision", False),
+        encoder_structure=(
+            tuple(tuple(s) for s in cfg["encoder_structure"])
+            if cfg.get("encoder_structure")
+            else None
+        ),
+        res_type=cfg.get("res_type", "resnet"),
     )
 
 
@@ -72,7 +78,8 @@ def get_segmentation_network(
         kw = _unet_kwargs(cfg, n_classes)
         kw.pop("in_channels", None)
         return BrUNet(n_input_branches=n_input_branches, **{
-            k: v for k, v in kw.items() if k != "encoder_only"
+            k: v for k, v in kw.items()
+            if k not in ("encoder_only", "encoder_structure", "res_type")
         })
     if net_type == "unetpp":
         return UNetPlusPlus(

@@ -208,6 +208,16 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "checkpoint_dir": dict(default="ckpt", help="Checkpoint directory"),
     "checkpoint_name": dict(type=str, default=None, help="Checkpoint ID"),
     "checkpoint": dict(default=None, nargs="+", help="Checkpoint path(s)"),
+    "res_config_file": dict(
+        default=None,
+        help="SSL YAML whose backbone_args define a ResNet encoder for "
+             "the U-Net (ref --res_config_file: depth/strides derived "
+             "from the backbone structure)"),
+    "encoder_checkpoint": dict(
+        default=None, nargs="+",
+        help="SSL-pretrained ResNet checkpoint(s) warm-starting the "
+             "encoder_backbone subtree; torch .pt/.ckpt files route "
+             "through the reference-state-dict importer"),
     "resume_from_last": dict(action="store_true", help="Resume from last checkpoint"),
     "monitor": dict(default="val_loss", help="Metric to monitor"),
     "logger_type": dict(default=None, help="wandb | mlflow | None"),

@@ -127,6 +127,8 @@ ARG_KEYS = [
     "missing_to_empty",
     "remat",
     "checkpoint",
+    "res_config_file",
+    "encoder_checkpoint",
     "exclude_from_state_dict",
     "freeze_regex",
     "not_freeze_regex",
@@ -225,6 +227,29 @@ def main(arguments):
         net_cfg["dropout_param"] = args.dropout_param
     net_cfg["bottleneck_classification"] = args.bottleneck_classification
     net_cfg["deep_supervision"] = args.deep_supervision
+    if args.res_config_file:
+        # ResNet-encoder U-Net from an SSL backbone config (parity: ref
+        # segmentation/train.py:659-719 — depth/kernels/strides derived
+        # from the backbone structure; encoder lives under
+        # encoder_backbone for drop-in SSL warm starts)
+        if args.segmentation_net_type not in (None, "unet"):
+            raise NotImplementedError(
+                "--res_config_file applies to the unet net type "
+                "(the reference rejects unetr/swin too)"
+            )
+        from adell_mri_tpu.config.parsing import load_yaml
+
+        ssl_cfg = load_yaml(args.res_config_file)
+        ba = ssl_cfg.get("backbone_args", ssl_cfg)
+        structure = [tuple(s_) for s_ in ba["structure"]]
+        mpl = ba.get("maxpool_structure", [2] * len(structure))
+        net_cfg["encoder_structure"] = structure
+        net_cfg["depth"] = [structure[0][0]] + [s_[0] for s_ in structure]
+        net_cfg["kernel_sizes"] = [3] * len(net_cfg["depth"])
+        net_cfg["strides"] = [2] + [
+            tuple(m) if isinstance(m, (list, tuple)) else m for m in mpl
+        ]
+        net_cfg["res_type"] = ba.get("res_type", "resnet")
     skip_keys = list(args.skip_keys or [])
     feature_keys = list(args.feature_keys or [])
     if skip_keys:
@@ -457,6 +482,74 @@ def main(arguments):
                     ck_path,
                     len(skipped),
                 )
+        if args.encoder_checkpoint:
+            from adell_mri_tpu.train.checkpoints import load_params_into
+
+            for ck_path in args.encoder_checkpoint:
+                if ck_path.endswith((".pt", ".pth", ".ckpt")):
+                    # reference torch/Lightning SSL checkpoint -> mapped
+                    # straight onto the encoder_backbone subtree
+                    import torch as _torch
+
+                    from adell_mri_tpu.interop import (
+                        import_reference_resnet_backbone,
+                    )
+
+                    payload = _torch.load(
+                        ck_path, map_location="cpu", weights_only=False
+                    )
+                    sd = payload.get("state_dict", payload)
+                    sd = {
+                        k: v.detach().cpu().numpy()
+                        for k, v in sd.items()
+                        if hasattr(v, "detach")
+                    }
+                    prefix = (
+                        "backbone."
+                        if any(k.startswith("backbone.") for k in sd)
+                        else ""
+                    )
+                    enc = import_reference_resnet_backbone(
+                        sd,
+                        structure=net_cfg["encoder_structure"],
+                        norm_type=net_cfg.get("norm_type", "instance"),
+                        activation_fn=net_cfg.get(
+                            "activation_fn", "swish"
+                        ),
+                        torch_prefix=prefix,
+                        strict=False,
+                    )
+                    src_params = {"encoder_backbone": enc["params"]}
+                else:
+                    src = CheckpointManager(
+                        os.path.dirname(ck_path) or ".",
+                        name=os.path.basename(ck_path).replace(
+                            "_fold0", ""
+                        ),
+                        fold=0,
+                    )
+                    loaded = src.restore(src.best_step())
+                    if loaded is None:
+                        logger.warning(
+                            "no encoder checkpoint at %s", ck_path
+                        )
+                        continue
+                    lp = loaded.get("params", loaded)
+                    src_params = (
+                        lp
+                        if "encoder_backbone" in lp
+                        else {
+                            "encoder_backbone": lp.get(
+                                "ResNetBackbone_0", lp
+                            )
+                        }
+                    )
+                params, skipped = load_params_into(params, src_params)
+                logger.info(
+                    "encoder warm start from %s (%d paths skipped)",
+                    ck_path,
+                    len(skipped),
+                )
         steps_per_epoch = max(len(train_loader), 1)
         if args.steps_per_epoch:
             steps_per_epoch = min(steps_per_epoch, args.steps_per_epoch)
@@ -490,7 +583,7 @@ def main(arguments):
             tx = optax.chain(
                 tx,
                 lr_scale_by_regex(
-                    params, {r"^enc_": args.lr_encoder / learning_rate}
+                    params, {r"^(enc_|encoder_backbone)": args.lr_encoder / learning_rate}
                 ),
             )
         if args.freeze_regex or args.not_freeze_regex:

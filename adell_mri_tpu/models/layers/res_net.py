@@ -53,6 +53,7 @@ class ResNetBackbone(nn.Module):
         x,
         train: bool = False,
         return_intermediate: bool = False,
+        return_stem: bool = False,
     ):
         ndim = x.ndim - 2
         f = self.structure[0][0]
@@ -61,10 +62,13 @@ class ResNetBackbone(nn.Module):
         x = apply_adn(self.adn_fn(f), x, train)
         x = nn.Conv(f, _tuple(3, ndim), padding="SAME")(x)
         x = apply_adn(self.adn_fn(f), x, train)
+        stem = x
         x = max_pool(x, 2)
 
         mp = self.maxpool_structure or [2] * len(self.structure)
-        intermediates = []
+        # UNet-encoder use (resnet_to_encoding_ops, res_net.py:27): the
+        # stem output doubles as the first skip level
+        intermediates = [stem] if return_stem else []
         for stage_idx, (stage, pool) in enumerate(zip(self.structure, mp)):
             inp, inter, k, n_blocks = stage
             # the reference builds 1 + max(N-2, 0) + 1 = max(N, 2) blocks

@@ -166,6 +166,15 @@ class UNet(nn.Module):
     # semi_supervised_segmentation/unet.py:27); applied to the returned
     # features when apply_linear_transformation=True
     semi_supervised: bool = False
+    # ResNet-backbone encoder (the reference's SSL-encoder grafting,
+    # resnet_to_encoding_ops res_net.py:27 + segmentation/train.py:659-719):
+    # list of (channels, inter, kernel, n_blocks) stage tuples. When set,
+    # the encoder becomes stem + residual stages (skips pre-pool, stem as
+    # the first level) and ``depth`` must equal [stem_f, *stage_channels];
+    # the backbone subtree lives under ``encoder_backbone`` so weights
+    # from import_reference_resnet_backbone / our SSL checkpoints drop in.
+    encoder_structure: Optional[Sequence[Sequence[int]]] = None
+    res_type: str = "resnet"
 
     def _adn(self):
         return get_adn_fn(
@@ -214,17 +223,46 @@ class UNet(nn.Module):
             x_feature_conditioning = (x_feature_conditioning - f_mean) / f_std
 
         # ---------------- encoder (unet.py:543-585) ----------------
-        encoding_out = []
-        curr = x
-        for i, d in enumerate(depth):
-            curr = _ConvUnit(
-                d, ks[i], 1, self.conv_type, adn_fn, name=f"enc_{i}"
-            )(curr, train=train)
-            encoding_out.append(curr)
-            if i < len(depth) - 1:
+        if self.encoder_structure is not None:
+            # ResNet-backbone encoder (SSL grafting workflow). Skips are
+            # pre-pool stage outputs with the stem as level 0; the
+            # bottleneck is the LAST stage pre-pool (the reference pools
+            # it once more and crops the mismatch away in the decoder,
+            # forward :811-816 — static TPU shapes prefer the exact
+            # geometry).
+            from adell_mri_tpu.models.layers.res_net import ResNetBackbone
+
+            structure = [tuple(s) for s in self.encoder_structure]
+            want_depth = [structure[0][0]] + [s[0] for s in structure]
+            if list(depth) != want_depth:
+                raise ValueError(
+                    "with encoder_structure, depth must be "
+                    f"[stem_f, *stage_channels] = {want_depth}, got "
+                    f"{list(depth)}"
+                )
+            _, encoding_out = ResNetBackbone(
+                structure=structure,
+                maxpool_structure=[
+                    _tuple(s, ndim) for s in st[1:]
+                ],
+                adn_fn=adn_fn,
+                res_type=self.res_type,
+                name="encoder_backbone",
+            )(x, train=train, return_intermediate=True, return_stem=True)
+            curr = encoding_out[-1]
+        else:
+            encoding_out = []
+            curr = x
+            for i, d in enumerate(depth):
                 curr = _ConvUnit(
-                    d, ks[i], st[i], self.conv_type, adn_fn, name=f"enc_ds_{i}"
+                    d, ks[i], 1, self.conv_type, adn_fn, name=f"enc_{i}"
                 )(curr, train=train)
+                encoding_out.append(curr)
+                if i < len(depth) - 1:
+                    curr = _ConvUnit(
+                        d, ks[i], st[i], self.conv_type, adn_fn,
+                        name=f"enc_ds_{i}",
+                    )(curr, train=train)
         bottleneck = curr
         if return_bottleneck:
             return None, None, bottleneck

@@ -1285,3 +1285,75 @@ def test_training_trajectory_parity(ref_unet_mod, torch):
         j_losses.append(float(loss))
 
     np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3)
+
+
+def test_resnet_encoder_unet_graft(torch):
+    """The reference's SSL-encoder grafting workflow (resnet_to_encoding_
+    ops res_net.py:27, segmentation/train.py:659-719): a UNet built with
+    ``encoder_structure`` hosts a ResNetBackbone under ``encoder_backbone``
+    whose subtree accepts a REFERENCE backbone state dict verbatim, and
+    the grafted encoder computes the same features the standalone
+    backbone does."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import import_reference_resnet_backbone
+    from adell_mri_tpu.models.layers.adn import get_adn_fn
+    from adell_mri_tpu.models.layers.res_net import ResNetBackbone
+    from adell_mri_tpu.models.segmentation.unet import UNet
+
+    ref_rn = _ref_module("adell_mri.modules.layers.res_net")
+    ref_adn = _ref_module("adell_mri.modules.layers.adn_fn")
+
+    structure = [(4, 4, 3, 1), (8, 8, 3, 2)]
+    torch.manual_seed(55)
+    ref_bb = ref_rn.ResNetBackbone(
+        3, 1, structure,
+        maxpool_structure=[(2, 2, 2), (2, 2, 1)],
+        adn_fn=ref_adn.get_adn_fn(3, "instance", "swish", 0.0),
+    )
+    sd = {k: v.numpy() for k, v in ref_bb.state_dict().items()}
+    enc = import_reference_resnet_backbone(
+        sd, structure=structure, norm_type="instance",
+        activation_fn="swish",
+    )
+
+    unet = UNet(
+        spatial_dimensions=3,
+        norm_type="instance",
+        activation_fn="swish",
+        dropout_param=0.0,
+        n_classes=2,
+        depth=(4, 4, 8),
+        kernel_sizes=(3, 3, 3),
+        strides=(2, (2, 2, 2), (2, 2, 1)),
+        encoder_structure=structure,
+    )
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 8, 1)).astype(np.float32))
+    variables = unet.init(jax.random.PRNGKey(0), x)
+    # drop-in subtree replacement: shapes must match exactly
+    got = jax.tree.map(np.shape, variables["params"]["encoder_backbone"])
+    want = jax.tree.map(np.shape, enc["params"])
+    assert got == want
+    params = dict(variables["params"])
+    params["encoder_backbone"] = jax.tree.map(jnp.asarray, enc["params"])
+    pred, _ = unet.apply({"params": params}, x)
+    assert pred.shape == (1, 16, 16, 8, 1)
+
+    # encoder features match the standalone (parity-proven) backbone
+    bb = ResNetBackbone(
+        structure=structure,
+        maxpool_structure=[(2, 2, 2), (2, 2, 1)],
+        adn_fn=get_adn_fn(3, "instance", "swish", 0.0),
+    )
+    _, inters = bb.apply(
+        {"params": enc["params"]}, x,
+        return_intermediate=True, return_stem=True,
+    )
+    _, _, bottleneck = unet.apply(
+        {"params": params}, x, return_bottleneck=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(bottleneck), np.asarray(inters[-1]), atol=1e-6
+    )
