@@ -107,6 +107,9 @@ def get_segmentation_network(
             dropout_param=cfg.get("dropout_param", 0.0),
             skip_conditioning=cfg.get("skip_conditioning"),
             feature_conditioning=cfg.get("feature_conditioning"),
+            feature_conditioning_params=cfg.get(
+                "feature_conditioning_params"
+            ),
             bottleneck_classification=cfg.get(
                 "bottleneck_classification", False
             ),
@@ -137,6 +140,9 @@ def get_segmentation_network(
             dropout_param=cfg.get("dropout_param", 0.0),
             skip_conditioning=cfg.get("skip_conditioning"),
             feature_conditioning=cfg.get("feature_conditioning"),
+            feature_conditioning_params=cfg.get(
+                "feature_conditioning_params"
+            ),
             bottleneck_classification=cfg.get(
                 "bottleneck_classification", False
             ),
@@ -230,6 +236,8 @@ def get_classification_network(
             n_blocks=cfg.get("n_blocks", cfg.get("number_of_blocks", 4)),
             n_heads=cfg.get("n_heads", cfg.get("number_of_attention_heads", 4)),
             dropout_param=cfg.get("dropout_param", 0.0),
+            use_class_token=cfg.get("use_class_token", True),
+            use_seq_pool=cfg.get("use_seq_pool", False),
             moe_experts=cfg.get("moe_experts", 0),
         )
     elif net_type == "factorized_vit":

@@ -68,6 +68,11 @@ def main(arguments):
         "params"
     ]
     params = mngr.restore(mngr.best_step(), target={"params": params0})["params"]
+    raw = mngr.restore(mngr.best_step())
+    batch_stats = raw.get("batch_stats") if isinstance(raw, dict) else None
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
 
     transforms = ClassificationTransforms(
         image_keys=image_keys,
@@ -95,7 +100,7 @@ def main(arguments):
         def predict(x, *feats):
             extra = tuple(f[None] for f in feats)
             logits, inter = model.apply(
-                {"params": params}, x[None], *extra,
+                variables, x[None], *extra,
                 mutable=["intermediates"],
             )
             phi = jax.tree.leaves(inter)[0]
@@ -107,7 +112,7 @@ def main(arguments):
         @jax.jit
         def predict(x, *feats):
             extra = tuple(f[None] for f in feats)
-            return model.apply({"params": params}, x[None], *extra)[0]
+            return model.apply(variables, x[None], *extra)[0]
 
     # conformal prediction sets (parity: predict_calibrated_step,
     # classification/pl.py:438-459) from the train-time calibration

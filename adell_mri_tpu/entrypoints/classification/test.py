@@ -73,6 +73,12 @@ def main(arguments):
     ]
     restored = mngr.restore(mngr.best_step(), target={"params": params0})
     params = restored["params"]
+    # imported reference checkpoints carry BatchNorm running stats
+    raw = mngr.restore(mngr.best_step())
+    batch_stats = raw.get("batch_stats") if isinstance(raw, dict) else None
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
 
     transforms = ClassificationTransforms(
         image_keys=image_keys,
@@ -87,7 +93,7 @@ def main(arguments):
     @jax.jit
     def predict(x, *feats):
         extra = tuple(f[None] for f in feats)
-        return model.apply({"params": params}, x[None], *extra)[0]
+        return model.apply(variables, x[None], *extra)[0]
 
     data = Dataset(args.dataset_json)
     pids = args.test_ids or list(data.keys())

@@ -158,21 +158,30 @@ def main(arguments):
     )["params"]
 
     steps = [mngr.best_step()] if not args.checkpoint else None
+    # each entry is a full variables dict: imported reference checkpoints
+    # carry BatchNorm running stats next to the params
     param_list = []
+
+    def _restore_variables(m, step):
+        grafted = m.restore(step, target={"params": params0})
+        raw = m.restore(step)
+        var = {"params": grafted["params"]}
+        if isinstance(raw, dict) and raw.get("batch_stats"):
+            var["batch_stats"] = raw["batch_stats"]
+        return var
+
     if steps:
         for s in steps:
-            restored = mngr.restore(s, target={"params": params0})
-            param_list.append(restored["params"])
+            param_list.append(_restore_variables(mngr, s))
     else:
         for path in args.checkpoint:
             sub = CheckpointManager(os.path.dirname(path), name=os.path.basename(path).replace("_fold0", ""), fold=0)
-            restored = sub.restore(sub.best_step(), target={"params": params0})
-            param_list.append(restored["params"])
+            param_list.append(_restore_variables(sub, sub.best_step()))
 
-    def base_fn(params, x, rng=None):
+    def base_fn(variables, x, rng=None):
         rngs = {"dropout": rng} if rng is not None else None
         pred, *_ = model.apply(
-            {"params": params},
+            variables,
             x if x.ndim == len(target_size) + 2 else x[None],
             train=rng is not None,
             rngs=rngs,
@@ -275,7 +284,7 @@ def main(arguments):
                     [[float(entry[k]) for k in feature_keys]], np.float32
                 )
             pred, *_ = model.apply(
-                {"params": param_list[0]}, x[None], **cond_kwargs
+                param_list[0], x[None], **cond_kwargs
             )
             prob = np.asarray(pred[0])
         else:

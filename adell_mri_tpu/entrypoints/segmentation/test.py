@@ -77,6 +77,11 @@ def main(arguments):
     )["params"]
     restored = mngr.restore(mngr.best_step(), target={"params": params0})
     params = restored["params"]
+    # imported reference checkpoints carry BatchNorm running statistics
+    # (interop mapping) — restore them so norm_type='batch' models eval
+    # with the reference's running-average semantics
+    raw = mngr.restore(mngr.best_step())
+    batch_stats = raw.get("batch_stats") if isinstance(raw, dict) else None
 
     transforms = SegmentationTransforms(
         image_keys=image_keys,
@@ -89,6 +94,10 @@ def main(arguments):
     )
     load_fn = transforms.load_fn()
 
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+
     @jax.jit
     def predict(x, *cond):
         kwargs = {}
@@ -96,7 +105,7 @@ def main(arguments):
             kwargs["x_skip_layer"] = cond[0][None]
         if feature_keys:
             kwargs["x_feature_conditioning"] = cond[-1][None]
-        pred, *_ = model.apply({"params": params}, x[None], **kwargs)
+        pred, *_ = model.apply(variables, x[None], **kwargs)
         return pred[0]
 
     data = Dataset(args.dataset_json)

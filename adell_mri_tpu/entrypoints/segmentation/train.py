@@ -485,30 +485,25 @@ def main(arguments):
         if args.encoder_checkpoint:
             from adell_mri_tpu.train.checkpoints import load_params_into
 
+            if "encoder_structure" not in net_cfg:
+                raise ValueError(
+                    "--encoder_checkpoint needs a ResNet encoder: pass "
+                    "--res_config_file (or encoder_structure in the "
+                    "network YAML)"
+                )
             for ck_path in args.encoder_checkpoint:
                 if ck_path.endswith((".pt", ".pth", ".ckpt")):
                     # reference torch/Lightning SSL checkpoint -> mapped
-                    # straight onto the encoder_backbone subtree
-                    import torch as _torch
-
+                    # straight onto the encoder_backbone subtree; the
+                    # backbone may be nested under any module path
+                    # (backbone. / res_net.backbone. / ...)
                     from adell_mri_tpu.interop import (
+                        detect_backbone_prefix,
                         import_reference_resnet_backbone,
+                        load_reference_state_dict,
                     )
 
-                    payload = _torch.load(
-                        ck_path, map_location="cpu", weights_only=False
-                    )
-                    sd = payload.get("state_dict", payload)
-                    sd = {
-                        k: v.detach().cpu().numpy()
-                        for k, v in sd.items()
-                        if hasattr(v, "detach")
-                    }
-                    prefix = (
-                        "backbone."
-                        if any(k.startswith("backbone.") for k in sd)
-                        else ""
-                    )
+                    sd = load_reference_state_dict(ck_path)
                     enc = import_reference_resnet_backbone(
                         sd,
                         structure=net_cfg["encoder_structure"],
@@ -516,7 +511,7 @@ def main(arguments):
                         activation_fn=net_cfg.get(
                             "activation_fn", "swish"
                         ),
-                        torch_prefix=prefix,
+                        torch_prefix=detect_backbone_prefix(sd),
                         strict=False,
                     )
                     src_params = {"encoder_backbone": enc["params"]}
@@ -535,19 +530,25 @@ def main(arguments):
                         )
                         continue
                     lp = loaded.get("params", loaded)
-                    src_params = (
-                        lp
-                        if "encoder_backbone" in lp
-                        else {
-                            "encoder_backbone": lp.get(
-                                "ResNetBackbone_0", lp
-                            )
-                        }
-                    )
+                    # ENCODER-only warm start: never touch decoder/head
+                    # paths even when the source is a full UNet run
+                    src_params = {
+                        "encoder_backbone": lp.get(
+                            "encoder_backbone",
+                            lp.get("ResNetBackbone_0", lp),
+                        )
+                    }
                 params, skipped = load_params_into(params, src_params)
+                n_loaded = len(jax.tree.leaves(src_params)) - len(skipped)
+                if n_loaded == 0:
+                    raise ValueError(
+                        f"encoder warm start from {ck_path} matched NO "
+                        "parameters — wrong structure for this encoder?"
+                    )
                 logger.info(
-                    "encoder warm start from %s (%d paths skipped)",
+                    "encoder warm start from %s (%d loaded, %d skipped)",
                     ck_path,
+                    n_loaded,
                     len(skipped),
                 )
         steps_per_epoch = max(len(train_loader), 1)

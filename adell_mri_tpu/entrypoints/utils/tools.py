@@ -675,7 +675,6 @@ def import_torch_checkpoint(argv):
     args = p.parse_args(argv)
 
     import jax
-    import torch  # CPU build; used only to deserialize the checkpoint
 
     from adell_mri_tpu.parallel.mesh import use_device
 
@@ -689,23 +688,11 @@ def import_torch_checkpoint(argv):
     from adell_mri_tpu.interop import (
         import_reference_catnet,
         import_reference_unet_state_dict,
+        load_reference_state_dict,
     )
     from adell_mri_tpu.train.checkpoints import CheckpointManager
 
-    payload = torch.load(
-        args.input_path, map_location="cpu", weights_only=False
-    )
-    sd = payload.get("state_dict", payload) if isinstance(
-        payload, dict
-    ) else payload
-    sd = {
-        k: v.detach().cpu().numpy()
-        for k, v in sd.items()
-        if hasattr(v, "detach")
-        # training-state entries the reference's own predict drops
-        # (predict.py:324-341)
-        and not k.startswith(("loss_fn.", "ema.", "criterion."))
-    }
+    sd = load_reference_state_dict(args.input_path)
 
     cfg = load_yaml(args.config_file)
     cfg = cfg.get("network", cfg)
@@ -725,28 +712,25 @@ def import_torch_checkpoint(argv):
             ),
         )
     else:
+        # defaults mirror the model factory's (_unet_kwargs) so the
+        # mapped tree and the validation init agree on omitted keys
         imported = import_reference_unet_state_dict(
             sd,
             depth=cfg.get("depth", (16, 32, 64)),
             conv_type=cfg.get("conv_type", "regular"),
             link_type=cfg.get("link_type", "identity"),
             upscale_type=cfg.get("upscale_type", "upsample"),
-            norm_type=cfg.get("norm_type", "batch"),
-            activation_fn=cfg.get("activation_fn", "prelu"),
+            norm_type=cfg.get("norm_type", "instance"),
+            activation_fn=cfg.get("activation_fn", "swish"),
             deep_supervision=cfg.get("deep_supervision", False),
             bottleneck_classification=cfg.get(
                 "bottleneck_classification", False
             ),
             feature_conditioning=cfg.get("feature_conditioning"),
         )
-    if "batch_stats" in imported:
-        print(
-            "WARNING: checkpoint carries BatchNorm running statistics; "
-            "the stateless predict path normalizes by eval-batch "
-            "statistics instead (GlobalBatchNorm caveat, "
-            "models/layers/adn.py). Prefer instance/group-norm models "
-            "for deployment."
-        )
+    # BatchNorm running statistics ride along in the saved payload; the
+    # test/predict entrypoints restore them so imported batch-norm models
+    # eval with the reference's running-average semantics
     if "feature_conditioning_params" in imported:
         cfg["feature_conditioning_params"] = {
             k: v.tolist()
@@ -828,7 +812,10 @@ def import_torch_checkpoint(argv):
         monitor="val_loss",
         mode="min",
     )
-    mngr.save(0, {"params": imported["params"]}, metrics={"val_loss": 0.0})
+    payload = {"params": imported["params"]}
+    if "batch_stats" in imported:
+        payload["batch_stats"] = imported["batch_stats"]
+    mngr.save(0, payload, metrics={"val_loss": 0.0})
     print(
         json.dumps(
             {

@@ -1,3 +1,7 @@
+from adell_mri_tpu.interop.mapping import (  # noqa: F401
+    detect_backbone_prefix,
+    load_reference_state_dict,
+)
 from adell_mri_tpu.interop.torch_resnet import (  # noqa: F401
     import_reference_catnet,
     import_reference_resnet,

@@ -89,7 +89,16 @@ class _Mapper:
         if act == "prelu":
             w = self.take(f"{tkey}.op.activation.weight")
             if w is not None:
-                _put(self.params, fpath + ("prelu",), w.reshape(-1)[:1])
+                w = w.reshape(-1)
+                if w.size != 1:
+                    # torch PReLU(num_parameters=C): our ADN slope is the
+                    # torch DEFAULT single shared scalar — refusing beats
+                    # silently applying channel 0's slope everywhere
+                    raise ValueError(
+                        f"{tkey}: per-channel PReLU ({w.size} slopes) "
+                        "cannot map onto the shared-slope ADN"
+                    )
+                _put(self.params, fpath + ("prelu",), w)
         nkey = f"{tkey}.op.normalization"
         if norm_type == "batch":
             w = self.take(f"{nkey}.weight")
@@ -133,3 +142,39 @@ class _Mapper:
         self.adn(f"{tprefix}.1", (fname, "ActDropNorm_1"))
 
 
+
+
+def load_reference_state_dict(path: str):
+    """Deserializes a reference torch/Lightning checkpoint file into a
+    numpy state dict: unwraps ``{"state_dict": ...}`` payloads, keeps
+    tensor entries only, COPIES out of torch storage, and drops
+    training-state keys the reference's own predict drops
+    (predict.py:324-341)."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = (
+        payload.get("state_dict", payload)
+        if isinstance(payload, dict)
+        else payload
+    )
+    return {
+        k: np.array(v.detach().cpu().numpy())
+        for k, v in sd.items()
+        if hasattr(v, "detach")
+        and not k.startswith(("loss_fn.", "ema.", "criterion."))
+    }
+
+
+def detect_backbone_prefix(sd) -> str:
+    """Finds the module path holding a reference ResNetBackbone inside an
+    arbitrary checkpoint (SSL Lightning modules nest it at e.g.
+    ``backbone.`` or ``res_net.backbone.``) by locating the stem conv."""
+    marker = "input_layer.0.weight"
+    for k in sd:
+        if k.endswith(marker):
+            return k[: -len(marker)]
+    raise ValueError(
+        "no ResNetBackbone found in checkpoint (missing "
+        f"'*{marker}' key); keys look like: {sorted(sd)[:5]}"
+    )

@@ -83,8 +83,19 @@ class GlobalBatchNorm(nn.Module):
             ra_var = self.variable(
                 "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
             )
+        n_reduce = 1
+        for a in axes:
+            n_reduce *= x.shape[a]
         if use_running_average and has_ra:
             mean, var = ra_mean.value, ra_var.value
+        elif use_running_average and n_reduce == 1:
+            # stateless eval on a SINGLE element per feature (e.g. a 1-d
+            # head/gate ADN at batch size 1, the test/predict path):
+            # current-"batch" stats would zero the input and return the
+            # bias for EVERY sample. Fall back to (0, 1) — torch's
+            # fresh-model running stats — so eval stays input-dependent.
+            mean = jnp.zeros((feat,), x.dtype)
+            var = jnp.ones((feat,), x.dtype)
         else:
             mean = jnp.mean(x, axis=axes)
             var = jnp.var(x, axis=axes)

@@ -111,6 +111,7 @@ class UNETR(nn.Module):
     # unetr.py:60-64)
     skip_conditioning: Optional[int] = None
     feature_conditioning: Optional[int] = None
+    feature_conditioning_params: Optional[dict] = None
     bottleneck_classification: bool = False
     deep_supervision: bool = False
 
@@ -126,6 +127,17 @@ class UNETR(nn.Module):
         ndim = x.ndim - 2
         if x_skip_layer is not None and x_skip_layer.ndim < x.ndim:
             x_skip_layer = x_skip_layer[..., None]
+        if (
+            x_feature_conditioning is not None
+            and self.feature_conditioning_params
+        ):
+            # mean/std standardization as in the UNet path (unet.py
+            # forward :774-777)
+            f_mean = jnp.asarray(self.feature_conditioning_params["mean"])
+            f_std = jnp.asarray(self.feature_conditioning_params["std"])
+            x_feature_conditioning = (
+                x_feature_conditioning - f_mean
+            ) / f_std
         spatial = x.shape[1:-1]
         p = tuple(self.patch_size[:ndim])
         grid = [s // pi for s, pi in zip(spatial, p)]
@@ -238,6 +250,7 @@ class SWINUNet(nn.Module):
     dropout_param: float = 0.0
     skip_conditioning: Optional[int] = None
     feature_conditioning: Optional[int] = None
+    feature_conditioning_params: Optional[dict] = None
     bottleneck_classification: bool = False
     deep_supervision: bool = False
 
@@ -253,6 +266,15 @@ class SWINUNet(nn.Module):
         ndim = x.ndim - 2
         if x_skip_layer is not None and x_skip_layer.ndim < x.ndim:
             x_skip_layer = x_skip_layer[..., None]
+        if (
+            x_feature_conditioning is not None
+            and self.feature_conditioning_params
+        ):
+            f_mean = jnp.asarray(self.feature_conditioning_params["mean"])
+            f_std = jnp.asarray(self.feature_conditioning_params["std"])
+            x_feature_conditioning = (
+                x_feature_conditioning - f_mean
+            ) / f_std
         spatial = x.shape[1:-1]
         adn = get_adn_fn(
             ndim, self.norm_type, self.activation_fn, self.dropout_param

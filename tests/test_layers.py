@@ -211,3 +211,29 @@ def test_transformer_block_moe_option():
     # plain apply (no mutable collection) also works
     out2 = m.apply({"params": v["params"]}, x)
     assert out2.shape == x.shape
+
+
+def test_batchnorm_head_not_degenerate_at_batch_one():
+    """Stateless eval of a 1-d batch-norm ADN at batch size 1 (the
+    test/predict path) must stay input-dependent: normalizing a single
+    element by its own statistics would return the bias for EVERY input
+    (code-review r3 finding; GlobalBatchNorm falls back to (0,1) when the
+    reduction set is a single element)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.classification.nets import CatNet
+
+    m = CatNet(
+        spatial_dimensions=3,
+        resnet_structure=((4, 4, 3, 1),),
+        maxpool_structure=[2],
+        norm_type="instance",
+        dropout_param=0.0,
+    )
+    x1 = jnp.ones((1, 8, 8, 8, 1))
+    x2 = -2.0 * jnp.ones((1, 8, 8, 8, 1))
+    v = m.init(jax.random.PRNGKey(0), x1)
+    y1 = m.apply(v, x1, train=False)
+    y2 = m.apply(v, x2, train=False)
+    assert abs(float(y1[0, 0]) - float(y2[0, 0])) > 1e-6
