@@ -89,6 +89,135 @@ def conv3d_im2col(x, w, strides=(1, 1, 1), padding="SAME"):
     return out.reshape(b, od, oh, ow, cout)
 
 
+def _explicit_pads(x_shape, k, strides, padding):
+    """Resolve SAME/VALID/explicit padding to per-spatial-axis (lo, hi)."""
+    if padding == "SAME":
+        pads = []
+        for size, kk, s in zip(x_shape[1:4], k, strides):
+            out = -(-size // s)
+            total = max((out - 1) * s + kk - size, 0)
+            pads.append((total // 2, total - total // 2))
+        return tuple(pads)
+    if padding == "VALID":
+        return ((0, 0), (0, 0), (0, 0))
+    return tuple((int(lo), int(hi)) for lo, hi in padding)
+
+
+def _im2col_patches(x, k, strides):
+    """Shifted-view patch tensor [B, od, oh, ow, k^3*Cin] of an already-
+    padded x — the shared core of the forward and the dW backward."""
+    kd, kh, kw = k
+    b, d, h, w_, cin = x.shape
+    od = (d - kd) // strides[0] + 1
+    oh = (h - kh) // strides[1] + 1
+    ow = (w_ - kw) // strides[2] + 1
+    views = []
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx in range(kw):
+                views.append(
+                    jax.lax.slice(
+                        x,
+                        (0, dz, dy, dx, 0),
+                        (b, dz + od * strides[0] - strides[0] + 1,
+                         dy + oh * strides[1] - strides[1] + 1,
+                         dx + ow * strides[2] - strides[2] + 1, cin),
+                        (1,) + tuple(strides) + (1,),
+                    )
+                )
+    return jnp.concatenate(views, axis=-1)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3d_im2col_trainable(x, w, strides, padding):
+    """im2col conv whose BACKWARD is also slices + lax.pad + matmuls.
+
+    Autodiff of ``conv3d_im2col`` emits transposed strided gathers that
+    have crashed the remote TPU compile service (tpu_compile_helper
+    HTTP 500, BASELINE.md round-3 log), and would run as scatters anyway.
+    This variant derives the gradients by hand in the same MXU-friendly
+    primitive family as the forward:
+
+    - ``dW = patches^T @ g`` — one dense [k^3*Cin, voxels]x[voxels, Cout]
+      matmul (patches recomputed: k^3 static slices, fused by XLA);
+    - ``dx = corr(interior-dilated g, flip(w) with Cin/Cout swapped)`` —
+      the textbook conv input-gradient, lowered through the SAME im2col
+      matmul path at stride 1 (interior dilation via ``lax.pad``).
+
+    ``strides``/``padding`` are nondiff static args and must be hashable
+    (tuples / "SAME" / "VALID" / tuple of (lo, hi) pairs).
+    """
+    return conv3d_im2col(x, w, strides, padding)
+
+
+def _conv3d_im2col_fwd(x, w, strides, padding):
+    return conv3d_im2col(x, w, strides, padding), (x, w)
+
+
+def _conv3d_im2col_bwd(strides, padding, res, g):
+    x, w = res
+    kd, kh, kw, cin, cout = w.shape
+    k = (kd, kh, kw)
+    pads = _explicit_pads(x.shape, k, strides, padding)
+
+    # dW: recompute the padded input's patch tensor and contract the
+    # voxel axis against g. [k^3*Cin, V] x [V, Cout] — pure MXU.
+    xp = jnp.pad(x, ((0, 0),) + tuple(pads) + ((0, 0),))
+    patches = _im2col_patches(xp, k, strides)
+    v = patches.shape[0] * patches.shape[1] * patches.shape[2] * patches.shape[3]
+    dw = jax.lax.dot_general(
+        patches.reshape(v, kd * kh * kw * cin),
+        g.reshape(v, cout),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype).reshape(kd, kh, kw, cin, cout)
+
+    # dx: full correlation of the interior-dilated cotangent with the
+    # spatially-flipped, channel-swapped kernel, at stride 1. With
+    # forward pads (lo, hi) and dilated-g length L per axis, the exact
+    # alignment is pad_lo' = k-1-lo and pad_hi' = in + lo - L (covers the
+    # SAME-ceil and VALID-remainder cases where in != L + k-1 - lo - hi;
+    # positions the forward never read get zero gradient from the pad).
+    g_dil = jax.lax.pad(
+        g.astype(jnp.float32),
+        jnp.float32(0),
+        [(0, 0, 0)]
+        + [(0, 0, s - 1) for s in strides]
+        + [(0, 0, 0)],
+    ).astype(g.dtype)
+    bwd_pads = []
+    crop_lo, crop_hi = [0], [0]  # batch axis
+    for ax in range(3):
+        lo, _hi = pads[ax]
+        L = g_dil.shape[1 + ax]
+        p_lo = k[ax] - 1 - lo
+        p_hi = x.shape[1 + ax] + lo - L
+        # explicit pads > k-1 (never produced by SAME/VALID/torch-style
+        # padding) make these negative: crop g_dil instead of padding
+        crop_lo.append(max(-p_lo, 0))
+        crop_hi.append(max(-p_hi, 0))
+        bwd_pads.append((max(p_lo, 0), max(p_hi, 0)))
+    if any(crop_lo) or any(crop_hi):
+        crop_lo.append(0)
+        crop_hi.append(0)
+        g_dil = jax.lax.slice(
+            g_dil,
+            crop_lo,
+            [s - c for s, c in zip(g_dil.shape, crop_hi)],
+        )
+    w_rot = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
+    dx = conv3d_im2col(
+        g_dil, w_rot, strides=(1, 1, 1), padding=tuple(bwd_pads)
+    ).astype(x.dtype)
+    return dx, dw
+
+
+conv3d_im2col_trainable.defvjp(_conv3d_im2col_fwd, _conv3d_im2col_bwd)
+
+
 #: Patch-tensor budget for the auto heuristic. im2col materializes
 #: [B, *out_spatial, k^3*Cin]; above this it risks HBM pressure (and the
 #: backward materializes the same shape again for the dot's grad), so
@@ -135,11 +264,19 @@ def _pick_lowering(x, k, strides):
     return "xla"
 
 
+def _hashable_padding(padding):
+    if isinstance(padding, str):
+        return padding
+    return tuple((int(lo), int(hi)) for lo, hi in padding)
+
+
 def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
     if lowering == "auto":
         lowering = _pick_lowering(x, w.shape[:3], strides)
     if lowering == "im2col":
-        return conv3d_im2col(x, w, strides, padding)
+        return conv3d_im2col_trainable(
+            x, w, tuple(strides), _hashable_padding(padding)
+        )
     return conv3d_xla(x, w, strides, padding)
 
 
@@ -179,7 +316,9 @@ class TpuConv(_nn.Module):
             _pick_lowering(x, k, strides) if ndim == 3 else "xla"
         )
         if ndim == 3 and lowering == "im2col":
-            y = conv3d_im2col(x, w, strides, self.padding)
+            y = conv3d_im2col_trainable(
+                x, w, strides, _hashable_padding(self.padding)
+            )
         else:
             spatial = "DHW"[3 - ndim:]
             dn = jax.lax.conv_dimension_numbers(

@@ -209,6 +209,45 @@ def test_conv3d_im2col_matches_xla(strides):
     assert float(jnp.abs(a - b).max()) < 1e-4
 
 
+@pytest.mark.parametrize(
+    "strides,padding,shape",
+    [
+        ((1, 1, 1), "SAME", (8, 8, 6)),
+        ((2, 2, 1), "SAME", (8, 8, 6)),
+        ((2, 2, 2), "SAME", (9, 7, 5)),  # odd sizes: SAME-ceil alignment
+        ((1, 1, 1), "VALID", (8, 8, 6)),
+        ((2, 2, 1), "VALID", (9, 8, 6)),  # VALID with stride remainder
+        ((2, 2, 1), ((1, 1), (1, 1), (1, 1)), (8, 8, 6)),  # torch-style
+        ((4, 4, 4), "SAME", (12, 8, 6)),  # k < s: zero total pad, dead cols
+    ],
+)
+def test_conv3d_im2col_trainable_grad_parity(strides, padding, shape):
+    """The hand-derived im2col backward (dW = patches^T @ g; dx = corr of
+    the interior-dilated cotangent with the flipped kernel — ops/conv.py
+    conv3d_im2col_trainable) matches XLA conv autodiff exactly."""
+    from adell_mri_tpu.ops.conv import conv3d_im2col_trainable, conv3d_xla
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2,) + shape + (4,)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 5)), jnp.float32)
+
+    out, vjp = jax.vjp(
+        lambda x, w: conv3d_im2col_trainable(x, w, strides, padding), x, w
+    )
+    ref_out, ref_vjp = jax.vjp(
+        lambda x, w: conv3d_xla(x, w, strides, padding), x, w
+    )
+    assert out.shape == ref_out.shape
+    assert float(jnp.abs(out - ref_out).max()) < 1e-4
+    g = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    dx, dw = vjp(g)
+    rdx, rdw = ref_vjp(g)
+    for got, ref in ((dx, rdx), (dw, rdw)):
+        err = float(jnp.abs(got - ref).max())
+        denom = float(jnp.abs(ref).max()) + 1e-6
+        assert err / denom < 1e-5, (strides, padding, err / denom)
+
+
 def test_tpu_conv_module_lowering_parity(monkeypatch):
     """TpuConv: xla and im2col lowerings agree; param tree matches nn.Conv."""
     import flax.linen as nn
