@@ -177,9 +177,17 @@ def _device_health_check(timeout_s: float = None) -> bool:
     return ok[0]
 
 
+def _stage(msg):
+    import sys
+    import time as _t
+
+    print(f"bench[{_t.strftime('%H:%M:%S')}]: {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import sys
 
+    _stage("probing device")
     if not _device_health_check():
         print(
             "bench: device unresponsive after the probe timeout "
@@ -213,37 +221,103 @@ def main():
 
     aug = augment_pipeline_for_bench(SHAPE)
 
-    @jax.jit
-    def aug_step(x, key):
-        # keep the chain dependency type-stable so iterations sequence
-        return aug(key, x).astype(x.dtype)
+    # IN-GRAPH chained loops: the remote-execution tunnel adds ~0.1-5 s
+    # of dispatch latency PER CALL (and it jitters), which at ~10 ms/step
+    # would dominate a call-per-iteration benchmark. A fori_loop with a
+    # DYNAMIC trip count inside one jit compiles once and runs any n; the
+    # wall-clock slope between two n values cancels the fixed
+    # dispatch+transfer cost. The loop length escalates geometrically
+    # until the delta clears the tunnel's jitter floor — a fixed (4, 24)
+    # pair once measured t(24)==t(4) to within noise and "resolved" to
+    # 8e7 vol/s.
+    key0 = jax.random.PRNGKey(0)
 
     @jax.jit
-    def fwd_step(params, x, key):
-        x = aug(key, x)
-        pred, _ = model.apply({"params": params}, x)
-        return pred
+    def fwd_chain(params, x, n):
+        def body(i, c):
+            xa = aug(jax.random.fold_in(key0, i), c)
+            pred, _ = model.apply({"params": params}, xa)
+            # fold the prediction back into the carry so iterations
+            # sequence and nothing dead-code-eliminates
+            return c + (pred * 1e-6).astype(c.dtype)
 
-    def timed(fn):
-        """Enqueue N_ITERS chained steps; a final host transfer forces true
-        completion (through the remote-execution tunnel,
-        block_until_ready can return before device compute finishes)."""
-        key = jax.random.PRNGKey(0)
-        np.asarray(fn(jax.random.fold_in(key, N_ITERS + 1)))
-        t0 = time.perf_counter()
-        out = None
-        for i in range(N_ITERS):
-            out = fn(jax.random.fold_in(key, i))
-        np.asarray(out)
-        return BATCH * N_ITERS / (time.perf_counter() - t0)
+        return jax.lax.fori_loop(0, n, body, x)
+
+    @jax.jit
+    def aug_chain(x, n):
+        def body(i, c):
+            return aug(jax.random.fold_in(key0, i), c).astype(c.dtype)
+
+        return jax.lax.fori_loop(0, n, body, x)
+
+    #: delta must beat tunnel jitter by this much to count as resolved
+    _MIN_DELTA_S = float(os.environ.get("ADELL_BENCH_MIN_DELTA", 2.0))
+    _MAX_CHAIN_S = float(os.environ.get("ADELL_BENCH_MAX_CHAIN", 120.0))
+    #: whole-bench soft deadline: once past it, escalation stops and rows
+    #: report best-effort (the driver's round-end run must terminate even
+    #: when the tunnel is 100x degraded)
+    _DEADLINE = time.monotonic() + float(
+        os.environ.get("ADELL_BENCH_BUDGET", 2700)
+    )
+
+    def timed_chain(fn, n_small=4, per_item=BATCH):
+        """items/sec from the wall-clock slope between two dynamic-length
+        chained loops. Returns (rate, resolved): n_big escalates until
+        the delta clears _MIN_DELTA_S (or the budget runs out, in which
+        case the best-effort rate is flagged unresolved)."""
+
+        def t_of(n):
+            t0 = time.perf_counter()
+            np.asarray(fn(jnp.int32(n)))
+            return time.perf_counter() - t0
+
+        np.asarray(fn(jnp.int32(2)))  # compile + settle
+        t_small = min(t_of(n_small) for _ in range(2))
+        n_big = max(4 * n_small, 16)
+        while True:
+            t_big = min(t_of(n_big) for _ in range(2))
+            dt = t_big - t_small
+            if dt >= _MIN_DELTA_S:
+                return per_item * (n_big - n_small) / dt, True
+            if (
+                t_big > _MAX_CHAIN_S
+                or n_big >= 65536
+                or time.monotonic() > _DEADLINE
+            ):
+                rate = per_item * (n_big - n_small) / max(dt, 1e-6)
+                return rate, False
+            n_big *= 4
 
     # HEADLINE: aug + forward, the work the reference splits across
     # 8 CPU workers (aug) + accelerator (fwd); here both live in one jit.
-    # Best-of-3 passes: the shared tunnel's contention is bursty, and
-    # max-of-N is the standard way to estimate the machine's capability
-    # rather than the contention du jour.
-    e2e_vps = max(timed(lambda k: fwd_step(params, x, k)) for _ in range(3))
-    aug_vps = max(timed(lambda k: aug_step(x, k)) for _ in range(3))
+    _stage("compiling aug+forward (auto lowering)")
+    e2e_vps, e2e_ok = timed_chain(lambda n: fwd_chain(params, x, n))
+    _stage(f"aug+forward {e2e_vps:.1f} vol/s (resolved={e2e_ok}); aug-only")
+    aug_vps, aug_ok = timed_chain(lambda n: aug_chain(x, n), n_small=50)
+    _stage(f"aug-only {aug_vps:.1f} vol/s (resolved={aug_ok})")
+
+    try:
+        _stage("calibrating matmul")
+        m = 4096
+
+        @jax.jit
+        def mm_chain(a, n):
+            def body(i, c):
+                return (c @ c) * 1e-3
+
+            return jax.lax.fori_loop(0, n, body, a)
+
+        a_mm = jnp.ones((m, m), jnp.bfloat16)
+        cal_rate, cal_ok = timed_chain(
+            lambda n: mm_chain(a_mm, n), n_small=25, per_item=1
+        )
+        cal_tflops = 2 * m**3 * cal_rate / 1e12
+        if not cal_ok:
+            cal_tflops = -cal_tflops  # negative = unresolved timing
+
+    except Exception as exc:
+        print(f"bench: calibration failed: {exc}", file=sys.stderr)
+        cal_tflops = float("nan")
 
     # train step (fwd + bwd + update): the other number that matters for
     # production training; f32 master params + bf16 compute.
@@ -254,54 +328,47 @@ def main():
 
     def loss_fn(p, x, key):
         xa = aug(key, x)
-        pred, _ = model.apply(
-            {"params": jax.tree.map(lambda q: q.astype(jnp.bfloat16), p)}, xa
+        apply_ckpt = jax.checkpoint(
+            lambda q, xi: model.apply({"params": q}, xi)[0]
+        )
+        pred = apply_ckpt(
+            jax.tree.map(lambda q: q.astype(jnp.bfloat16), p), xa
         )
         pr = pred[..., 0].astype(jnp.float32)
         return jnp.mean((pr - y) ** 2)
 
     @jax.jit
-    def train_step(p, o, x, key):
-        _, grads = jax.value_and_grad(loss_fn)(p, x, key)
-        updates, o = tx.update(grads, o, p)
-        return optax.apply_updates(p, updates), o
-
-    def train_timed():
-        nonlocal f32_params, opt_state
-        key = jax.random.PRNGKey(1)
-        f32_params, opt_state = train_step(
-            f32_params, opt_state, x, jax.random.fold_in(key, 99)
-        )
-        np.asarray(jax.tree.leaves(f32_params)[0]).ravel()[0]
-        t0 = time.perf_counter()
-        for i in range(max(N_ITERS // 2, 5)):
-            f32_params, opt_state = train_step(
-                f32_params, opt_state, x, jax.random.fold_in(key, i)
+    def train_chain(p, o, n):
+        def body(i, carry):
+            p_, o_ = carry
+            _, grads = jax.value_and_grad(loss_fn)(
+                p_, x, jax.random.fold_in(key0, i)
             )
-        np.asarray(jax.tree.leaves(f32_params)[0]).ravel()[0]
-        return BATCH * max(N_ITERS // 2, 5) / (time.perf_counter() - t0)
+            updates, o_ = tx.update(grads, o_, p_)
+            return optax.apply_updates(p_, updates), o_
+
+        p_out, _ = jax.lax.fori_loop(0, n, body, (p, o))
+        # a single leaf is enough to force completion of the whole chain
+        return jax.tree.leaves(p_out)[0].ravel()[:4]
 
     try:
-        train_vps = max(train_timed() for _ in range(2))
+        # auto lowering now reaches the backward too: the im2col grads
+        # are hand-derived slices+matmuls (ops/conv.py
+        # conv3d_im2col_trainable), replacing the autodiff transposed
+        # gathers that crashed the remote compile service
+        _stage("compiling train step (auto lowering)")
+        train_vps, train_ok = timed_chain(
+            lambda n: train_chain(f32_params, opt_state, n), n_small=2
+        )
+        _stage(f"train {train_vps:.1f} vol/s (resolved={train_ok})")
     except Exception as exc:  # train-step compile/run must not kill bench
         print(f"bench: train-step sidecar failed: {exc}", file=sys.stderr)
-        train_vps = None
+        train_vps, train_ok = None, False
 
     # device-health calibration: a dense bf16 matmul. Round-1 measured
     # ~50 TFLOP/s on a healthy chip; the shared tunnel intermittently
     # degrades 30-100x (see BASELINE.md round-2 caveat), so this field
     # lets a reader separate service contention from code regressions.
-    m = 4096
-    a = jnp.ones((m, m), jnp.bfloat16)
-    mm = jax.jit(lambda a: (a @ a).astype(jnp.bfloat16))
-    cal = a
-    np.asarray(mm(cal)).ravel()[0]
-    t0 = time.perf_counter()
-    for _ in range(10):
-        cal = mm(cal)
-    np.asarray(cal).ravel()[0]
-    cal_tflops = 2 * m**3 * 10 / (time.perf_counter() - t0) / 1e12
-
     baseline = _cpu_baseline()
 
     print(
@@ -322,6 +389,14 @@ def main():
                     baseline["cpu_aug_fwd_vps"], 3
                 ),
                 "matmul_tflops_calibration": round(cal_tflops, 2),
+                # False on any row = the tunnel's dispatch jitter swallowed
+                # the slope delta within the time budget; treat that row
+                # as a lower-confidence estimate, not a measurement
+                "timing_resolved": {
+                    "aug_plus_forward": e2e_ok,
+                    "aug_only": aug_ok,
+                    "train_step": train_ok,
+                },
             }
         )
     )

@@ -1,11 +1,17 @@
 """
 3D conv lowering sweep: XLA conv vs im2col matmul at the UNet's hot layer
-shapes, with the dense-matmul calibration alongside (the speed-of-light
+shapes, forward AND backward (the backward now routes through the
+hand-derived slices+matmuls vjp, ops/conv.py conv3d_im2col_trainable),
+with the dense-matmul calibration alongside (the speed-of-light
 reference). Run on the real chip; prints one line per configuration.
 
 The interesting question (VERDICT r1 item 2b): is the 4.2 TFLOP/s 3D-conv
 wall an XLA conv-tiling limitation (im2col wins) or an HBM/compute bound
 (both match)?
+
+Timing protocol: dynamic-trip-count fori_loop inside one jit; rate from
+the wall-clock slope between two loop lengths (the remote tunnel's
+multi-second dispatch jitter cancels; see bench.py).
 """
 
 import time
@@ -13,21 +19,37 @@ import time
 import numpy as np
 
 
-def timed_chain(fn, x, iters=10):
-    o = fn(x)
-    np.asarray(o).ravel()[0]
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fn(x)
-    np.asarray(x).ravel()[0]
-    return (time.perf_counter() - t0) / iters
+def slope_time(chain, n_small=4, min_delta=2.0, max_chain_s=90.0):
+    """seconds per iteration from the wall slope of a dynamic-length
+    chained loop; returns (dt_per_iter, resolved)."""
+    import jax.numpy as jnp
+
+    def t_of(n):
+        t0 = time.perf_counter()
+        np.asarray(chain(jnp.int32(n))).ravel()[:1]
+        return time.perf_counter() - t0
+
+    np.asarray(chain(jnp.int32(1))).ravel()[:1]  # compile + settle
+    t_small = min(t_of(n_small) for _ in range(2))
+    n_big = max(4 * n_small, 16)
+    while True:
+        t_big = min(t_of(n_big) for _ in range(2))
+        dt = t_big - t_small
+        if dt >= min_delta:
+            return dt / (n_big - n_small), True
+        if t_big > max_chain_s or n_big >= 65536:
+            return max(dt, 1e-9) / (n_big - n_small), False
+        n_big *= 4
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from adell_mri_tpu.ops.conv import conv3d_im2col, conv3d_xla
+    from adell_mri_tpu.ops.conv import (
+        conv3d_im2col_trainable,
+        conv3d_xla,
+    )
 
     B = 4
     shapes = [
@@ -37,37 +59,76 @@ def main():
         ((B, 32, 32, 8, 64), 128),
         ((B, 16, 16, 4, 128), 256),
     ]
-    for dtype in (jnp.bfloat16,):
-        for xs, cout in shapes:
-            cin = xs[-1]
-            w = jnp.ones((3, 3, 3, cin, cout), dtype)
-            flops = 2 * int(np.prod(xs[:4])) * 27 * cin * cout
-            for name, fn in (
-                ("xla", conv3d_xla),
-                ("im2col", conv3d_im2col),
-            ):
-                conv = jax.jit(lambda x, w=w, fn=fn: fn(x, w))
-                x = jnp.ones(xs, dtype)
-                if cin == cout:
-                    dt = timed_chain(conv, x)
-                else:
-                    o = conv(x)
-                    np.asarray(o).ravel()[0]
-                    t0 = time.perf_counter()
-                    for _ in range(10):
-                        o = conv(x + o.mean() * 0)
-                    np.asarray(o).ravel()[0]
-                    dt = (time.perf_counter() - t0) / 10
+    dtype = jnp.bfloat16
+    for xs, cout in shapes:
+        cin = xs[-1]
+        w0 = jnp.full((3, 3, 3, cin, cout), 0.01, dtype)
+        fwd_flops = 2 * int(np.prod(xs[:4])) * 27 * cin * cout
+        for name, fn in (
+            ("xla", lambda x, w: conv3d_xla(x, w)),
+            ("im2col", lambda x, w: conv3d_im2col_trainable(
+                x, w, (1, 1, 1), "SAME")),
+        ):
+            x0 = jnp.ones(xs, dtype)
+
+            @jax.jit
+            def fwd_chain(x, w, n, fn=fn, cin=cin, cout=cout):
+                def body(i, c):
+                    y = fn(c, w)
+                    # fold output back into the carry (mean keeps the
+                    # chain alive regardless of cin != cout)
+                    return c + jnp.mean(y) * 1e-6
+
+                return jax.lax.fori_loop(0, n, body, x)
+
+            @jax.jit
+            def bwd_chain(x, w, n, fn=fn):
+                def body(i, carry):
+                    xx, ww = carry
+                    def loss(xi, wi):
+                        return jnp.mean(fn(xi, wi) ** 2)
+
+                    dx, dw = jax.grad(loss, argnums=(0, 1))(xx, ww)
+                    return xx + dx * 1e-6, ww + dw * 1e-6
+
+                out = jax.lax.fori_loop(0, n, body, (x, w))
+                return out[0]
+
+            dt_f, ok_f = slope_time(lambda n: fwd_chain(x0, w0, n))
+            print(
+                f"fwd     {name:7s} {str(xs):26s} -> {cout:4d}: "
+                f"{dt_f * 1e3:8.2f} ms  {fwd_flops / dt_f / 1e12:6.2f}"
+                f" TFLOP/s{'' if ok_f else '  (UNRESOLVED)'}"
+            )
+            try:
+                dt_b, ok_b = slope_time(lambda n: bwd_chain(x0, w0, n))
+                # fwd (inside grad) + dx + dw = 3x the conv FLOPs
                 print(
-                    f"{name:7s} {str(xs):28s} -> {cout:4d}: "
-                    f"{dt * 1e3:8.2f} ms  {flops / dt / 1e12:6.2f} TFLOP/s"
+                    f"fwd+bwd {name:7s} {str(xs):26s} -> {cout:4d}: "
+                    f"{dt_b * 1e3:8.2f} ms  "
+                    f"{3 * fwd_flops / dt_b / 1e12:6.2f}"
+                    f" TFLOP/s{'' if ok_b else '  (UNRESOLVED)'}"
                 )
-    # calibration
-    m = 8192
+            except Exception as exc:
+                print(f"fwd+bwd {name:7s} {str(xs):26s}: FAILED {exc}")
+
+    # calibration: the MXU speed-of-light on this run
+    m = 4096
+
+    @jax.jit
+    def mm_chain(a, n):
+        def body(i, c):
+            return (c @ c) * 1e-3
+
+        return jax.lax.fori_loop(0, n, body, a)
+
     a = jnp.ones((m, m), jnp.bfloat16)
-    mm = jax.jit(lambda a: (a @ a).astype(jnp.bfloat16))
-    dt = timed_chain(mm, a)
-    print(f"matmul  {m}^3 bf16: {dt * 1e3:8.2f} ms  {2 * m**3 / dt / 1e12:6.2f} TFLOP/s")
+    dt, ok = slope_time(lambda n: mm_chain(a, n), n_small=25)
+    print(
+        f"matmul  {m}^3 bf16: {dt * 1e3:8.2f} ms  "
+        f"{2 * m**3 / dt / 1e12:6.2f} TFLOP/s"
+        f"{'' if ok else '  (UNRESOLVED)'}"
+    )
 
 
 if __name__ == "__main__":
