@@ -218,6 +218,28 @@ def _conv3d_im2col_bwd(strides, padding, res, g):
 conv3d_im2col_trainable.defvjp(_conv3d_im2col_fwd, _conv3d_im2col_bwd)
 
 
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv3d_pallas_trainable(x, w, strides, padding):
+    """Implicit-GEMM Pallas forward (ops/pallas/conv.py: voxel-lane GEMM,
+    patch matrix built in VMEM — no HBM patch tensor) with the same
+    hand-derived matmul backward as the im2col lowering. Callers must
+    check ``conv3d_pallas_supported`` first; unsupported shapes fall
+    back to im2col here as a belt-and-braces guard."""
+    from .pallas.conv import conv3d_pallas_raw
+
+    out = conv3d_pallas_raw(x, w)
+    if out is None:
+        return conv3d_im2col(x, w, strides, padding)
+    return out
+
+
+def _conv3d_pallas_fwd(x, w, strides, padding):
+    return conv3d_pallas_trainable(x, w, strides, padding), (x, w)
+
+
+conv3d_pallas_trainable.defvjp(_conv3d_pallas_fwd, _conv3d_im2col_bwd)
+
+
 #: Patch-tensor budget for the auto heuristic. im2col materializes
 #: [B, *out_spatial, k^3*Cin]; above this it risks HBM pressure (and the
 #: backward materializes the same shape again for the dot's grad), so
@@ -248,15 +270,25 @@ def _tpu_backend() -> bool:
     return _DEFAULT_BACKEND not in ("cpu", "gpu")
 
 
-def _pick_lowering(x, k, strides):
+def _pick_lowering(x, k, strides, padding="SAME", cout=None):
     """auto: im2col when its patch tensor fits the budget (it beat XLA's
     3D-conv tiling at every UNet hot shape, up to 4.5x —
     benchmarks/benchmark_conv3d.py / BASELINE.md), else xla. The win is a
     TPU MXU-tiling property: on CPU/GPU the materialized k^3 patch tensor
-    is pure overhead, so auto only fires on TPU-like backends."""
+    is pure overhead, so auto only fires on TPU-like backends.
+    ``pallas`` (env opt-in until validated on an uncontended chip) routes
+    qualifying stride-1 SAME k=3 shapes through the implicit-GEMM kernel
+    and falls back to the auto choice elsewhere."""
     env = os.environ.get("ADELL_CONV_LOWERING", "auto")
     if env in ("xla", "im2col"):
         return env
+    if env == "pallas" and cout is not None and _tpu_backend():
+        from .pallas.conv import conv3d_pallas_supported
+
+        if conv3d_pallas_supported(
+            x.shape, tuple(k) + (x.shape[4], cout), strides, padding
+        ):
+            return "pallas"
     if not _tpu_backend():
         return "xla"
     if _im2col_patch_bytes(x.shape, k, strides, x.dtype) <= _IM2COL_MAX_BYTES:
@@ -272,7 +304,13 @@ def _hashable_padding(padding):
 
 def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
     if lowering == "auto":
-        lowering = _pick_lowering(x, w.shape[:3], strides)
+        lowering = _pick_lowering(
+            x, w.shape[:3], strides, padding, cout=w.shape[4]
+        )
+    if lowering == "pallas":
+        return conv3d_pallas_trainable(
+            x, w, tuple(strides), _hashable_padding(padding)
+        )
     if lowering == "im2col":
         return conv3d_im2col_trainable(
             x, w, tuple(strides), _hashable_padding(padding)
@@ -313,9 +351,15 @@ class TpuConv(_nn.Module):
         # may cast inputs but not params, or vice versa)
         w = w.astype(x.dtype)
         lowering = (
-            _pick_lowering(x, k, strides) if ndim == 3 else "xla"
+            _pick_lowering(x, k, strides, self.padding, cout=self.features)
+            if ndim == 3
+            else "xla"
         )
-        if ndim == 3 and lowering == "im2col":
+        if ndim == 3 and lowering == "pallas":
+            y = conv3d_pallas_trainable(
+                x, w, strides, _hashable_padding(self.padding)
+            )
+        elif ndim == 3 and lowering == "im2col":
             y = conv3d_im2col_trainable(
                 x, w, strides, _hashable_padding(self.padding)
             )

@@ -248,6 +248,84 @@ def test_conv3d_im2col_trainable_grad_parity(strides, padding, shape):
         assert err / denom < 1e-5, (strides, padding, err / denom)
 
 
+@pytest.mark.parametrize(
+    "shape,cin,cout",
+    [
+        ((1, 3, 128, 8, 4), 4, 8),   # lanes = H
+        ((2, 2, 8, 128, 4), 4, 6),   # lanes = W (swapped layout)
+        ((1, 2, 256, 16, 3), 3, 5),  # H = 2x128 lanes
+    ],
+)
+def test_conv3d_pallas_interpret_parity(shape, cin, cout):
+    """Implicit-GEMM Pallas conv == XLA conv (kernel body in interpret
+    mode on CPU; ops/pallas/conv.py)."""
+    from adell_mri_tpu.ops.conv import conv3d_xla
+    from adell_mri_tpu.ops.pallas.conv import conv3d_pallas_raw
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.asarray(
+        rng.normal(size=(3, 3, 3, cin, cout)), jnp.float32
+    )
+    out = conv3d_pallas_raw(x, w, interpret=True)
+    assert out is not None
+    ref = conv3d_xla(x, w)
+    assert out.shape == ref.shape
+    err = float(jnp.abs(out - ref).max())
+    assert err < 1e-4, err
+
+
+def test_conv3d_pallas_unsupported_shapes():
+    """Shapes outside the kernel's v1 scope return None (caller falls
+    back to im2col/xla)."""
+    from adell_mri_tpu.ops.pallas.conv import conv3d_pallas_supported
+
+    w = (3, 3, 3, 4, 8)
+    # no 128-multiple spatial axis
+    assert not conv3d_pallas_supported((1, 4, 64, 32, 4), w, (1, 1, 1), "SAME")
+    # strided
+    assert not conv3d_pallas_supported((1, 4, 128, 8, 4), w, (2, 2, 2), "SAME")
+    # non-SAME
+    assert not conv3d_pallas_supported((1, 4, 128, 8, 4), w, (1, 1, 1), "VALID")
+    # k != 3
+    assert not conv3d_pallas_supported(
+        (1, 4, 128, 8, 4), (5, 5, 5, 4, 8), (1, 1, 1), "SAME"
+    )
+
+
+def test_conv3d_pallas_trainable_grad_parity():
+    """The pallas lowering's custom_vjp (pallas fwd in interpret mode +
+    shared matmul bwd) matches XLA conv autodiff."""
+    import adell_mri_tpu.ops.pallas.conv as pconv_mod
+    from adell_mri_tpu.ops.conv import conv3d_pallas_trainable, conv3d_xla
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 3, 128, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 8)), jnp.float32)
+    real = pconv_mod.pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return real(*args, **kwargs)
+
+    pconv_mod.pl.pallas_call = patched
+    try:
+        out, vjp = jax.vjp(
+            lambda x, w: conv3d_pallas_trainable(x, w, (1, 1, 1), "SAME"),
+            x, w,
+        )
+    finally:
+        pconv_mod.pl.pallas_call = real
+    ref, ref_vjp = jax.vjp(lambda x, w: conv3d_xla(x, w), x, w)
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+    g = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    dx, dw = vjp(g)
+    rdx, rdw = ref_vjp(g)
+    for got, want in ((dx, rdx), (dw, rdw)):
+        err = float(jnp.abs(got - want).max())
+        assert err / (float(jnp.abs(want).max()) + 1e-6) < 1e-5
+
+
 def test_tpu_conv_module_lowering_parity(monkeypatch):
     """TpuConv: xla and im2col lowerings agree; param tree matches nn.Conv."""
     import flax.linen as nn
