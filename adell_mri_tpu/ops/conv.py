@@ -209,10 +209,22 @@ def _conv3d_im2col_bwd(strides, padding, res, g):
             [s - c for s, c in zip(g_dil.shape, crop_hi)],
         )
     w_rot = jnp.flip(w, axis=(0, 1, 2)).swapaxes(3, 4)
-    dx = conv3d_im2col(
-        g_dil, w_rot, strides=(1, 1, 1), padding=tuple(bwd_pads)
-    ).astype(x.dtype)
-    return dx, dw
+    dx = None
+    if (
+        tuple(bwd_pads) == ((1, 1), (1, 1), (1, 1))
+        and os.environ.get("ADELL_CONV_LOWERING") == "pallas"
+        and _tpu_backend()
+    ):
+        # stride-1 SAME k=3 forward: dx is itself a SAME conv, so it can
+        # ride the implicit-GEMM kernel when the shape qualifies
+        from .pallas.conv import conv3d_pallas_raw
+
+        dx = conv3d_pallas_raw(g_dil, w_rot)
+    if dx is None:
+        dx = conv3d_im2col(
+            g_dil, w_rot, strides=(1, 1, 1), padding=tuple(bwd_pads)
+        )
+    return dx.astype(x.dtype), dw
 
 
 conv3d_im2col_trainable.defvjp(_conv3d_im2col_fwd, _conv3d_im2col_bwd)

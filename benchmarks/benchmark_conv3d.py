@@ -48,8 +48,10 @@ def main():
 
     from adell_mri_tpu.ops.conv import (
         conv3d_im2col_trainable,
+        conv3d_pallas_trainable,
         conv3d_xla,
     )
+    from adell_mri_tpu.ops.pallas.conv import conv3d_pallas_supported
 
     B = 4
     shapes = [
@@ -64,11 +66,19 @@ def main():
         cin = xs[-1]
         w0 = jnp.full((3, 3, 3, cin, cout), 0.01, dtype)
         fwd_flops = 2 * int(np.prod(xs[:4])) * 27 * cin * cout
-        for name, fn in (
+        lowerings = [
             ("xla", lambda x, w: conv3d_xla(x, w)),
             ("im2col", lambda x, w: conv3d_im2col_trainable(
                 x, w, (1, 1, 1), "SAME")),
+        ]
+        if conv3d_pallas_supported(
+            xs, (3, 3, 3, cin, cout), (1, 1, 1), "SAME"
         ):
+            lowerings.append(
+                ("pallas", lambda x, w: conv3d_pallas_trainable(
+                    x, w, (1, 1, 1), "SAME"))
+            )
+        for name, fn in lowerings:
             x0 = jnp.ones(xs, dtype)
 
             @jax.jit

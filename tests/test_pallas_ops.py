@@ -326,6 +326,43 @@ def test_conv3d_pallas_trainable_grad_parity():
         assert err / (float(jnp.abs(want).max()) + 1e-6) < 1e-5
 
 
+def test_conv3d_bwd_dx_pallas_routing(monkeypatch):
+    """With ADELL_CONV_LOWERING=pallas on a TPU-like backend, the shared
+    matmul backward routes its dx conv through the implicit-GEMM kernel
+    (stride-1 SAME k=3 only); gradients stay exact vs XLA autodiff."""
+    import adell_mri_tpu.ops.conv as conv_mod
+    import adell_mri_tpu.ops.pallas.conv as pconv_mod
+    from adell_mri_tpu.ops.conv import conv3d_im2col_trainable, conv3d_xla
+
+    monkeypatch.setenv("ADELL_CONV_LOWERING", "pallas")
+    monkeypatch.setattr(conv_mod, "_tpu_backend", lambda: True)
+    real = pconv_mod.pl.pallas_call
+    calls = []
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(pconv_mod.pl, "pallas_call", patched)
+    rng = np.random.default_rng(2)
+    # dx conv sees [B, D, H, W, Cout=8] with H=128: kernel-qualifying
+    x = jnp.asarray(rng.normal(size=(1, 3, 128, 8, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 8)), jnp.float32)
+    out, vjp = jax.vjp(
+        lambda x, w: conv3d_im2col_trainable(x, w, (1, 1, 1), "SAME"),
+        x, w,
+    )
+    g = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+    dx, dw = vjp(g)
+    assert calls, "dx did not route through the pallas kernel"
+    ref, ref_vjp = jax.vjp(lambda x, w: conv3d_xla(x, w), x, w)
+    rdx, rdw = ref_vjp(g)
+    for got, want in ((dx, rdx), (dw, rdw)):
+        err = float(jnp.abs(got - want).max())
+        assert err / (float(jnp.abs(want).max()) + 1e-6) < 1e-5
+
+
 def test_tpu_conv_module_lowering_parity(monkeypatch):
     """TpuConv: xla and im2col lowerings agree; param tree matches nn.Conv."""
     import flax.linen as nn
