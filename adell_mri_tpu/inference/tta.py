@@ -77,6 +77,7 @@ class SegmentationInference:
         batch_size: int = 4,
         postproc_fn: Optional[Callable] = None,
         rng: Optional[jax.Array] = None,
+        mesh=None,
     ):
         self.base_fn = base_inference_function
         self.checkpoint_params = list(checkpoint_params)
@@ -88,6 +89,9 @@ class SegmentationInference:
         self.batch_size = batch_size
         self.reduction = TensorListReduction(postproc_fn)
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # mesh with data-axis > 1 shards the sliding-window tile grid
+        # across devices (sliding_window_inference_sharded)
+        self.mesh = mesh
 
     def _single_model_fn(self, params, rng) -> Callable:
         if self.mc_iterations:
@@ -120,6 +124,7 @@ class SegmentationInference:
                     n_classes=self.n_classes,
                     stride=self.stride,
                     batch_size=self.batch_size,
+                    mesh=self.mesh,
                 )
             if self.flip:
                 ndim = (
