@@ -8,6 +8,7 @@ get_ssl_network (:689), get_detection_network, get_generative_network.
 
 from typing import Any, Dict, Optional, Sequence
 
+from adell_mri_tpu.models.layers.adn import get_adn_fn
 from adell_mri_tpu.models.classification import (
     CatNet,
     FactorizedViTClassifier,
@@ -251,7 +252,21 @@ def get_classification_network(
         )
     elif net_type == "unet":
         unet = UNet(**_unet_kwargs(cfg, n_classes))
-        net = UNetEncoderClassifier(unet=unet, n_classes=n_classes)
+        # ref head: [depth[-1]]*3 hidden dims with (norm, gelu) 1-d ADN
+        # (network_factories.py:207-220)
+        depth_val = cfg.get("depth", (16, 32, 64))
+        last_d = depth_val[-1] if isinstance(depth_val, (list, tuple)) else depth_val
+        net = UNetEncoderClassifier(
+            unet=unet,
+            n_classes=n_classes,
+            head_structure=(last_d,) * 3,
+            head_adn_fn=get_adn_fn(
+                1,
+                cfg.get("norm_fn", "batch"),
+                "gelu",  # the reference pins the head act to gelu
+                cfg.get("dropout_param", 0.0),
+            ),
+        )
     else:
         raise NotImplementedError(f"classification net_type {net_type!r}")
 

@@ -188,26 +188,40 @@ class OrdNet(nn.Module):
 
 
 class UNetEncoderClassifier(nn.Module):
-    """U-Net encoder + classification head (parity: classification.py:614)."""
+    """U-Net encoder + classification head (parity: classification.py:614):
+    max-pooled bottleneck features through an MLP with the head's own 1-d
+    ADN (the reference factory builds head_structure=[depth[-1]]*3 with
+    (norm, gelu) ADN, network_factories.py:207-220)."""
 
     unet: Any  # a UNet module (encoder_only is forced on the call)
     n_classes: int = 2
     head_structure: Sequence[int] = (256,)
+    head_adn_fn: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         bottleneck = self.unet(x, train=train, return_bottleneck=True)[2]
         feats = GlobalPooling()(bottleneck)
-        for h in self.head_structure:
-            feats = nn.Dense(h)(feats)
-            feats = nn.relu(feats)
-        return nn.Dense(_out_features(self.n_classes))(feats)
+        adn = self.head_adn_fn or get_adn_fn(1, "batch", "gelu", 0.0)
+        return MLP(
+            hidden_dims=tuple(self.head_structure),
+            out_dim=_out_features(self.n_classes),
+            adn_fn=adn,
+        )(feats, train=train)
 
 
 class SegCatNet(nn.Module):
     """
-    Classifies from a U-Net's features (parity: classification.py:502):
-    pooled final decoder features + pooled bottleneck, concatenated.
+    Classifies from a FROZEN U-Net's features (parity:
+    classification.py:502-607): a ResNet tower over the final-layer
+    features (structure [(d,2d,3,2),(2d,2d,3,2),(4d,4d,3,2)], maxpool 2
+    per stage, batch+swish+0.1 ADN, prediction head [4d]*3,
+    init_final_layer_classification :547-573) and a ProjectionHead over
+    the bottleneck ([d,2d,4d,2d,d], :575-587), each followed by a
+    bias-free Linear to n_classes, combined by a bias-free
+    weighted-average Linear (:589-592). The U-Net features pass through
+    stop_gradient (the reference runs the U-Net under torch.no_grad,
+    :600-602).
     """
 
     unet: Any
@@ -215,17 +229,45 @@ class SegCatNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pred, final_features, bottleneck = self.unet(
+        from adell_mri_tpu.models.layers.res_net import ProjectionHead, ResNet
+
+        _, final_features, bottleneck = self.unet(
             x, train=train, return_features=True
         )
-        f1 = GlobalPooling()(final_features)
-        f2 = GlobalPooling()(bottleneck)
-        # max-pooled prediction as weak localization signal
-        f3 = jnp.max(pred.reshape(pred.shape[0], -1, pred.shape[-1]), axis=1)
-        feats = jnp.concatenate([f1, f2, f3], axis=-1)
-        h = nn.Dense(feats.shape[-1] // 2)(feats)
-        h = nn.relu(h)
-        return nn.Dense(_out_features(self.n_classes))(h)
+        final_features = jax.lax.stop_gradient(final_features)
+        bottleneck = jax.lax.stop_gradient(bottleneck)
+        nc = _out_features(self.n_classes)
+        sd = x.ndim - 2
+        d = final_features.shape[-1]
+        adn = get_adn_fn(sd, "batch", "swish", 0.1)
+        head_adn = get_adn_fn(1, "batch", "swish", 0.1)
+        class_fl = ResNet(
+            backbone_structure=(
+                (d, 2 * d, 3, 2),
+                (2 * d, 2 * d, 3, 2),
+                (4 * d, 4 * d, 3, 2),
+            ),
+            maxpool_structure=(2, 2, 2),
+            adn_fn=adn,
+            head_adn_fn=head_adn,
+            res_type="resnet",
+            prediction_head_structure=(4 * d, 4 * d, 4 * d),
+            name="final_layer_classifier",
+        )(final_features, train=train, ret="prediction")
+        class_fl = nn.Dense(nc, use_bias=False, name="final_layer_linear")(
+            class_fl
+        )
+        db = bottleneck.shape[-1]
+        class_bn = ProjectionHead(
+            (db, 2 * db, 4 * db, 2 * db, db),
+            adn_fn=head_adn,
+            name="bottleneck_classifier",
+        )(bottleneck, train=train)
+        class_bn = nn.Dense(nc, use_bias=False, name="bottleneck_linear")(
+            class_bn
+        )
+        feats = jnp.concatenate([class_fl, class_bn], axis=-1)
+        return nn.Dense(nc, use_bias=False, name="weighted_average")(feats)
 
 
 class ViTClassifier(nn.Module):

@@ -164,16 +164,22 @@ def _conv3d_im2col_bwd(strides, padding, res, g):
     pads = _explicit_pads(x.shape, k, strides, padding)
 
     # dW: recompute the padded input's patch tensor and contract the
-    # voxel axis against g. [k^3*Cin, V] x [V, Cout] — pure MXU.
+    # voxel axis against g. Computed TRANSPOSED — [Cout, V] x [V, k^3*Cin]
+    # — so the output lane axis is k^3*Cin (>= 128 already at Cin >= 5)
+    # instead of Cout (32 at the UNet stem, a quarter of the MXU's lanes);
+    # the transpose back is kernel-sized, i.e. free.
     xp = jnp.pad(x, ((0, 0),) + tuple(pads) + ((0, 0),))
     patches = _im2col_patches(xp, k, strides)
     v = patches.shape[0] * patches.shape[1] * patches.shape[2] * patches.shape[3]
-    dw = jax.lax.dot_general(
-        patches.reshape(v, kd * kh * kw * cin),
+    dw_t = jax.lax.dot_general(
         g.reshape(v, cout),
+        patches.reshape(v, kd * kh * kw * cin),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(w.dtype).reshape(kd, kh, kw, cin, cout)
+    )  # [Cout, k^3*Cin]
+    dw = (
+        dw_t.T.astype(w.dtype).reshape(kd, kh, kw, cin, cout)
+    )
 
     # dx: full correlation of the interior-dilated cotangent with the
     # spatially-flipped, channel-swapped kernel, at stride 1. With

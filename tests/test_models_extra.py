@@ -98,6 +98,57 @@ class SliceEnc(nn.Module):
         )
 
 
+def test_segcatnet_reference_heads():
+    """SegCatNet carries the reference head architecture
+    (classification.py:547-592): ResNet tower + ProjectionHead + bias-free
+    weighted average; U-Net features are stop-gradient (frozen)."""
+    from adell_mri_tpu.models.classification import SegCatNet
+    from adell_mri_tpu.models.segmentation import UNet
+
+    unet = UNet(
+        spatial_dimensions=3,
+        depth=(4, 8),
+        kernel_sizes=(3, 3),
+        strides=(1, 2),
+        n_classes=2,
+    )
+    m = SegCatNet(unet=unet, n_classes=2)
+    # the head's ResNet tower pools 4x (stem + 3 stages, VALID torch
+    # semantics): the smallest axis must survive 16x downsampling
+    x = jnp.ones((1, 32, 32, 16, 1))
+    v = m.init({"params": KEY}, x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 1)
+    # reference head param groups exist
+    p = v["params"]
+    for k in (
+        "final_layer_classifier",
+        "bottleneck_classifier",
+        "final_layer_linear",
+        "bottleneck_linear",
+        "weighted_average",
+    ):
+        assert k in p, sorted(p)
+    # bias-free combination linears (ref: bias=False)
+    assert "bias" not in p["weighted_average"]
+    # frozen U-Net: grads through the classifier must leave the U-Net at 0
+    def loss(params):
+        return jnp.sum(m.apply({"params": params}, x) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    unet_leaves = jax.tree_util.tree_leaves(
+        {k: v for k, v in g.items() if k.startswith("unet")}
+        or g.get("UNet_0", {})
+    )
+    if unet_leaves:
+        assert all(float(jnp.abs(l).max()) == 0.0 for l in unet_leaves)
+    head_norm = sum(
+        float(jnp.abs(l).max())
+        for l in jax.tree_util.tree_leaves(g["weighted_average"])
+    )
+    assert head_norm > 0
+
+
 def test_mil_attention_normalized():
     m = MILAttention(attention_dim=8)
     h = jax.random.normal(KEY, (2, 5, 16))
