@@ -236,6 +236,84 @@ def _conv3d_im2col_bwd(strides, padding, res, g):
 conv3d_im2col_trainable.defvjp(_conv3d_im2col_fwd, _conv3d_im2col_bwd)
 
 
+_DIMNUMS_2D = ("NHWC", "HWIO", "NHWC")
+
+
+def conv3d_z2d(x, w, strides=(1, 1, 1), padding="SAME"):
+    """3D conv as a sum of kd 2D convs over z-shifted slabs.
+
+    ``y[:, z] = sum_dz conv2d(x[:, z+dz-lo], w[dz])`` with (B, D) folded
+    into the conv batch. Avoids the im2col patch tensor entirely (the
+    only extra HBM is XLA's partial-sum fusion) and rides XLA's 2D conv
+    path, which tiles narrow-channel stems better than the 3D path
+    (benchmarks/benchmark_conv3d.py). Supports any k/stride; the z axis
+    is handled by slicing, so strides[0] subsamples the slab index.
+    """
+    kd, kh, kw, cin, cout = w.shape
+    pads = _explicit_pads(x.shape, (kd, kh, kw), strides, padding)
+    xz = jnp.pad(x, ((0, 0), tuple(pads[0])) + ((0, 0),) * 3)
+    b, dpad, h, w_, _ = xz.shape
+    od = (dpad - kd) // strides[0] + 1
+    out = None
+    for dz in range(kd):
+        slab = jax.lax.slice(
+            xz,
+            (0, dz, 0, 0, 0),
+            (b, dz + (od - 1) * strides[0] + 1, h, w_, cin),
+            (1, strides[0], 1, 1, 1),
+        )  # [B, od, H, W, Cin]
+        y = jax.lax.conv_general_dilated(
+            slab.reshape(b * od, h, w_, cin),
+            w[dz],
+            window_strides=tuple(strides[1:]),
+            padding=[tuple(pads[1]), tuple(pads[2])],
+            dimension_numbers=_DIMNUMS_2D,
+            preferred_element_type=jnp.float32,
+        )
+        out = y if out is None else out + y
+    oh, ow = out.shape[1:3]
+    return out.astype(x.dtype).reshape(b, od, oh, ow, cout)
+
+
+def conv3d_zfold(x, w, strides=(1, 1, 1), padding="SAME"):
+    """3D conv as ONE 2D conv over a z-fold of the input.
+
+    The kd z-taps are concatenated on the channel axis
+    ([B, D, H, W, kd*Cin], a kd-x — not k^3-x — patch blowup), then a
+    single [kh, kw, kd*Cin, Cout] 2D conv over (H, W) with (B, D) folded
+    into the batch finishes the contraction. Gives XLA's 2D conv a wide
+    input-channel dim (kd*Cin) at the narrow stem where its 3D tiling
+    starves the MXU.
+    """
+    kd, kh, kw, cin, cout = w.shape
+    pads = _explicit_pads(x.shape, (kd, kh, kw), strides, padding)
+    xz = jnp.pad(x, ((0, 0), tuple(pads[0])) + ((0, 0),) * 3)
+    b, dpad, h, w_, _ = xz.shape
+    od = (dpad - kd) // strides[0] + 1
+    slabs = [
+        jax.lax.slice(
+            xz,
+            (0, dz, 0, 0, 0),
+            (b, dz + (od - 1) * strides[0] + 1, h, w_, cin),
+            (1, strides[0], 1, 1, 1),
+        )
+        for dz in range(kd)
+    ]
+    xf = jnp.concatenate(slabs, axis=-1)  # [B, od, H, W, kd*Cin]
+    # [kh, kw, kd*Cin, Cout] with the channel blocks in dz order
+    wf = jnp.concatenate([w[dz] for dz in range(kd)], axis=2)
+    y = jax.lax.conv_general_dilated(
+        xf.reshape(b * od, h, w_, kd * cin),
+        wf,
+        window_strides=tuple(strides[1:]),
+        padding=[tuple(pads[1]), tuple(pads[2])],
+        dimension_numbers=_DIMNUMS_2D,
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    oh, ow = y.shape[1:3]
+    return y.reshape(b, od, oh, ow, cout)
+
+
 @_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv3d_pallas_trainable(x, w, strides, padding):
     """Implicit-GEMM Pallas forward (ops/pallas/conv.py: voxel-lane GEMM,

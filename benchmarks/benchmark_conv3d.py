@@ -47,9 +47,13 @@ def main():
     import jax.numpy as jnp
 
     from adell_mri_tpu.ops.conv import (
+        _IM2COL_MAX_BYTES,
+        _im2col_patch_bytes,
         conv3d_im2col_trainable,
         conv3d_pallas_trainable,
         conv3d_xla,
+        conv3d_z2d,
+        conv3d_zfold,
     )
     from adell_mri_tpu.ops.pallas.conv import conv3d_pallas_supported
 
@@ -68,9 +72,19 @@ def main():
         fwd_flops = 2 * int(np.prod(xs[:4])) * 27 * cin * cout
         lowerings = [
             ("xla", lambda x, w: conv3d_xla(x, w)),
-            ("im2col", lambda x, w: conv3d_im2col_trainable(
-                x, w, (1, 1, 1), "SAME")),
+            ("z2d", lambda x, w: conv3d_z2d(x, w)),
+            ("zfold", lambda x, w: conv3d_zfold(x, w)),
         ]
+        # match production routing: the stem's 3.4 GB patch tensor (plus
+        # XLA's 4x lane-padded shifted slices) OOMs HBM when forced, so
+        # only sweep im2col where the auto guard would actually pick it
+        if _im2col_patch_bytes(
+            xs, (3, 3, 3), (1, 1, 1), dtype
+        ) <= _IM2COL_MAX_BYTES:
+            lowerings.append(
+                ("im2col", lambda x, w: conv3d_im2col_trainable(
+                    x, w, (1, 1, 1), "SAME"))
+            )
         if conv3d_pallas_supported(
             xs, (3, 3, 3, cin, cout), (1, 1, 1), "SAME"
         ):
@@ -99,17 +113,29 @@ def main():
                         return jnp.mean(fn(xi, wi) ** 2)
 
                     dx, dw = jax.grad(loss, argnums=(0, 1))(xx, ww)
-                    return xx + dx * 1e-6, ww + dw * 1e-6
+                    # grads may come back f32 (f32 loss accumulation);
+                    # cast so the next iteration's conv sees one dtype
+                    return (
+                        xx + dx.astype(xx.dtype) * 1e-6,
+                        ww + dw.astype(ww.dtype) * 1e-6,
+                    )
 
                 out = jax.lax.fori_loop(0, n, body, (x, w))
                 return out[0]
 
-            dt_f, ok_f = slope_time(lambda n: fwd_chain(x0, w0, n))
-            print(
-                f"fwd     {name:7s} {str(xs):26s} -> {cout:4d}: "
-                f"{dt_f * 1e3:8.2f} ms  {fwd_flops / dt_f / 1e12:6.2f}"
-                f" TFLOP/s{'' if ok_f else '  (UNRESOLVED)'}"
-            )
+            try:
+                dt_f, ok_f = slope_time(lambda n: fwd_chain(x0, w0, n))
+                print(
+                    f"fwd     {name:7s} {str(xs):26s} -> {cout:4d}: "
+                    f"{dt_f * 1e3:8.2f} ms  {fwd_flops / dt_f / 1e12:6.2f}"
+                    f" TFLOP/s{'' if ok_f else '  (UNRESOLVED)'}"
+                )
+            except Exception as exc:
+                print(
+                    f"fwd     {name:7s} {str(xs):26s}: FAILED "
+                    f"{str(exc).splitlines()[0][:120]}"
+                )
+                continue
             try:
                 dt_b, ok_b = slope_time(lambda n: bwd_chain(x0, w0, n))
                 # fwd (inside grad) + dx + dw = 3x the conv FLOPs
@@ -120,7 +146,10 @@ def main():
                     f" TFLOP/s{'' if ok_b else '  (UNRESOLVED)'}"
                 )
             except Exception as exc:
-                print(f"fwd+bwd {name:7s} {str(xs):26s}: FAILED {exc}")
+                print(
+                    f"fwd+bwd {name:7s} {str(xs):26s}: FAILED "
+                    f"{str(exc).splitlines()[0][:120]}"
+                )
 
     # calibration: the MXU speed-of-light on this run
     m = 4096

@@ -385,3 +385,44 @@ def test_tpu_conv_module_lowering_parity(monkeypatch):
         v["params"]["kernel"].shape == vr["params"]["kernel"].shape
         and v["params"]["bias"].shape == vr["params"]["bias"].shape
     )
+
+
+@pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 1), (2, 1, 2)])
+@pytest.mark.parametrize("padding", ["SAME", "VALID"])
+def test_conv3d_z2d_zfold_match_xla(strides, padding):
+    """The z-decomposed (sum of kd 2D convs) and z-fold (single wide-
+    channel 2D conv) lowerings are mathematically identical to the XLA
+    3D conv — the no-patch-tensor alternatives for the stem wall
+    (ops/conv.py conv3d_z2d / conv3d_zfold)."""
+    from adell_mri_tpu.ops.conv import conv3d_xla, conv3d_z2d, conv3d_zfold
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 7, 8, 6, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 5)), jnp.float32)
+    ref = conv3d_xla(x, w, strides=strides, padding=padding)
+    for fn in (conv3d_z2d, conv3d_zfold):
+        got = fn(x, w, strides=strides, padding=padding)
+        assert got.shape == ref.shape
+        assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
+def test_conv3d_z2d_zfold_grad_parity():
+    """Autodiff through the z-decomposed lowerings stays in the
+    conv_general_dilated family (no strided-gather transposes), and the
+    gradients match the XLA conv's."""
+    import jax
+
+    from adell_mri_tpu.ops.conv import conv3d_xla, conv3d_z2d, conv3d_zfold
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 6, 8, 6, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)), jnp.float32)
+    ref, ref_vjp = jax.vjp(lambda x, w: conv3d_xla(x, w), x, w)
+    g = jnp.asarray(rng.normal(size=ref.shape), jnp.float32)
+    rx, rw = ref_vjp(g)
+    for fn in (conv3d_z2d, conv3d_zfold):
+        out, vjp = jax.vjp(lambda x, w: fn(x, w), x, w)
+        dx, dw = vjp(g)
+        assert float(jnp.abs(out - ref).max()) < 1e-4
+        assert float(jnp.abs(dx - rx).max()) < 1e-4
+        assert float(jnp.abs(dw - rw).max()) < 1e-4
