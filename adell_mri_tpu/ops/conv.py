@@ -236,6 +236,51 @@ def _conv3d_im2col_bwd(strides, padding, res, g):
 conv3d_im2col_trainable.defvjp(_conv3d_im2col_fwd, _conv3d_im2col_bwd)
 
 
+def conv3d_im2col_t(x, w, strides=(1, 1, 1), padding="SAME"):
+    """Transposed im2col: ``out^T [Cout, V] = W^T [Cout, k^3*Cin] @
+    patches^T [k^3*Cin, V]``.
+
+    Same math as ``conv3d_im2col`` but the GEMM's lane axis is the voxel
+    count V (always a 128-multiple at real shapes) instead of Cout — at
+    the 32-channel stem the standard orientation leaves 3/4 of the MXU
+    lanes idle and pads every [.., 32]-minor intermediate 4x in HBM
+    (T(8,128) tiling). The patch rows are channels-first shifted views,
+    so the one-off input/output transposes are the only extra traffic.
+    """
+    kd, kh, kw, cin, cout = w.shape
+    pads = _explicit_pads(x.shape, (kd, kh, kw), strides, padding)
+    xp = jnp.pad(x, ((0, 0),) + tuple(pads) + ((0, 0),))
+    x_cf = jnp.transpose(xp, (4, 0, 1, 2, 3))  # [Cin, B, Dp, Hp, Wp]
+    c, b, d, h, w_ = x_cf.shape
+    od = (d - kd) // strides[0] + 1
+    oh = (h - kh) // strides[1] + 1
+    ow = (w_ - kw) // strides[2] + 1
+    v = b * od * oh * ow
+    views = []
+    for dz in range(kd):
+        for dy in range(kh):
+            for dx in range(kw):
+                views.append(
+                    jax.lax.slice(
+                        x_cf,
+                        (0, 0, dz, dy, dx),
+                        (c, b, dz + od * strides[0] - strides[0] + 1,
+                         dy + oh * strides[1] - strides[1] + 1,
+                         dx + ow * strides[2] - strides[2] + 1),
+                        (1, 1) + tuple(strides),
+                    ).reshape(cin, v)
+                )
+    patches_t = jnp.concatenate(views, axis=0)  # [k^3*Cin, V]
+    wmat_t = w.reshape(kd * kh * kw * cin, cout).T  # [Cout, k^3*Cin]
+    out_t = jax.lax.dot_general(
+        wmat_t, patches_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # [Cout, V]
+    out = out_t.reshape(cout, b, od, oh, ow)
+    return jnp.transpose(out, (1, 2, 3, 4, 0))
+
+
 _DIMNUMS_2D = ("NHWC", "HWIO", "NHWC")
 
 
@@ -267,8 +312,10 @@ def conv3d_z2d(x, w, strides=(1, 1, 1), padding="SAME"):
             w[dz],
             window_strides=tuple(strides[1:]),
             padding=[tuple(pads[1]), tuple(pads[2])],
+            # no preferred_element_type: its transpose rule mixes dtypes
+            # under bf16 autodiff (f32 cotangent vs bf16 operand); the
+            # TPU conv accumulates f32 inside the MXU regardless
             dimension_numbers=_DIMNUMS_2D,
-            preferred_element_type=jnp.float32,
         )
         out = y if out is None else out + y
     oh, ow = out.shape[1:3]
@@ -307,8 +354,8 @@ def conv3d_zfold(x, w, strides=(1, 1, 1), padding="SAME"):
         wf,
         window_strides=tuple(strides[1:]),
         padding=[tuple(pads[1]), tuple(pads[2])],
+        # no preferred_element_type: see conv3d_z2d
         dimension_numbers=_DIMNUMS_2D,
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     oh, ow = y.shape[1:3]
     return y.reshape(b, od, oh, ow, cout)
@@ -367,16 +414,23 @@ def _tpu_backend() -> bool:
 
 
 def _pick_lowering(x, k, strides, padding="SAME", cout=None):
-    """auto: im2col when its patch tensor fits the budget (it beat XLA's
-    3D-conv tiling at every UNet hot shape, up to 4.5x —
-    benchmarks/benchmark_conv3d.py / BASELINE.md), else xla. The win is a
-    TPU MXU-tiling property: on CPU/GPU the materialized k^3 patch tensor
-    is pure overhead, so auto only fires on TPU-like backends.
-    ``pallas`` (env opt-in until validated on an uncontended chip) routes
-    qualifying stride-1 SAME k=3 shapes through the implicit-GEMM kernel
-    and falls back to the auto choice elsewhere."""
+    """auto: ``z2d`` (sum of kd 2D convs over z-shifted slabs) on TPU
+    backends, ``xla`` elsewhere.
+
+    Healthy-chip measurement (BASELINE.md round 3, calibration-bracketed)
+    overturned the earlier im2col default: with the MXU at 130-200
+    TFLOP/s, XLA's conv family runs 20-170 TFLOP/s at every >=64-channel
+    UNet level while im2col's materialized patch tensor holds it to
+    4.6-57 (it is HBM-bound by design) and fails to compile at the stem
+    (17 GB of lane-padded shifted slices). z2d matched or beat plain xla
+    at every shape measured adjacently in the same run (2x at the
+    64-ch level, 1.4x at the deepest) — the 2D conv path tiles
+    narrow-channel shapes better than the 3D one. im2col's earlier
+    "up to 4.5x" wins were measured on contention-degraded windows where
+    MXU starvation inverted the ranking; kept as an env opt-in for such
+    environments. ``pallas`` remains opt-in (compile service risk)."""
     env = os.environ.get("ADELL_CONV_LOWERING", "auto")
-    if env in ("xla", "im2col"):
+    if env in ("xla", "im2col", "z2d", "zfold", "im2col_t"):
         return env
     if env == "pallas" and cout is not None and _tpu_backend():
         from .pallas.conv import conv3d_pallas_supported
@@ -387,15 +441,38 @@ def _pick_lowering(x, k, strides, padding="SAME", cout=None):
             return "pallas"
     if not _tpu_backend():
         return "xla"
-    if _im2col_patch_bytes(x.shape, k, strides, x.dtype) <= _IM2COL_MAX_BYTES:
-        return "im2col"
-    return "xla"
+    return "z2d"
 
 
 def _hashable_padding(padding):
     if isinstance(padding, str):
         return padding
     return tuple((int(lo), int(hi)) for lo, hi in padding)
+
+
+#: Zero-pad Cout up to this many lanes before the conv and slice the
+#: result back (exact semantics: extra output channels of an all-zero
+#: kernel are zero). Works around the measured narrow-Cout conv cliff;
+#: 0 disables. Opt-in until validated on an uncontended chip.
+_PAD_COUT = int(os.environ.get("ADELL_CONV_PAD_COUT", 0))
+#: only pad when the (large-spatial) voxel count crosses this threshold —
+#: small feature maps don't hit the cliff and the extra FLOPs would lose
+_PAD_COUT_MIN_VOXELS = int(
+    os.environ.get("ADELL_CONV_PAD_COUT_MIN_VOXELS", 256 * 1024)
+)
+
+
+def _maybe_pad_cout(x, w, fn):
+    cout = w.shape[4]
+    voxels = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
+    if (
+        _PAD_COUT > 0
+        and cout < _PAD_COUT
+        and voxels >= _PAD_COUT_MIN_VOXELS
+    ):
+        w_pad = jnp.pad(w, ((0, 0),) * 4 + ((0, _PAD_COUT - cout),))
+        return lambda *a: fn(a[0], w_pad, *a[2:])[..., :cout]
+    return fn
 
 
 def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
@@ -411,7 +488,12 @@ def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
         return conv3d_im2col_trainable(
             x, w, tuple(strides), _hashable_padding(padding)
         )
-    return conv3d_xla(x, w, strides, padding)
+    fn = {
+        "z2d": conv3d_z2d,
+        "zfold": conv3d_zfold,
+        "im2col_t": conv3d_im2col_t,
+    }.get(lowering, conv3d_xla)
+    return _maybe_pad_cout(x, w, fn)(x, w, strides, padding)
 
 
 class TpuConv(_nn.Module):
@@ -459,6 +541,13 @@ class TpuConv(_nn.Module):
             y = conv3d_im2col_trainable(
                 x, w, strides, _hashable_padding(self.padding)
             )
+        elif ndim == 3 and lowering in ("z2d", "zfold", "im2col_t"):
+            fn = {
+                "z2d": conv3d_z2d,
+                "zfold": conv3d_zfold,
+                "im2col_t": conv3d_im2col_t,
+            }[lowering]
+            y = _maybe_pad_cout(x, w, fn)(x, w, strides, self.padding)
         else:
             spatial = "DHW"[3 - ndim:]
             dn = jax.lax.conv_dimension_numbers(

@@ -426,3 +426,61 @@ def test_conv3d_z2d_zfold_grad_parity():
         assert float(jnp.abs(out - ref).max()) < 1e-4
         assert float(jnp.abs(dx - rx).max()) < 1e-4
         assert float(jnp.abs(dw - rw).max()) < 1e-4
+
+
+@pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 1)])
+@pytest.mark.parametrize("padding", ["SAME", "VALID"])
+def test_conv3d_im2col_t_matches_xla(strides, padding):
+    """The transposed (voxel-lane) im2col GEMM matches the XLA conv."""
+    from adell_mri_tpu.ops.conv import conv3d_im2col_t, conv3d_xla
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 7, 8, 6, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 5)), jnp.float32)
+    ref = conv3d_xla(x, w, strides=strides, padding=padding)
+    got = conv3d_im2col_t(x, w, strides=strides, padding=padding)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
+def test_conv3d_pad_cout_exact(monkeypatch):
+    """ADELL_CONV_PAD_COUT pads the kernel's Cout with zeros and slices
+    the result back — bit-exact vs the unpadded conv (the workaround for
+    the measured narrow-Cout conv cliff)."""
+    import adell_mri_tpu.ops.conv as oc
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)), jnp.float32)
+    ref = oc.conv3d_z2d(x, w)
+    monkeypatch.setattr(oc, "_PAD_COUT", 64)
+    monkeypatch.setattr(oc, "_PAD_COUT_MIN_VOXELS", 1)
+    got = oc.conv3d(x, w, lowering="z2d")
+    assert got.shape == ref.shape
+    assert float(jnp.abs(got - ref).max()) == 0.0
+
+
+def test_tpu_conv_z2d_route_and_bf16_grad(monkeypatch):
+    """TpuConv routes the z2d lowering (the TPU auto default) and its
+    bf16 autodiff compiles without the preferred_element_type dtype-mix
+    crash."""
+    import jax
+
+    import adell_mri_tpu.ops.conv as oc
+
+    monkeypatch.setenv("ADELL_CONV_LOWERING", "z2d")
+    mod = oc.TpuConv(features=4, kernel_size=(3, 3, 3))
+    x = jnp.ones((1, 6, 8, 8, 3), jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    def loss(p, x):
+        return jnp.mean(mod.apply(p, x).astype(jnp.float32) ** 2)
+    g = jax.grad(loss)(params, x)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(l.astype(jnp.float32)))) for l in leaves)
+    # forward parity vs the xla route at f32
+    monkeypatch.setenv("ADELL_CONV_LOWERING", "xla")
+    xf = jnp.asarray(np.random.default_rng(7).normal(size=(1, 6, 8, 8, 3)), jnp.float32)
+    y_ref = mod.apply(params, xf)
+    monkeypatch.setenv("ADELL_CONV_LOWERING", "z2d")
+    y_got = mod.apply(params, xf)
+    assert float(jnp.abs(y_got - y_ref).max()) < 1e-4
