@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
+from adell_mri_tpu.ops.conv import TpuConvTranspose
 from adell_mri_tpu.models.layers.blocks import (
     _tuple,
     apply_adn,
@@ -340,8 +341,10 @@ class UNet(nn.Module):
             # upscale (unet.py:415-459)
             s = _tuple(up_strides[i], ndim)
             if self.upscale_type == "transpose":
-                curr = nn.ConvTranspose(
-                    d, s, strides=s, name=f"up_{i}"
+                # kernel == strides: block-matmul lowering (param tree
+                # identical to nn.ConvTranspose; BASELINE.md round-3)
+                curr = TpuConvTranspose(
+                    d, s, name=f"up_{i}"
                 )(curr)
             else:
                 curr = nn.Conv(d, _tuple(1, ndim), name=f"up_{i}")(curr)
@@ -509,7 +512,7 @@ class BrUNet(nn.Module):
                 skip = nn.Conv(d, _tuple(1, ndim), name=f"skipproj_{i}")(skip)
             s = _tuple(up_strides[i], ndim)
             if self.upscale_type == "transpose":
-                curr = nn.ConvTranspose(d, s, strides=s, name=f"up_{i}")(curr)
+                curr = TpuConvTranspose(d, s, name=f"up_{i}")(curr)
             else:
                 curr = nn.Conv(d, _tuple(1, ndim), name=f"up_{i}")(curr)
                 curr = resize_like(

@@ -565,3 +565,74 @@ class TpuConv(_nn.Module):
             b = self.param("bias", _nn.initializers.zeros, (self.features,))
             y = y + b
         return y
+
+
+def conv_transpose_block(x, w):
+    """Transposed conv with kernel == strides as one matmul + a
+    depth-to-space rearrange.
+
+    ``out[b, z*sz+dz, y*sy+dy, x*sx+dx, co] = sum_ci in[..., ci] *
+    w[dz, dy, dx, ci, co]`` — for kernel == strides the output blocks
+    never overlap, so the transpose conv is a per-voxel linear map
+    [V, Cin] @ [Cin, prod(k)*Cout] (lane dim prod(k)*Cout, MXU-wide even
+    at narrow decoders) followed by a reshape/transpose. Avoids XLA's
+    conv_transpose path, which shares the 3D-conv family's erratic
+    narrow-channel behavior on this stack (BASELINE.md round-3).
+    Supports any spatial rank.
+    """
+    k = w.shape[:-2]
+    cin, cout = w.shape[-2], w.shape[-1]
+    nsp = len(k)
+    b = x.shape[0]
+    sp = x.shape[1:-1]
+    # nn.ConvTranspose (transpose_kernel=False) applies the spatially
+    # FLIPPED kernel: out[.., i*s+di, .., o] = sum_c x * w[k-1-di, ..]
+    w = jnp.flip(w, axis=tuple(range(nsp)))
+    wmat = w.reshape((-1, cin, cout))  # [prod(k), Cin, Cout], tap-major
+    wmat = jnp.moveaxis(wmat, 1, 0).reshape(cin, -1)  # [Cin, prod(k)*Cout]
+    v = b
+    for s_ in sp:
+        v *= s_
+    xw = jax.lax.dot_general(
+        x.reshape(v, cin), wmat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+    )  # [V, prod(k)*Cout]
+    # [B, *sp, *k, Cout] -> interleave each spatial dim with its tap dim
+    xw = xw.reshape((b,) + sp + k + (cout,))
+    perm = [0]
+    for i in range(nsp):
+        perm.extend([1 + i, 1 + nsp + i])
+    perm.append(1 + 2 * nsp)
+    xw = jnp.transpose(xw, perm)
+    out_sp = tuple(s_ * kk for s_, kk in zip(sp, k))
+    return xw.reshape((b,) + out_sp + (cout,))
+
+
+class TpuConvTranspose(_nn.Module):
+    """Drop-in for ``nn.ConvTranspose`` restricted to kernel == strides
+    (the non-overlapping upsample the UNet decoders use): parameter tree
+    matches nn.ConvTranspose (``kernel`` [*k, cin, cout], ``bias``), the
+    forward is the block-matmul lowering above. Falls back to
+    nn.ConvTranspose semantics only through that equality — callers with
+    kernel != strides should use nn.ConvTranspose directly."""
+
+    features: int
+    kernel_size: tuple
+    use_bias: bool = True
+
+    @_nn.compact
+    def __call__(self, x):
+        k = tuple(self.kernel_size)
+        w = self.param(
+            "kernel",
+            _nn.initializers.lecun_normal(),
+            k + (x.shape[-1], self.features),
+        )
+        w = w.astype(x.dtype)
+        y = conv_transpose_block(x, w)
+        if self.use_bias:
+            b = self.param(
+                "bias", _nn.initializers.zeros, (self.features,)
+            )
+            y = y + b.astype(y.dtype)
+        return y

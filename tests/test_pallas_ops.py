@@ -484,3 +484,22 @@ def test_tpu_conv_z2d_route_and_bf16_grad(monkeypatch):
     monkeypatch.setenv("ADELL_CONV_LOWERING", "z2d")
     y_got = mod.apply(params, xf)
     assert float(jnp.abs(y_got - y_ref).max()) < 1e-4
+
+
+def test_tpu_conv_transpose_matches_flax():
+    """TpuConvTranspose (block-matmul lowering for kernel == strides)
+    matches nn.ConvTranspose exactly with shared params, 2D and 3D."""
+    import flax.linen as nn
+    import jax
+
+    from adell_mri_tpu.ops.conv import TpuConvTranspose
+
+    rng = np.random.default_rng(8)
+    for shape, s in (((2, 5, 6, 7, 16), (2, 2, 2)), ((2, 9, 7, 8), (2, 2))):
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        ref_mod = nn.ConvTranspose(12, s, strides=s)
+        params = ref_mod.init(jax.random.PRNGKey(0), x)
+        ref = ref_mod.apply(params, x)
+        got = TpuConvTranspose(12, s).apply(params, x)
+        assert got.shape == ref.shape
+        assert float(jnp.abs(got - ref).max()) < 1e-4
