@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.blocks import _tuple
+from adell_mri_tpu.ops.conv import TpuConv
 from adell_mri_tpu.models.layers.multi_resolution import resize_like
 
 
@@ -38,7 +39,11 @@ class _ResBlockT(nn.Module):
         ndim = x.ndim - 2
         h = nn.GroupNorm(num_groups=min(8, x.shape[-1]))(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, _tuple(3, ndim), padding="SAME")(h)
+        # TpuConv = z2d lowering for 3D (BASELINE.md round-3 stem cliff);
+        # explicit names pin the previous nn.Conv auto paths
+        h = TpuConv(
+            self.out_channels, _tuple(3, ndim), padding="SAME", name="Conv_0"
+        )(h)
         # FiLM from the timestep embedding
         scale_shift = nn.Dense(2 * self.out_channels)(nn.silu(temb))
         scale, shift = jnp.split(scale_shift, 2, axis=-1)
@@ -46,9 +51,11 @@ class _ResBlockT(nn.Module):
         h = h * (1 + scale.reshape(sh)) + shift.reshape(sh)
         h = nn.GroupNorm(num_groups=min(8, self.out_channels))(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, _tuple(3, ndim), padding="SAME")(h)
+        h = TpuConv(
+            self.out_channels, _tuple(3, ndim), padding="SAME", name="Conv_1"
+        )(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, _tuple(1, ndim))(x)
+            x = nn.Conv(self.out_channels, _tuple(1, ndim), name="Conv_2")(x)
         return x + h
 
 
@@ -88,7 +95,9 @@ class DiffusionUNet(nn.Module):
                 cond_embedding
             )
 
-        h = nn.Conv(self.depth[0], _tuple(3, ndim), padding="SAME")(x)
+        h = TpuConv(
+            self.depth[0], _tuple(3, ndim), padding="SAME", name="Conv_0"
+        )(x)
         skips = []
         for i, d in enumerate(self.depth):
             h = _ResBlockT(d, name=f"down_{i}")(h, temb)
@@ -117,4 +126,6 @@ class DiffusionUNet(nn.Module):
                 h = _SelfAttnBlock(self.n_heads, name=f"up_attn_{i}")(h)
         h = nn.GroupNorm(num_groups=min(8, h.shape[-1]))(h)
         h = nn.silu(h)
-        return nn.Conv(self.in_channels, _tuple(3, ndim), padding="SAME")(h)
+        return TpuConv(
+            self.in_channels, _tuple(3, ndim), padding="SAME", name="Conv_1"
+        )(h)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.blocks import _tuple
+from adell_mri_tpu.ops.conv import TpuConv
 
 
 class _ResBlock(nn.Module):
@@ -24,12 +25,18 @@ class _ResBlock(nn.Module):
         ndim = x.ndim - 2
         h = nn.GroupNorm(num_groups=min(8, x.shape[-1]))(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, _tuple(3, ndim), padding="SAME")(h)
+        # TpuConv = z2d lowering in 3D (BASELINE.md round-3 stem cliff;
+        # plain XLA path in 2D); names pin the previous auto paths
+        h = TpuConv(
+            self.out_channels, _tuple(3, ndim), padding="SAME", name="Conv_0"
+        )(h)
         h = nn.GroupNorm(num_groups=min(8, self.out_channels))(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, _tuple(3, ndim), padding="SAME")(h)
+        h = TpuConv(
+            self.out_channels, _tuple(3, ndim), padding="SAME", name="Conv_1"
+        )(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, _tuple(1, ndim))(x)
+            x = nn.Conv(self.out_channels, _tuple(1, ndim), name="Conv_2")(x)
         return x + h
 
 

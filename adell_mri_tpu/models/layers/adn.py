@@ -28,9 +28,17 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         axes = tuple(range(1, x.ndim - 1))
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # single-pass stats: E[x²]-E[x]² lets XLA fuse both reductions
+        # into ONE read of x, where jnp.var's E[(x-mean)²] forces a second
+        # full pass (norms were ~25 ms of the 80 ms flagship forward,
+        # BASELINE.md round-3 ablation). f32 accumulation keeps the
+        # cancellation stable for bf16/f16 activations.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(xf * xf, axis=axes, keepdims=True) - mean * mean
+        var = jnp.maximum(var, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
+        y = (x - mean.astype(x.dtype)) * inv
         features = x.shape[-1]
         if self.use_scale:
             scale = self.param("scale", nn.initializers.ones, (features,))

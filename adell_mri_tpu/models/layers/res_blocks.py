@@ -36,30 +36,47 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, skip_activation: bool = None):
+        # the k x k convs route through TpuConv (z2d lowering): XLA's 3D
+        # conv is erratically pathological at the narrow-channel/large-
+        # spatial shapes the UNet link blocks run at (BASELINE.md round 3:
+        # 0.19-0.39 TFLOP/s at the stem on a HEALTHY chip vs 26.4 for
+        # z2d). Names pin the pre-existing auto-assigned tree paths
+        # (Conv_0..Conv_3) so checkpoints/interop are unaffected.
+        from adell_mri_tpu.ops.conv import TpuConv
+
         ndim = x.ndim - 2
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
         if self.inter_channels is not None:
-            y = nn.Conv(self.inter_channels, _tuple(1, ndim))(x)
+            y = nn.Conv(self.inter_channels, _tuple(1, ndim), name="Conv_0")(x)
             y = apply_adn(self.adn_fn(self.inter_channels), y, train)
-            y = nn.Conv(
+            y = TpuConv(
                 self.inter_channels,
                 _tuple(self.kernel_size, ndim),
                 padding="SAME",
+                name="Conv_1",
             )(y)
             y = apply_adn(self.adn_fn(self.inter_channels), y, train)
-            y = nn.Conv(in_ch, _tuple(1, ndim))(y)
+            y = nn.Conv(in_ch, _tuple(1, ndim), name="Conv_2")(y)
+            proj_name = "Conv_3"
         else:
-            y = nn.Conv(
-                in_ch, _tuple(self.kernel_size, ndim), padding="SAME"
+            y = TpuConv(
+                in_ch,
+                _tuple(self.kernel_size, ndim),
+                padding="SAME",
+                name="Conv_0",
             )(x)
             y = apply_adn(self.adn_fn(in_ch), y, train)
-            y = nn.Conv(
-                in_ch, _tuple(self.kernel_size, ndim), padding="SAME"
+            y = TpuConv(
+                in_ch,
+                _tuple(self.kernel_size, ndim),
+                padding="SAME",
+                name="Conv_1",
             )(y)
+            proj_name = "Conv_2"
         out = y + x
         if in_ch != out_ch:
-            out = nn.Conv(out_ch, _tuple(1, ndim))(out)
+            out = nn.Conv(out_ch, _tuple(1, ndim), name=proj_name)(out)
         skip = (
             skip_activation
             if skip_activation is not None

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
-from adell_mri_tpu.ops.conv import TpuConvTranspose
+from adell_mri_tpu.ops.conv import TpuConv, TpuConvTranspose
 from adell_mri_tpu.models.layers.blocks import (
     _tuple,
     apply_adn,
@@ -188,10 +188,14 @@ class UNet(nn.Module):
 
     def _final_layer(self, x, adn_fn, train, ndim, apply_activation):
         d = x.shape[-1]
-        x = nn.Conv(d, _tuple(3, ndim), padding="SAME")(x)
+        # full-resolution narrow-channel 3x3 — the exact shape class where
+        # XLA's 3D conv craters (BASELINE.md round-3 stem cliff); TpuConv
+        # routes it through z2d. Names pin the previous auto-assigned
+        # paths (Conv_0/Conv_1) for checkpoint stability.
+        x = TpuConv(d, _tuple(3, ndim), padding="SAME", name="Conv_0")(x)
         x = apply_adn(adn_fn(d, name="final_adn"), x, train)
         out_ch = self.n_classes if self.n_classes > 2 else 1
-        x = nn.Conv(out_ch, _tuple(1, ndim))(x)
+        x = nn.Conv(out_ch, _tuple(1, ndim), name="Conv_1")(x)
         if apply_activation:
             x = (
                 jax.nn.softmax(x, axis=-1)
@@ -290,7 +294,7 @@ class UNet(nn.Module):
             elif self.link_type == "conv":
                 # ref init_link_ops:482-502 — ONE conv + adn (not a full
                 # conv unit)
-                encoded = nn.Conv(
+                encoded = TpuConv(
                     d, _tuple(3, ndim), padding="SAME", name=f"link_{i}"
                 )(link_in)
                 encoded = apply_adn(
@@ -404,7 +408,9 @@ class UNet(nn.Module):
             ds = []
             for i, o in enumerate(deep_outputs):
                 d = o.shape[-1]
-                y = nn.Conv(d, _tuple(3, ndim), name=f"ds_conv_{i}")(o)
+                y = TpuConv(
+                    d, _tuple(3, ndim), padding="SAME", name=f"ds_conv_{i}"
+                )(o)
                 y = apply_adn(adn_fn(d, name=f"ds_adn_{i}"), y, train)
                 y = nn.Conv(
                     self.n_classes if self.n_classes > 2 else 1,

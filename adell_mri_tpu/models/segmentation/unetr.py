@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
+from adell_mri_tpu.ops.conv import TpuConv
 from adell_mri_tpu.models.layers.blocks import _tuple, apply_adn
 from adell_mri_tpu.models.layers.multi_resolution import resize_like
 from adell_mri_tpu.models.layers.vit import (
@@ -46,9 +47,16 @@ class _DecoderStage(nn.Module):
         if x.shape[1:-1] != target:
             x = resize_like(x, target)
         x = jnp.concatenate([x, skip], axis=-1)
-        x = nn.Conv(self.out_channels, _tuple(3, ndim), padding="SAME")(x)
+        # TpuConv (z2d lowering) for the narrow-channel/large-spatial 3x3s
+        # where XLA's 3D conv craters (BASELINE.md round-3 stem cliff);
+        # names pin the previous nn.Conv auto paths
+        x = TpuConv(
+            self.out_channels, _tuple(3, ndim), padding="SAME", name="Conv_0"
+        )(x)
         x = apply_adn(self.adn_fn(self.out_channels), x, train)
-        x = nn.Conv(self.out_channels, _tuple(3, ndim), padding="SAME")(x)
+        x = TpuConv(
+            self.out_channels, _tuple(3, ndim), padding="SAME", name="Conv_1"
+        )(x)
         x = apply_adn(self.adn_fn(self.out_channels), x, train)
         return x
 
@@ -166,7 +174,7 @@ class UNETR(nn.Module):
         # skips: z0 from the raw input; z_i from intermediate tokens,
         # progressively deconvolved to their scale (unetr.py decoder design)
         f = self.feature_size
-        z0 = nn.Conv(f, _tuple(3, ndim), padding="SAME")(x)
+        z0 = TpuConv(f, _tuple(3, ndim), padding="SAME", name="Conv_0")(x)
         z0 = apply_adn(adn(f), z0, train)
 
         skips = [z0]
@@ -201,7 +209,7 @@ class UNETR(nn.Module):
         if curr.shape[1:-1] != spatial:
             curr = resize_like(curr, spatial)
         out_ch = self.n_classes if self.n_classes > 2 else 1
-        logits = nn.Conv(out_ch, _tuple(1, ndim))(curr)
+        logits = nn.Conv(out_ch, _tuple(1, ndim), name="Conv_1")(curr)
         pred = logits if return_logits else (
             jax.nn.softmax(logits, -1)
             if self.n_classes > 2
@@ -220,7 +228,9 @@ class UNETR(nn.Module):
             ds = []
             for i, o in enumerate(deep_outputs):
                 d = o.shape[-1]
-                y = nn.Conv(d, _tuple(3, ndim), name=f"ds_conv_{i}")(o)
+                y = TpuConv(
+                    d, _tuple(3, ndim), padding="SAME", name=f"ds_conv_{i}"
+                )(o)
                 y = apply_adn(adn(d, name=f"ds_adn_{i}"), y, train)
                 y = nn.Conv(out_ch, _tuple(1, ndim), name=f"ds_out_{i}")(y)
                 y = (
@@ -289,7 +299,7 @@ class SWINUNet(nn.Module):
         )(x, train=train)
 
         f = self.embed_dim
-        z0 = nn.Conv(f, _tuple(3, ndim), padding="SAME")(x)
+        z0 = TpuConv(f, _tuple(3, ndim), padding="SAME", name="Conv_0")(x)
         z0 = apply_adn(adn(f), z0, train)
         skips = [z0] + feats[:-1]
 
@@ -307,7 +317,7 @@ class SWINUNet(nn.Module):
         if curr.shape[1:-1] != spatial:
             curr = resize_like(curr, spatial)
         out_ch = self.n_classes if self.n_classes > 2 else 1
-        logits = nn.Conv(out_ch, _tuple(1, ndim))(curr)
+        logits = nn.Conv(out_ch, _tuple(1, ndim), name="Conv_1")(curr)
         pred = logits if return_logits else (
             jax.nn.softmax(logits, -1)
             if self.n_classes > 2
@@ -326,7 +336,9 @@ class SWINUNet(nn.Module):
             ds = []
             for i, o in enumerate(deep_outputs):
                 d = o.shape[-1]
-                y = nn.Conv(d, _tuple(3, ndim), name=f"ds_conv_{i}")(o)
+                y = TpuConv(
+                    d, _tuple(3, ndim), padding="SAME", name=f"ds_conv_{i}"
+                )(o)
                 y = apply_adn(adn(d, name=f"ds_adn_{i}"), y, train)
                 y = nn.Conv(out_ch, _tuple(1, ndim), name=f"ds_out_{i}")(y)
                 y = (
