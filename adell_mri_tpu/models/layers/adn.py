@@ -105,8 +105,13 @@ class GlobalBatchNorm(nn.Module):
             mean = jnp.zeros((feat,), x.dtype)
             var = jnp.ones((feat,), x.dtype)
         else:
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            # single-pass stats (one HBM read; see InstanceNorm above)
+            xf = x.astype(jnp.float32)
+            mean32 = jnp.mean(xf, axis=axes)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=axes) - mean32 * mean32, 0.0
+            ).astype(x.dtype)
+            mean = mean32.astype(x.dtype)
             if (
                 ra_mean is not None
                 and mutable_ra

@@ -31,7 +31,10 @@ import time
 
 import numpy as np
 
-BATCH = 4
+#: device batch for the on-chip rows; the CPU denominator is per-volume so
+#: the ratio stays comparable across batch sizes (sweep knob, BASELINE.md
+#: round-3 backlog "batch-8 sweep")
+BATCH = int(os.environ.get("ADELL_BENCH_BATCH", 4))
 SHAPE = (128, 128, 32)
 N_ITERS = 20
 DEPTH = (32, 32, 64, 128, 256)

@@ -388,7 +388,16 @@ def test_tpu_conv_module_lowering_parity(monkeypatch):
 
 
 @pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 1), (2, 1, 2)])
-@pytest.mark.parametrize("padding", ["SAME", "VALID"])
+@pytest.mark.parametrize(
+    "padding",
+    [
+        "SAME",
+        "VALID",
+        # explicit symmetric pads — the torch-style strided-encoder route
+        # TpuConv takes at stride > 1 (models/segmentation/unet.py)
+        ((1, 1), (1, 1), (1, 1)),
+    ],
+)
 def test_conv3d_z2d_zfold_match_xla(strides, padding):
     """The z-decomposed (sum of kd 2D convs) and z-fold (single wide-
     channel 2D conv) lowerings are mathematically identical to the XLA
