@@ -24,6 +24,7 @@ from adell_mri_tpu.models.layers.blocks import (
     max_pool,
 )
 from adell_mri_tpu.models.layers.res_blocks import RES_BLOCK_REGISTRY
+from adell_mri_tpu.ops.conv import TpuConv
 
 
 class ResNetBackbone(nn.Module):
@@ -58,9 +59,12 @@ class ResNetBackbone(nn.Module):
         ndim = x.ndim - 2
         f = self.structure[0][0]
         # stem (parity: res_net.py:178-184)
-        x = nn.Conv(f, _tuple(7, ndim), padding="SAME")(x)
+        # full-resolution narrow-channel stem convs — TpuConv (z2d) for
+        # the XLA 3D-conv stem cliff (BASELINE.md round 3); names pin the
+        # previous nn.Conv auto paths for checkpoint/interop stability
+        x = TpuConv(f, _tuple(7, ndim), padding="SAME", name="Conv_0")(x)
         x = apply_adn(self.adn_fn(f), x, train)
-        x = nn.Conv(f, _tuple(3, ndim), padding="SAME")(x)
+        x = TpuConv(f, _tuple(3, ndim), padding="SAME", name="Conv_1")(x)
         x = apply_adn(self.adn_fn(f), x, train)
         stem = x
         x = max_pool(x, 2)
