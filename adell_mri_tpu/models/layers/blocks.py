@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
+from adell_mri_tpu.ops.conv import TpuConv
 
 AdnFactory = Callable[..., Optional[nn.Module]]
 
@@ -127,7 +128,10 @@ class DenseBlock(nn.Module):
         features = [x]
         for c, k in zip(self.out_channels, self.kernel_size):
             inp = jnp.concatenate(features, axis=-1) if len(features) > 1 else features[0]
-            y = nn.Conv(features=c, kernel_size=_tuple(k, ndim), padding="SAME")(inp)
+            y = TpuConv(
+                c, _tuple(k, ndim), padding="SAME",
+                name=f"Conv_{len(features) - 1}",
+            )(inp)
             y = apply_adn(self.adn_fn(c), y, train)
             features.append(y)
         return features[-1]
@@ -148,9 +152,11 @@ class VGGConvolution(nn.Module):
         ndim = x.ndim - 2
         d = self.first_depth
         adn = get_adn_fn(ndim, self.norm_fn, self.act_fn)
-        x = nn.Conv(d, _tuple(3, ndim), padding="SAME")(x)
+        # TpuConv = z2d lowering in 3D for the full-resolution stem-cliff
+        # shapes (BASELINE.md round 3); names pin the previous auto paths
+        x = TpuConv(d, _tuple(3, ndim), padding="SAME", name="Conv_0")(x)
         x = apply_adn(adn(d), x, train)
-        x = nn.Conv(2 * d, _tuple(3, ndim), padding="SAME")(x)
+        x = TpuConv(2 * d, _tuple(3, ndim), padding="SAME", name="Conv_1")(x)
         x = apply_adn(adn(2 * d), x, train)
         # SAME pooling: a spatial dim of 1 stays 1 instead of collapsing to
         # an EMPTY axis (VALID (1-2)//2+1 == 0 -> NaN means downstream)
@@ -178,7 +184,10 @@ class VGGDeconvolution(nn.Module):
         )(x)
         x = apply_adn(adn(self.depth), x, train)
         if not self.last:
-            x = nn.Conv(self.depth // 2, _tuple(3, ndim), padding="SAME")(x)
+            x = TpuConv(
+                self.depth // 2, _tuple(3, ndim), padding="SAME",
+                name="Conv_0",
+            )(x)
             x = apply_adn(adn(self.depth // 2), x, train)
         return x
 

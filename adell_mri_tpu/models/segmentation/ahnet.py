@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
+from adell_mri_tpu.ops.conv import TpuConv
 from adell_mri_tpu.models.layers.blocks import _tuple, apply_adn
 from adell_mri_tpu.models.layers.multi_resolution import (
     GCN,
@@ -46,9 +47,11 @@ class Refine(nn.Module):
     def __call__(self, x, train: bool = False):
         ndim = x.ndim - 2
         k = (3, 3, 1) if (self.anisotropic and ndim == 3) else _tuple(3, ndim)
-        h = nn.Conv(self.channels, k, padding="SAME", name="conv1")(x)
+        # TpuConv = z2d in 3D (anisotropic (3,3,1) folds to ONE 2D conv
+        # instead of XLA's cliff-prone 3D path; BASELINE.md round 3)
+        h = TpuConv(self.channels, k, padding="SAME", name="conv1")(x)
         h = apply_adn(self.adn(self.channels), h, train)
-        h = nn.Conv(self.channels, k, padding="SAME", name="conv2")(h)
+        h = TpuConv(self.channels, k, padding="SAME", name="conv2")(h)
         h = apply_adn(self.adn(self.channels), h, train)
         return x + h
 
@@ -100,7 +103,7 @@ class AHResidual(nn.Module):
         )
         h = nn.Conv(c, _tuple(1, ndim), name="conv_in")(x)
         h = apply_adn(self.adn(c), h, train)
-        h = nn.Conv(c, k, padding="SAME", name="conv_mid")(h)
+        h = TpuConv(c, k, padding="SAME", name="conv_mid")(h)
         h = apply_adn(self.adn(c), h, train)
         h = nn.Conv(c, _tuple(1, ndim), name="conv_out")(h)
         h = apply_adn(self.adn(c), h, train)
@@ -127,7 +130,8 @@ class AHDecoderUnit3d(nn.Module):
 
         def block(h, kernels, name):
             for i, k in enumerate(kernels):
-                h = nn.Conv(c, k, padding="SAME", name=f"{name}_{i}")(h)
+                conv = nn.Conv if max(k) == 1 else TpuConv
+                h = conv(c, k, padding="SAME", name=f"{name}_{i}")(h)
                 h = apply_adn(self.adn(c), h, train)
             return h
 

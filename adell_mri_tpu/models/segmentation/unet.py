@@ -532,10 +532,14 @@ class BrUNet(nn.Module):
             )(curr, train=train)
 
         d0 = curr.shape[-1]
-        curr = nn.Conv(d0, _tuple(3, ndim), padding="SAME")(curr)
+        # full-res narrow-channel 3x3 (stem cliff) -> TpuConv; names pin
+        # the previous auto paths
+        curr = TpuConv(d0, _tuple(3, ndim), padding="SAME", name="Conv_0")(
+            curr
+        )
         curr = apply_adn(adn_fn(d0), curr, train)
         out_ch = self.n_classes if self.n_classes > 2 else 1
-        curr = nn.Conv(out_ch, _tuple(1, ndim))(curr)
+        curr = nn.Conv(out_ch, _tuple(1, ndim), name="Conv_1")(curr)
         if not return_logits:
             curr = (
                 jax.nn.softmax(curr, axis=-1)
