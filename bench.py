@@ -368,6 +368,46 @@ def main():
         print(f"bench: train-step sidecar failed: {exc}", file=sys.stderr)
         train_vps, train_ok = None, False
 
+    # optional sidecar (ADELL_BENCH_SLIDING=1): whole-volume
+    # sliding-window segmentation — the production SERVING metric (a
+    # 256x256x64 case tiled by the flagship 128x128x32 window at stride
+    # 0.5, overlap-accumulated in one jit; inference/sliding_window.py)
+    sliding_vps = None
+    if os.environ.get("ADELL_BENCH_SLIDING", "0") == "1":
+        try:
+            from adell_mri_tpu.inference.sliding_window import (
+                sliding_window_inference,
+            )
+
+            big = jnp.ones((256, 256, 64, 1), jnp.bfloat16)
+
+            def infer_fn(tiles):
+                pred, _ = model.apply({"params": params}, tiles)
+                return pred
+
+            @jax.jit
+            def sw_chain(v, n):
+                def body(i, c):
+                    seg = sliding_window_inference(
+                        infer_fn,
+                        c,
+                        window=SHAPE,
+                        stride_frac=0.5,
+                        batch_size=BATCH,
+                        out_channels=1,
+                    )
+                    return c + (seg * 1e-6).astype(c.dtype)
+
+                return jax.lax.fori_loop(0, n, body, v)
+
+            _stage("compiling sliding-window inference")
+            sliding_vps, _sw_ok = timed_chain(
+                lambda n: sw_chain(big, n), n_small=2, per_item=1
+            )
+            _stage(f"sliding-window {sliding_vps:.2f} cases/s")
+        except Exception as exc:
+            print(f"bench: sliding sidecar failed: {exc}", file=sys.stderr)
+
     # device-health calibration: a dense bf16 matmul. Round-1 measured
     # ~50 TFLOP/s on a healthy chip; the shared tunnel intermittently
     # degrades 30-100x (see BASELINE.md round-2 caveat), so this field
