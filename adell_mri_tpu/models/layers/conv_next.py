@@ -18,6 +18,8 @@ ConvNeXt design) rather than maxpool.
 from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
+
+from adell_mri_tpu.ops.conv import TpuConv
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.blocks import _tuple
@@ -55,7 +57,9 @@ class ConvNeXtBackbone(nn.Module):
         )
         kernel = tuple(max(s, 2) for s in stride)
         # patchify stem: non-overlapping stride-4 conv + LayerNorm
-        x = nn.Conv(f0, kernel, strides=stride, name="stem_conv")(x)
+        # TpuConv: k==strides patchify lowers to space-to-depth + one
+        # GEMM (ops/conv.py conv3d_s2d); name pins the param path
+        x = TpuConv(f0, kernel, strides=stride, name="stem_conv")(x)
         x = nn.LayerNorm(name="stem_norm")(x)
 
         pools = self.maxpool_structure or [2] * len(self.structure)
@@ -69,7 +73,7 @@ class ConvNeXtBackbone(nn.Module):
                     pool
                 )
                 x = nn.LayerNorm(name=f"down_norm_{stage_idx}")(x)
-                x = nn.Conv(
+                x = TpuConv(
                     ch, p, strides=p, name=f"down_conv_{stage_idx}"
                 )(x)
             elif prev_ch != ch:

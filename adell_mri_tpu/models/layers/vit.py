@@ -20,6 +20,8 @@ import math
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from adell_mri_tpu.ops.conv import TpuConv
 import jax
 import jax.numpy as jnp
 
@@ -206,8 +208,11 @@ class LinearEmbedding(nn.Module):
             tokens = x.reshape(b, -1, x.shape[-1]).transpose(0, 2, 1)
             tokens = nn.Dense(self.embed_dim)(tokens)
         elif self.embed_method == "convolutional":
-            y = nn.Conv(
-                self.embed_dim, kernel_size=p, strides=p, padding="VALID"
+            # TpuConv: k==strides patchify lowers to space-to-depth + one
+            # GEMM in 3D (ops/conv.py conv3d_s2d); name pins the auto path
+            y = TpuConv(
+                self.embed_dim, p, strides=p, padding="VALID",
+                name="Conv_0",
             )(x)
             tokens = y.reshape(b, -1, self.embed_dim)
         else:

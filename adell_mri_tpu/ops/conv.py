@@ -361,6 +361,32 @@ def conv3d_zfold(x, w, strides=(1, 1, 1), padding="SAME"):
     return y.reshape(b, od, oh, ow, cout)
 
 
+def conv3d_s2d(x, w, strides=(1, 1, 1), padding="VALID"):
+    """Patchify conv (kernel == strides) as space-to-depth + ONE matmul.
+
+    Non-overlapping windows mean the "conv" is exactly a block reshape
+    followed by a [B*V, k^3*Cin] @ [k^3*Cin, Cout] GEMM — the mirror of
+    TpuConvTranspose's depth-to-space lowering. Covers ConvNeXt
+    stem/downsample and ViT/UNETR convolutional patch embedding, which
+    otherwise ride XLA's 3D conv at FULL input resolution (the shape
+    class where it craters — BASELINE.md round-3 stem cliff).
+    """
+    kd, kh, kw, cin, cout = w.shape
+    assert (kd, kh, kw) == tuple(strides), "s2d requires kernel == strides"
+    pads = _explicit_pads(x.shape, (kd, kh, kw), strides, padding)
+    xz = jnp.pad(x, ((0, 0),) + tuple(tuple(p) for p in pads) + ((0, 0),))
+    b, dpad, hpad, wpad, _ = xz.shape
+    od, oh, ow = dpad // kd, hpad // kh, wpad // kw
+    # VALID with a non-divisible axis drops the remainder voxels
+    xz = xz[:, : od * kd, : oh * kh, : ow * kw]
+    xb = xz.reshape(b, od, kd, oh, kh, ow, kw, cin)
+    xb = xb.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+        b, od, oh, ow, kd * kh * kw * cin
+    )
+    wf = w.reshape(kd * kh * kw * cin, cout)
+    return (xb @ wf).astype(x.dtype)
+
+
 @_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv3d_pallas_trainable(x, w, strides, padding):
     """Implicit-GEMM Pallas forward (ops/pallas/conv.py: voxel-lane GEMM,
@@ -430,7 +456,7 @@ def _pick_lowering(x, k, strides, padding="SAME", cout=None):
     MXU starvation inverted the ranking; kept as an env opt-in for such
     environments. ``pallas`` remains opt-in (compile service risk)."""
     env = os.environ.get("ADELL_CONV_LOWERING", "auto")
-    if env in ("xla", "im2col", "z2d", "zfold", "im2col_t"):
+    if env in ("xla", "im2col", "z2d", "zfold", "im2col_t", "s2d"):
         return env
     if env == "pallas" and cout is not None and _tpu_backend():
         from .pallas.conv import conv3d_pallas_supported
@@ -441,6 +467,10 @@ def _pick_lowering(x, k, strides, padding="SAME", cout=None):
             return "pallas"
     if not _tpu_backend():
         return "xla"
+    if tuple(k) == tuple(strides):
+        # patchify conv: non-overlapping windows = space-to-depth + one
+        # GEMM (no conv op at all)
+        return "s2d"
     return "z2d"
 
 
@@ -492,6 +522,7 @@ def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
         "z2d": conv3d_z2d,
         "zfold": conv3d_zfold,
         "im2col_t": conv3d_im2col_t,
+        "s2d": conv3d_s2d,
     }.get(lowering, conv3d_xla)
     return _maybe_pad_cout(x, w, fn)(x, w, strides, padding)
 
@@ -541,11 +572,12 @@ class TpuConv(_nn.Module):
             y = conv3d_im2col_trainable(
                 x, w, strides, _hashable_padding(self.padding)
             )
-        elif ndim == 3 and lowering in ("z2d", "zfold", "im2col_t"):
+        elif ndim == 3 and lowering in ("z2d", "zfold", "im2col_t", "s2d"):
             fn = {
                 "z2d": conv3d_z2d,
                 "zfold": conv3d_zfold,
                 "im2col_t": conv3d_im2col_t,
+                "s2d": conv3d_s2d,
             }[lowering]
             y = _maybe_pad_cout(x, w, fn)(x, w, strides, self.padding)
         else:

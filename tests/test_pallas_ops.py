@@ -415,6 +415,49 @@ def test_conv3d_z2d_zfold_match_xla(strides, padding):
         assert float(jnp.abs(got - ref).max()) < 1e-4
 
 
+@pytest.mark.parametrize("k", [(2, 2, 2), (4, 4, 2)])
+@pytest.mark.parametrize("padding", ["SAME", "VALID"])
+@pytest.mark.parametrize("shape", [(2, 8, 8, 4, 3), (2, 7, 9, 5, 3)])
+def test_conv3d_s2d_matches_xla(k, padding, shape):
+    """The patchify (kernel == strides) space-to-depth + matmul lowering
+    is exact vs the XLA conv, including non-divisible spatial dims
+    (SAME pads, VALID drops the remainder) — ops/conv.py conv3d_s2d."""
+    from adell_mri_tpu.ops.conv import conv3d_s2d, conv3d_xla
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.asarray(rng.normal(size=k + (shape[-1], 5)), jnp.float32)
+    ref = conv3d_xla(x, w, strides=k, padding=padding)
+    got = conv3d_s2d(x, w, strides=k, padding=padding)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
+def test_conv3d_s2d_grad_parity():
+    """Autodiff through the s2d lowering (reshape/transpose/matmul only)
+    matches the XLA conv's gradients."""
+    import jax
+
+    from adell_mri_tpu.ops.conv import conv3d_s2d, conv3d_xla
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(2, 2, 2, 3, 5)), jnp.float32)
+    k = (2, 2, 2)
+    ref, ref_vjp = jax.vjp(
+        lambda x, w: conv3d_xla(x, w, strides=k, padding="VALID"), x, w
+    )
+    g = jnp.asarray(rng.normal(size=ref.shape), jnp.float32)
+    rx, rw = ref_vjp(g)
+    out, vjp = jax.vjp(
+        lambda x, w: conv3d_s2d(x, w, strides=k, padding="VALID"), x, w
+    )
+    dx, dw = vjp(g)
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+    assert float(jnp.abs(dx - rx).max()) < 1e-4
+    assert float(jnp.abs(dw - rw).max()) < 1e-4
+
+
 def test_conv3d_z2d_zfold_grad_parity():
     """Autodiff through the z-decomposed lowerings stays in the
     conv_general_dilated family (no strided-gather transposes), and the
