@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
-from adell_mri_tpu.ops.conv import TpuConv
+from adell_mri_tpu.ops.conv import TpuConv, TpuDwConv
 
 AdnFactory = Callable[..., Optional[nn.Module]]
 
@@ -67,7 +67,7 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from adell_mri_tpu.ops.conv import TpuConv
+        from adell_mri_tpu.ops.conv import TpuConv, TpuDwConv
 
         ndim = x.ndim - 2
         strides = self.strides or [1] * len(self.out_channels)
@@ -100,14 +100,17 @@ class DepthwiseSeparableConv(nn.Module):
     def __call__(self, x, train: bool = False):
         ndim = x.ndim - 2
         in_ch = x.shape[-1]
-        x = nn.Conv(
-            features=in_ch,
-            kernel_size=_tuple(self.kernel_size, ndim),
-            feature_group_count=in_ch,
+        x = TpuDwConv(
+            in_ch,
+            _tuple(self.kernel_size, ndim),
             padding=self.padding,
+            name="Conv_0",
         )(x)
         x = apply_adn(self.adn_fn(in_ch), x, train)
-        x = nn.Conv(features=self.out_channels, kernel_size=_tuple(1, ndim))(x)
+        x = nn.Conv(
+            features=self.out_channels, kernel_size=_tuple(1, ndim),
+            name="Conv_1",
+        )(x)
         x = apply_adn(self.adn_fn(self.out_channels), x, train)
         return x
 

@@ -19,6 +19,7 @@ from adell_mri_tpu.models.layers.blocks import (
     identity_adn,
 )
 from adell_mri_tpu.models.layers.regularization import GRN, LayerScale
+from adell_mri_tpu.ops.conv import TpuDwConv
 
 
 class ResidualBlock(nn.Module):
@@ -151,11 +152,13 @@ class ConvNeXtBlock(nn.Module):
         ndim = x.ndim - 2
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
-        y = nn.Conv(
+        # TpuDwConv: param tree matches nn.Conv(feature_group_count=C);
+        # opt-in z2d depthwise lowering (ops/conv.py, ADELL_DW_LOWERING)
+        y = TpuDwConv(
             in_ch,
             _tuple(self.kernel_size, ndim),
-            feature_group_count=in_ch,
             padding="SAME",
+            name="Conv_0",
         )(x)
         y = nn.LayerNorm()(y)
         y = nn.Dense(4 * in_ch)(y)
@@ -167,7 +170,7 @@ class ConvNeXtBlock(nn.Module):
             y = LayerScale(init_value=self.layer_scale_init)(y)
         out = y + x
         if in_ch != out_ch:
-            out = nn.Conv(out_ch, _tuple(1, ndim))(out)
+            out = nn.Conv(out_ch, _tuple(1, ndim), name="Conv_1")(out)
         return out
 
 

@@ -387,6 +387,79 @@ def conv3d_s2d(x, w, strides=(1, 1, 1), padding="VALID"):
     return (xb @ wf).astype(x.dtype)
 
 
+def conv3d_dw_z2d(x, w, strides=(1, 1, 1), padding="SAME"):
+    """Depthwise 3D conv as a sum of kd depthwise 2D convs over z-shifted
+    slabs (the z2d decomposition applied per-channel). ``w`` is the flax
+    depthwise kernel [kd, kh, kw, 1, C]. Candidate lowering for the
+    ConvNeXt 7^3 depthwise (benchmarks/benchmark_conv3d.py); opt-in via
+    ADELL_DW_LOWERING=z2d until a healthy-window measurement decides."""
+    kd, kh, kw, _, c = w.shape
+    pads = _explicit_pads(x.shape, (kd, kh, kw), strides, padding)
+    xz = jnp.pad(x, ((0, 0), tuple(pads[0])) + ((0, 0),) * 3)
+    b, dpad, h, w_, _ = xz.shape
+    od = (dpad - kd) // strides[0] + 1
+    out = None
+    for dz in range(kd):
+        slab = jax.lax.slice(
+            xz,
+            (0, dz, 0, 0, 0),
+            (b, dz + (od - 1) * strides[0] + 1, h, w_, c),
+            (1, strides[0], 1, 1, 1),
+        )
+        y = jax.lax.conv_general_dilated(
+            slab.reshape(b * od, h, w_, c),
+            w[dz],
+            window_strides=tuple(strides[1:]),
+            padding=[tuple(pads[1]), tuple(pads[2])],
+            dimension_numbers=_DIMNUMS_2D,
+            feature_group_count=c,
+        )
+        out = y if out is None else out + y
+    oh, ow = out.shape[1:3]
+    return out.astype(x.dtype).reshape(b, od, oh, ow, c)
+
+
+class TpuDwConv(_nn.Module):
+    """Depthwise ``nn.Conv`` drop-in (kernel [*k, 1, C], bias [C] — same
+    param tree as nn.Conv with feature_group_count=C). 3D forwards route
+    through conv3d_dw_z2d when ADELL_DW_LOWERING=z2d; default stays the
+    XLA depthwise conv pending an on-chip measurement."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = None
+    padding: Any = "SAME"
+    use_bias: bool = True
+
+    @_nn.compact
+    def __call__(self, x):
+        ndim = x.ndim - 2
+        k = tuple(self.kernel_size)
+        strides = tuple(self.strides or (1,) * ndim)
+        w = self.param(
+            "kernel",
+            _nn.initializers.lecun_normal(),
+            k + (1, self.features),
+        ).astype(x.dtype)
+        lowering = os.environ.get("ADELL_DW_LOWERING", "xla")
+        if ndim == 3 and lowering == "z2d" and _tpu_backend():
+            y = conv3d_dw_z2d(x, w, strides, self.padding)
+        else:
+            spatial = "DHW"[3 - ndim:]
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape,
+                ("N" + spatial + "C", spatial + "IO", "N" + spatial + "C"),
+            )
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=strides, padding=self.padding,
+                dimension_numbers=dn, feature_group_count=self.features,
+            )
+        if self.use_bias:
+            b = self.param("bias", _nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
 @_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def conv3d_pallas_trainable(x, w, strides, padding):
     """Implicit-GEMM Pallas forward (ops/pallas/conv.py: voxel-lane GEMM,

@@ -433,6 +433,29 @@ def test_conv3d_s2d_matches_xla(k, padding, shape):
     assert float(jnp.abs(got - ref).max()) < 1e-4
 
 
+@pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 1)])
+@pytest.mark.parametrize("padding", ["SAME", "VALID"])
+def test_conv3d_dw_z2d_matches_xla(strides, padding):
+    """The z-decomposed depthwise lowering is exact vs XLA's grouped conv
+    (ops/conv.py conv3d_dw_z2d, the ConvNeXt 7^3 depthwise candidate)."""
+    from adell_mri_tpu.ops.conv import conv3d_dw_z2d
+
+    rng = np.random.default_rng(9)
+    c = 6
+    x = jnp.asarray(rng.normal(size=(2, 7, 8, 6, c)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 1, c)), jnp.float32)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC")
+    )
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=padding,
+        dimension_numbers=dn, feature_group_count=c,
+    )
+    got = conv3d_dw_z2d(x, w, strides=strides, padding=padding)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
 def test_conv3d_s2d_grad_parity():
     """Autodiff through the s2d lowering (reshape/transpose/matmul only)
     matches the XLA conv's gradients."""
