@@ -151,6 +151,89 @@ def main():
                     f"{str(exc).splitlines()[0][:120]}"
                 )
 
+    # patchify (kernel == strides) rows: s2d (space-to-depth + GEMM, the
+    # TPU auto pick) vs XLA's 3D conv — ConvNeXt stem / ViT patch embed
+    from adell_mri_tpu.ops.conv import conv3d_s2d
+
+    for xs, k, cout in [
+        ((B, 128, 128, 32, 1), (4, 4, 2), 96),
+        ((B, 128, 128, 32, 4), (4, 4, 4), 768),
+    ]:
+        cin = xs[-1]
+        wp = jnp.full(k + (cin, cout), 0.01, dtype)
+        flops = (
+            2 * int(np.prod(xs[:4])) * cin * cout
+        )  # every input voxel contracted once
+        for name, fn in [
+            ("xla", lambda x, w: conv3d_xla(x, w, strides=k, padding="VALID")),
+            ("s2d", lambda x, w: conv3d_s2d(x, w, strides=k, padding="VALID")),
+        ]:
+            x0 = jnp.ones(xs, dtype)
+
+            @jax.jit
+            def pf_chain(x, w, n, fn=fn):
+                def body(i, c):
+                    return c + jnp.mean(fn(c, w)) * 1e-6
+
+                return jax.lax.fori_loop(0, n, body, x)
+
+            try:
+                dt_f, ok_f = slope_time(lambda n: pf_chain(x0, wp, n))
+                print(
+                    f"patchify {name:6s} {str(xs):26s} k={k} -> {cout:4d}: "
+                    f"{dt_f * 1e3:8.2f} ms  {flops / dt_f / 1e12:6.2f}"
+                    f" TFLOP/s{'' if ok_f else '  (UNRESOLVED)'}"
+                )
+            except Exception as exc:
+                print(
+                    f"patchify {name:6s} {str(xs):26s}: FAILED "
+                    f"{str(exc).splitlines()[0][:120]}"
+                )
+
+    # depthwise rows (ConvNeXt 7^3): XLA grouped conv vs the z-decomposed
+    # depthwise lowering (ADELL_DW_LOWERING candidate)
+    from adell_mri_tpu.ops.conv import conv3d_dw_z2d
+
+    for xs in [(B, 32, 32, 16, 96), (B, 16, 16, 8, 192)]:
+        c = xs[-1]
+        wd = jnp.full((7, 7, 7, 1, c), 0.01, dtype)
+        flops = 2 * int(np.prod(xs[:4])) * 343 * c
+
+        def dw_xla(x, w):
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC")
+            )
+            return jax.lax.conv_general_dilated(
+                x, w, window_strides=(1, 1, 1), padding="SAME",
+                dimension_numbers=dn, feature_group_count=c,
+            )
+
+        for name, fn in [
+            ("xla", dw_xla),
+            ("dw_z2d", lambda x, w: conv3d_dw_z2d(x, w)),
+        ]:
+            x0 = jnp.ones(xs, dtype)
+
+            @jax.jit
+            def dw_chain(x, w, n, fn=fn):
+                def body(i, c_):
+                    return c_ + fn(c_, w) * 1e-6
+
+                return jax.lax.fori_loop(0, n, body, x)
+
+            try:
+                dt_f, ok_f = slope_time(lambda n: dw_chain(x0, wd, n))
+                print(
+                    f"dw7     {name:7s} {str(xs):26s}: "
+                    f"{dt_f * 1e3:8.2f} ms  {flops / dt_f / 1e12:6.2f}"
+                    f" TFLOP/s{'' if ok_f else '  (UNRESOLVED)'}"
+                )
+            except Exception as exc:
+                print(
+                    f"dw7     {name:7s} {str(xs):26s}: FAILED "
+                    f"{str(exc).splitlines()[0][:120]}"
+                )
+
     # calibration: the MXU speed-of-light on this run
     m = 4096
 
