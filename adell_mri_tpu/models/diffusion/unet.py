@@ -105,9 +105,9 @@ class DiffusionUNet(nn.Module):
                 h = _SelfAttnBlock(self.n_heads, name=f"down_attn_{i}")(h)
             skips.append(h)
             if i < len(self.depth) - 1:
-                h = nn.Conv(
-                    d, _tuple(3, ndim), strides=_tuple(2, ndim), padding="SAME",
-                    name=f"down_samp_{i}",
+                h = TpuConv(
+                    d, _tuple(3, ndim), strides=_tuple(2, ndim),
+                    padding="SAME", name=f"down_samp_{i}",
                 )(h)
         h = _ResBlockT(self.depth[-1], name="mid_1")(h, temb)
         h = _SelfAttnBlock(self.n_heads, name="mid_attn")(h)

@@ -62,9 +62,9 @@ class Generator(nn.Module):
             h = z_or_x
             # encode
             for i, d in enumerate(self.depth):
-                h = nn.Conv(
-                    d, _tuple(3, ndim), strides=_tuple(2, ndim), padding="SAME",
-                    name=f"enc_{i}",
+                h = TpuConv(
+                    d, _tuple(3, ndim), strides=_tuple(2, ndim),
+                    padding="SAME", name=f"enc_{i}",
                 )(h)
                 h = _ResBlock(d, name=f"enc_res_{i}")(h)
         else:
@@ -110,9 +110,9 @@ class Discriminator(nn.Module):
         feats = []
         h = x
         for i, d in enumerate(self.depth):
-            h = nn.Conv(
-                d, _tuple(4, ndim), strides=_tuple(2, ndim), padding="SAME",
-                name=f"disc_{i}",
+            h = TpuConv(
+                d, _tuple(4, ndim), strides=_tuple(2, ndim),
+                padding="SAME", name=f"disc_{i}",
             )(h)
             h = nn.leaky_relu(h, 0.2)
             feats.append(h)

@@ -602,10 +602,13 @@ def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
 
 class TpuConv(_nn.Module):
     """
-    Drop-in for channels-last ``nn.Conv`` whose 3D forward routes through
-    the im2col matmul lowering when the auto heuristic approves (measured
-    up to 4.5x over XLA's 3D conv tiling on this stack — see
-    benchmarks/benchmark_conv3d.py; force with ``ADELL_CONV_LOWERING``).
+    Drop-in for channels-last ``nn.Conv``. On TPU backends the 3D forward
+    routes through the measured-best lowering (``_pick_lowering``):
+    ``s2d`` (space-to-depth + one GEMM) for patchify convs where
+    kernel == strides, else ``z2d`` (sum of z-shifted 2D convs — 7-270x
+    over XLA's erratically-pathological 3D path at stem shapes and never
+    slower anywhere measured; BASELINE.md round 3). Force with
+    ``ADELL_CONV_LOWERING`` (xla/z2d/zfold/s2d/im2col/im2col_t/pallas).
     Parameter tree matches nn.Conv
     (``kernel`` [*k, cin, cout], ``bias`` [cout]) so checkpoints are
     interchangeable; give instances the name ``Conv_{i}`` to keep tree
