@@ -441,8 +441,10 @@ class TpuDwConv(_nn.Module):
             _nn.initializers.lecun_normal(),
             k + (1, self.features),
         ).astype(x.dtype)
+        # explicit env force wins regardless of backend (same contract as
+        # ADELL_CONV_LOWERING in _pick_lowering)
         lowering = os.environ.get("ADELL_DW_LOWERING", "xla")
-        if ndim == 3 and lowering == "z2d" and _tpu_backend():
+        if ndim == 3 and lowering == "z2d":
             y = conv3d_dw_z2d(x, w, strides, self.padding)
         else:
             spatial = "DHW"[3 - ndim:]

@@ -561,6 +561,31 @@ def test_tpu_conv_z2d_route_and_bf16_grad(monkeypatch):
     assert float(jnp.abs(y_got - y_ref).max()) < 1e-4
 
 
+def test_tpu_dw_conv_z2d_route(monkeypatch):
+    """TpuDwConv's param tree matches nn.Conv(feature_group_count=C) and
+    the ADELL_DW_LOWERING=z2d route is exact vs its XLA route."""
+    import flax.linen as nn
+
+    import adell_mri_tpu.ops.conv as oc
+
+    mod = oc.TpuDwConv(features=6, kernel_size=(3, 3, 3))
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(2, 6, 8, 8, 6)), jnp.float32
+    )
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref_mod = nn.Conv(6, (3, 3, 3), feature_group_count=6, padding="SAME")
+    ref_params = ref_mod.init(jax.random.PRNGKey(0), x)
+    assert (
+        params["params"]["kernel"].shape
+        == ref_params["params"]["kernel"].shape
+    )
+    monkeypatch.delenv("ADELL_DW_LOWERING", raising=False)
+    y_xla = mod.apply(params, x)
+    monkeypatch.setenv("ADELL_DW_LOWERING", "z2d")
+    y_z2d = mod.apply(params, x)
+    assert float(jnp.abs(y_z2d - y_xla).max()) < 1e-4
+
+
 def test_tpu_conv_transpose_matches_flax():
     """TpuConvTranspose (block-matmul lowering for kernel == strides)
     matches nn.ConvTranspose exactly with shared params, 2D and 3D."""
