@@ -100,9 +100,10 @@ class _ConvUnit(nn.Module):
             if ct == "sae":
                 x = ConcurrentSqueezeAndExcite()(x)
         elif ct == "depthwise":
-            x = nn.Conv(
-                in_ch, k, strides=s, padding=pad,
-                feature_group_count=in_ch, name="Conv_dw",
+            from adell_mri_tpu.ops.conv import TpuDwConv
+
+            x = TpuDwConv(
+                in_ch, k, strides=s, padding=pad, name="Conv_dw",
             )(x)
             x = apply_adn(self.adn_fn(in_ch), x, train)
             x = nn.Conv(
