@@ -28,15 +28,23 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         axes = tuple(range(1, x.ndim - 1))
-        # single-pass stats: E[x²]-E[x]² lets XLA fuse both reductions
-        # into ONE read of x, where jnp.var's E[(x-mean)²] forces a second
+        # single-pass stats for REDUCED-precision activations (the TPU
+        # bf16 hot path): E[x²]-E[x]² lets XLA fuse both reductions into
+        # ONE read of x, where jnp.var's E[(x-mean)²] forces a second
         # full pass (norms were ~25 ms of the 80 ms flagship forward,
-        # BASELINE.md round-3 ablation). f32 accumulation keeps the
-        # cancellation stable for bf16/f16 activations.
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        var = jnp.mean(xf * xf, axis=axes, keepdims=True) - mean * mean
-        var = jnp.maximum(var, 0.0)
+        # BASELINE.md round-3 ablation). The f32 accumulator carries 16+
+        # extra mantissa bits over bf16 data, so the cancellation is
+        # safe there — but for f32/f64 inputs the accumulator has NO
+        # headroom and E[x²]-mean² catastrophically cancels when
+        # mean >> std, so those keep the two-pass estimator.
+        if x.dtype in (jnp.bfloat16, jnp.float16):
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes, keepdims=True)
+            var = jnp.mean(xf * xf, axis=axes, keepdims=True) - mean * mean
+            var = jnp.maximum(var, 0.0)
+        else:
+            mean = jnp.mean(x, axis=axes, keepdims=True)
+            var = jnp.var(x, axis=axes, keepdims=True)
         inv = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
         y = (x - mean.astype(x.dtype)) * inv
         features = x.shape[-1]
@@ -105,13 +113,18 @@ class GlobalBatchNorm(nn.Module):
             mean = jnp.zeros((feat,), x.dtype)
             var = jnp.ones((feat,), x.dtype)
         else:
-            # single-pass stats (one HBM read; see InstanceNorm above)
-            xf = x.astype(jnp.float32)
-            mean32 = jnp.mean(xf, axis=axes)
-            var = jnp.maximum(
-                jnp.mean(xf * xf, axis=axes) - mean32 * mean32, 0.0
-            ).astype(x.dtype)
-            mean = mean32.astype(x.dtype)
+            # single-pass stats only where the f32 accumulator outranks
+            # the data precision (see InstanceNorm above)
+            if x.dtype in (jnp.bfloat16, jnp.float16):
+                xf = x.astype(jnp.float32)
+                mean32 = jnp.mean(xf, axis=axes)
+                var = jnp.maximum(
+                    jnp.mean(xf * xf, axis=axes) - mean32 * mean32, 0.0
+                ).astype(x.dtype)
+                mean = mean32.astype(x.dtype)
+            else:
+                mean = jnp.mean(x, axis=axes)
+                var = jnp.var(x, axis=axes)
             if (
                 ra_mean is not None
                 and mutable_ra

@@ -67,8 +67,6 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from adell_mri_tpu.ops.conv import TpuConv, TpuDwConv
-
         ndim = x.ndim - 2
         strides = self.strides or [1] * len(self.out_channels)
         for i, (c, k, s) in enumerate(

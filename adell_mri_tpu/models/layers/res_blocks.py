@@ -19,7 +19,7 @@ from adell_mri_tpu.models.layers.blocks import (
     identity_adn,
 )
 from adell_mri_tpu.models.layers.regularization import GRN, LayerScale
-from adell_mri_tpu.ops.conv import TpuDwConv
+from adell_mri_tpu.ops.conv import TpuConv, TpuDwConv
 
 
 class ResidualBlock(nn.Module):
@@ -43,8 +43,6 @@ class ResidualBlock(nn.Module):
         # 0.19-0.39 TFLOP/s at the stem on a HEALTHY chip vs 26.4 for
         # z2d). Names pin the pre-existing auto-assigned tree paths
         # (Conv_0..Conv_3) so checkpoints/interop are unaffected.
-        from adell_mri_tpu.ops.conv import TpuConv
-
         ndim = x.ndim - 2
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch

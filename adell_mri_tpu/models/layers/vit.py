@@ -499,7 +499,11 @@ class SWINTransformerBlockStack(nn.Module):
     def __call__(self, x, train: bool = False):
         ndim = x.ndim - 2
         p = tuple(self.patch_size[:ndim])
-        x = nn.Conv(self.embed_dim, kernel_size=p, strides=p, padding="VALID")(x)
+        # patchify -> s2d lowering in 3D (space-to-depth + one GEMM);
+        # name pins the previous nn.Conv auto path
+        x = TpuConv(
+            self.embed_dim, p, strides=p, padding="VALID", name="Conv_0"
+        )(x)
         feats = []
         dim = self.embed_dim
         for stage, (depth, heads) in enumerate(zip(self.depths, self.n_heads)):
@@ -515,9 +519,9 @@ class SWINTransformerBlockStack(nn.Module):
             if stage < len(self.depths) - 1:
                 # patch merging: space-to-depth + linear reduce
                 dim *= 2
-                x = nn.Conv(
+                x = TpuConv(
                     dim,
-                    kernel_size=_tuple(2, ndim),
+                    _tuple(2, ndim),
                     strides=_tuple(2, ndim),
                     padding="VALID",
                     name=f"merge{stage}",

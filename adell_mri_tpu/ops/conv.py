@@ -285,15 +285,38 @@ _DIMNUMS_2D = ("NHWC", "HWIO", "NHWC")
 
 
 def conv3d_z2d(x, w, strides=(1, 1, 1), padding="SAME"):
-    """3D conv as a sum of kd 2D convs over z-shifted slabs.
+    """3D conv as a sum of k_slab 2D convs over shifted slabs.
 
-    ``y[:, z] = sum_dz conv2d(x[:, z+dz-lo], w[dz])`` with (B, D) folded
-    into the conv batch. Avoids the im2col patch tensor entirely (the
-    only extra HBM is XLA's partial-sum fusion) and rides XLA's 2D conv
-    path, which tiles narrow-channel stems better than the 3D path
-    (benchmarks/benchmark_conv3d.py). Supports any k/stride; the z axis
-    is handled by slicing, so strides[0] subsamples the slab index.
+    ``y[:, z] = sum_dz conv2d(x[:, z+dz-lo], w[dz])`` with (B, slab)
+    folded into the conv batch. Avoids the im2col patch tensor entirely
+    (the only extra HBM is XLA's partial-sum fusion) and rides XLA's 2D
+    conv path, which tiles narrow-channel stems better than the 3D path
+    (benchmarks/benchmark_conv3d.py). Supports any k/stride.
+
+    The slab axis is the spatial axis with the SMALLEST kernel extent
+    (fewest 2D convs) — for anisotropic kernels like AHNet's (3, 3, 1)
+    this folds the whole conv into ONE 2D conv instead of three
+    degenerate (3, 1) ones; axes are transposed in/out when that axis
+    isn't the first (XLA's layout assignment absorbs the transposes).
     """
+    k3 = w.shape[:3]
+    ax = min(range(3), key=lambda a: k3[a])
+    if ax != 0:
+        other = [a for a in range(3) if a != ax]
+        sp = [ax] + other  # spatial permutation, slab axis first
+        x_p = jnp.transpose(x, (0,) + tuple(a + 1 for a in sp) + (4,))
+        w_p = jnp.transpose(w, tuple(sp) + (3, 4))
+        st_p = tuple(strides[a] for a in sp)
+        pad_p = (
+            padding
+            if isinstance(padding, str)
+            else tuple(padding[a] for a in sp)
+        )
+        y = conv3d_z2d(x_p, w_p, st_p, pad_p)
+        inv = [0] * 3
+        for i, a in enumerate(sp):
+            inv[a] = i
+        return jnp.transpose(y, (0,) + tuple(i + 1 for i in inv) + (4,))
     kd, kh, kw, cin, cout = w.shape
     pads = _explicit_pads(x.shape, (kd, kh, kw), strides, padding)
     xz = jnp.pad(x, ((0, 0), tuple(pads[0])) + ((0, 0),) * 3)
@@ -361,7 +384,7 @@ def conv3d_zfold(x, w, strides=(1, 1, 1), padding="SAME"):
     return y.reshape(b, od, oh, ow, cout)
 
 
-def conv3d_s2d(x, w, strides=(1, 1, 1), padding="VALID"):
+def conv3d_s2d(x, w, strides=(1, 1, 1), padding="SAME"):
     """Patchify conv (kernel == strides) as space-to-depth + ONE matmul.
 
     Non-overlapping windows mean the "conv" is exactly a block reshape
@@ -372,7 +395,11 @@ def conv3d_s2d(x, w, strides=(1, 1, 1), padding="VALID"):
     class where it craters — BASELINE.md round-3 stem cliff).
     """
     kd, kh, kw, cin, cout = w.shape
-    assert (kd, kh, kw) == tuple(strides), "s2d requires kernel == strides"
+    if (kd, kh, kw) != tuple(strides):  # not an assert: must survive -O
+        raise ValueError(
+            f"s2d requires kernel == strides, got {(kd, kh, kw)} vs "
+            f"{tuple(strides)}"
+        )
     pads = _explicit_pads(x.shape, (kd, kh, kw), strides, padding)
     xz = jnp.pad(x, ((0, 0),) + tuple(tuple(p) for p in pads) + ((0, 0),))
     b, dpad, hpad, wpad, _ = xz.shape
@@ -531,7 +558,11 @@ def _pick_lowering(x, k, strides, padding="SAME", cout=None):
     MXU starvation inverted the ranking; kept as an env opt-in for such
     environments. ``pallas`` remains opt-in (compile service risk)."""
     env = os.environ.get("ADELL_CONV_LOWERING", "auto")
-    if env in ("xla", "im2col", "z2d", "zfold", "im2col_t", "s2d"):
+    if env == "s2d":
+        # s2d only exists for patchify convs; a forced sweep over a real
+        # model must not crash its stride-1 convs — those fall back
+        return "s2d" if tuple(k) == tuple(strides) else "z2d"
+    if env in ("xla", "im2col", "z2d", "zfold", "im2col_t"):
         return env
     if env == "pallas" and cout is not None and _tpu_backend():
         from .pallas.conv import conv3d_pallas_supported

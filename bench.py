@@ -372,7 +372,7 @@ def main():
     # sliding-window segmentation — the production SERVING metric (a
     # 256x256x64 case tiled by the flagship 128x128x32 window at stride
     # 0.5, overlap-accumulated in one jit; inference/sliding_window.py)
-    sliding_vps = None
+    sliding_vps, sliding_ok = None, None
     if os.environ.get("ADELL_BENCH_SLIDING", "0") == "1":
         try:
             from adell_mri_tpu.inference.sliding_window import (
@@ -401,7 +401,7 @@ def main():
                 return jax.lax.fori_loop(0, n, body, v)
 
             _stage("compiling sliding-window inference")
-            sliding_vps, _sw_ok = timed_chain(
+            sliding_vps, sliding_ok = timed_chain(
                 lambda n: sw_chain(big, n), n_small=2, per_item=1
             )
             _stage(f"sliding-window {sliding_vps:.2f} cases/s")
@@ -453,6 +453,9 @@ def main():
                 "train_step_volumes_per_sec": (
                     round(train_vps, 3) if train_vps else None
                 ),
+                "sliding_window_cases_per_sec": (
+                    round(sliding_vps, 3) if sliding_vps else None
+                ),
                 "cpu_baseline_aug_fwd_vps": round(
                     baseline["cpu_aug_fwd_vps"], 3
                 ),
@@ -465,6 +468,7 @@ def main():
                     "aug_plus_forward": e2e_ok,
                     "aug_only": aug_ok,
                     "train_step": train_ok,
+                    "sliding_window": sliding_ok,
                 },
             }
         )

@@ -433,6 +433,55 @@ def test_conv3d_s2d_matches_xla(k, padding, shape):
     assert float(jnp.abs(got - ref).max()) < 1e-4
 
 
+@pytest.mark.parametrize(
+    "k", [(3, 3, 1), (1, 3, 3), (3, 1, 3), (3, 3, 3), (1, 1, 3)]
+)
+def test_conv3d_z2d_anisotropic_axis_choice(k):
+    """z2d decomposes over the smallest-kernel spatial axis (transposing
+    in/out) so anisotropic kernels like AHNet's (3, 3, 1) fold into ONE
+    2D conv; exact vs the XLA conv for every axis placement."""
+    from adell_mri_tpu.ops.conv import conv3d_xla, conv3d_z2d
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(2, 6, 7, 5, 4)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=k + (4, 5)), jnp.float32)
+    for strides in [(1, 1, 1), (2, 1, 2)]:
+        ref = conv3d_xla(x, w, strides=strides, padding="SAME")
+        got = conv3d_z2d(x, w, strides=strides, padding="SAME")
+        assert got.shape == ref.shape
+        assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
+def test_s2d_env_force_falls_back_for_non_patchify(monkeypatch):
+    """ADELL_CONV_LOWERING=s2d must not crash stride-1 convs — the pick
+    falls back to z2d when kernel != strides."""
+    from adell_mri_tpu.ops.conv import _pick_lowering
+
+    monkeypatch.setenv("ADELL_CONV_LOWERING", "s2d")
+    x = jnp.ones((1, 4, 4, 4, 2))
+    assert _pick_lowering(x, (3, 3, 3), (1, 1, 1)) == "z2d"
+    assert _pick_lowering(x, (2, 2, 2), (2, 2, 2)) == "s2d"
+
+
+def test_instance_norm_f32_no_cancellation():
+    """f32 inputs with mean >> std keep the two-pass variance estimator
+    (single-pass E[x2]-E[x]2 in an f32 accumulator would quantize the
+    true variance to ~0 and blow up the normalized output)."""
+    import jax
+
+    from adell_mri_tpu.models.layers.adn import InstanceNorm
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(
+        300.0 + 0.01 * rng.normal(size=(1, 8, 8, 4, 2)), jnp.float32
+    )
+    m = InstanceNorm(use_scale=False, use_bias=False)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(v, x)
+    # correctly normalized output has unit-ish variance, not ~1e4
+    assert 0.5 < float(jnp.var(y)) < 2.0
+
+
 @pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 1)])
 @pytest.mark.parametrize("padding", ["SAME", "VALID"])
 def test_conv3d_dw_z2d_matches_xla(strides, padding):
