@@ -191,7 +191,19 @@ def main():
     import sys
 
     _stage("probing device")
-    if not _device_health_check():
+    # the compile service wedges for 30 min - hours at a time; a few
+    # spaced retries let the driver's single round-end invocation ride
+    # out a short wedge instead of failing on the first probe
+    probe_retries = int(os.environ.get("ADELL_BENCH_PROBE_RETRIES", 2))
+    probe_wait = float(os.environ.get("ADELL_BENCH_PROBE_RETRY_WAIT", 180))
+    ok = _device_health_check()
+    for _ in range(probe_retries):
+        if ok:
+            break
+        _stage(f"probe timed out; retrying in {probe_wait:.0f}s")
+        time.sleep(probe_wait)
+        ok = _device_health_check()
+    if not ok:
         print(
             "bench: device unresponsive after the probe timeout "
             "(wedged compile tunnel; raise ADELL_BENCH_PROBE_TIMEOUT?)",
