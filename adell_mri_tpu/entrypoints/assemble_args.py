@@ -118,6 +118,12 @@ argument_factory: Dict[str, Dict[str, Any]] = {
         help="Rematerialize the forward during backward (jax.checkpoint) — "
         "trades ~1/3 more FLOPs for fitting full-volume activations in HBM",
     ),
+    "remat_policy": dict(
+        type=str, default=None,
+        help="jax.checkpoint_policies name for --remat (e.g. "
+        "dots_with_no_batch_dims_saveable saves the MXU dot outputs — "
+        "faster backward, more memory); default: full remat",
+    ),
     "sample_panel_every": dict(
         type=int, default=0,
         help="Writes a PNG panel of model samples every N epochs (0=off)",

@@ -126,6 +126,7 @@ ARG_KEYS = [
     "semi_sl_weight",
     "missing_to_empty",
     "remat",
+    "remat_policy",
     "checkpoint",
     "res_config_file",
     "encoder_checkpoint",
@@ -657,6 +658,7 @@ def main(arguments):
             train=True,
             remat=args.remat,
             precision=args.precision,
+            remat_policy=getattr(args, "remat_policy", None),
         )
         eval_lm = make_segmentation_step(
             model,

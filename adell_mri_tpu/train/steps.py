@@ -49,6 +49,7 @@ def make_segmentation_step(
     train: bool = True,
     remat: bool = False,
     precision: Optional[str] = None,
+    remat_policy: Optional[str] = None,
 ):
     """
     Returns ``loss_and_metrics(params, batch, rng)``. Batch keys: ``image``
@@ -56,6 +57,10 @@ def make_segmentation_step(
     ``features``. ``remat`` rematerializes the forward during backward
     (jax.checkpoint) — 3D U-Nets at full volume easily exceed HBM with
     stored activations; remat trades ~1/3 more FLOPs for O(layer) memory.
+    ``remat_policy`` names a ``jax.checkpoint_policies`` entry (e.g.
+    ``dots_with_no_batch_dims_saveable``) to SAVE the MXU dot outputs —
+    with the matmul-lowered convs that skips most of the recompute at a
+    higher memory cost; None = full remat (the safe default).
     ``precision`` ("bf16"/"16"/...) applies the mixed-precision policy to
     the forward (train/precision.py): bf16 convs on the MXU, f32 loss.
     """
@@ -89,7 +94,13 @@ def make_segmentation_step(
 
         apply_fn = wrap_apply(apply_fn, precision)
         if remat and train:
-            apply_fn = jax.checkpoint(apply_fn)
+            if remat_policy:
+                apply_fn = jax.checkpoint(
+                    apply_fn,
+                    policy=getattr(jax.checkpoint_policies, remat_policy),
+                )
+            else:
+                apply_fn = jax.checkpoint(apply_fn)
         out = apply_fn(params, x)
         if deep_supervision:
             prediction, pred_class, deep_outputs = out
