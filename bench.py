@@ -343,8 +343,17 @@ def main():
 
     def loss_fn(p, x, key):
         xa = aug(key, x)
+        # ADELL_BENCH_REMAT_POLICY: jax.checkpoint_policies name (e.g.
+        # dots_with_no_batch_dims_saveable) to A/B the faster-backward
+        # remat against the full-remat default
+        _pol = os.environ.get("ADELL_BENCH_REMAT_POLICY")
+        _ckpt_kw = (
+            {"policy": getattr(jax.checkpoint_policies, _pol)}
+            if _pol
+            else {}
+        )
         apply_ckpt = jax.checkpoint(
-            lambda q, xi: model.apply({"params": q}, xi)[0]
+            lambda q, xi: model.apply({"params": q}, xi)[0], **_ckpt_kw
         )
         pred = apply_ckpt(
             jax.tree.map(lambda q: q.astype(jnp.bfloat16), p), xa
