@@ -11,6 +11,7 @@ header geometry.
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from adell_mri_tpu.config.factories import get_segmentation_network
@@ -42,6 +43,7 @@ ARG_KEYS = [
     "n_classes",
     "prediction_type",
     "segmentation_net_type",
+    "precision",
 ]
 
 
@@ -178,14 +180,32 @@ def main(arguments):
             sub = CheckpointManager(os.path.dirname(path), name=os.path.basename(path).replace("_fold0", ""), fold=0)
             param_list.append(_restore_variables(sub, sub.best_step()))
 
+    # --precision bf16: bf16 params + inputs double MXU throughput and
+    # halve HBM traffic at inference; outputs (probabilities) return to
+    # f32 before TTA/sliding-window accumulation
+    bf16 = str(getattr(args, "precision", "32")) in ("bf16", "16")
+    if bf16:
+        param_list = [
+            {
+                "params": jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16), v["params"]
+                ),
+                **{k: v[k] for k in v if k != "params"},
+            }
+            for v in param_list
+        ]
+
     def base_fn(variables, x, rng=None):
         rngs = {"dropout": rng} if rng is not None else None
+        if bf16:
+            x = x.astype(jnp.bfloat16)
         pred, *_ = model.apply(
             variables,
             x if x.ndim == len(target_size) + 2 else x[None],
             train=rng is not None,
             rngs=rngs,
         )
+        pred = pred.astype(jnp.float32)
         return pred if x.ndim == len(target_size) + 2 else pred[0]
 
     # multi-chip: shard the sliding-window tile grid over a pure-DP mesh
