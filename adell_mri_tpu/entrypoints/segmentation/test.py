@@ -8,6 +8,7 @@ whole-volume metrics (Dice/IoU) plus optional lesion-level PI-CAI eval.
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from adell_mri_tpu.config.factories import get_segmentation_network
@@ -35,6 +36,7 @@ ARG_KEYS = [
     "dev",
     "seed",
     "segmentation_net_type",
+    "precision",
 ]
 
 
@@ -97,16 +99,28 @@ def main(arguments):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
+    # --precision bf16: bf16 params + inputs for eval throughput; the
+    # predicted probabilities return to f32 before metrics
+    bf16 = str(getattr(args, "precision", "32")) in ("bf16", "16")
+    if bf16:
+        variables = {
+            "params": jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), variables["params"]
+            ),
+            **{k: variables[k] for k in variables if k != "params"},
+        }
 
     @jax.jit
     def predict(x, *cond):
+        if bf16:
+            x = x.astype(jnp.bfloat16)
         kwargs = {}
         if skip_keys:
             kwargs["x_skip_layer"] = cond[0][None]
         if feature_keys:
             kwargs["x_feature_conditioning"] = cond[-1][None]
         pred, *_ = model.apply(variables, x[None], **kwargs)
-        return pred[0]
+        return pred[0].astype(jnp.float32)
 
     data = Dataset(args.dataset_json)
     pids = args.test_ids or list(data.keys())
