@@ -7,6 +7,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from adell_mri_tpu.config.factories import get_classification_network
@@ -27,6 +28,7 @@ ARG_KEYS = [
     "dev",
     "seed",
     "classification_net_type",
+    "precision",
 ]
 
 
@@ -73,6 +75,16 @@ def main(arguments):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
+    # --precision bf16: bf16 params + inputs (logits return to f32)
+    bf16 = str(getattr(args, "precision", "32")) in ("bf16", "16")
+    if bf16:
+        variables = {
+            "params": jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), variables["params"]
+            ),
+            **{k: variables[k] for k in variables if k != "params"},
+        }
+
 
     transforms = ClassificationTransforms(
         image_keys=image_keys,
@@ -98,11 +110,15 @@ def main(arguments):
 
         @jax.jit
         def predict(x, *feats):
+            if bf16:
+                x = x.astype(jnp.bfloat16)
+                feats = tuple(f.astype(jnp.bfloat16) for f in feats)
             extra = tuple(f[None] for f in feats)
             logits, inter = model.apply(
                 variables, x[None], *extra,
                 mutable=["intermediates"],
             )
+            logits = logits.astype(jnp.float32)
             phi = jax.tree.leaves(inter)[0]
             phi = phi[0] if phi.ndim == 3 else phi
             return predictive_logits(logits, phi, cov)[0]

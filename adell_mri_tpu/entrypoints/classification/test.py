@@ -6,6 +6,7 @@
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from adell_mri_tpu.config.factories import get_classification_network
@@ -30,6 +31,7 @@ ARG_KEYS = [
     "dev",
     "seed",
     "classification_net_type",
+    "precision",
 ]
 
 
@@ -79,6 +81,16 @@ def main(arguments):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
+    # --precision bf16: bf16 params + inputs (logits return to f32)
+    bf16 = str(getattr(args, "precision", "32")) in ("bf16", "16")
+    if bf16:
+        variables = {
+            "params": jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16), variables["params"]
+            ),
+            **{k: variables[k] for k in variables if k != "params"},
+        }
+
 
     transforms = ClassificationTransforms(
         image_keys=image_keys,
@@ -92,8 +104,13 @@ def main(arguments):
 
     @jax.jit
     def predict(x, *feats):
+        if bf16:
+            x = x.astype(jnp.bfloat16)
+            feats = tuple(f.astype(jnp.bfloat16) for f in feats)
         extra = tuple(f[None] for f in feats)
-        return model.apply(variables, x[None], *extra)[0]
+        return model.apply(variables, x[None], *extra)[0].astype(
+            jnp.float32
+        )
 
     data = Dataset(args.dataset_json)
     pids = args.test_ids or list(data.keys())
