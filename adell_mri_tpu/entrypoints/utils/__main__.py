@@ -18,6 +18,8 @@ supported_modes = {
     "match_to_mask": P,
     # dataset
     "fill_with_condition": P,
+    "flatten_dataset_json": P,
+    "get_segmentation_label_composition": P,
     "generate_dataset_json": P,
     "generate_image_dataset_json": P,
     "generate_json_from_csv": P,

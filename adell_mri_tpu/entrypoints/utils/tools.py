@@ -832,3 +832,62 @@ def import_torch_checkpoint(argv):
             }
         )
     )
+
+
+def flatten_dataset_json(argv):
+    """Create individual entries from a hierarchical dataset JSON (parity:
+    entrypoints/utils/dataset/flatten_dataset_json.py:1-37) — each
+    ``{pid: {key: path}}`` pair becomes ``{pid_key: {"image": path}}``."""
+    p = argparse.ArgumentParser(prog="adell utils flatten_dataset_json")
+    p.add_argument("--input_json", required=True)
+    p.add_argument("--image_keys", nargs="+", required=True,
+                   help="keys kept as individual entries")
+    args = p.parse_args(argv)
+    with open(args.input_json) as f:
+        D = json.load(f)
+    output = {
+        f"{pid}_{key}": {"image": entry[key]}
+        for pid, entry in D.items()
+        for key in entry
+        if key in args.image_keys
+    }
+    print(json.dumps(output, indent=2))
+
+
+def get_segmentation_label_composition(argv):
+    """Count which classes are present in a folder of segmentation maps
+    (parity: entrypoints/utils/dataset/get_segmentation_label_composition.py:
+    1-50) — per label: n_images, n_voxels, image fraction, voxel fraction."""
+    p = argparse.ArgumentParser(
+        prog="adell utils get_segmentation_label_composition"
+    )
+    p.add_argument("--input_path", required=True,
+                   help="directory containing masks")
+    p.add_argument("--pattern", default="*", help="glob pattern for masks")
+    args = p.parse_args(argv)
+    total_voxels: Dict[float, List[int]] = {}
+    for path in sorted(
+        glob.glob(os.path.join(args.input_path, args.pattern))
+    ):
+        try:
+            data = read_nifti(path).data
+        except Exception:
+            continue
+        un, co = np.unique(data, return_counts=True)
+        for u, c in zip(un, co):
+            total_voxels.setdefault(float(u), []).append(int(c))
+    total_im = sum(len(v) for v in total_voxels.values())
+    total_vo = sum(int(np.sum(v)) for v in total_voxels.values())
+    for u in sorted(total_voxels):
+        v = total_voxels[u]
+        print(
+            json.dumps(
+                {
+                    "label": u,
+                    "n_images": len(v),
+                    "n_voxels": int(np.sum(v)),
+                    "image_fraction": len(v) / max(total_im, 1),
+                    "voxel_fraction": int(np.sum(v)) / max(total_vo, 1),
+                }
+            )
+        )

@@ -406,3 +406,35 @@ def test_test_exported_model(tmp_path, capsys):
     )
     out = _last_json(capsys)
     assert out["output_shapes"] == [[1, 3]]
+
+
+def test_flatten_dataset_json(cohort, capsys):
+    adell_main(
+        [
+            "utils", "flatten_dataset_json",
+            "--input_json", cohort["ds"],
+            "--image_keys", "image", "mask",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert "case_0_image" in out and "case_0_mask" in out
+    assert out["case_0_image"]["image"] == cohort["data"]["case_0"]["image"]
+    assert len(out) == 8
+
+
+def test_get_segmentation_label_composition(cohort, capsys):
+    adell_main(
+        [
+            "utils", "get_segmentation_label_composition",
+            "--input_path", os.path.join(cohort["root"], "case_0"),
+            "--pattern", "mask*.nii.gz",
+        ]
+    )
+    rows = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    labels = {r["label"]: r for r in rows}
+    assert set(labels) == {0.0, 1.0}
+    assert labels[1.0]["n_images"] == 2
+    assert abs(sum(r["voxel_fraction"] for r in rows) - 1.0) < 1e-9
