@@ -49,6 +49,8 @@ def _rebuild(args):
         metadata.get("cat_confounder_cards", []),
         len(metadata.get("cont_confounder_keys", [])),
         n_classes,
+        # pre-round-3 checkpoints predate the key and used the model default
+        n_features=metadata.get("n_features_deconfounder", 32),
     )
     size = tuple(t_args.get("target_size"))
     x0 = np.zeros((1,) + size + (len(image_keys),), np.float32)

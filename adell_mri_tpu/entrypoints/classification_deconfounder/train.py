@@ -60,7 +60,9 @@ ARG_KEYS = [
 ]
 
 
-def build_deconfounder_model(net_cfg, cat_cards, n_cont, n_classes):
+def build_deconfounder_model(
+    net_cfg, cat_cards, n_cont, n_classes, n_features=32
+):
     """Rebuilds the DeconfoundedNet from checkpoint metadata (shared by
     train / test / predict so the parameter tree is identical)."""
     backbone = CatNet(
@@ -74,6 +76,7 @@ def build_deconfounder_model(net_cfg, cat_cards, n_cont, n_classes):
     return DeconfoundedNet(
         backbone=backbone,
         n_classes=n_classes,
+        n_features_deconfounder=n_features,
         n_cat_deconfounder=list(cat_cards),
         n_cont_deconfounder=n_cont,
     )
@@ -85,6 +88,9 @@ def main(arguments):
     parser.add_argument("--cat_confounder_keys", nargs="+", default=[])
     parser.add_argument("--cont_confounder_keys", nargs="+", default=[])
     parser.add_argument("--deconfounder_weight", type=float, default=1.0)
+    # parity: assemble_args.py:797 n_features_deconfounder (same default)
+    parser.add_argument("--n_features_deconfounder", type=int, default=64,
+                        help="width of the confound surrogate projection")
     args = parser.parse_args(arguments)
     label_key = args.label_keys
 
@@ -112,7 +118,11 @@ def main(arguments):
         cat_cards.append(len(values))
 
     model = build_deconfounder_model(
-        net_cfg, cat_cards, len(args.cont_confounder_keys), args.n_classes
+        net_cfg,
+        cat_cards,
+        len(args.cont_confounder_keys),
+        args.n_classes,
+        n_features=args.n_features_deconfounder,
     )
 
     transforms = ClassificationTransforms(
@@ -195,6 +205,7 @@ def main(arguments):
             # without re-scanning the training dataset
             "cat_confounder_cards": list(cat_cards),
             "n_classes": args.n_classes,
+            "n_features_deconfounder": args.n_features_deconfounder,
             "transform_arguments": {
                 "image_keys": list(args.image_keys),
                 "label_key": label_key,
