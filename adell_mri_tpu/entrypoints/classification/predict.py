@@ -75,8 +75,11 @@ def main(arguments):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    # --precision bf16: bf16 params + inputs (logits return to f32)
-    bf16 = str(getattr(args, "precision", "32")) in ("bf16", "16")
+    # --precision bf16: bf16 params + inputs (logits return to f32); the
+    # alias table (bf16-mixed, 16-true, ...) matches training
+    from adell_mri_tpu.train.precision import compute_dtype
+
+    bf16 = compute_dtype(getattr(args, "precision", None)) is not None
     if bf16:
         variables = {
             "params": jax.tree.map(
@@ -127,8 +130,12 @@ def main(arguments):
 
         @jax.jit
         def predict(x, *feats):
+            if bf16:
+                x = x.astype(jnp.bfloat16)
+                feats = tuple(f.astype(jnp.bfloat16) for f in feats)
             extra = tuple(f[None] for f in feats)
-            return model.apply(variables, x[None], *extra)[0]
+            logits = model.apply(variables, x[None], *extra)[0]
+            return logits.astype(jnp.float32)
 
     # conformal prediction sets (parity: predict_calibrated_step,
     # classification/pl.py:438-459) from the train-time calibration

@@ -81,8 +81,11 @@ def main(arguments):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    # --precision bf16: bf16 params + inputs (logits return to f32)
-    bf16 = str(getattr(args, "precision", "32")) in ("bf16", "16")
+    # --precision bf16: bf16 params + inputs (logits return to f32); the
+    # alias table (bf16-mixed, 16-true, ...) matches training
+    from adell_mri_tpu.train.precision import compute_dtype
+
+    bf16 = compute_dtype(getattr(args, "precision", None)) is not None
     if bf16:
         variables = {
             "params": jax.tree.map(

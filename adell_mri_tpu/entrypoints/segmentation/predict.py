@@ -183,7 +183,9 @@ def main(arguments):
     # --precision bf16: bf16 params + inputs double MXU throughput and
     # halve HBM traffic at inference; outputs (probabilities) return to
     # f32 before TTA/sliding-window accumulation
-    bf16 = str(getattr(args, "precision", "32")) in ("bf16", "16")
+    from adell_mri_tpu.train.precision import compute_dtype
+
+    bf16 = compute_dtype(getattr(args, "precision", None)) is not None
     if bf16:
         param_list = [
             {
@@ -316,10 +318,17 @@ def main(arguments):
                 cond_kwargs["x_feature_conditioning"] = np.asarray(
                     [[float(entry[k]) for k in feature_keys]], np.float32
                 )
-            pred, *_ = model.apply(
-                param_list[0], x[None], **cond_kwargs
-            )
-            prob = np.asarray(pred[0])
+            xc = x[None]
+            if bf16:
+                # cast window AND conditioning inputs so the forward stays
+                # on the bf16 MXU path (probabilities return to f32 below)
+                xc = xc.astype(jnp.bfloat16)
+                cond_kwargs = {
+                    k: jnp.asarray(v).astype(jnp.bfloat16)
+                    for k, v in cond_kwargs.items()
+                }
+            pred, *_ = model.apply(param_list[0], xc, **cond_kwargs)
+            prob = np.asarray(pred[0].astype(jnp.float32))
         else:
             prob = np.asarray(inference(x))
         # inverse resample back to original geometry (Invertd analogue)

@@ -101,7 +101,9 @@ def main(arguments):
         variables["batch_stats"] = batch_stats
     # --precision bf16: bf16 params + inputs for eval throughput; the
     # predicted probabilities return to f32 before metrics
-    bf16 = str(getattr(args, "precision", "32")) in ("bf16", "16")
+    from adell_mri_tpu.train.precision import compute_dtype
+
+    bf16 = compute_dtype(getattr(args, "precision", None)) is not None
     if bf16:
         variables = {
             "params": jax.tree.map(
@@ -114,6 +116,9 @@ def main(arguments):
     def predict(x, *cond):
         if bf16:
             x = x.astype(jnp.bfloat16)
+            # conditioning inputs too — an f32 skip volume would promote
+            # the decoder concat back to f32 and lose the bf16 path
+            cond = tuple(c.astype(jnp.bfloat16) for c in cond)
         kwargs = {}
         if skip_keys:
             kwargs["x_skip_layer"] = cond[0][None]

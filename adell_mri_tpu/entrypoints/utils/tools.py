@@ -11,6 +11,7 @@ import glob
 import json
 import os
 import re
+import sys
 from typing import Dict, List
 
 import numpy as np
@@ -866,17 +867,19 @@ def get_segmentation_label_composition(argv):
     p.add_argument("--pattern", default="*", help="glob pattern for masks")
     args = p.parse_args(argv)
     total_voxels: Dict[float, List[int]] = {}
+    n_images = 0
     for path in sorted(
         glob.glob(os.path.join(args.input_path, args.pattern))
     ):
         try:
             data = read_nifti(path).data
-        except Exception:
+        except Exception as exc:
+            print(f"skipping unreadable {path}: {exc}", file=sys.stderr)
             continue
+        n_images += 1
         un, co = np.unique(data, return_counts=True)
         for u, c in zip(un, co):
             total_voxels.setdefault(float(u), []).append(int(c))
-    total_im = sum(len(v) for v in total_voxels.values())
     total_vo = sum(int(np.sum(v)) for v in total_voxels.values())
     for u in sorted(total_voxels):
         v = total_voxels[u]
@@ -886,7 +889,8 @@ def get_segmentation_label_composition(argv):
                     "label": u,
                     "n_images": len(v),
                     "n_voxels": int(np.sum(v)),
-                    "image_fraction": len(v) / max(total_im, 1),
+                    # fraction of scanned images containing the label
+                    "image_fraction": len(v) / max(n_images, 1),
                     "voxel_fraction": int(np.sum(v)) / max(total_vo, 1),
                 }
             )

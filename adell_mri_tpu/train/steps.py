@@ -67,6 +67,13 @@ def make_segmentation_step(
     class_loss_fn = (
         cat_cross_entropy if n_classes > 2 else binary_cross_entropy
     )
+    # resolve the policy NOW so a typo fails at step construction, not
+    # minutes later inside the first jit trace
+    ckpt_policy = (
+        getattr(jax.checkpoint_policies, remat_policy)
+        if remat_policy
+        else None
+    )
 
     def loss_and_metrics(params, batch, rng):
         x = batch["image"]
@@ -94,11 +101,8 @@ def make_segmentation_step(
 
         apply_fn = wrap_apply(apply_fn, precision)
         if remat and train:
-            if remat_policy:
-                apply_fn = jax.checkpoint(
-                    apply_fn,
-                    policy=getattr(jax.checkpoint_policies, remat_policy),
-                )
+            if ckpt_policy is not None:
+                apply_fn = jax.checkpoint(apply_fn, policy=ckpt_policy)
             else:
                 apply_fn = jax.checkpoint(apply_fn)
         out = apply_fn(params, x)

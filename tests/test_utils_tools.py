@@ -437,4 +437,7 @@ def test_get_segmentation_label_composition(cohort, capsys):
     labels = {r["label"]: r for r in rows}
     assert set(labels) == {0.0, 1.0}
     assert labels[1.0]["n_images"] == 2
+    # both scanned masks contain both labels
+    assert labels[1.0]["image_fraction"] == 1.0
+    assert labels[0.0]["image_fraction"] == 1.0
     assert abs(sum(r["voxel_fraction"] for r in rows) - 1.0) < 1e-9
