@@ -23,6 +23,7 @@ ARG_KEYS = [
     "prediction_type",
     "exclude_surrogate_variables",
     "dev",
+    "precision",
     "seed",
 ]
 
@@ -39,9 +40,15 @@ def main(arguments):
     label_key = t_args.get("label_key", "label")
     load_fn = transforms.load_fn()
 
+    from adell_mri_tpu.train.precision import wrap_apply
+
+    # --precision bf16: params + inputs cast to the compute dtype,
+    # outputs return to f32 (same policy as training)
+    apply = wrap_apply(model.apply, getattr(args, "precision", None))
+
     @jax.jit
     def predict(x):
-        logits, cat_preds, cont_pred, _ = model.apply(
+        logits, cat_preds, cont_pred, _ = apply(
             {"params": params}, x[None]
         )
         return (

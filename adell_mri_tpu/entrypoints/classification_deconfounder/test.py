@@ -29,6 +29,7 @@ ARG_KEYS = [
     "n_classes",
     "metric_path",
     "dev",
+    "precision",
     "seed",
 ]
 
@@ -78,9 +79,15 @@ def main(arguments):
     model, params, transforms, t_args, n_classes = _rebuild(args)
     load_fn = transforms.load_fn()
 
+    from adell_mri_tpu.train.precision import wrap_apply
+
+    # --precision bf16: params + inputs cast to the compute dtype,
+    # outputs return to f32 (same policy as training)
+    apply = wrap_apply(model.apply, getattr(args, "precision", None))
+
     @jax.jit
     def predict(x):
-        logits, *_ = model.apply({"params": params}, x[None])
+        logits, *_ = apply({"params": params}, x[None])
         return logits[0]
 
     data = Dataset(args.dataset_json)

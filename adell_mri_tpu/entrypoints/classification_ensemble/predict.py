@@ -29,6 +29,7 @@ ARG_KEYS = [
     "checkpoint_name",
     "output_path",
     "dev",
+    "precision",
     "seed",
 ]
 
@@ -88,9 +89,15 @@ def main(arguments):
     )
     load_fn = transforms.load_fn()
 
+    from adell_mri_tpu.train.precision import wrap_apply
+
+    # --precision bf16: params + inputs cast to the compute dtype,
+    # outputs return to f32 (same policy as training)
+    apply = wrap_apply(model.apply, getattr(args, "precision", None))
+
     @jax.jit
     def predict(x):
-        logits = model.apply({"params": params}, x[None])[0]
+        logits = apply({"params": params}, x[None])[0]
         if n_classes > 2:
             return jax.nn.softmax(logits)
         return jax.nn.sigmoid(logits[..., 0] if logits.ndim else logits)

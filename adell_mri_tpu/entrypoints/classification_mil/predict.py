@@ -22,6 +22,7 @@ ARG_KEYS = [
     "output_path",
     "prediction_type",
     "dev",
+    "precision",
     "seed",
 ]
 
@@ -38,9 +39,15 @@ def main(arguments):
     label_key = t_args.get("label_key", "label")
     load_fn = transforms.load_fn()
 
+    from adell_mri_tpu.train.precision import wrap_apply
+
+    # --precision bf16: params + inputs cast to the compute dtype,
+    # logits return to f32 (same policy as training)
+    apply = wrap_apply(model.apply, getattr(args, "precision", None))
+
     @jax.jit
     def predict(x):
-        return model.apply({"params": params}, x[None])[0]
+        return apply({"params": params}, x[None])[0]
 
     data = Dataset(args.dataset_json)
     pids = args.prediction_ids or list(data.keys())

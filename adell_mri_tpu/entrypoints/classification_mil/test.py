@@ -26,6 +26,7 @@ ARG_KEYS = [
     "n_classes",
     "metric_path",
     "dev",
+    "precision",
     "seed",
 ]
 
@@ -68,9 +69,15 @@ def main(arguments):
     model, params, transforms, t_args, n_classes = _rebuild(args)
     load_fn = transforms.load_fn()
 
+    from adell_mri_tpu.train.precision import wrap_apply
+
+    # --precision bf16: params + inputs cast to the compute dtype,
+    # logits return to f32 (same policy as training)
+    apply = wrap_apply(model.apply, getattr(args, "precision", None))
+
     @jax.jit
     def predict(x):
-        return model.apply({"params": params}, x[None])[0]
+        return apply({"params": params}, x[None])[0]
 
     data = Dataset(args.dataset_json)
     pids = args.test_ids or list(data.keys())

@@ -472,6 +472,7 @@ def test_mil_train_test_predict_roundtrip(cohort):
             "--dataset_json", ds_path,
             "--checkpoint_dir", ckpt,
             "--output_path", out_path,
+            "--precision", "bf16",
             "--dev", "cpu",
         ]
     )
@@ -548,6 +549,7 @@ def test_deconfounder_train_test_predict_roundtrip(cohort):
             "--dataset_json", ds_path,
             "--checkpoint_dir", ckpt,
             "--output_path", out_path,
+            "--precision", "bf16",
             "--dev", "cpu",
         ]
     )
@@ -716,3 +718,87 @@ def test_mil_frozen_encoder_workflow(cohort, tmp_path):
 
     for a, b in zip(jax.tree.leaves(sp), jax.tree.leaves(dp)):
         _np.testing.assert_array_equal(_np.asarray(a), _np.asarray(b))
+
+
+ENS_YAML_A = """
+resnet_structure: [[4, 8, 3, 1]]
+norm_type: instance
+batch_size: 2
+learning_rate: 0.001
+"""
+
+ENS_YAML_B = """
+resnet_structure: [[4, 4, 3, 1]]
+norm_type: instance
+batch_size: 2
+learning_rate: 0.001
+"""
+
+
+def test_ensemble_train_test_predict_roundtrip(cohort):
+    """classification_ensemble {train,test,predict} round-trip: members are
+    rebuilt from checkpoint-metadata member_configs; predict additionally
+    exercises --precision bf16 on the averaged forward."""
+    root = cohort["root"]
+    ds = json.load(open(cohort["ds"]))
+    for i, k in enumerate(sorted(ds)):
+        ds[k]["label"] = i % 2
+    ds_path = os.path.join(root, "ds_ens.json")
+    with open(ds_path, "w") as f:
+        json.dump(ds, f)
+    cfg_a = os.path.join(root, "ens_a.yaml")
+    cfg_b = os.path.join(root, "ens_b.yaml")
+    with open(cfg_a, "w") as f:
+        f.write(ENS_YAML_A)
+    with open(cfg_b, "w") as f:
+        f.write(ENS_YAML_B)
+    ckpt = os.path.join(root, "ckpt_ens")
+    adell_main(
+        [
+            "classification_ensemble", "train",
+            "--dataset_json", ds_path,
+            "--image_keys", "T2",
+            "--label_keys", "label",
+            "--config_files", cfg_a, cfg_b,
+            "--classification_net_type", "cat",
+            "--pad_size", "16", "16", "8",
+            "--target_spacing", "1.0", "1.0", "1.2",
+            "--batch_size", "2",
+            "--max_epochs", "1",
+            "--n_folds", "1",
+            "--dev", "cpu",
+            "--checkpoint_dir", ckpt,
+            "--cache_rate", "0.0",
+        ]
+    )
+    meta = json.load(
+        open(os.path.join(ckpt, "ensemble_fold0", "metadata.json"))
+    )
+    assert len(meta["member_configs"]) == 2
+
+    metric_path = os.path.join(root, "ens_metrics.csv")
+    adell_main(
+        [
+            "classification_ensemble", "test",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--metric_path", metric_path,
+            "--dev", "cpu",
+        ]
+    )
+    assert os.path.exists(metric_path)
+
+    out_path = os.path.join(root, "ens_preds.json")
+    adell_main(
+        [
+            "classification_ensemble", "predict",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--output_path", out_path,
+            "--precision", "bf16",
+            "--dev", "cpu",
+        ]
+    )
+    preds = json.load(open(out_path))
+    assert len(preds) == 4
+    assert all(0.0 <= p <= 1.0 for p in preds.values())
