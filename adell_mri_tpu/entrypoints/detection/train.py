@@ -9,6 +9,7 @@ YOLONet3d + composite loss, mAP validation.
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from adell_mri_tpu.data import (
@@ -58,6 +59,7 @@ ARG_KEYS = [
     "pad_size",
     "config_file",
     "dev",
+    "precision",
     "seed",
     "max_epochs",
     "warmup_steps",
@@ -183,12 +185,21 @@ def main(arguments):
     platform, devices = get_devices(args.dev)
     mesh = mesh_for_batch(batch_size, devices)
 
+    from adell_mri_tpu.train.precision import cast_floats, compute_dtype
+
+    # --precision bf16: backbone forward in the compute dtype; YOLO loss
+    # (CIoU, BCE) in f32 on upcast heads
+    dtype = compute_dtype(getattr(args, "precision", None))
+
     def make_lm(train):
         def lm(params, batch, rng):
             rngs = {"dropout": rng} if train else None
-            preds = model.apply(
-                {"params": params}, batch["image"], train=train, rngs=rngs
-            )
+            p, x = params, batch["image"]
+            if dtype is not None:
+                p, x = cast_floats(p, dtype), x.astype(dtype)
+            preds = model.apply({"params": p}, x, train=train, rngs=rngs)
+            if dtype is not None:
+                preds = cast_floats(preds, jnp.float32)
             total, comp = yolo_loss(
                 preds,
                 {k: batch[k] for k in ("objectness", "center_offsets", "sizes", "classes")},

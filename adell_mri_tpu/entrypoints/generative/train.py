@@ -39,6 +39,7 @@ ARG_KEYS = [
     "pad_size",
     "config_file",
     "dev",
+    "precision",
     "seed",
     "max_epochs",
     "warmup_steps",
@@ -219,7 +220,12 @@ def main(arguments):
         )
     loop = TrainLoop(
         train_step=make_train_step(
-            make_diffusion_step(model, process, embedder=embedder)
+            make_diffusion_step(
+                model,
+                process,
+                embedder=embedder,
+                precision=getattr(args, "precision", None),
+            )
         ),
         mesh=mesh,
         max_epochs=args.max_epochs,

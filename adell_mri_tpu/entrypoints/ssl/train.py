@@ -53,6 +53,7 @@ ARG_KEYS = [
     "random_crop_size",
     "config_file",
     "dev",
+    "precision",
     "n_workers",
     "seed",
     "max_epochs",
@@ -198,22 +199,24 @@ def main(arguments):
             variables=variables,
         )
 
+    prec = getattr(args, "precision", None)
     if args.ssl_method == "mae":
-        lm = make_mae_step(model)
+        lm = make_mae_step(model, precision=prec)
     elif args.ssl_method == "ijepa":
-        lm = make_ijepa_step(model)
+        lm = make_ijepa_step(model, precision=prec)
     elif args.ssl_method == "dino":
-        lm = make_dino_step(model)
+        lm = make_dino_step(model, precision=prec)
     elif args.ssl_method == "ibot":
-        lm = make_ibot_step(model)
+        lm = make_ibot_step(model, precision=prec)
     elif args.ssl_method == "vicregl":
-        lm = make_vicregl_step(model)
+        lm = make_vicregl_step(model, precision=prec)
     else:
         lm = make_two_view_step(
             model,
             method=args.ssl_method,
             ema_teacher=use_ema,
             stop_gradient=bool(args.stop_gradient),
+            precision=prec,
         )
     ckpt = CheckpointManager(
         args.checkpoint_dir,

@@ -592,12 +592,17 @@ def make_stylegan_steps(
     return jax.jit(d_step), jax.jit(g_step)
 
 
-def make_diffusion_step(model, process, embedder=None):
+def make_diffusion_step(model, process, embedder=None, precision=None):
     """
     DDPM ε-prediction step (parity: DiffusionUNetPL, diffusion/pl.py:21-233):
     random timestep per sample, MSE(ε̂, ε), optional conditioning with
-    classifier-free dropout inside the Embedder.
+    classifier-free dropout inside the Embedder. ``precision`` ("bf16"/...)
+    runs the UNet forward in the compute dtype; q_sample and the MSE stay
+    f32 (ε̂ upcast before the loss).
     """
+    from adell_mri_tpu.train.precision import cast_floats, compute_dtype
+
+    dtype = compute_dtype(precision)
 
     def loss_and_metrics(params, batch, rng):
         x0 = batch["image"]
@@ -626,8 +631,12 @@ def make_diffusion_step(model, process, embedder=None):
             )
             variables = {"params": params["unet"]}
             model_kwargs["cond_embedding"] = cond
+        if dtype is not None:
+            variables = {"params": cast_floats(variables["params"], dtype)}
+            xt = xt.astype(dtype)
+            model_kwargs = cast_floats(model_kwargs, dtype)
         eps_pred = model.apply(variables, xt, t, **model_kwargs)
-        loss = jnp.mean((eps_pred - eps) ** 2)
+        loss = jnp.mean((eps_pred.astype(jnp.float32) - eps) ** 2)
         return loss, {"loss": loss}
 
     return loss_and_metrics

@@ -14,6 +14,20 @@ import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.ssl import losses as L
+from adell_mri_tpu.train.precision import cast_floats, compute_dtype
+
+
+def _downcast(dtype, params, x):
+    """Mixed-precision entry: params + input to the compute dtype (the
+    bf16 MXU path); identity when dtype is None. Losses/centers/EMA stay
+    f32 because every forward upcasts its outputs with ``_f32``."""
+    if dtype is None:
+        return params, x
+    return cast_floats(params, dtype), cast_floats(x, dtype)
+
+
+def _f32(dtype, out):
+    return out if dtype is None else cast_floats(out, jnp.float32)
 
 
 def make_two_view_step(
@@ -23,13 +37,17 @@ def make_two_view_step(
     symmetrize: bool = True,
     loss_kwargs: Optional[dict] = None,
     stop_gradient: bool = False,
+    precision: Optional[str] = None,
 ):
     """
     Returns ``loss_and_metrics(params, batch, rng, ema_params=None)`` for
     SimSiam/BYOL/VICReg/Barlow-Twins/SimCLR over batches with
     ``view1``/``view2`` keys (built by SSLTransforms.augment).
+    ``precision`` ("bf16"/...) runs the encoder forward in the compute
+    dtype; projections return to f32 before the loss.
     """
     loss_kwargs = loss_kwargs or {}
+    dtype = compute_dtype(precision)
 
     def forward(params, x, rng, ret, variables=None, mutable=False):
         """Returns (out, new_variables). Mutable collections (batch norm
@@ -37,6 +55,7 @@ def make_two_view_step(
         jit with batch-axis sharding the batch statistics are GLOBAL batch
         statistics — XLA inserts the cross-replica reduction the reference
         needs sync_batchnorm for (entrypoints/ssl/train_3d.py:337)."""
+        params, x = _downcast(dtype, params, x)
         tree = {"params": params, **(variables or {})}
         if variables:
             # train-mode batch norm always writes its collection, so every
@@ -50,9 +69,14 @@ def make_two_view_step(
                 rngs={"dropout": rng},
                 mutable=list(variables.keys()),
             )
-            return out, (new_vars if mutable else None)
+            return _f32(dtype, out), (new_vars if mutable else None)
         return (
-            model.apply(tree, x, train=True, ret=ret, rngs={"dropout": rng}),
+            _f32(
+                dtype,
+                model.apply(
+                    tree, x, train=True, ret=ret, rngs={"dropout": rng}
+                ),
+            ),
             None,
         )
 
@@ -128,7 +152,8 @@ def make_ssl_train_step(loss_and_metrics: Callable):
 
 def make_dino_step(model, use_sinkhorn: bool = False,
                    student_temp: float = 0.1, teacher_temp: float = 0.04,
-                   center_momentum: float = 0.9):
+                   center_momentum: float = 0.9,
+                   precision: Optional[str] = None):
     """
     DINO multi-crop step (parity: DINOPL, self_supervised/pl.py:1130 +
     DinoLoss dino.py:121). Teacher (EMA params) sees the two GLOBAL views;
@@ -141,9 +166,15 @@ def make_dino_step(model, use_sinkhorn: bool = False,
     global batch mean under pjit).
     """
 
+    dtype = compute_dtype(precision)
+
     def forward(params, x, rng):
-        return model.apply(
-            {"params": params}, x, train=True, rngs={"dropout": rng}
+        params, x = _downcast(dtype, params, x)
+        return _f32(
+            dtype,
+            model.apply(
+                {"params": params}, x, train=True, rngs={"dropout": rng}
+            ),
         )
 
     def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
@@ -199,7 +230,8 @@ def make_dino_step(model, use_sinkhorn: bool = False,
 
 
 def make_ibot_step(model, student_temp: float = 0.1,
-                   teacher_temp: float = 0.04, center_momentum: float = 0.9):
+                   teacher_temp: float = 0.04, center_momentum: float = 0.9,
+                   precision: Optional[str] = None):
     """
     iBOT step (parity: iBOTPL, self_supervised/pl.py:1243): students see
     MASKED views, the EMA teacher sees the same views unmasked; a global
@@ -209,13 +241,19 @@ def make_ibot_step(model, student_temp: float = 0.1,
     matching the reference's two DinoLoss instances (loss_global/loss_mask).
     """
 
+    dtype = compute_dtype(precision)
+
     def forward(params, x, rng, mask):
-        return model.apply(
-            {"params": params},
-            x,
-            mask=mask,
-            train=True,
-            rngs={"dropout": rng, "masking": jax.random.fold_in(rng, 7)},
+        params, x = _downcast(dtype, params, x)
+        return _f32(
+            dtype,
+            model.apply(
+                {"params": params},
+                x,
+                mask=mask,
+                train=True,
+                rngs={"dropout": rng, "masking": jax.random.fold_in(rng, 7)},
+            ),
         )
 
     def token_ce(s_tok, t_tok, m, center):
@@ -276,7 +314,8 @@ def make_ibot_step(model, student_temp: float = 0.1,
 
 
 def make_vicregl_step(model, alpha: float = 0.75, top_k: int = 4,
-                      loss_kwargs: Optional[dict] = None):
+                      loss_kwargs: Optional[dict] = None,
+                      precision: Optional[str] = None):
     """
     VICRegL step (parity: VICRegLocalLoss, self_supervised/losses/vicreg.py:168
     + the ExposeTransformKeyMetad crop-box plumbing,
@@ -287,18 +326,27 @@ def make_vicregl_step(model, alpha: float = 0.75, top_k: int = 4,
     computed; local features are matched by nearest coordinates both ways.
     """
     loss_kwargs = loss_kwargs or {}
+    dtype = compute_dtype(precision)
 
     def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
         v1, v2 = batch["view1"], batch["view2"]
         m1, m2 = batch["view1_mat"], batch["view2_mat"]
         r1, r2 = jax.random.split(rng)
-        z1, l1 = model.apply(
-            {"params": params}, v1, train=True, ret="local",
-            rngs={"dropout": r1},
+        p1, v1c = _downcast(dtype, params, v1)
+        _, v2c = _downcast(dtype, params, v2)
+        z1, l1 = _f32(
+            dtype,
+            model.apply(
+                {"params": p1}, v1c, train=True, ret="local",
+                rngs={"dropout": r1},
+            ),
         )
-        z2, l2 = model.apply(
-            {"params": params}, v2, train=True, ret="local",
-            rngs={"dropout": r2},
+        z2, l2 = _f32(
+            dtype,
+            model.apply(
+                {"params": p1}, v2c, train=True, ret="local",
+                rngs={"dropout": r2},
+            ),
         )
 
         def coords(local, view_shape, mat):
@@ -337,14 +385,19 @@ def make_vicregl_step(model, alpha: float = 0.75, top_k: int = 4,
     return loss_and_metrics
 
 
-def make_mae_step(model):
+def make_mae_step(model, precision: Optional[str] = None):
     """MAE step (parity: ViTMaskedAutoEncoderPL, pl.py:1388)."""
+    dtype = compute_dtype(precision)
 
     def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
         x = batch["image"] if "image" in batch else batch["view1"]
-        pred, target, mask = model.apply(
-            {"params": params}, x, rng=rng, train=True,
-            rngs={"dropout": rng, "masking": rng},
+        params, x = _downcast(dtype, params, x)
+        pred, target, mask = _f32(
+            dtype,
+            model.apply(
+                {"params": params}, x, rng=rng, train=True,
+                rngs={"dropout": rng, "masking": rng},
+            ),
         )
         loss = L.mae_loss(pred, target, mask)
         return loss, {"loss": loss}
@@ -352,21 +405,26 @@ def make_mae_step(model):
     return loss_and_metrics
 
 
-def make_ijepa_step(model):
+def make_ijepa_step(model, precision: Optional[str] = None):
     """
     I-JEPA step (parity: IJEPAPL, pl.py:956): prediction loss on masked
     positions, target features from the EMA branch (caller substitutes
     ema_params for the target encoder subtree when available).
     """
+    dtype = compute_dtype(precision)
 
     def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
         x = batch["image"] if "image" in batch else batch["view1"]
         use_params = dict(params)
         if ema_params is not None and "target_encoder" in ema_params:
             use_params = {**params, "target_encoder": ema_params["target_encoder"]}
-        pred_f, tgt_f, mask = model.apply(
-            {"params": use_params}, x, rng=rng, train=True,
-            rngs={"dropout": rng, "masking": rng},
+        use_params, x = _downcast(dtype, use_params, x)
+        pred_f, tgt_f, mask = _f32(
+            dtype,
+            model.apply(
+                {"params": use_params}, x, rng=rng, train=True,
+                rngs={"dropout": rng, "masking": rng},
+            ),
         )
         w = mask[..., None]
         loss = jnp.sum(

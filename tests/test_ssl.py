@@ -302,3 +302,32 @@ def test_vicregl_step_with_exposed_boxes():
         losses.append(float(metrics["loss"]))
         assert "local" in metrics
     assert losses[-1] < losses[0]
+
+
+def test_two_view_step_bf16_precision():
+    """precision='bf16' runs the encoder forward in the compute dtype but
+    returns f32 projections/losses close to the f32 step (same policy as
+    segmentation/classification training)."""
+    model = NonContrastiveWrapper(
+        backbone=_tiny_backbone(),
+        projection_dims=(16, 8),
+        prediction_dims=(8, 8),
+    )
+    x = jax.random.normal(KEY, (2, 8, 8, 4, 1))
+    params = model.init({"params": KEY}, x)["params"]
+    batch = {
+        "view1": x,
+        "view2": x + 0.05 * jax.random.normal(jax.random.PRNGKey(2), x.shape),
+    }
+    rng = jax.random.PRNGKey(3)
+    lm32 = make_two_view_step(model, method="vicreg")
+    lm16 = make_two_view_step(model, method="vicreg", precision="bf16")
+    l32, m32 = lm32(params, batch, rng)
+    l16, m16 = lm16(params, batch, rng)
+    assert l16.dtype == jnp.float32
+    assert jnp.isfinite(l16)
+    assert abs(float(l16) - float(l32)) < 0.1 * max(abs(float(l32)), 1.0)
+    # gradients flow and arrive in f32
+    g = jax.grad(lambda p: lm16(p, batch, rng)[0])(params)
+    leaf = jax.tree.leaves(g)[0]
+    assert leaf.dtype == jnp.float32
