@@ -86,9 +86,22 @@ def subsample_dataset(
         strata: dict = {}
         for k, entry in data_dict.items():
             strata.setdefault(entry[strata_key], []).append(k)
+        # largest-remainder allocation: flooring every quota drops minority
+        # strata entirely (proportion < 1/subsample_size -> n = 0) and
+        # returns fewer than subsample_size entries
+        quotas = {
+            s: len(keys) / len(data_dict) * subsample_size
+            for s, keys in strata.items()
+        }
+        counts = {s: int(q) for s, q in quotas.items()}
+        short = subsample_size - sum(counts.values())
+        for s in sorted(
+            quotas, key=lambda s: quotas[s] - counts[s], reverse=True
+        )[:short]:
+            counts[s] += 1
         keep = []
-        for keys in strata.values():
-            n = int(len(keys) / len(data_dict) * subsample_size)
+        for s, keys in strata.items():
+            n = min(counts[s], len(keys))
             keep.extend(rng.choice(keys, size=n, replace=False, shuffle=False))
     else:
         keep = rng.choice(list(data_dict), size=subsample_size, replace=False)

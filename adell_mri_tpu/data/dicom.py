@@ -348,13 +348,17 @@ class SliceSampler:
         self.N = 0
         i = 0
         for element in self.dicom_dataset:
-            new_element = {}
+            # one slot per (study, series) so an epoch draws exactly one
+            # slice from every series (the reference's keys_to_indices,
+            # dicom_loader.py:179-195, appends ONE shared dict per series,
+            # so all of a study's slots alias every series — a study can
+            # then over-sample one series and skip another)
             for k in element:
-                new_element[k] = []
+                idxs = []
                 for _ in element[k]:
-                    new_element[k].append(i)
+                    idxs.append(i)
                     i += 1
-                self.correspondence.append(new_element)
+                self.correspondence.append({k: idxs})
                 self.N += 1
         self.i = i
 

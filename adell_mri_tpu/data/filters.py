@@ -47,8 +47,20 @@ def _compile_one(f: str) -> Predicate:
         )
 
     def eq(entry):
+        # list-valued fields (or JSON/py-stringified lists) match on
+        # membership; everything else on string equality. The reference
+        # (utils/dataset_filters.py:232-239) iterates a stringified list
+        # character-by-character — parse it instead so values containing
+        # '[' (e.g. file paths) compare as whole strings.
         field = entry[key]
-        if isinstance(field, list) or "[" in str(field):
+        if isinstance(field, str) and field.lstrip().startswith("["):
+            try:
+                import ast
+
+                field = ast.literal_eval(field)
+            except (ValueError, SyntaxError):
+                pass
+        if isinstance(field, (list, tuple)):
             return value in [str(x) for x in field]
         return str(field) == value
 

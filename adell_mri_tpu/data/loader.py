@@ -50,18 +50,24 @@ class CachedVolumeDataset:
         load_fn: Callable[[Dict[str, Any]], Dict[str, Any]],
         cache_rate: float = 1.0,
         cache_dir: Optional[str] = None,
+        cache_fingerprint: str = "",
     ):
         self.datalist = datalist
         self.load_fn = load_fn
         self.cache_rate = cache_rate
         self.cache_dir = cache_dir
+        # preprocessing-config fingerprint folded into the disk-cache key so
+        # re-running with a different spacing/size/keys against the same
+        # --cache_dir can never serve stale arrays (entrypoints pass
+        # repr(<transforms dataclass>))
+        self.cache_fingerprint = cache_fingerprint
         self._ram: Dict[int, Dict[str, Any]] = {}
         if cache_dir is not None:
             os.makedirs(cache_dir, exist_ok=True)
 
     def _disk_path(self, entry: Dict[str, Any]) -> str:
         key = hashlib.sha1(
-            repr(sorted(entry.items())).encode()
+            (repr(sorted(entry.items())) + self.cache_fingerprint).encode()
         ).hexdigest()[:20]
         return os.path.join(self.cache_dir, key + ".npz")
 
@@ -150,19 +156,38 @@ class DataLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # timed put so an abandoned consumer (break mid-epoch) can't
+            # leave the worker blocked forever holding volume batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self._batches(indices):
-                    q.put(batch)
-            finally:
-                q.put(sentinel)
+                    if not _put(batch):
+                        return
+                _put(sentinel)
+            except BaseException as exc:  # propagate, don't truncate epochs
+                _put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)

@@ -152,6 +152,12 @@ def read_nifti(path: str) -> NiftiImage:
         raw, dtype=dtype, count=count, offset=offset
     ).reshape(shape, order="F")
     slope, inter = hdr["scl_slope"], hdr["scl_inter"]
+    # NaN slope/inter mean "unset" (nibabel semantics) — treating NaN as a
+    # real slope would multiply the whole volume by NaN
+    if not np.isfinite(slope):
+        slope = 0.0
+    if not np.isfinite(inter):
+        inter = 0.0
     if slope not in (0.0, 1.0) or inter != 0.0:
         slope = slope if slope != 0.0 else 1.0
         data = data.astype(np.float32) * slope + inter

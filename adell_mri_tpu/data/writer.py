@@ -18,6 +18,7 @@ from adell_mri_tpu.data.nifti import write_nifti
 class AsyncNiftiWriter:
     def __init__(self, n_workers: int = 2):
         self.queue: "queue.Queue" = queue.Queue()
+        self.errors: list = []
         self.workers = [
             threading.Thread(target=self._worker, daemon=True)
             for _ in range(n_workers)
@@ -34,6 +35,11 @@ class AsyncNiftiWriter:
             path, data, affine = item
             try:
                 write_nifti(path, data, affine)
+            except Exception as exc:
+                # record and keep serving — a worker dying on one bad path
+                # (e.g. missing directory) would strand queued predictions
+                # and deadlock close()'s queue.join()
+                self.errors.append((path, exc))
             finally:
                 self.queue.task_done()
 
@@ -46,3 +52,10 @@ class AsyncNiftiWriter:
             self.queue.put(None)
         for w in self.workers:
             w.join()
+        if self.errors:
+            failed = ", ".join(p for p, _ in self.errors[:5])
+            raise RuntimeError(
+                f"{len(self.errors)} prediction(s) failed to write "
+                f"({failed}{'...' if len(self.errors) > 5 else ''}); "
+                f"first error: {self.errors[0][1]!r}"
+            )

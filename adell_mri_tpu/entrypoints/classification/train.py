@@ -259,10 +259,12 @@ def main(arguments):
         train_ds = CachedVolumeDataset(
             train_list, load_fn, cache_rate=args.cache_rate,
             cache_dir=args.cache_dir,
+            cache_fingerprint=repr(transforms),
         )
         val_ds = CachedVolumeDataset(
             val_list, load_fn, cache_rate=args.cache_rate,
             cache_dir=args.cache_dir,
+            cache_fingerprint=repr(transforms),
         )
         if args.weighted_sampling:
             labels = [e[label_key] for e in train_list]

@@ -149,10 +149,12 @@ def main(arguments):
     train_ds = CachedVolumeDataset(
         data.to_datalist(train_pids), load_fn, cache_rate=args.cache_rate,
         cache_dir=args.cache_dir,
+        cache_fingerprint=repr(transforms),
     )
     val_ds = CachedVolumeDataset(
         data.to_datalist(val_pids), load_fn, cache_rate=args.cache_rate,
         cache_dir=args.cache_dir,
+        cache_fingerprint=repr(transforms),
     )
     train_loader = DataLoader(
         train_ds, sampler=RandomSampler(len(train_ds), seed=args.seed),

@@ -169,10 +169,18 @@ def main(arguments):
     train_ds = CachedVolumeDataset(
         data.to_datalist(train_pids), load_fn, cache_rate=args.cache_rate,
         cache_dir=args.cache_dir,
+        cache_fingerprint=repr(
+            (sorted(args.image_keys), args.target_spacing, base_size,
+             args.box_key, anchors.tolist(), grid, args.n_classes)
+        ),
     )
     val_ds = CachedVolumeDataset(
         data.to_datalist(val_pids), load_fn, cache_rate=args.cache_rate,
         cache_dir=args.cache_dir,
+        cache_fingerprint=repr(
+            (sorted(args.image_keys), args.target_spacing, base_size,
+             args.box_key, anchors.tolist(), grid, args.n_classes)
+        ),
     )
     train_loader = DataLoader(
         train_ds, sampler=RandomSampler(len(train_ds), seed=args.seed),

@@ -108,6 +108,7 @@ def main(arguments):
     ds = CachedVolumeDataset(
         datalist, load_fn,
         cache_rate=args.cache_rate, cache_dir=args.cache_dir,
+        cache_fingerprint=repr(transforms),
     )
     loader = DataLoader(
         ds, sampler=RandomSampler(len(ds), seed=args.seed),

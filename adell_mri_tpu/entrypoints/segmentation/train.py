@@ -367,10 +367,12 @@ def main(arguments):
         train_ds = CachedVolumeDataset(
             train_list, load_fn, cache_rate=args.cache_rate,
             cache_dir=args.cache_dir,
+            cache_fingerprint=repr(transforms),
         )
         val_ds = CachedVolumeDataset(
             val_list, load_fn, cache_rate=args.cache_rate,
             cache_dir=args.cache_dir,
+            cache_fingerprint=repr(transforms),
         )
         if args.constant_ratio is not None:
             labels = [
@@ -411,6 +413,10 @@ def main(arguments):
                 un_load_fn,
                 cache_rate=args.cache_rate,
                 cache_dir=args.cache_dir,
+                cache_fingerprint=repr(
+                    (sorted(args.image_keys), target_spacing,
+                     crop_size or base_size)
+                ),
             )
             un_loader = DataLoader(
                 un_ds,

@@ -132,6 +132,7 @@ def main(arguments):
         transforms.load_fn(),
         cache_rate=args.cache_rate,
         cache_dir=args.cache_dir,
+        cache_fingerprint=repr(transforms),
     )
     loader = DataLoader(
         ds,

@@ -91,6 +91,11 @@ def convert_to_one_hot(
     base = np.zeros_like(np.asarray(sample[order[0]]), dtype=np.float32)
     for i, k in enumerate(order):
         m = np.asarray(sample[k]) > 0.5
+        # include_background=False conflates the FIRST key's voxels with
+        # empty voxels (both 0) — exact parity with the reference's
+        # bg=False argmax (monai_transforms.py:191-200, argmax of an
+        # all-zero stack is 0); use include_background=True when the first
+        # structure must be separable from background
         base[m] = i + (1 if include_background else 0)
     sample[out_key] = base
     return sample

@@ -152,9 +152,13 @@ def _augment_one(
     # as ONE fused pallas pass (_batch_intensity below); only the FFT-based
     # gibbs ringing stays per-sample here
     if policy.noise:
+        # gate and alpha need INDEPENDENT randomness: reusing keys[5] for
+        # both made alpha perfectly correlated with the gate (truncated to
+        # the bottom of alpha_range whenever the op fired)
         do_gibbs = jax.random.bernoulli(keys[5], 0.25)
+        k_gibbs = jax.random.fold_in(keys[5], 1)
         image = jnp.where(
-            do_gibbs, I.gibbs_ringing(keys[5], image), image
+            do_gibbs, I.gibbs_ringing(k_gibbs, image), image
         )
     if policy.rbf:
         image = I.bias_field(keys[6], image)
@@ -165,7 +169,8 @@ def _augment_one(
         do_lr = jax.random.bernoulli(keys[4], policy.lowres_prob)
         image = jnp.where(do_lr, I.low_resolution(k_lr, image), image)
     if policy.trivial and workhorse is not None:
-        image = workhorse(keys[7], image)
+        # independent stream — keys[7] already drives blur when enabled
+        image = workhorse(jax.random.fold_in(keys[7], 11), image)
     return image, label
 
 

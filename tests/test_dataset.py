@@ -125,3 +125,104 @@ def test_collate_last_slice():
     b = [{"x": np.zeros((1, 8, 8, 3))}, {"x": np.ones((1, 8, 8, 3))}]
     out = collate_last_slice(b)
     assert out["x"].shape == (6, 1, 8, 8)
+
+
+def test_subsample_minority_stratum_survives(tmp_path):
+    """Largest-remainder stratified subsampling: a stratum below
+    1/subsample_size proportion keeps at least its rounded share instead of
+    being floored to zero, and the total equals subsample_size."""
+    data = {f"a{i}": {"image": "x", "label": 0} for i in range(91)}
+    data.update({f"b{i}": {"image": "x", "label": 1} for i in range(9)})
+    p = tmp_path / "ds.json"
+    p.write_text(json.dumps(data))
+    ds = Dataset(str(p))
+    ds.subsample_dataset(subsample_size=10, strata_key="label")
+    labels = [ds[k]["label"] for k in ds]
+    assert len(ds) == 10
+    assert sum(1 for x in labels if x == 1) >= 1
+
+
+def test_dataloader_propagates_worker_errors():
+    """A collate/dataset error inside the prefetch worker surfaces in the
+    consumer instead of silently truncating the epoch."""
+    from adell_mri_tpu.data import DataLoader
+
+    class Bad:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("boom at 3")
+            return {"x": np.zeros((2,), np.float32)}
+
+    loader = DataLoader(Bad(), batch_size=2, prefetch=2)
+    with pytest.raises(ValueError, match="boom"):
+        for _ in loader:
+            pass
+
+
+def test_dataloader_abandoned_iteration_stops_worker():
+    """break-ing out of a prefetching epoch unblocks the worker thread."""
+    import threading
+
+    from adell_mri_tpu.data import DataLoader
+
+    class Big:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.zeros((4,), np.float32)}
+
+    n_before = threading.active_count()
+    for _ in range(5):
+        for i, _b in enumerate(DataLoader(Big(), batch_size=2, prefetch=2)):
+            if i == 1:
+                break
+    import time
+
+    time.sleep(0.5)
+    assert threading.active_count() <= n_before + 1
+
+
+def test_async_writer_surfaces_errors(tmp_path):
+    """A failing write (missing directory) no longer deadlocks close();
+    the error is raised with the offending path."""
+    from adell_mri_tpu.data.writer import AsyncNiftiWriter
+
+    w = AsyncNiftiWriter(n_workers=2)
+    w.put(str(tmp_path / "nope" / "x.nii.gz"), np.zeros((2, 2, 2)))
+    w.put(str(tmp_path / "ok.nii.gz"), np.zeros((2, 2, 2)))
+    with pytest.raises(RuntimeError, match="failed to write"):
+        w.close()
+    assert (tmp_path / "ok.nii.gz").exists()
+
+
+def test_cache_fingerprint_separates_configs(tmp_path):
+    """Different preprocessing fingerprints must not share disk-cache keys."""
+    from adell_mri_tpu.data import CachedVolumeDataset
+
+    calls = []
+
+    def load_a(entry):
+        calls.append("a")
+        return {"x": np.zeros((2,), np.float32)}
+
+    def load_b(entry):
+        calls.append("b")
+        return {"x": np.ones((4,), np.float32)}
+
+    datalist = [{"id": "s0"}]
+    ds_a = CachedVolumeDataset(
+        datalist, load_a, cache_rate=0.0, cache_dir=str(tmp_path),
+        cache_fingerprint="cfgA",
+    )
+    _ = ds_a[0]
+    ds_b = CachedVolumeDataset(
+        datalist, load_b, cache_rate=0.0, cache_dir=str(tmp_path),
+        cache_fingerprint="cfgB",
+    )
+    out = ds_b[0]
+    assert calls == ["a", "b"]  # cfgB missed cfgA's cache entry
+    assert out["x"].shape == (4,)
