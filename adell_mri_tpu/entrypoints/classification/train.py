@@ -217,6 +217,7 @@ def main(arguments):
             label_smoothing_param=args.label_smoothing,
             mixup_alpha=args.mixup_alpha,
             partial_mixup_fraction=args.partial_mixup,
+            n_classes=args.n_classes,
         )
 
     for fold_idx, (train_pids, val_pids) in enumerate(folds):

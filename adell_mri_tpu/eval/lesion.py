@@ -96,6 +96,11 @@ def extract_lesion_candidates(
             )
             # re-computed max: the global max may sit in a too-small blob
             max_prob = np.max(all_hard_blobs)
+            if max_prob <= 0.0:
+                # every blob at this threshold was below min_voxels —
+                # without this guard mask_current = (blobs == 0) selects
+                # the ENTIRE volume as one bogus confidence-0 candidate
+                break
             mask_current = all_hard_blobs == max_prob
             mask_idx, _ = ndimage.label(mask_current, structure=struct)
             mask_current = mask_idx == 1

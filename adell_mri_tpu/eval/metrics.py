@@ -45,8 +45,14 @@ def expected_calibration_error(
     target = np.asarray(target, np.float64)
     bins = np.linspace(0, 1, n_bins + 1)
     ece = 0.0
-    for lo, hi in zip(bins[:-1], bins[1:]):
-        mask = (pred >= lo) & (pred < hi)
+    for i, (lo, hi) in enumerate(zip(bins[:-1], bins[1:])):
+        # top bin closes at 1.0 — saturated predictions (exactly 1.0,
+        # routine for confident f32 sigmoids) must not fall out of ECE
+        mask = (
+            (pred >= lo) & (pred <= hi)
+            if i == n_bins - 1
+            else (pred >= lo) & (pred < hi)
+        )
         if mask.sum() == 0:
             continue
         conf = pred[mask].mean()

@@ -235,6 +235,7 @@ class SlidingWindowSegmentation:
         stride: float = 0.5,
         batch_size: int = 4,
         mesh=None,
+        with_params: bool = False,
     ):
         self.window = tuple(sliding_window_size)
         self.fn = inference_function
@@ -242,32 +243,44 @@ class SlidingWindowSegmentation:
         self.stride = stride
         self.batch_size = batch_size
         self.mesh = mesh
+        # with_params: ``inference_function(params, window_batch)`` and
+        # __call__ takes (vol, params) — params are a TRACED jit argument,
+        # so checkpoint ensembles share ONE compiled program per shape
+        # instead of baking each param set in as constants (N compiles +
+        # N weight copies in HBM otherwise)
+        self.with_params = with_params
         self._cache = {}
+
+    def _base(self):
+        from adell_mri_tpu.parallel.mesh import DATA_AXIS
+
+        if self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1:
+            return partial(sliding_window_inference_sharded, mesh=self.mesh)
+        return sliding_window_inference
 
     def _compiled(self, shape):
         if shape not in self._cache:
-            from adell_mri_tpu.parallel.mesh import DATA_AXIS
-
-            if self.mesh is not None and self.mesh.shape[DATA_AXIS] > 1:
-                base = partial(
-                    sliding_window_inference_sharded, mesh=self.mesh
+            base = self._base()
+            kwargs = dict(
+                window=self.window,
+                stride_frac=self.stride,
+                batch_size=self.batch_size,
+                out_channels=self.out_channels,
+            )
+            if self.with_params:
+                self._cache[shape] = jax.jit(
+                    lambda params, vol: base(
+                        partial(self.fn, params), vol, **kwargs
+                    )
                 )
             else:
-                base = sliding_window_inference
-            self._cache[shape] = jax.jit(
-                partial(
-                    base,
-                    self.fn,
-                    window=self.window,
-                    stride_frac=self.stride,
-                    batch_size=self.batch_size,
-                    out_channels=self.out_channels,
-                )
-            )
+                self._cache[shape] = jax.jit(partial(base, self.fn, **kwargs))
         return self._cache[shape]
 
-    def __call__(self, vol: jax.Array) -> jax.Array:
+    def __call__(self, vol: jax.Array, params=None) -> jax.Array:
         """vol [*S, C] (single case) or [B, *S, C] (batched over cases)."""
         if vol.ndim == len(self.window) + 2:
-            return jnp.stack([self(v) for v in vol])
+            return jnp.stack([self(v, params) for v in vol])
+        if self.with_params:
+            return self._compiled(vol.shape)(params, vol)
         return self._compiled(vol.shape)(vol)

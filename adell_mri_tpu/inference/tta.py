@@ -93,20 +93,23 @@ class SegmentationInference:
         # across devices (sliding_window_inference_sharded)
         self.mesh = mesh
 
-    def _single_model_fn(self, params, rng) -> Callable:
+    def _bundle_fn(self, bundle, x):
+        """``bundle = (params, rng)`` rides as ONE traced pytree so every
+        checkpoint (and MC repeat) reuses the same compiled program."""
+        params, rng = bundle
         if self.mc_iterations:
-            def fn(x):
-                preds = []
-                for i in range(self.mc_iterations):
-                    preds.append(
-                        self.base_fn(
-                            params, x, rng=jax.random.fold_in(rng, i)
-                        )
-                    )
-                return sum(preds) / len(preds)
-        else:
-            def fn(x):
-                return self.base_fn(params, x)
+            preds = []
+            for i in range(self.mc_iterations):
+                preds.append(
+                    self.base_fn(params, x, rng=jax.random.fold_in(rng, i))
+                )
+            return sum(preds) / len(preds)
+        return self.base_fn(params, x)
+
+    def _single_model_fn(self, params, rng) -> Callable:
+        def fn(x):
+            return self._bundle_fn((params, rng), x)
+
         return fn
 
     def __call__(self, vol: jax.Array) -> jax.Array:
@@ -114,18 +117,31 @@ class SegmentationInference:
             SlidingWindowSegmentation,
         )
 
-        outputs = []
-        for ci, params in enumerate(self.checkpoint_params):
-            fn = self._single_model_fn(params, jax.random.fold_in(self.rng, ci))
-            if self.sliding_window_size is not None:
-                fn = SlidingWindowSegmentation(
+        sw = None
+        if self.sliding_window_size is not None:
+            # ONE window engine shared by all checkpoints AND calls:
+            # params/rng are traced arguments, so the ensemble compiles
+            # once per input shape
+            if getattr(self, "_sw", None) is None:
+                self._sw = SlidingWindowSegmentation(
                     self.sliding_window_size,
-                    fn,
+                    self._bundle_fn,
                     n_classes=self.n_classes,
                     stride=self.stride,
                     batch_size=self.batch_size,
                     mesh=self.mesh,
+                    with_params=True,
                 )
+            sw = self._sw
+
+        outputs = []
+        for ci, params in enumerate(self.checkpoint_params):
+            rng = jax.random.fold_in(self.rng, ci)
+            if sw is not None:
+                bundle = (params, rng)
+                fn = lambda x, _b=bundle: sw(x, _b)  # noqa: E731
+            else:
+                fn = self._single_model_fn(params, rng)
             if self.flip:
                 ndim = (
                     len(self.sliding_window_size)

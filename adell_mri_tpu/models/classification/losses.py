@@ -26,13 +26,19 @@ def binary_logistic_loss(logits, labels, weight: Optional[float] = None):
 
 def cross_entropy_loss(logits, labels, weight=None, label_smoothing: float = 0.0):
     n_classes = logits.shape[-1]
-    oh = jax.nn.one_hot(labels.astype(jnp.int32), n_classes)
+    if labels.ndim == logits.ndim and labels.shape[-1] == n_classes:
+        # soft targets (mixup / pre-smoothed one-hot from
+        # BatchPreprocessing with n_classes > 2)
+        oh = labels.astype(jnp.float32)
+    else:
+        oh = jax.nn.one_hot(labels.astype(jnp.int32), n_classes)
     if label_smoothing > 0:
         oh = oh * (1 - label_smoothing) + label_smoothing / n_classes
     logp = jax.nn.log_softmax(logits)
     per = -jnp.sum(oh * logp, axis=-1)
     if weight is not None:
-        w = jnp.asarray(weight)[labels.astype(jnp.int32)]
+        # soft targets: expected class weight under the target distribution
+        w = jnp.sum(oh * jnp.asarray(weight), axis=-1)
         per = per * w
     return jnp.mean(per)
 

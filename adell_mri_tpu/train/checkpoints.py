@@ -48,10 +48,15 @@ class CheckpointManager:
         os.makedirs(self.dir, exist_ok=True)
         self.monitor = monitor
         self.mode = mode
+        # retention is done manually in save(): orbax's own max_to_keep
+        # keeps the most RECENT steps and would garbage-collect the step
+        # best.json points at (early stopping: best at epoch 5, stop at 15
+        # -> every best_step() restore would hit a deleted directory)
+        self.max_to_keep = max_to_keep
         self._mngr = ocp.CheckpointManager(
             self.dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=None, create=True
             ),
         )
         if metadata is not None:
@@ -93,6 +98,17 @@ class CheckpointManager:
             if better:
                 with open(os.path.join(self.dir, "best.json"), "w") as f:
                     json.dump({"step": step, "value": value}, f)
+        # retention: the most recent ``max_to_keep`` steps, ALWAYS
+        # protecting the best step (best.json must stay restorable)
+        if self.max_to_keep is not None:
+            steps = sorted(self._mngr.all_steps())
+            protect = set(steps[-self.max_to_keep:])
+            best = self._best()
+            if best is not None:
+                protect.add(int(best["step"]))
+            for s in steps:
+                if s not in protect:
+                    self._mngr.delete(s)
 
     def _best(self) -> Optional[Dict]:
         path = os.path.join(self.dir, "best.json")

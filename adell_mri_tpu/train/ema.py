@@ -21,13 +21,16 @@ def ema_decay_at(
     final_decay: Optional[float] = None,
     n_steps: Optional[int] = None,
 ):
-    """Linear decay ramp (parity: utils.py:489-492), clipped at 1.0."""
+    """Linear decay ramp (parity: utils.py:489-492), clamped to the
+    [decay, final_decay] interval — clipping at 1.0 instead would
+    overshoot a final_decay < 1 (freezing the teacher) and never stop a
+    ramp-down (decay going negative diverges ema_update)."""
     if final_decay is None or n_steps is None:
         return jnp.asarray(decay, jnp.float32)
     slope = (final_decay - decay) / n_steps
-    return jnp.minimum(
-        jnp.asarray(step, jnp.float32) * slope + decay, 1.0
-    )
+    ramp = jnp.asarray(step, jnp.float32) * slope + decay
+    lo, hi = min(decay, final_decay), max(decay, final_decay)
+    return jnp.clip(ramp, lo, hi)
 
 
 def ema_update(shadow, params, decay):

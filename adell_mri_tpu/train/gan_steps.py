@@ -614,7 +614,10 @@ def make_diffusion_step(model, process, embedder=None, precision=None):
         variables = {"params": params}
         model_kwargs = {}
         has_cond = "cond_cat" in batch or "cond_num" in batch
-        if embedder is not None and has_cond:
+        if embedder is not None:
+            # a conditional model's params are {embedder, unet} — ALWAYS
+            # rebase onto the unet subtree; a batch without cond keys
+            # (mixed loaders) conditions on the learned null embedding
             cond_cat = batch.get("cond_cat")
             if cond_cat is not None:
                 # collated as [B, n_cat]; the Embedder wants one [B] array
@@ -626,6 +629,7 @@ def make_diffusion_step(model, process, embedder=None, precision=None):
                 {"params": params["embedder"]},
                 cond_cat,
                 batch.get("cond_num"),
+                batch_size=x0.shape[0] if not has_cond else None,
                 train=True,
                 rngs={"uncondition": r_c},
             )

@@ -136,23 +136,29 @@ class TrainLoop:
             else state.params
         )
         metric_sums: Dict[str, jax.Array] = {}
-        n = 0
+        n_samples = 0
         for batch in loader:
             batch = self._put(batch)
             self.rng, key = jax.random.split(self.rng)
             metrics = self.eval_step(params, batch, key)
-            n += 1
+            # weight per-batch means by batch size: a partial final batch
+            # must not count as much as a full one ("exact metrics")
+            bs = next(
+                v.shape[0] for v in batch.values() if hasattr(v, "shape")
+            )
+            n_samples += bs
             for k, v in metrics.items():
                 if np.ndim(v) == 0:
                     metric_sums[k] = (
-                        metric_sums[k] + v if k in metric_sums else v
+                        metric_sums[k] + v * bs if k in metric_sums else v * bs
                     )
             for cb in self.callbacks:
                 hook = getattr(cb, "on_validation_batch", None)
                 if hook is not None:
                     hook(params, batch, metrics)
         out = {
-            f"val_{k}": float(v) / max(n, 1) for k, v in metric_sums.items()
+            f"val_{k}": float(v) / max(n_samples, 1)
+            for k, v in metric_sums.items()
         }
         for cb in self.callbacks:
             hook = getattr(cb, "on_validation_end", None)

@@ -26,7 +26,11 @@ from adell_mri_tpu.train.precision import wrap_apply
 
 
 def _resize_to(y, spatial_shape):
-    """Resizes label tensor [B, *S(,1)] to new spatial shape (linear > 0)."""
+    """Resizes a label tensor [B, *S(,1)] to a new spatial shape.
+
+    Nearest-neighbour: labels hold CLASS IDS — linear interpolation then
+    thresholding would binarize multiclass targets (every class -> 1) and
+    dilate binary ones (any interpolation-touched voxel -> foreground)."""
     squeeze = False
     if y.ndim == len(spatial_shape) + 1:
         y = y[..., None]
@@ -34,9 +38,8 @@ def _resize_to(y, spatial_shape):
     out = jax.image.resize(
         y.astype(jnp.float32),
         (y.shape[0],) + tuple(spatial_shape) + (y.shape[-1],),
-        method="linear",
+        method="nearest",
     )
-    out = (out > 0).astype(jnp.float32)
     return out[..., 0] if squeeze else out
 
 
@@ -90,13 +93,19 @@ def make_segmentation_step(
         if x_fc is not None:
             cond_kwargs["x_feature_conditioning"] = x_fc
 
-        def apply_fn(params, x):
+        # conditioning rides as POSITIONAL args through wrap_apply so
+        # --precision bf16 downcasts it too (a closed-over f32 skip volume
+        # would promote the decoder concat back to f32)
+        cond_keys = tuple(cond_kwargs)
+        cond_vals = tuple(cond_kwargs[k] for k in cond_keys)
+
+        def apply_fn(params, x, *cond):
             return model.apply(
                 {"params": params},
                 x,
                 train=train,
                 rngs=rngs,
-                **cond_kwargs,
+                **dict(zip(cond_keys, cond)),
             )
 
         apply_fn = wrap_apply(apply_fn, precision)
@@ -105,7 +114,7 @@ def make_segmentation_step(
                 apply_fn = jax.checkpoint(apply_fn, policy=ckpt_policy)
             else:
                 apply_fn = jax.checkpoint(apply_fn)
-        out = apply_fn(params, x)
+        out = apply_fn(params, x, *cond_vals)
         if deep_supervision:
             prediction, pred_class, deep_outputs = out
         else:
@@ -203,10 +212,13 @@ def make_classification_step(
             moe_aux = sum(jnp.mean(a) for a in aux_leaves) / len(aux_leaves)
             loss = loss + moe_aux_weight * moe_aux
         if n_classes > 2:
+            # y may be soft [B, C] after multiclass mixup/smoothing
+            y_idx = (
+                jnp.argmax(y, -1) if y.ndim == logits.ndim
+                else y.astype(jnp.int32)
+            )
             acc = jnp.mean(
-                (jnp.argmax(logits, -1) == y.astype(jnp.int32)).astype(
-                    jnp.float32
-                )
+                (jnp.argmax(logits, -1) == y_idx).astype(jnp.float32)
             )
         else:
             prob = jax.nn.sigmoid(logits[..., 0] if logits.ndim > 1 else logits)

@@ -318,3 +318,46 @@ def test_predict_fold_selection_missing_metadata(tmp_path):
         json.dumps({"monitor": "val_dice", "mode": "max"})
     )
     assert _select_fold(str(tmp_path), "segmentation", -1) == 1
+
+
+def test_checkpoint_retention_protects_best(tmp_path):
+    """Retention (max_to_keep) must never delete the step best.json points
+    at — early stopping restores the BEST step long after it stopped being
+    recent."""
+    mngr = CheckpointManager(
+        str(tmp_path), name="m", fold=0, monitor="val_loss", max_to_keep=2
+    )
+    state = {"params": {"w": np.ones((3,), np.float32)}}
+    losses = {1: 0.5, 2: 0.1, 3: 0.4, 4: 0.3, 5: 0.2}  # best at step 2
+    for step, v in losses.items():
+        state["params"]["w"] = np.full((3,), float(step), np.float32)
+        mngr.save(step, state, metrics={"val_loss": v})
+    assert mngr.best_step() == 2
+    restored = mngr.restore(
+        mngr.best_step(), target={"params": {"w": np.zeros((3,), np.float32)}}
+    )
+    assert restored["params"]["w"][0] == 2.0
+    # recent steps survive too, older non-best ones are gone
+    steps = set(mngr._mngr.all_steps())
+    assert {2, 4, 5} <= steps and 1 not in steps and 3 not in steps
+
+
+def test_ece_includes_saturated_confidence():
+    from adell_mri_tpu.eval.metrics import expected_calibration_error
+
+    # all predictions exactly 1.0 but half are wrong: ECE must see them
+    pred = np.ones((10,), np.float64)
+    target = np.asarray([1, 0] * 5, np.float64)
+    assert abs(expected_calibration_error(pred, target) - 0.5) < 1e-9
+
+
+def test_extract_dynamic_all_blobs_too_small_yields_nothing():
+    """When every blob at the dynamic threshold is below min_voxels, no
+    bogus whole-volume candidate may be emitted."""
+    softmax = np.zeros((12, 12, 6), np.float32)
+    softmax[3, 3, 2] = 0.9  # a single voxel, below min_voxels=10
+    blobs, confidences, indexed = extract_lesion_candidates(
+        softmax, threshold="dynamic", min_voxels=10
+    )
+    assert confidences == []
+    assert indexed.max() == 0

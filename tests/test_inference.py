@@ -124,3 +124,33 @@ def test_segmentation_inference_ensemble():
     vol = jax.random.normal(KEY, (8, 8, 1))
     out = si(vol)
     np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
+
+def test_ensemble_shares_one_compiled_program():
+    """Checkpoint params are TRACED arguments of the sliding-window jit:
+    N checkpoints + flips over one shape -> exactly one cache entry (the
+    old design baked each param set in as compile-time constants)."""
+    calls = []
+
+    def base_fn(params, x, rng=None):
+        calls.append(1)
+        return jnp.full(x.shape[:-1] + (1,), params)
+
+    si = SegmentationInference(
+        base_inference_function=base_fn,
+        checkpoint_params=[0.25, 0.75],
+        sliding_window_size=(4, 4),
+        flip=True,
+    )
+    vol = jax.random.normal(KEY, (8, 8, 1))
+    out = si(vol)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+    # the engine is shared and keyed by shape only
+    # (2 checkpoints x 3 flip variants all reuse it)
+    # base_fn traces once per compile; a second call with new params
+    # must not retrace
+    n_traces = len(calls)
+    si.checkpoint_params = [0.1, 0.9]
+    out2 = si(vol)
+    np.testing.assert_allclose(np.asarray(out2), 0.5, atol=1e-6)
+    assert len(calls) == n_traces

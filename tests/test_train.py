@@ -51,7 +51,9 @@ def test_polynomial_decay():
 def test_ema_ramp_and_update():
     assert float(ema_decay_at(0, 0.9, 0.99, 100)) == pytest.approx(0.9)
     assert float(ema_decay_at(100, 0.9, 0.99, 100)) == pytest.approx(0.99)
-    assert float(ema_decay_at(10_000, 0.9, 0.99, 100)) == 1.0
+    # past n_steps the ramp HOLDS final_decay (clipping at 1.0 froze the
+    # teacher permanently)
+    assert float(ema_decay_at(10_000, 0.9, 0.99, 100)) == pytest.approx(0.99)
     shadow = {"w": jnp.zeros(3)}
     params = {"w": jnp.ones(3)}
     out = ema_update(shadow, params, 0.9)
@@ -301,3 +303,52 @@ def test_params_from_subkey_selection(tmp_path):
     parser.add_argument_by_key(["max_epochs", "seed"])
     args = parser.parse_args(["--params_from", f"{path}:training"])
     assert args.max_epochs == 11 and args.seed == 5
+
+
+def test_multiclass_mixup_and_smoothing_soft_labels():
+    """BatchPreprocessing with n_classes>2 one-hots before mixing: soft
+    [B, C] targets that cross_entropy_loss consumes directly (integer
+    interpolation would fabricate wrong classes)."""
+    import jax
+
+    from adell_mri_tpu.models.classification.losses import cross_entropy_loss
+    from adell_mri_tpu.train.batch_preprocessing import BatchPreprocessing
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (6, 4, 4, 2, 1))
+    y = jnp.asarray([0, 1, 2, 0, 1, 2])
+    prep = BatchPreprocessing(
+        label_smoothing_param=0.1, mixup_alpha=0.2, n_classes=3
+    )
+    x2, y2 = prep(key, x, y)
+    assert y2.shape == (6, 3)
+    np.testing.assert_allclose(np.asarray(y2.sum(-1)), 1.0, rtol=1e-5)
+    assert float(y2.min()) > 0.0  # smoothing floor
+    logits = jax.random.normal(key, (6, 3))
+    loss = cross_entropy_loss(logits, y2)
+    assert np.isfinite(float(loss))
+    # weighted soft-label CE reduces to the hard-label weighting
+    yh = jnp.asarray([0, 1, 2, 0, 1, 2])
+    w = (0.2, 0.3, 0.5)
+    l_hard = cross_entropy_loss(logits, yh, weight=w)
+    l_soft = cross_entropy_loss(logits, jax.nn.one_hot(yh, 3), weight=w)
+    np.testing.assert_allclose(float(l_hard), float(l_soft), rtol=1e-6)
+
+
+def test_resize_to_preserves_class_ids():
+    from adell_mri_tpu.train.steps import _resize_to
+
+    y = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    y = y.at[0, :4].set(2.0).at[0, 4:6].set(1.0)
+    small = _resize_to(y, (4, 4, 2))
+    assert set(np.unique(np.asarray(small))) <= {0.0, 1.0, 2.0}
+    assert (np.asarray(small) == 2.0).any()
+
+
+def test_ema_decay_clamps_to_final():
+    from adell_mri_tpu.train.ema import ema_decay_at
+
+    up = ema_decay_at(2000, 0.99, final_decay=0.999, n_steps=1000)
+    assert abs(float(up) - 0.999) < 1e-7  # not 1.0
+    down = ema_decay_at(2000, 0.999, final_decay=0.9, n_steps=1000)
+    assert abs(float(down) - 0.9) < 1e-7  # not negative
