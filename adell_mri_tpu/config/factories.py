@@ -76,12 +76,18 @@ def get_segmentation_network(
     if net_type == "unet":
         return UNet(**_unet_kwargs(cfg, n_classes))
     if net_type == "brunet":
+        from adell_mri_tpu.models.segmentation.unet import BrUNetStacked
+
         kw = _unet_kwargs(cfg, n_classes)
         kw.pop("in_channels", None)
-        return BrUNet(n_input_branches=n_input_branches, **{
-            k: v for k, v in kw.items()
-            if k not in ("encoder_only", "encoder_structure", "res_type")
-        })
+        # wrapped so the standard single-array pipeline feeds it: the
+        # stacked channels split one-per-branch inside the adapter
+        return BrUNetStacked(
+            brunet=BrUNet(n_input_branches=n_input_branches, **{
+                k: v for k, v in kw.items()
+                if k not in ("encoder_only", "encoder_structure", "res_type")
+            })
+        )
     if net_type == "unetpp":
         return UNetPlusPlus(
             spatial_dimensions=cfg.get("spatial_dimensions", 3),

@@ -140,7 +140,10 @@ def main(arguments):
     target_size = t_args.get("target_size")
     resize_size = t_args.get("resize_size")
 
-    model = get_segmentation_network(net_type, net_cfg, n_classes=n_classes)
+    model = get_segmentation_network(
+        net_type, net_cfg, n_classes=n_classes,
+        n_input_branches=len(image_keys),
+    )
     x0 = np.zeros((1,) + tuple(target_size) + (len(image_keys),), np.float32)
     # conditioning inputs must be present at init so the restore target
     # carries the conditioned branches' params

@@ -60,7 +60,10 @@ def main(arguments):
     image_keys = args.image_keys or t_args.get("image_keys", ["image"])
     label_keys = args.mask_keys or t_args.get("label_keys", ["label"])
 
-    model = get_segmentation_network(net_type, net_cfg, n_classes=n_classes)
+    model = get_segmentation_network(
+        net_type, net_cfg, n_classes=n_classes,
+        n_input_branches=len(image_keys),
+    )
     size = tuple(t_args.get("target_size"))
     skip_keys = t_args.get("skip_keys") or []
     feature_keys = t_args.get("feature_keys") or []

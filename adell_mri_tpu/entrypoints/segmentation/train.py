@@ -445,7 +445,11 @@ def main(arguments):
         )
 
         model = get_segmentation_network(
-            args.segmentation_net_type, net_cfg, n_classes=n_classes
+            args.segmentation_net_type,
+            net_cfg,
+            n_classes=n_classes,
+            # brunet: one branch per input modality
+            n_input_branches=len(args.image_keys),
         )
         example_shape = tuple(crop_size or base_size)
         x0 = np.zeros(

@@ -179,12 +179,24 @@ class OrdNet(nn.Module):
         h = nn.Dense(feats.shape[-1])(feats)
         h = nn.relu(h)
         score = nn.Dense(1, use_bias=False)(h)  # shared scalar
+        # CORAL init (parity: classification.py:445-452): descending
+        # thresholds n-1..1 with a learnable 1/(n-1) scale — zero init
+        # makes every cumulative logit identical at step 0
         bias = self.param(
             "threshold_bias",
-            nn.initializers.zeros,
+            lambda key, shape: jnp.arange(
+                self.n_classes - 1, 0, -1, dtype=jnp.float32
+            ),
             (self.n_classes - 1,),
         )
-        return score + bias[None, :]
+        scale = self.param(
+            "threshold_bias_scale",
+            lambda key, shape: jnp.asarray(
+                1.0 / (self.n_classes - 1), jnp.float32
+            ),
+            (),
+        )
+        return score + (bias * scale)[None, :]
 
 
 class UNetEncoderClassifier(nn.Module):

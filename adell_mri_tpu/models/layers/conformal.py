@@ -35,7 +35,13 @@ class AdaptivePredictionSets:
         true_rank = ranks[np.arange(n), labels]
         scores = cumsum[np.arange(n), true_rank]
         q_level = np.ceil((n + 1) * (1 - self.alpha)) / n
-        self.q_hat = float(np.quantile(scores, min(q_level, 1.0)))
+        # method="higher" is load-bearing: linear interpolation yields a
+        # smaller threshold and forfeits the finite-sample >= 1-alpha
+        # coverage guarantee (parity: conformal torch.quantile
+        # interpolation='higher')
+        self.q_hat = float(
+            np.quantile(scores, min(q_level, 1.0), method="higher")
+        )
         return self
 
     def __call__(self, probs: np.ndarray) -> np.ndarray:

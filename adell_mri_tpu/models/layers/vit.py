@@ -447,14 +447,27 @@ class SWINTransformerBlock(nn.Module):
         window = tuple(
             min(w, s) for w, s in zip(self.window_size, spatial)
         )
-        shift = tuple(w // 2 if self.shift else 0 for w in window)
+        # standard SWIN: no shift along axes the window already spans —
+        # shifting there only ADDS the wrap mask, cutting attention pairs
+        # the unshifted block legitimately connects
+        shift = tuple(
+            w // 2 if (self.shift and w < s) else 0
+            for w, s in zip(window, spatial)
+        )
         shortcut = x
         y = nn.LayerNorm()(x)
+        # pad to window multiples (standard SWIN): without this any stage
+        # whose spatial size is not a multiple of the clamped window fails
+        # window_partition's reshape
+        pad = tuple((-s) % w for s, w in zip(spatial, window))
+        if any(pad):
+            y = jnp.pad(y, [(0, 0)] + [(0, p) for p in pad] + [(0, 0)])
+        padded = y.shape[1:-1]
         if any(shift):
             y = jnp.roll(
                 y, [-s for s in shift], axis=tuple(range(1, y.ndim - 1))
             )
-            mask = swin_attention_mask(spatial, window, shift)
+            mask = swin_attention_mask(padded, window, shift)
         else:
             mask = None
         windows, grid = window_partition(y, window)
@@ -469,9 +482,15 @@ class SWINTransformerBlock(nn.Module):
         attn_out = MultiHeadAttention(self.n_heads, dropout=self.dropout)(
             windows, bias=bias, train=train
         )
-        y = window_unpartition(attn_out, grid, window, spatial)
+        y = window_unpartition(attn_out, grid, window, padded)
         if any(shift):
             y = jnp.roll(y, shift, axis=tuple(range(1, y.ndim - 1)))
+        if any(pad):
+            y = y[
+                (slice(None),)
+                + tuple(slice(0, s) for s in spatial)
+                + (slice(None),)
+            ]
         x = shortcut + y
         y = nn.LayerNorm()(x)
         dim = x.shape[-1]

@@ -367,6 +367,17 @@ class MIMUNet(nn.Module):
                 )
         out_ch = self.n_classes if self.n_classes > 2 else 1
         logits = nn.Conv(out_ch, (1, 1, 1), name="final")(h)
+
+        # probability-domain output contract shared by every segmentation
+        # model (CompoundLoss members take log(p + eps) on probabilities;
+        # make_segmentation_step unpacks (pred, pred_class[, deep]))
+        def act(z):
+            return (
+                jax.nn.softmax(z, axis=-1)
+                if self.n_classes > 2
+                else jax.nn.sigmoid(z)
+            )
+
         if self.deep_supervision:
-            return logits, ds_outputs
-        return logits, None
+            return act(logits), None, [act(d) for d in ds_outputs]
+        return act(logits), None

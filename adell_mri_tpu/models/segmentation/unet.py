@@ -478,6 +478,12 @@ class BrUNet(nn.Module):
             self.dropout_type,
         )
         depth, ks, st = list(self.depth), list(self.kernel_sizes), list(self.strides)
+        if x_skip_layer is not None and x_skip_layer.ndim < x[0].ndim:
+            x_skip_layer = x_skip_layer[..., None]
+        if x_feature_conditioning is not None and self.feature_conditioning_params:
+            f_mean = jnp.asarray(self.feature_conditioning_params["mean"])
+            f_std = jnp.asarray(self.feature_conditioning_params["std"])
+            x_feature_conditioning = (x_feature_conditioning - f_mean) / f_std
         if x_weights is None:
             x_weights = jnp.ones((x[0].shape[0], self.n_input_branches))
         w = x_weights / jnp.maximum(
@@ -509,6 +515,7 @@ class BrUNet(nn.Module):
         dec_depths = depth[-2::-1]
         dec_ks = ks[-2::-1]
         up_strides = st[-2::-1]
+        deep_outputs = []
         for i, d in enumerate(dec_depths):
             skip = merged_levels[-i - 2]
             if x_skip_layer is not None:
@@ -517,6 +524,30 @@ class BrUNet(nn.Module):
                 )
                 skip = jnp.concatenate([skip, cond], axis=-1)
                 skip = nn.Conv(d, _tuple(1, ndim), name=f"skipproj_{i}")(skip)
+            # feature FiLM gate on the skip, same structure as UNet
+            # (parity: ref BrUNet applies the conditioned gate per decoder
+            # stage, unet.py:1214-1222)
+            if x_feature_conditioning is not None:
+                gate = nn.Dense(d, name=f"feat_cond_{i}")(
+                    x_feature_conditioning
+                )
+                gate = apply_adn(
+                    get_adn_fn(1, "batch", "swish", self.dropout_param)(
+                        d, name=f"feat_cond_adn_{i}"
+                    ),
+                    gate,
+                    train,
+                )
+                gate = nn.Dense(d, name=f"feat_cond_out_{i}")(gate)
+                gate = apply_adn(
+                    get_adn_fn(1, "batch", "sigmoid", self.dropout_param)(
+                        d, name=f"feat_cond_out_adn_{i}"
+                    ),
+                    gate,
+                    train,
+                )
+                gate = gate.reshape((gate.shape[0],) + (1,) * ndim + (d,))
+                skip = skip * gate
             s = _tuple(up_strides[i], ndim)
             if self.upscale_type == "transpose":
                 curr = TpuConvTranspose(d, s, name=f"up_{i}")(curr)
@@ -531,6 +562,7 @@ class BrUNet(nn.Module):
             curr = _ConvUnit(
                 d, dec_ks[i], 1, self.conv_type, adn_fn, name=f"dec_{i}"
             )(curr, train=train)
+            deep_outputs.append(curr)
 
         d0 = curr.shape[-1]
         # full-res narrow-channel 3x3 (stem cliff) -> TpuConv; names pin
@@ -556,4 +588,44 @@ class BrUNet(nn.Module):
                 axis=1,
             )
             bn_out = nn.Dense(out_ch, name="bottleneck_classifier")(pooled)
+        if self.deep_supervision:
+            # same head structure as UNet (ref BrUNet returns
+            # (pred, bn_out, deep_outputs), unet.py:886,1203+)
+            ds = []
+            for i, o in enumerate(deep_outputs):
+                di = o.shape[-1]
+                y = TpuConv(
+                    di, _tuple(3, ndim), padding="SAME", name=f"ds_conv_{i}"
+                )(o)
+                y = apply_adn(adn_fn(di, name=f"ds_adn_{i}"), y, train)
+                y = nn.Conv(out_ch, _tuple(1, ndim), name=f"ds_out_{i}")(y)
+                y = (
+                    jax.nn.softmax(y, axis=-1)
+                    if self.n_classes > 2
+                    else jax.nn.sigmoid(y)
+                )
+                ds.append(y)
+            return curr, bn_out, ds
         return curr, bn_out
+
+
+class BrUNetStacked(nn.Module):
+    """Adapter making BrUNet a drop-in for the single-array pipeline:
+    the stacked channels-last image [B, *S, n_branches] is split into the
+    per-modality list BrUNet consumes (one channel per branch), and the
+    loader's availability weights (``image_weights`` under
+    ``missing_to_empty``) ride through as ``x_weights``."""
+
+    brunet: Any
+
+    @nn.compact
+    def __call__(self, x, x_weights=None, **kwargs):
+        nb = self.brunet.n_input_branches
+        if x.shape[-1] != nb:
+            raise ValueError(
+                f"brunet expects {nb} input channels (one per branch), "
+                f"got {x.shape[-1]} — pass one --image_keys entry per "
+                "modality branch"
+            )
+        branches = [x[..., i : i + 1] for i in range(nb)]
+        return self.brunet(branches, x_weights=x_weights, **kwargs)

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from adell_mri_tpu.models.layers.adn import get_adn_fn
 from adell_mri_tpu.models.layers.blocks import _tuple
 from adell_mri_tpu.models.layers.multi_resolution import resize_like
+from adell_mri_tpu.ops.conv import TpuConvTranspose
 
 
 class UNetPlusPlus(nn.Module):
@@ -65,10 +66,11 @@ class UNetPlusPlus(nn.Module):
         # nested columns
         for j in range(1, L):
             for i in range(L - j):
-                up = nn.ConvTranspose(
+                # kernel == strides: block-matmul lowering (TpuConvTranspose,
+                # same param tree) instead of XLA's slow 3D transposed conv
+                up = TpuConvTranspose(
                     self.depth[i],
                     _tuple(self.strides[i], ndim),
-                    strides=_tuple(self.strides[i], ndim),
                     name=f"up_{i}_{j}",
                 )(nodes[(i + 1, j - 1)])
                 if up.shape[1:-1] != nodes[(i, 0)].shape[1:-1]:

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
-from adell_mri_tpu.ops.conv import TpuConv
+from adell_mri_tpu.ops.conv import TpuConv, TpuConvTranspose
 from adell_mri_tpu.models.layers.blocks import _tuple, apply_adn
 from adell_mri_tpu.models.layers.multi_resolution import resize_like
 from adell_mri_tpu.models.layers.vit import (
@@ -36,14 +36,17 @@ def tokens_to_volume(tokens, grid, skip_tokens: int = 0):
 class _DecoderStage(nn.Module):
     out_channels: int
     adn_fn: any = None
+    upsample: bool = True  # False: merge a same-scale skip (no deconv)
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
         ndim = x.ndim - 2
         target = skip.shape[1:-1]
-        x = nn.ConvTranspose(
-            self.out_channels, _tuple(2, ndim), strides=_tuple(2, ndim)
-        )(x)
+        if self.upsample:
+            # name pins the pre-swap auto-assigned param path
+            x = TpuConvTranspose(
+                self.out_channels, _tuple(2, ndim), name="ConvTranspose_0"
+            )(x)
         if x.shape[1:-1] != target:
             x = resize_like(x, target)
         x = jnp.concatenate([x, skip], axis=-1)
@@ -179,21 +182,39 @@ class UNETR(nn.Module):
 
         skips = [z0]
         n_inter = len(inter)
+        # total 2x upsamplings implied by the patch size: skip i lives at
+        # spatial / 2^(i+1), so one deconv per decoder stage lands EXACTLY
+        # on the next skip (the previous ladder deconvolved n_inter - i
+        # times, overshooting the scale and resize-ing back down — two
+        # wasted transposed convs per forward at patch 8)
+        import math as _math
+
+        n_up = max(1, int(round(_math.log2(max(p)))))
         for i, t in enumerate(inter):
             vol = tokens_to_volume(t, grid)
-            ups = n_inter - i  # number of 2x deconvs to reach its scale
             ch = f * (2 ** (i + 1))
+            target = tuple(
+                max(1, s // (2 ** (i + 1))) for s in spatial
+            )
+            ups = 0
+            scale = list(grid)
+            while ups < n_up and any(
+                s < t_ for s, t_ in zip(scale, target)
+            ):
+                scale = [min(s * 2, t_) for s, t_ in zip(scale, target)]
+                ups += 1
             for u in range(ups):
-                vol = nn.ConvTranspose(
-                    ch, _tuple(2, ndim), strides=_tuple(2, ndim),
-                    name=f"proj_{i}_{u}",
+                vol = TpuConvTranspose(
+                    ch, _tuple(2, ndim), name=f"proj_{i}_{u}",
                 )(vol)
                 vol = apply_adn(adn(ch), vol, train)
+            if vol.shape[1:-1] != target:
+                vol = resize_like(vol, target)
             skips.append(vol)
 
         bottleneck = tokens_to_volume(tokens, grid)
-        curr = nn.ConvTranspose(
-            f * (2 ** (n_inter + 1)), _tuple(2, ndim), strides=_tuple(2, ndim)
+        curr = nn.Conv(
+            f * (2 ** (n_inter + 1)), _tuple(1, ndim), name="bn_proj"
         )(bottleneck)
         curr = apply_adn(adn(curr.shape[-1]), curr, train)
         deep_outputs = []
@@ -204,6 +225,10 @@ class UNETR(nn.Module):
             curr = _DecoderStage(
                 out_channels=max(f * (2**i), f), adn_fn=adn,
                 name=f"dec_{i}",
+                # the deepest skip sits at the bottleneck's own scale
+                upsample=(
+                    skips[i].shape[1:-1] != curr.shape[1:-1]
+                ),
             )(curr, skip, train=train)
             deep_outputs.append(curr)
         if curr.shape[1:-1] != spatial:

@@ -92,6 +92,9 @@ def make_segmentation_step(
             cond_kwargs["x_skip_layer"] = x_cond
         if x_fc is not None:
             cond_kwargs["x_feature_conditioning"] = x_fc
+        if batch.get("image_weights") is not None:
+            # per-branch availability under missing_to_empty (BrUNet)
+            cond_kwargs["x_weights"] = batch["image_weights"]
 
         # conditioning rides as POSITIONAL args through wrap_apply so
         # --precision bf16 downcasts it too (a closed-over f32 skip volume

@@ -175,10 +175,20 @@ def test_mimunet_pyramid_mode():
         )
         x = jnp.ones((1, 16, 16, 4, 1))
         v = m.init({"params": KEY}, x)
-        logits, ds = m.apply(v, x)
-        assert logits.shape == (1, 16, 16, 4, 1)
+        out = m.apply(v, x)
+        pred = out[0]
+        assert pred.shape == (1, 16, 16, 4, 1)
+        # probability-domain contract (CompoundLoss takes log(p + eps))
+        assert float(pred.min()) >= 0.0 and float(pred.max()) <= 1.0
         if link == "conv":
+            # deep supervision returns the 3-tuple the step unpacks
+            assert len(out) == 3 and out[1] is None
+            ds = out[2]
             assert ds is not None and len(ds) == 2
+            for d in ds:
+                assert float(d.min()) >= 0.0 and float(d.max()) <= 1.0
+        else:
+            assert len(out) == 2
 
 
 def test_mimunet_slicewise():

@@ -156,3 +156,65 @@ def test_transformer_seg_conditioning_surface(cls_name):
     assert pred.shape == (1, 16, 16, 16, 1)
     assert bn.shape == (1, 1)
     assert all(d.shape[0] == 1 and d.shape[-1] == 1 for d in ds)
+
+
+def test_brunet_stacked_adapter_feature_cond_and_ds():
+    """BrUNetStacked feeds the single-array pipeline into BrUNet (one
+    channel per branch + availability weights); feature conditioning has a
+    real effect and deep supervision returns the 3-tuple the step unpacks."""
+    from adell_mri_tpu.models.segmentation.unet import BrUNetStacked
+
+    m = BrUNetStacked(
+        brunet=BrUNet(
+            spatial_dimensions=3,
+            n_input_branches=2,
+            norm_type="instance",
+            dropout_param=0.0,
+            depth=(4, 8),
+            kernel_sizes=(3, 3),
+            strides=(2, 2),
+            feature_conditioning=2,
+            feature_conditioning_params={
+                "mean": [0.0, 0.0], "std": [1.0, 1.0]
+            },
+            deep_supervision=True,
+        )
+    )
+    x = jnp.concatenate([x_for(3), x_for(3)], axis=-1)  # [1,*S,2]
+    f = jnp.asarray([[1.0, -2.0]])
+    w = jnp.asarray([[1.0, 0.0]])
+    v = m.init({"params": KEY}, x, x_weights=w, x_feature_conditioning=f)
+    pred, bn, ds = m.apply(
+        v, x, x_weights=w, x_feature_conditioning=f
+    )
+    assert pred.shape == x.shape[:-1] + (1,)
+    assert len(ds) == 1 and float(ds[0].min()) >= 0.0
+    # the FiLM gate must change the output
+    pred2, *_ = m.apply(
+        v, x, x_weights=w, x_feature_conditioning=f * 10.0
+    )
+    assert float(jnp.abs(pred - pred2).max()) > 0.0
+
+
+def test_brunet_cli_factory_roundtrip():
+    """get_segmentation_network('brunet') builds the stacked adapter the
+    single-array entrypoints can init and run."""
+    from adell_mri_tpu.config.factories import get_segmentation_network
+
+    model = get_segmentation_network(
+        "brunet",
+        {
+            "spatial_dimensions": 3,
+            "depth": [4, 8],
+            "kernel_sizes": [3, 3],
+            "strides": [2, 2],
+            "norm_type": "instance",
+            "dropout_param": 0.0,
+        },
+        n_classes=2,
+        n_input_branches=2,
+    )
+    x = jnp.concatenate([x_for(3), x_for(3)], axis=-1)
+    v = model.init({"params": KEY}, x)
+    pred, _ = model.apply(v, x)
+    assert pred.shape == x.shape[:-1] + (1,)
