@@ -59,11 +59,18 @@ def main(arguments):
     model = DiffusionUNet(
         spatial_dimensions=net_cfg["spatial_dimensions"],
         depth=depth,
-        attention_levels=tuple([False] * (len(depth) - 1) + [True]),
+        attention_levels=tuple(
+            net_cfg.get(
+                "attention_levels", [False] * (len(depth) - 1) + [True]
+            )
+        ),
         in_channels=net_cfg["in_channels"],
         temb_dim=net_cfg.get("temb_dim", 128),
     )
-    process = DiffusionProcess(n_timesteps=net_cfg["n_timesteps"])
+    process = DiffusionProcess(
+        n_timesteps=net_cfg["n_timesteps"],
+        schedule=net_cfg.get("beta_schedule", "linear"),
+    )
     x0 = np.zeros((1,) + size + (net_cfg["in_channels"],), np.float32)
 
     import jax.numpy as jnp

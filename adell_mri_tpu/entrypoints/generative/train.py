@@ -179,6 +179,17 @@ def main(arguments):
                 "depth": list(depth),
                 "spatial_dimensions": sd,
                 "n_timesteps": process.n_timesteps,
+                # generate must rebuild the EXACT training process/module:
+                # a different beta schedule silently degrades sampling and
+                # different attention_levels break the restore
+                "beta_schedule": cfg.get("beta_schedule", "linear"),
+                "attention_levels": list(
+                    cfg.get(
+                        "attention_levels",
+                        [False] * (len(depth) - 1) + [True],
+                    )
+                ),
+                "temb_dim": cfg.get("temb_dim", 128),
                 "in_channels": len(args.image_keys),
                 "embedding_size": cfg.get("embedding_size", 128),
                 "cat_maps": cat_maps,

@@ -47,7 +47,13 @@ def boxes_to_anchor_targets(
     obj = np.zeros((A,) + tuple(grid_shape), np.float32)
     ctr = np.zeros((A, ndim) + tuple(grid_shape), np.float32)
     sz = np.zeros((A, ndim) + tuple(grid_shape), np.float32)
-    cls = np.zeros((max(1, n_classes - 1),) + tuple(grid_shape), np.float32)
+    # channel count mirrors the YOLONet3d class head: 1 sigmoid channel
+    # for binary, n_classes one-hot channels for multiclass (class ids
+    # index DIRECTLY, so ids 0..n_classes-1 are all valid)
+    cls = np.zeros(
+        (1 if n_classes == 2 else n_classes,) + tuple(grid_shape),
+        np.float32,
+    )
 
     for box, c in zip(np.asarray(boxes), np.asarray(classes)):
         lo, hi = box[:ndim], box[ndim:]
@@ -227,7 +233,8 @@ def boxes_to_anchor_targets_jax(
     for d in range(ndim):
         ctr = ctr.at[idx + (a * ndim + d,)].set(offset[:, d], mode="drop")
         sz = sz.at[idx + (a * ndim + d,)].set(logsz[:, d], mode="drop")
-    n_cls = max(1, n_classes - 1)
+    # same channel layout as the numpy builder / YOLONet3d class head
+    n_cls = 1 if n_classes == 2 else n_classes
     cls = jnp.zeros(G + (n_cls,))
     if n_classes > 2:
         cls = cls.at[idx + (classes.astype(jnp.int32),)].set(1.0, mode="drop")

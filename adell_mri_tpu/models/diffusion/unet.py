@@ -14,7 +14,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from adell_mri_tpu.models.layers.blocks import _tuple
+from adell_mri_tpu.models.layers.blocks import _gn, _tuple
 from adell_mri_tpu.ops.conv import TpuConv
 from adell_mri_tpu.models.layers.multi_resolution import resize_like
 
@@ -37,7 +37,7 @@ class _ResBlockT(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         ndim = x.ndim - 2
-        h = nn.GroupNorm(num_groups=min(8, x.shape[-1]))(x)
+        h = nn.GroupNorm(num_groups=_gn(x.shape[-1]))(x)
         h = nn.silu(h)
         # TpuConv = z2d lowering for 3D (BASELINE.md round-3 stem cliff);
         # explicit names pin the previous nn.Conv auto paths
@@ -49,7 +49,7 @@ class _ResBlockT(nn.Module):
         scale, shift = jnp.split(scale_shift, 2, axis=-1)
         sh = (x.shape[0],) + (1,) * ndim + (self.out_channels,)
         h = h * (1 + scale.reshape(sh)) + shift.reshape(sh)
-        h = nn.GroupNorm(num_groups=min(8, self.out_channels))(h)
+        h = nn.GroupNorm(num_groups=_gn(self.out_channels))(h)
         h = nn.silu(h)
         h = TpuConv(
             self.out_channels, _tuple(3, ndim), padding="SAME", name="Conv_1"
@@ -124,7 +124,7 @@ class DiffusionUNet(nn.Module):
             h = _ResBlockT(self.depth[i], name=f"up_{i}")(h, temb)
             if self.attention_levels[i]:
                 h = _SelfAttnBlock(self.n_heads, name=f"up_attn_{i}")(h)
-        h = nn.GroupNorm(num_groups=min(8, h.shape[-1]))(h)
+        h = nn.GroupNorm(num_groups=_gn(h.shape[-1]))(h)
         h = nn.silu(h)
         return TpuConv(
             self.in_channels, _tuple(3, ndim), padding="SAME", name="Conv_1"

@@ -23,16 +23,11 @@ from typing import Optional, Sequence, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
-from adell_mri_tpu.models.layers.blocks import _tuple
+from adell_mri_tpu.models.layers.blocks import _gn, _tuple
 from adell_mri_tpu.models.gan.style import _up2 as _nearest_upsample
 
 
-def _gn(c: int) -> int:
-    """Largest group count <= 8 dividing c (norm_num_groups analogue)."""
-    for g in (8, 4, 2, 1):
-        if c % g == 0:
-            return g
-    return 1
+
 
 
 class CrossAttention(nn.Module):

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from adell_mri_tpu.models.layers.blocks import _tuple
+from adell_mri_tpu.models.layers.blocks import _gn, _tuple
 from adell_mri_tpu.ops.conv import TpuConv
 
 
@@ -23,14 +23,14 @@ class _ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         ndim = x.ndim - 2
-        h = nn.GroupNorm(num_groups=min(8, x.shape[-1]))(x)
+        h = nn.GroupNorm(num_groups=_gn(x.shape[-1]))(x)
         h = nn.silu(h)
         # TpuConv = z2d lowering in 3D (BASELINE.md round-3 stem cliff;
         # plain XLA path in 2D); names pin the previous auto paths
         h = TpuConv(
             self.out_channels, _tuple(3, ndim), padding="SAME", name="Conv_0"
         )(h)
-        h = nn.GroupNorm(num_groups=min(8, self.out_channels))(h)
+        h = nn.GroupNorm(num_groups=_gn(self.out_channels))(h)
         h = nn.silu(h)
         h = TpuConv(
             self.out_channels, _tuple(3, ndim), padding="SAME", name="Conv_1"
@@ -80,7 +80,7 @@ class Generator(nn.Module):
             h = nn.ConvTranspose(
                 d, _tuple(2, ndim), strides=_tuple(2, ndim), name=f"dec_up_{i}"
             )(h)
-        h = nn.GroupNorm(num_groups=min(8, h.shape[-1]))(h)
+        h = nn.GroupNorm(num_groups=_gn(h.shape[-1]))(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, _tuple(3, ndim), padding="SAME")(h)
         return jnp.tanh(h)
@@ -120,7 +120,16 @@ class Discriminator(nn.Module):
             return feats
         pooled = jnp.mean(h, axis=tuple(range(1, h.ndim - 1)))
         if self.patch_gan:
-            adv = nn.Conv(1, _tuple(3, ndim), padding="SAME")(h)
+            hp = h
+            if cond is not None and self.cond_dim:
+                # conditioning broadcast over the patch grid (projection-
+                # style) — the cond argument must not be silently dropped
+                c = cond.reshape((cond.shape[0],) + (1,) * ndim + (-1,))
+                c = jnp.broadcast_to(
+                    c, h.shape[:-1] + (cond.shape[-1],)
+                )
+                hp = jnp.concatenate([h, c], axis=-1)
+            adv = nn.Conv(1, _tuple(3, ndim), padding="SAME")(hp)
         else:
             hh = pooled
             if cond is not None and self.cond_dim:

@@ -28,6 +28,16 @@ def _tuple(v, n: int):
     return (int(v),) * n
 
 
+def _gn(c: int) -> int:
+    """Largest group count <= 8 dividing c (norm_num_groups analogue).
+    ``min(8, c)`` is INVALID whenever 8 does not divide c (flax GroupNorm
+    requires num_groups | channels)."""
+    for g in (8, 4, 2, 1):
+        if c % g == 0:
+            return g
+    return 1
+
+
 def identity_adn(_features=None):
     return None
 

@@ -280,8 +280,15 @@ def mae_loss(pred_patches, target_patches, mask):
     return jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def ijepa_loss(pred_features, target_features):
-    """I-JEPA: L2 in representation space on target blocks."""
-    return jnp.mean(
-        (pred_features - jax.lax.stop_gradient(target_features)) ** 2
+def ijepa_loss(pred_features, target_features, mask=None):
+    """I-JEPA: L2 in representation space on the MASKED target blocks
+    ([B, N] mask, 1 = target position). Without the mask the mean would be
+    diluted by the unmasked majority where prediction is trivial (the
+    context encoder saw those tokens)."""
+    err = (pred_features - jax.lax.stop_gradient(target_features)) ** 2
+    if mask is None:
+        return jnp.mean(err)
+    w = mask[..., None]
+    return jnp.sum(err * w) / jnp.maximum(
+        jnp.sum(w) * pred_features.shape[-1], 1.0
     )

@@ -27,7 +27,6 @@ def random_masking(
     restore = jnp.argsort(shuffle, axis=1)
     keep_idx = shuffle[:, :n_keep]
     visible = jnp.take_along_axis(tokens, keep_idx[..., None], axis=1)
-    mask = jnp.ones((b, n))
     mask = jnp.take_along_axis(
         jnp.concatenate(
             [jnp.zeros((b, n_keep)), jnp.ones((b, n - n_keep))], axis=1

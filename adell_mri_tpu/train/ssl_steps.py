@@ -416,8 +416,14 @@ def make_ijepa_step(model, precision: Optional[str] = None):
     def loss_and_metrics(params, batch, rng, ema_params=None, variables=None):
         x = batch["image"] if "image" in batch else batch["view1"]
         use_params = dict(params)
-        if ema_params is not None and "target_encoder" in ema_params:
-            use_params = {**params, "target_encoder": ema_params["target_encoder"]}
+        if ema_params is not None and "context_encoder" in ema_params:
+            # the I-JEPA target is the EMA of the CONTEXT encoder
+            # (IJEPAPL pl.py:956) — substituting ema['target_encoder']
+            # would track a subtree that receives zero gradient, leaving
+            # the teacher frozen at random init forever
+            use_params = {
+                **params, "target_encoder": ema_params["context_encoder"]
+            }
         use_params, x = _downcast(dtype, use_params, x)
         pred_f, tgt_f, mask = _f32(
             dtype,
@@ -426,10 +432,7 @@ def make_ijepa_step(model, precision: Optional[str] = None):
                 rngs={"dropout": rng, "masking": rng},
             ),
         )
-        w = mask[..., None]
-        loss = jnp.sum(
-            ((pred_f - jax.lax.stop_gradient(tgt_f)) ** 2) * w
-        ) / jnp.maximum(jnp.sum(w) * pred_f.shape[-1], 1.0)
+        loss = L.ijepa_loss(pred_f, tgt_f, mask=mask)
         return loss, {"loss": loss}
 
     return loss_and_metrics

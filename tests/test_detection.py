@@ -282,3 +282,35 @@ def test_detection_transforms_affine_with_boxes():
         com = coords.mean(0)
         assert np.all(com >= dec[0][:3] - 1.5)
         assert np.all(com <= dec[0][3:] + 1.5)
+
+
+def test_multiclass_targets_match_head_channels():
+    """n_classes > 2: target class channels equal the YOLONet3d head's
+    (one-hot over n_classes, ids index directly) — the old n_classes-1
+    layout crashed the first train step."""
+    import numpy as np
+
+    from adell_mri_tpu.models.detection import YOLONet3d
+    from adell_mri_tpu.models.detection.anchors import (
+        boxes_to_anchor_targets,
+    )
+
+    anchors = np.asarray([[4.0, 4.0, 2.0]], np.float32)
+    boxes = np.asarray([[2, 2, 1, 8, 7, 4]], np.float32)
+    obj, ctr, sz, cls = boxes_to_anchor_targets(
+        boxes, np.asarray([2.0]), (4, 4, 2), anchors, (16, 16, 8),
+        n_classes=3,
+    )
+    assert cls.shape[0] == 3  # n_classes channels
+    assert cls[2].max() == 1.0 and cls[1].max() == 0.0
+
+    model = YOLONet3d(
+        n_anchors=1, n_classes=3,
+        backbone_structure=[(4, 4, 3, 1)], norm_type="instance",
+    )
+    import jax
+
+    x = jnp.ones((1, 16, 16, 8, 1))
+    v = model.init({"params": jax.random.PRNGKey(0)}, x)
+    preds = model.apply(v, x)
+    assert preds["classes"].shape[-1] == cls.shape[0]

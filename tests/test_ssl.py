@@ -331,3 +331,31 @@ def test_two_view_step_bf16_precision():
     g = jax.grad(lambda p: lm16(p, batch, rng)[0])(params)
     leaf = jax.tree.leaves(g)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_ijepa_target_is_ema_of_context_encoder():
+    """The I-JEPA teacher must be the EMA of the CONTEXT encoder: the
+    in-module target_encoder subtree gets zero gradient, so tracking IT
+    would freeze the teacher at random init forever."""
+    model = IJEPA(
+        patch_size=(4, 4, 4), embed_dim=16, n_blocks=1, n_heads=2,
+        predictor_dim=8, predictor_blocks=1,
+    )
+    x = jax.random.normal(KEY, (1, 8, 8, 8, 1))
+    params = model.init({"params": KEY, "masking": KEY}, x, rng=KEY)["params"]
+    lm = make_ijepa_step(model)
+    # ema with a SHIFTED context encoder must change the loss; a shifted
+    # target_encoder subtree must NOT (it is substituted away)
+    base, _ = lm(params, {"image": x}, KEY, ema_params=params)
+    ema_ctx = jax.tree.map(lambda a: a, params)
+    ema_ctx["context_encoder"] = jax.tree.map(
+        lambda a: a + 1.0, ema_ctx["context_encoder"]
+    )
+    moved, _ = lm(params, {"image": x}, KEY, ema_params=ema_ctx)
+    assert abs(float(moved) - float(base)) > 1e-8
+    ema_tgt = jax.tree.map(lambda a: a, params)
+    ema_tgt["target_encoder"] = jax.tree.map(
+        lambda a: a + 1.0, ema_tgt["target_encoder"]
+    )
+    same, _ = lm(params, {"image": x}, KEY, ema_params=ema_tgt)
+    assert abs(float(same) - float(base)) < 1e-8
