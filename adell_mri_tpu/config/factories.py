@@ -106,12 +106,17 @@ def get_segmentation_network(
             spatial_dimensions=cfg.get("spatial_dimensions", 3),
             n_classes=n_classes,
             patch_size=tuple(cfg.get("patch_size", (8, 8, 8))),
-            embed_dim=cfg.get("embed_dim", cfg.get("hidden_dim", 192)),
+            embed_dim=cfg.get(
+                "embed_dim",
+                cfg.get("hidden_dim", cfg.get("embedding_size", 192)),
+            ),
             n_blocks=cfg.get("n_blocks", cfg.get("number_of_blocks", 8)),
             n_heads=cfg.get("n_heads", cfg.get("number_of_attention_heads", 6)),
             feature_size=cfg.get("feature_size", 16),
             norm_type=cfg.get("norm_type", "instance"),
-            dropout_param=cfg.get("dropout_param", 0.0),
+            dropout_param=cfg.get(
+                "dropout_param", cfg.get("dropout_rate", 0.0)
+            ),
             skip_conditioning=cfg.get("skip_conditioning"),
             feature_conditioning=cfg.get("feature_conditioning"),
             feature_conditioning_params=cfg.get(
@@ -132,9 +137,18 @@ def get_segmentation_network(
         else:
             n_stages = len(cfg.get("depths", (2, 2, 2)))
         depths = tuple(cfg.get("depths", (2,) * n_stages))
-        heads = cfg.get("n_heads", cfg.get("num_heads", (3, 6, 12)))
+        heads = cfg.get("n_heads", cfg.get("num_heads"))
+        if heads is None:
+            # default doubles per stage, matched to len(depths) (a fixed
+            # (3, 6, 12) under-indexes 4-stage embedding_size lists)
+            heads = tuple(3 * (2 ** i) for i in range(len(depths)))
         if isinstance(heads, int):
             heads = (heads,) * len(depths)
+        if len(heads) != len(depths):
+            raise ValueError(
+                f"n_heads ({list(heads)}) must have one entry per stage "
+                f"({len(depths)})"
+            )
         return SWINUNet(
             spatial_dimensions=cfg.get("spatial_dimensions", 3),
             n_classes=n_classes,
@@ -144,7 +158,9 @@ def get_segmentation_network(
             window_size=tuple(cfg.get("window_size", (4, 4, 4))),
             patch_size=tuple(cfg.get("patch_size", (2, 2, 2))),
             norm_type=cfg.get("norm_type", "instance"),
-            dropout_param=cfg.get("dropout_param", 0.0),
+            dropout_param=cfg.get(
+                "dropout_param", cfg.get("dropout_rate", 0.0)
+            ),
             skip_conditioning=cfg.get("skip_conditioning"),
             feature_conditioning=cfg.get("feature_conditioning"),
             feature_conditioning_params=cfg.get(
@@ -239,10 +255,15 @@ def get_classification_network(
         net = ViTClassifier(
             patch_size=tuple(cfg.get("patch_size", (4, 4, 4))),
             n_classes=n_classes,
-            embed_dim=cfg.get("embed_dim", cfg.get("attention_dim", 256)),
+            embed_dim=cfg.get(
+                "embed_dim",
+                cfg.get("attention_dim", cfg.get("embedding_size", 256)),
+            ),
             n_blocks=cfg.get("n_blocks", cfg.get("number_of_blocks", 4)),
             n_heads=cfg.get("n_heads", cfg.get("number_of_attention_heads", 4)),
-            dropout_param=cfg.get("dropout_param", 0.0),
+            dropout_param=cfg.get(
+                "dropout_param", cfg.get("dropout_rate", 0.0)
+            ),
             use_class_token=cfg.get("use_class_token", True),
             use_seq_pool=cfg.get("use_seq_pool", False),
             moe_experts=cfg.get("moe_experts", 0),
@@ -251,10 +272,12 @@ def get_classification_network(
         net = FactorizedViTClassifier(
             patch_size=tuple(cfg.get("patch_size", (4, 4))),
             n_classes=n_classes,
-            embed_dim=cfg.get("embed_dim", 256),
+            embed_dim=cfg.get("embed_dim", cfg.get("embedding_size", 256)),
             n_blocks=cfg.get("n_blocks", 4),
             n_heads=cfg.get("n_heads", 4),
-            dropout_param=cfg.get("dropout_param", 0.0),
+            dropout_param=cfg.get(
+                "dropout_param", cfg.get("dropout_rate", 0.0)
+            ),
         )
     elif net_type == "unet":
         unet = UNet(**_unet_kwargs(cfg, n_classes))
@@ -332,32 +355,53 @@ def get_ssl_network(
             decoder_blocks=cfg.get("decoder_blocks", 2),
             mask_ratio=cfg.get("mask_ratio", 0.75),
         )
-    # two-view methods over a conv backbone (ssl-resnet.yaml surface)
+    # two-view methods over a conv backbone. The reference schema
+    # (sample_configs/ssl-resnet.yaml) nests the config under
+    # backbone_args / projection_head_args / prediction_head_args — honor
+    # it alongside the flat spellings (flat wins when both are present)
+    ba = cfg.get("backbone_args") or {}
+    pja = cfg.get("projection_head_args") or {}
+    pda = cfg.get("prediction_head_args") or {}
+    structure = cfg.get(
+        "backbone_structure",
+        cfg.get(
+            "resnet_structure",
+            ba.get("structure", ((32, 64, 3, 2), (64, 128, 3, 2))),
+        ),
+    )
+    maxpool = cfg.get("maxpool_structure", ba.get("maxpool_structure"))
     backbone = CatNet(
-        spatial_dimensions=cfg.get("spatial_dimensions", 3),
-        resnet_structure=[
-            tuple(s) for s in cfg.get(
-                "backbone_structure",
-                cfg.get("resnet_structure", ((32, 64, 3, 2), (64, 128, 3, 2))),
-            )
-        ],
+        spatial_dimensions=cfg.get(
+            "spatial_dimensions", ba.get("spatial_dim", 3)
+        ),
+        resnet_structure=[tuple(s) for s in structure],
         maxpool_structure=[
             tuple(s) if isinstance(s, (list, tuple)) else s
-            for s in cfg["maxpool_structure"]
+            for s in maxpool
         ]
-        if cfg.get("maxpool_structure")
+        if maxpool
         else None,
-        res_type=cfg.get("res_type", "resnet"),
-        norm_type=cfg.get("norm_type", "batch"),
+        res_type=cfg.get("res_type", ba.get("res_type", "resnet")),
+        norm_type=cfg.get("norm_type", cfg.get("norm_fn", "batch")),
         dropout_param=cfg.get("dropout_param", 0.0),
         feature_extraction=True,
     )
     return NonContrastiveWrapper(
         backbone=backbone,
         projection_dims=tuple(
-            cfg.get("projection_head", cfg.get("projection_dims", (512, 128)))
+            cfg.get(
+                "projection_head",
+                cfg.get(
+                    "projection_dims", pja.get("structure", (512, 128))
+                ),
+            )
         ),
         prediction_dims=tuple(
-            cfg.get("prediction_head", cfg.get("prediction_dims", (64, 128)))
+            cfg.get(
+                "prediction_head",
+                cfg.get(
+                    "prediction_dims", pda.get("structure", (64, 128))
+                ),
+            )
         ),
     )

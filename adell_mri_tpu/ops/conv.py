@@ -7,18 +7,21 @@ the bf16 matmul calibration hits 50 TFLOP/s — the "forward-pass wall"
 alternative lowerings so the hot path can pick whichever the current
 XLA/TPU runtime tiles best:
 
-- ``xla``: ``lax.conv_general_dilated`` NDHWC (the default everywhere);
-- ``im2col``: k^3 shifted views concatenated on the channel axis followed
-  by ONE [voxels, k^3*Cin] x [k^3*Cin, Cout] matmul — turns the conv into
-  the dense MXU shape the calibration measures. Costs k^3 x activation
-  memory for the patch tensor, so it suits the narrow-channel stem levels
-  where XLA's conv tiling underutilizes the MXU (K dim k^3*Cin >= 128
-  already at Cin=8 for k=3).
+- ``xla``: ``lax.conv_general_dilated`` NDHWC;
+- ``z2d``: the 3D conv decomposed over its smallest-kernel axis into k 2D
+  convs on shifted slabs (XLA's 2D conv path tiles well where its 3D path
+  is erratically pathological at stem shapes — BASELINE.md round-3);
+- ``s2d``: patchify convs (kernel == strides) as space-to-depth + ONE GEMM;
+- ``im2col``/``im2col_t``/``zfold``: explicit patch-tensor GEMM variants —
+  HBM-bound by construction on a healthy MXU (round-3 measurement), kept
+  for degraded-bandwidth environments and benchmarking;
+- ``pallas``: implicit-GEMM kernel building patch tiles in VMEM.
 
-``lowering="auto"`` (the default) picks im2col whenever the patch tensor
-fits ``ADELL_IM2COL_MAX_BYTES`` (4 GB default) and xla otherwise;
-``ADELL_CONV_LOWERING=xla|im2col`` forces either. The benchmark in
-benchmarks/benchmark_conv3d.py measures both on hardware.
+``lowering="auto"`` (the default, see ``_pick_lowering``) chooses z2d on
+TPU for general convs and s2d for patchify convs; plain xla elsewhere.
+``ADELL_CONV_LOWERING`` forces any lowering. ``ADELL_IM2COL_MAX_BYTES``
+only gates im2col rows in benchmarks/benchmark_conv3d.py — it does NOT
+steer the training auto policy.
 """
 
 import os
@@ -485,7 +488,9 @@ class TpuDwConv(_nn.Module):
             )
         if self.use_bias:
             b = self.param("bias", _nn.initializers.zeros, (self.features,))
-            y = y + b
+            # cast like the kernel: an f32 bias would promote the output
+            # and silently break the bf16 compute chain downstream
+            y = y + b.astype(y.dtype)
         return y
 
 
@@ -568,7 +573,8 @@ def _pick_lowering(x, k, strides, padding="SAME", cout=None):
         from .pallas.conv import conv3d_pallas_supported
 
         if conv3d_pallas_supported(
-            x.shape, tuple(k) + (x.shape[4], cout), strides, padding
+            x.shape, tuple(k) + (x.shape[4], cout), strides, padding,
+            elt_bytes=x.dtype.itemsize,
         ):
             return "pallas"
     if not _tpu_backend():
@@ -704,7 +710,9 @@ class TpuConv(_nn.Module):
             )
         if self.use_bias:
             b = self.param("bias", _nn.initializers.zeros, (self.features,))
-            y = y + b
+            # cast like the kernel: an f32 bias would promote the output
+            # and silently break the bf16 compute chain downstream
+            y = y + b.astype(y.dtype)
         return y
 
 

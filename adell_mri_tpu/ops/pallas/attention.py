@@ -529,7 +529,10 @@ def _flash_bwd_vjp(scale, res, g):
 flash_attention.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
 
 
-def ring_attention(q, k, v, mesh, axis: str = "model", scale=None):
+def ring_attention(
+    q, k, v, mesh, axis: str = "model", scale=None,
+    use_pallas: bool = False,
+):
     """
     Sequence-parallel attention: q, k, v sharded on the token axis over
     ``axis``; each step computes local flash attention stats against the
@@ -540,6 +543,12 @@ def ring_attention(q, k, v, mesh, axis: str = "model", scale=None):
     Communication rides ICI; the N^2 work is split n_shards ways while
     each device only ever holds 1/n_shards of KV — the TPU answer to the
     reference's absent long-context story (SURVEY.md §5).
+
+    ``use_pallas=True`` runs each step's local attention through the raw
+    Pallas flash forward — O(block) memory, but NON-differentiable (no
+    vjp rule for the raw kernel): serving only. The default einsum math
+    differentiates everywhere and still holds only 1/n_shards of KV per
+    step.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -550,7 +559,8 @@ def ring_attention(q, k, v, mesh, axis: str = "model", scale=None):
             acc, m, l, k_cur, v_cur = carry
             res = (
                 _flash_fwd_raw(q, k_cur, v_cur, scale)
-                if jax.devices()[0].platform in ("tpu", "axon")
+                if use_pallas
+                and jax.devices()[0].platform in ("tpu", "axon")
                 else None
             )
             if res is not None:

@@ -74,7 +74,10 @@ def _kernel(x0_ref, x1_ref, x2_ref, w_ref, o_ref, *, cin, cout, w_sz, h_sz,
         ).astype(out_dtype)
 
 
-def _supported(x_shape, w_shape, strides, padding):
+def _supported(x_shape, w_shape, strides, padding, elt_bytes: int = 2):
+    """``elt_bytes``: input element size — f32 inputs cost twice the
+    bf16 default in every VMEM term below (a 2-byte hardcode under-counted
+    f32 and let over-budget shapes through to a Mosaic VMEM error)."""
     kd, kh, kw = w_shape[:3]
     if (kd, kh, kw) != (3, 3, 3):
         return None
@@ -93,12 +96,13 @@ def _supported(x_shape, w_shape, strides, padding):
         return None
     cout = w_shape[4]
     tw = _TW if w_sz % _TW == 0 else w_sz
+    eb = int(elt_bytes)
     vmem = (
-        3 * cin * (w_sz + 2) * (h_sz + 2) * 2 * 2  # halo slabs, 2x buffered
-        + 27 * cin * tw * h_sz * 2                  # patch tile
-        + cout * w_sz * h_sz * 2 * 2                # out slab, 2x buffered
-        + cout * 27 * cin * 2                       # wmat
-        + cout * tw * h_sz * 4                      # f32 acc
+        3 * cin * (w_sz + 2) * (h_sz + 2) * eb * 2  # halo slabs, 2x buffered
+        + 27 * cin * tw * h_sz * eb                  # patch tile
+        + cout * w_sz * h_sz * eb * 2                # out slab, 2x buffered
+        + cout * 27 * cin * eb                       # wmat
+        + cout * tw * h_sz * 4                       # f32 acc
     )
     if vmem > _VMEM_BUDGET:
         return None
@@ -109,7 +113,9 @@ def conv3d_pallas_raw(x, w, *, interpret=False):
     """x: [B, D, H, W, Cin] (channels-last), w: [3, 3, 3, Cin, Cout];
     stride 1, SAME. Returns [B, D, H, W, Cout] or None when unsupported.
     """
-    sup = _supported(x.shape, w.shape, (1, 1, 1), "SAME")
+    sup = _supported(
+        x.shape, w.shape, (1, 1, 1), "SAME", elt_bytes=x.dtype.itemsize
+    )
     if sup is None:
         return None
     swap, tw = sup
@@ -160,5 +166,10 @@ def conv3d_pallas_raw(x, w, *, interpret=False):
     return out
 
 
-def conv3d_pallas_supported(x_shape, w_shape, strides, padding) -> bool:
-    return _supported(x_shape, w_shape, strides, padding) is not None
+def conv3d_pallas_supported(
+    x_shape, w_shape, strides, padding, elt_bytes: int = 2
+) -> bool:
+    return (
+        _supported(x_shape, w_shape, strides, padding, elt_bytes=elt_bytes)
+        is not None
+    )

@@ -51,7 +51,18 @@ def get_devices(dev_str: str = "tpu") -> Tuple[str, List[jax.Device]]:
         platform, indices = dev_str, None
     if platform in ("auto", "gpu", "cuda"):
         platform = None  # jax default backend
-    devices = jax.devices(platform) if platform else jax.devices()
+    if platform == "tpu":
+        # TPU plugins may register under another platform name (the axon
+        # tunnel registers 'axon'); --dev tpu means "the accelerator" —
+        # fall back to the default backend unless it is plain CPU
+        try:
+            devices = jax.devices("tpu")
+        except RuntimeError:
+            devices = jax.devices()
+            if devices[0].platform == "cpu":
+                raise
+    else:
+        devices = jax.devices(platform) if platform else jax.devices()
     if indices is not None:
         devices = [devices[i] for i in indices]
     return (devices[0].platform, devices)
@@ -176,9 +187,21 @@ def shard_batch(batch: Dict, mesh: Mesh, pad: bool = False) -> Dict:
     elif batch_dim % divisor != 0:
         sharding = replicated_sharding(mesh)
 
+    repl = replicated_sharding(mesh)
+    final_dim = batch_dim + (
+        (-batch_dim % divisor)
+        if (pad and batch_dim % divisor != 0 and batch_dim > 0)
+        else 0
+    )
+
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
-            return jax.device_put(x, sharding)
+            # only batch-leading leaves shard on axis 0; auxiliary arrays
+            # (class-weight vectors, variable-length sidecars) replicate —
+            # batch-sharding them would hit a divisibility error mid-epoch
+            if x.shape[0] == final_dim:
+                return jax.device_put(x, sharding)
+            return jax.device_put(x, repl)
         return x
 
     return jax.tree.map(put, batch, is_leaf=lambda x: isinstance(x, list))

@@ -297,3 +297,30 @@ def test_pipeline_parallel_is_trainable():
         for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_seq))
     )
     assert err < 1e-4
+
+
+def test_shard_batch_replicates_non_batch_leaves():
+    """Auxiliary arrays whose leading dim is not the batch dim (e.g. a
+    [n_classes] weight vector) replicate instead of hitting a batch-axis
+    divisibility error."""
+    mesh = make_mesh(jax.devices())
+    batch = {
+        "x": np.zeros((16, 4), np.float32),
+        "class_weights": np.asarray([0.2, 0.3, 0.5], np.float32),
+    }
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].shape == (16, 4)
+    assert sharded["class_weights"].shape == (3,)
+    with mesh:
+        s = jax.jit(lambda b: jnp.sum(b["class_weights"]))(
+            {"class_weights": sharded["class_weights"]}
+        )
+    assert float(s) == pytest.approx(1.0)
+    # padded path: aux leaf still replicates while x pads 6 -> 8
+    batch2 = {
+        "x": np.zeros((6, 4), np.float32),
+        "w": np.ones((3,), np.float32),
+    }
+    sharded2 = shard_batch(batch2, mesh, pad=True)
+    assert sharded2["x"].shape[0] == 8
+    assert sharded2["w"].shape == (3,)

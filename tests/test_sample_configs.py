@@ -96,3 +96,17 @@ def test_mil_config_parses():
     )
     assert config["network"]["mil_method"] == "transformer"
     assert config["network"]["n_heads"] == 16
+
+
+def test_ssl_resnet_nested_schema_reaches_backbone():
+    """The reference ssl-resnet.yaml nests the model under backbone_args /
+    projection_head_args — the factory must build THAT backbone, not the
+    tiny default (the silent-wrong-model finding)."""
+    config = parse_config_ssl(os.path.join(CFG_DIR, "ssl-resnet.yaml"))
+    model = get_ssl_network("vicreg", config["network"])
+    bb = model.backbone
+    assert tuple(bb.resnet_structure[0]) == (64, 64, 5, 2)
+    assert len(bb.resnet_structure) == 4
+    assert bb.maxpool_structure is not None
+    assert tuple(model.projection_dims) == (1024, 512, 256)
+    assert tuple(model.prediction_dims) == (512, 256)
