@@ -175,14 +175,16 @@ def evaluate_case(
                 inter = np.logical_and(gt, cand).sum()
                 union = np.logical_or(gt, cand).sum()
                 iou[i, j] = inter / union if union else 0.0
-        # pairs at or below the overlap threshold can never match; zeroing
-        # them keeps them from attracting the assignment away from valid
-        # pairs (reference zeroes sub-threshold overlaps the same way)
-        iou[iou <= min_overlap] = 0.0
-        rows, cols = linear_sum_assignment(-iou)
+        # reference semantics (picai_eval/eval.py:176-185): zero
+        # sub-threshold overlaps, then add 1 to every remaining pair so
+        # the assignment maximizes the NUMBER of matched lesions first and
+        # the amount of overlap only second
+        iou[iou < min_overlap] = 0.0
+        iou[iou > 0] += 1.0
+        rows, cols = linear_sum_assignment(iou, maximize=True)
         assigned = {}
         for i, j in zip(rows, cols):
-            if iou[i, j] > min_overlap:
+            if iou[i, j] > 0:
                 assigned[i] = j
                 matched_candidates.add(confidences[j][0])
         for i in range(n_gt):
@@ -190,6 +192,13 @@ def evaluate_case(
                 lesion_results.append((1, confidences[assigned[i]][1]))
             else:
                 lesion_results.append((1, 0.0))  # missed lesion
+        # unmatched candidates that still overlap SOME GT lesion above
+        # threshold are not FPs (reference default
+        # allow_unmatched_candidates_with_minimal_overlap=True,
+        # eval.py:219-226)
+        for j, (cand_id, _) in enumerate(confidences):
+            if (iou[:, j] > 0).any():
+                matched_candidates.add(cand_id)
     else:
         lesion_results.extend((1, 0.0) for _ in range(n_gt))
     for cand_id, conf in confidences:
@@ -216,14 +225,21 @@ class Metrics:
 
     @property
     def AP(self) -> float:
-        from sklearn.metrics import average_precision_score
+        from sklearn.metrics import precision_recall_curve
 
         flat = [r for rs in self.lesion_results.values() for r in rs]
         if not flat or not any(is_l for is_l, _ in flat):
             return float("nan")
         y = np.asarray([is_l for is_l, _ in flat])
         p = np.asarray([conf for _, conf in flat])
-        return float(average_precision_score(y, p))
+        precision, recall, thresholds = precision_recall_curve(y, p)
+        # missed lesions enter as confidence-0 placeholders; the reference
+        # zeroes precision at the zero threshold so they convey recall
+        # without crediting precision (picai_eval/metrics.py:371-374) —
+        # plain average_precision_score inflates AP whenever a GT lesion
+        # is missed
+        precision[:-1][thresholds == 0] = 0
+        return float(-np.sum(np.diff(recall) * np.asarray(precision)[:-1]))
 
     @property
     def auroc(self) -> float:

@@ -15,19 +15,29 @@ import jax.numpy as jnp
 
 
 def pseudo_label_cross_entropy(
-    student_probs, teacher_probs, confidence_threshold: float = 0.9, eps=1e-6
+    student_probs,
+    teacher_probs,
+    threshold: float = 0.5,
+    confidence_threshold: Optional[float] = None,
+    eps=1e-6,
 ):
     """
-    CE against confident teacher pseudo-labels (parity: losses.py:430).
-    Binary: probs [B, *S, 1].
+    CE against teacher pseudo-labels (parity: losses.py:430 —
+    ``CE(pred, (proba > threshold))`` over ALL voxels). Binary: probs
+    [B, *S, 1]. ``confidence_threshold`` is an OPTIONAL FixMatch-style
+    extension beyond the reference: when set, only voxels whose teacher
+    probability is confident (> ct or < 1-ct) contribute.
     """
     teacher = jax.lax.stop_gradient(teacher_probs)
-    confident = jnp.logical_or(
-        teacher > confidence_threshold, teacher < 1 - confidence_threshold
-    ).astype(student_probs.dtype)
-    pseudo = (teacher > 0.5).astype(student_probs.dtype)
+    pseudo = (teacher > threshold).astype(student_probs.dtype)
     p = jnp.clip(student_probs, eps, 1 - eps)
     ce = -(pseudo * jnp.log(p) + (1 - pseudo) * jnp.log(1 - p))
+    if confidence_threshold is None:
+        return jnp.mean(ce)
+    confident = jnp.logical_or(
+        teacher > confidence_threshold,
+        teacher < 1 - confidence_threshold,
+    ).astype(student_probs.dtype)
     return jnp.sum(ce * confident) / jnp.maximum(jnp.sum(confident), 1.0)
 
 
@@ -56,11 +66,21 @@ def local_contrastive_loss(
 
 
 def nearest_neighbour_loss(
-    features, memory_bank, temperature: float = 0.1
+    features,
+    memory_bank,
+    feature_labels=None,
+    bank_labels=None,
+    temperature: float = 0.1,
 ):
     """
-    NN-matching loss against a memory bank of class prototypes
-    (parity: losses.py:244). features [N, F], memory_bank [M, F].
+    Class-conditional soft-nearest-neighbour loss (parity: losses.py:244,
+    Frosst 2019): maximize similarity to SAME-class bank elements with
+    every bank element in the softmax denominator. features [N, F],
+    memory_bank [M, F], feature_labels [N] int, bank_labels [M] int.
+
+    Without labels, falls back to attracting each feature to the full
+    bank — note that objective is minimized by collapsing onto the single
+    best-aligned prototype, so pass labels for the real SNN semantics.
     """
     f = features / jnp.maximum(
         jnp.linalg.norm(features, axis=-1, keepdims=True), 1e-6
@@ -68,9 +88,21 @@ def nearest_neighbour_loss(
     m = memory_bank / jnp.maximum(
         jnp.linalg.norm(memory_bank, axis=-1, keepdims=True), 1e-6
     )
-    sims = f @ m.T / temperature
-    # attract to the nearest prototype
-    return -jnp.mean(jax.nn.logsumexp(sims, axis=-1) - jnp.log(m.shape[0]))
+    sims = f @ m.T / temperature  # [N, M]
+    if feature_labels is None or bank_labels is None:
+        return -jnp.mean(
+            jax.nn.logsumexp(sims, axis=-1) - jnp.log(m.shape[0])
+        )
+    same = (
+        feature_labels.astype(jnp.int32)[:, None]
+        == bank_labels.astype(jnp.int32)[None, :]
+    )
+    num = jax.nn.logsumexp(jnp.where(same, sims, -jnp.inf), axis=-1)
+    den = jax.nn.logsumexp(sims, axis=-1)
+    # features whose class has no bank element contribute nothing
+    valid = same.any(axis=-1)
+    per = jnp.where(valid, num - den, 0.0)
+    return -jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1.0)
 
 
 class AnatomicalContrastiveLoss:

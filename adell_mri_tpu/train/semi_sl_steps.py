@@ -22,15 +22,25 @@ import jax.numpy as jnp
 from adell_mri_tpu.models.semi_supervised import local_contrastive_loss
 
 
-def _random_view(key, x):
-    """Cheap on-device view: per-axis flips + intensity scale + noise."""
+def _random_view(key, x, geom_key=None):
+    """Cheap on-device view: per-axis flips + intensity scale + noise.
+
+    ``geom_key`` drives the GEOMETRIC part (flips). local_contrastive_loss
+    pairs features by flattened position, so the two views of a volume
+    must share one geom_key — independent flips would pair features of
+    mirrored anatomical locations as positives (and present the true
+    correspondences as negatives), silently inverting the objective on
+    ~half the steps. Intensity/noise stay per-view via ``key``."""
     ndim = x.ndim - 2
-    keys = jax.random.split(key, ndim + 2)
+    keys = jax.random.split(key, 2)
+    gkeys = jax.random.split(
+        geom_key if geom_key is not None else key, ndim
+    )
     for d in range(ndim):
-        flip = jax.random.bernoulli(keys[d])
+        flip = jax.random.bernoulli(gkeys[d])
         x = jnp.where(flip, jnp.flip(x, axis=d + 1), x)
-    scale = jax.random.uniform(keys[-2], (), minval=0.9, maxval=1.1)
-    noise = jax.random.normal(keys[-1], x.shape, x.dtype) * 0.02
+    scale = jax.random.uniform(keys[0], (), minval=0.9, maxval=1.1)
+    noise = jax.random.normal(keys[1], x.shape, x.dtype) * 0.02
     return x * scale + noise
 
 
@@ -50,12 +60,13 @@ def make_semi_supervised_step(
     """
 
     def loss_and_metrics(params, batch, rng, ema_params=None):
-        r_sup, r_v1, r_v2, r_samp = jax.random.split(rng, 4)
+        r_sup, r_v1, r_v2, r_samp, r_geom = jax.random.split(rng, 5)
         loss, metrics = supervised_loss_and_metrics(params, batch, r_sup)
         if "semi_sl_image" in batch:
             x_u = batch["semi_sl_image"]
-            v1 = _random_view(r_v1, x_u)
-            v2 = _random_view(r_v2, x_u)
+            # one SHARED geometric key: positional feature pairing
+            v1 = _random_view(r_v1, x_u, geom_key=r_geom)
+            v2 = _random_view(r_v2, x_u, geom_key=r_geom)
             _, f1, _ = model.apply(
                 {"params": params},
                 v1,

@@ -82,14 +82,24 @@ def test_ewc_wrap_and_fisher():
     assert "ewc_penalty" in metrics
 
 
-def test_pseudo_label_ce_masks_unconfident():
+def test_pseudo_label_ce_reference_and_masked_modes():
     student = jnp.full((1, 4, 4, 1), 0.4)
     confident_teacher = jnp.full((1, 4, 4, 1), 0.99)
     unconfident_teacher = jnp.full((1, 4, 4, 1), 0.6)
+    # reference semantics (losses.py:430): CE over ALL voxels against
+    # (teacher > threshold) — an unconfident 0.6 still pseudo-labels 1
     high = float(pseudo_label_cross_entropy(student, confident_teacher))
-    low = float(pseudo_label_cross_entropy(student, unconfident_teacher))
-    assert high > 0
-    assert low == pytest.approx(0.0)  # nothing confident -> no loss
+    also_high = float(
+        pseudo_label_cross_entropy(student, unconfident_teacher)
+    )
+    assert high > 0 and also_high == pytest.approx(high)
+    # opt-in FixMatch masking: unconfident voxels drop out entirely
+    low = float(
+        pseudo_label_cross_entropy(
+            student, unconfident_teacher, confidence_threshold=0.9
+        )
+    )
+    assert low == pytest.approx(0.0)
 
 
 def test_local_contrastive_identity_views():

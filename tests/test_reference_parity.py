@@ -1357,3 +1357,58 @@ def test_resnet_encoder_unet_graft(torch):
     np.testing.assert_allclose(
         np.asarray(bottleneck), np.asarray(inters[-1]), atol=1e-6
     )
+
+
+def test_lesion_parity_missed_and_multiblob(ref_picai):
+    """Adversarial matching fixtures the random cohort never produces:
+    a completely missed GT lesion (AP must not be inflated by its
+    confidence-0 placeholder), two candidates covering one GT lesion (the
+    extra candidate is NOT an FP under the reference's
+    allow_unmatched_candidates_with_minimal_overlap default), and an
+    overlap pattern where match-count-first assignment differs from
+    max-IoU assignment."""
+    from adell_mri_tpu.eval.lesion import evaluate as ours_evaluate
+
+    shape = (32, 32, 16)
+    # case 0: one detected lesion + one missed lesion
+    det0 = np.zeros(shape, np.float32)
+    true0 = np.zeros(shape, np.int32)
+    det0[4:8, 4:8, 4:8] = 0.8
+    true0[4:8, 4:8, 4:8] = 1
+    true0[20:24, 20:24, 8:12] = 1  # missed
+    # case 1: two candidates over ONE GT lesion
+    det1 = np.zeros(shape, np.float32)
+    true1 = np.zeros(shape, np.int32)
+    true1[10:18, 10:18, 4:12] = 1
+    det1[10:14, 10:18, 4:12] = 0.9
+    det1[16:18, 10:18, 4:12] = 0.5  # separate blob, overlaps same GT
+    # case 2: assignment order matters (c1 overlaps both GTs, better on g1)
+    det2 = np.zeros(shape, np.float32)
+    true2 = np.zeros(shape, np.int32)
+    true2[2:10, 2:10, 2:10] = 1     # g1
+    true2[2:10, 20:28, 2:10] = 1    # g2
+    det2[2:10, 4:10, 2:10] = 0.9    # c1: strong overlap with g1
+    det2[2:10, 12:27, 2:10] = 0.5   # c2: spans toward g2 (weak with both)
+    y_det = [det0, det1, det2]
+    y_true = [true0, true1, true2]
+    subject_list = ["m0", "m1", "m2"]
+    ref_m = ref_picai.evaluate(
+        y_det=y_det, y_true=y_true, subject_list=subject_list,
+        min_overlap=0.10, num_parallel_calls=1,
+    )
+    our_m = ours_evaluate(
+        y_det, y_true, subject_list=subject_list, min_overlap=0.10,
+        num_parallel_calls=1,
+    )
+    for pid in subject_list:
+        ref_set = sorted(
+            (int(a), round(float(b), 6))
+            for a, b, *_ in ref_m.lesion_results[pid]
+        )
+        our_set = sorted(
+            (int(a), round(float(b), 6)) for a, b in our_m.lesion_results[pid]
+        )
+        assert our_set == ref_set, f"{pid}: ours={our_set} ref={ref_set}"
+    assert our_m.AP == pytest.approx(ref_m.AP, abs=1e-6), (
+        f"AP ours={our_m.AP} ref={ref_m.AP}"
+    )

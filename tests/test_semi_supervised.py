@@ -104,3 +104,45 @@ def test_combined_loader_cycles():
     assert all("semi_sl_image" in b for b in out)
     # unlabeled stream cycled
     assert out[2]["semi_sl_image"][0, 0] == out[0]["semi_sl_image"][0, 0]
+
+
+def test_nearest_neighbour_loss_class_conditional():
+    """SNN semantics: same-class alignment lowers the loss; cross-class
+    alignment raises it (labels make it a real objective instead of a
+    collapse-to-any-prototype attraction)."""
+    key = jax.random.PRNGKey(0)
+    bank = jax.random.normal(key, (8, 16))
+    bank_labels = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1])
+    feats = bank[:4] + 0.01  # near the class-0 bank entries
+    good = float(
+        nearest_neighbour_loss(
+            feats, bank, jnp.zeros((4,), jnp.int32), bank_labels
+        )
+    )
+    bad = float(
+        nearest_neighbour_loss(
+            feats, bank, jnp.ones((4,), jnp.int32), bank_labels
+        )
+    )
+    assert good < bad
+
+
+def test_semi_sl_views_share_geometry():
+    """The two unlabeled views must share flips so positional feature
+    pairing is anatomically consistent."""
+    from adell_mri_tpu.train.semi_sl_steps import _random_view
+
+    key = jax.random.PRNGKey(3)
+    x = jnp.arange(2 * 8 * 8 * 4 * 1, dtype=jnp.float32).reshape(
+        (2, 8, 8, 4, 1)
+    )
+    geom = jax.random.PRNGKey(7)
+    outs = []
+    for i in range(4):
+        v = _random_view(jax.random.PRNGKey(10 + i), x, geom_key=geom)
+        # undo intensity scale/shift effects by normalizing per volume
+        v = (v - v.mean()) / v.std()
+        outs.append(np.asarray(v))
+    # identical geometry across views: normalized views are near-identical
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], atol=0.1)
