@@ -402,6 +402,17 @@ def main(arguments):
             continue
 
         if feat_keys:
+            from adell_mri_tpu.train.precision import wrap_apply
+
+            # --precision applies here too (the no-features branch routes
+            # through make_classification_step which already does this)
+            hybrid_apply = wrap_apply(
+                lambda params, x, feats, **kw: model.apply(
+                    {"params": params}, x, feats, **kw
+                ),
+                args.precision,
+            )
+
             def make_lm(train):
                 def lm(params, batch, rng):
                     x, y = batch["image"], batch["label"]
@@ -410,22 +421,29 @@ def main(arguments):
                         rng, k = jax.random.split(rng)
                         x, y = batch_prep(k, x, y)
                     rngs = {"dropout": rng} if train else None
-                    logits = model.apply(
-                        {"params": params}, x, feats, train=train, rngs=rngs
+                    logits = hybrid_apply(
+                        params, x, feats, train=train, rngs=rngs
                     )
                     loss = loss_fn(logits, y)
                     import jax.numpy as jnp
 
                     prob = jax.nn.sigmoid(logits[..., 0]) if n_classes == 2 else None
-                    acc = (
-                        jnp.mean(((prob > 0.5) == (y > 0.5)).astype(jnp.float32))
-                        if prob is not None
-                        else jnp.mean(
-                            (jnp.argmax(logits, -1) == y.astype(jnp.int32)).astype(
+                    if prob is not None:
+                        acc = jnp.mean(
+                            ((prob > 0.5) == (y > 0.5)).astype(jnp.float32)
+                        )
+                    else:
+                        # y may be soft [B, C] after multiclass mixup
+                        y_idx = (
+                            jnp.argmax(y, -1)
+                            if y.ndim == logits.ndim
+                            else y.astype(jnp.int32)
+                        )
+                        acc = jnp.mean(
+                            (jnp.argmax(logits, -1) == y_idx).astype(
                                 jnp.float32
                             )
                         )
-                    )
                     return loss, {"loss": loss, "acc": acc}
 
                 return lm
@@ -471,6 +489,17 @@ def main(arguments):
         if args.log_model:
             csv_logger.log_artifact(ckpt.dir)
         logger.info("fold %d done: %s", fold_idx, json.dumps(final, default=float))
+
+        # calibrate against the weights predict/test will actually SERVE:
+        # with early stopping the best checkpoint predates the final
+        # epoch, and a covariance/q_hat fitted on final-epoch params would
+        # void the conformal coverage guarantee for the served model
+        best = ckpt.best_step()
+        if best is not None and (
+            net_cfg.get("gaussian_process") or args.calibration_ids
+        ):
+            restored = ckpt.restore(best, target={"params": state.params})
+            state = state.replace(params=restored["params"])
 
         # GP-head covariance fit over the train set (parity: on_fit_end,
         # classification/pl.py:381-392); saved next to the checkpoint so

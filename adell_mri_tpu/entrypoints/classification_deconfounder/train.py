@@ -170,7 +170,16 @@ def main(arguments):
             logits, cat_preds, cont_pred, penalty = model.apply(
                 {"params": params}, batch["image"], train=train, rngs=rngs
             )
-            loss = binary_logistic_loss(logits, batch["label"])
+            if args.n_classes > 2:
+                # softmax CE — binary_logistic_loss only trains the
+                # class-0 logit and test.py softmaxes all n_classes
+                from adell_mri_tpu.models.classification.losses import (
+                    cross_entropy_loss,
+                )
+
+                loss = cross_entropy_loss(logits, batch["label"])
+            else:
+                loss = binary_logistic_loss(logits, batch["label"])
             for i in range(len(cat_cards)):
                 oh = jax.nn.one_hot(batch[f"cat_conf_{i}"], cat_cards[i])
                 loss = loss + jnp.mean(

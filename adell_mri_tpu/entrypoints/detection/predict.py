@@ -43,6 +43,7 @@ def main(arguments):
     meta = mngr.load_metadata()
     anchors = np.asarray(meta["anchors"], np.float32)
     base_size = tuple(meta["input_shape"])
+    target_spacing = meta.get("target_spacing")
     image_keys = args.image_keys or meta.get("image_keys", ["image"])
     model = YOLONet3d(
         n_anchors=len(anchors),
@@ -77,7 +78,9 @@ def main(arguments):
         channels = []
         for key in image_keys:
             img = reorient_to_ras(read_nifti(dataset[pid][key]))
-            vol = resample_to_spec(img, None, base_size)
+            # the TRAINING spacing (checkpoint metadata) — native
+            # spacing would change object scale vs the anchors
+            vol = resample_to_spec(img, target_spacing, base_size)
             lo, hi = vol.min(), vol.max()
             channels.append((vol - lo) / max(hi - lo, 1e-6))
         x = np.stack(channels, -1).astype(np.float32)

@@ -233,6 +233,11 @@ def main(arguments):
             "anchors": anchors.tolist(),
             "grid": list(grid),
             "input_shape": list(base_size),
+            # predict must resample at the TRAINING spacing — without it
+            # objects appear at a different scale than the anchors learned
+            "target_spacing": (
+                list(args.target_spacing) if args.target_spacing else None
+            ),
             "n_classes": args.n_classes,
             "backbone_structure": [list(b) for b in backbone],
             "image_keys": list(args.image_keys),

@@ -199,6 +199,11 @@ def main(arguments):
             "transform_arguments": {
                 "image_keys": list(args.image_keys),
                 "target_size": list(base_size),
+                "target_spacing": (
+                    list(args.target_spacing)
+                    if args.target_spacing
+                    else None
+                ),
             },
         },
         monitor=args.monitor,

@@ -347,8 +347,13 @@ def _train_regular(
         sums, n = {}, 0
         for batch in loader:
             rng, k1, k2 = jax.random.split(rng, 3)
-            for _ in range(args.n_critic):
-                d_state, d_m = d_step(d_state, g_state.params, batch, k1)
+            for ci in range(args.n_critic):
+                # fresh latents per critic iteration — reusing one key
+                # gives the critic N identical (batch, z) draws
+                d_state, d_m = d_step(
+                    d_state, g_state.params, batch,
+                    jax.random.fold_in(k1, ci),
+                )
             g_state, g_m = g_step(g_state, d_state.params, batch, k2)
             n += 1
             _accumulate(sums, d_m, "d_")
@@ -430,11 +435,11 @@ def _train_cycle(
                 "image_b": batch["image"],
             }
             rng, k1, k2 = jax.random.split(rng, 3)
-            for _ in range(args.n_critic):
+            for ci in range(args.n_critic):
                 d_states, d_m = d_step(
                     d_states,
                     {"ab": g_states["ab"].params, "ba": g_states["ba"].params},
-                    cyc_batch, k1,
+                    cyc_batch, jax.random.fold_in(k1, ci),
                 )
             g_states, g_m = g_step(
                 g_states,
@@ -553,9 +558,10 @@ def _train_progressive(
                 alpha = 1.0
             real = resize(jnp.asarray(batch["image"]))
             rng, k1, k2 = jax.random.split(rng, 3)
-            for _ in range(args.n_critic):
+            for ci in range(args.n_critic):
                 d_state, d_m = d_step(
-                    d_state, g_state.params, {"image": real}, k1, alpha
+                    d_state, g_state.params, {"image": real},
+                    jax.random.fold_in(k1, ci), alpha,
                 )
             g_state, g_m = g_step(
                 g_state, d_state.params, {"image": real}, k2, alpha

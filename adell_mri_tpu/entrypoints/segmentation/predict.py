@@ -334,17 +334,39 @@ def main(arguments):
             prob = np.asarray(pred[0].astype(jnp.float32))
         else:
             prob = np.asarray(inference(x))
-        # inverse resample back to original geometry (Invertd analogue)
+        # inverse resample back to original geometry (Invertd analogue).
+        # Binary: one sigmoid channel. Multiclass: channel 0 is softmax
+        # BACKGROUND — foreground probability is 1 - P(bg) and masks come
+        # from argmax over classes (writing channel 0 would emit P(bg))
+        if n_classes and n_classes > 2:
+            prob_fg = 1.0 - prob[..., 0]
+            class_map = np.argmax(prob, axis=-1).astype(np.float32)
+        else:
+            prob_fg = prob[..., 0]
+            class_map = None
         inv = _invert_geometry(
-            prob[..., 0], ref_img, target_spacing, resize_size=resize_size
+            prob_fg, ref_img, target_spacing, resize_size=resize_size
         )
+        if class_map is not None:
+            inv_cls = np.rint(
+                _invert_geometry(
+                    class_map, ref_img, target_spacing,
+                    resize_size=resize_size,
+                )
+            )
         if args.keep_ras:
             out, affine = inv, ref_img.affine
+            out_cls = inv_cls if class_map is not None else None
         else:
             # back to the source file's voxel layout (byte-layout parity
             # with the reference's Invertd)
             out = reorient_from_ras(inv, orig_affine)
             affine = orig_affine
+            out_cls = (
+                reorient_from_ras(inv_cls, orig_affine)
+                if class_map is not None
+                else None
+            )
         out_path = os.path.join(args.output_path, f"{pid}_prob.nii.gz")
         if args.extract_lesions:
             from adell_mri_tpu.eval.lesion import extract_lesion_candidates
@@ -355,6 +377,11 @@ def main(arguments):
             writer.put(out_path, cand_map.astype(np.float32), affine)
         elif args.prediction_type == "probability":
             writer.put(out_path, out.astype(np.float32), affine)
+        elif out_cls is not None:
+            # multiclass mask: argmax class ids
+            writer.put(out_path, out_cls.astype(np.uint8), affine)
+            logger.info("predicted %s -> %s", pid, out_path)
+            continue
         else:
             hard = (out > args.threshold).astype(np.uint8)
             if args.keep_largest_connected_component:

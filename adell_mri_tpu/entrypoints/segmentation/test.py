@@ -142,13 +142,30 @@ def main(arguments):
             cond.append(sample["skip_layer"])
         if feature_keys:
             cond.append(sample["features"])
-        prob = np.asarray(predict(sample["image"], *cond))[..., 0]
+        pred_full = np.asarray(predict(sample["image"], *cond))
         lab = sample["label"]
-        dices.append(dice_score(prob, lab))
-        ious.append(iou_score(prob, lab))
+        if n_classes and n_classes > 2:
+            # channel 0 is softmax BACKGROUND — evaluate per foreground
+            # class on the argmax map (channel 0 alone would score P(bg))
+            cls_map = np.argmax(pred_full, axis=-1)
+            per_dice, per_iou = [], []
+            for c in range(1, n_classes):
+                per_dice.append(
+                    dice_score((cls_map == c).astype(np.float32), lab == c)
+                )
+                per_iou.append(
+                    iou_score((cls_map == c).astype(np.float32), lab == c)
+                )
+            dices.append(float(np.mean(per_dice)))
+            ious.append(float(np.mean(per_iou)))
+            prob = 1.0 - pred_full[..., 0]  # foreground prob for PI-CAI
+        else:
+            prob = pred_full[..., 0]
+            dices.append(dice_score(prob, lab))
+            ious.append(iou_score(prob, lab))
         if args.picai_eval:
             preds.append(prob)
-            labels.append(lab)
+            labels.append((lab > 0).astype(np.float32))
     results = {
         "dice": float(np.mean(dices)),
         "iou": float(np.mean(ious)),

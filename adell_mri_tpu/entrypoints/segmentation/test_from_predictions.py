@@ -74,19 +74,29 @@ def main(arguments):
         entry = data[pid]
         pred = _read_any(entry[args.prediction_key])
         gt = _read_any(entry[gt_key])
-        # ensemble stacked on dim 0 when 1 dim higher than GT
-        if pred.ndim == gt.ndim + 1:
+        # a leading extra dim is ambiguous: a multiclass class axis
+        # (size == n_classes, logits/probs mode) or an ensemble stack —
+        # resolve the CLASS axis first, otherwise ensemble reduction would
+        # average over classes and make the softmax branch unreachable
+        is_class_axis = (
+            args.n_classes > 2
+            and pred.ndim == gt.ndim + 1
+            and pred.shape[0] == args.n_classes
+        )
+        if is_class_axis:
+            if args.prediction_mode == "logits":
+                pred = _softmax(pred, axis=0)
+            pred = 1.0 - pred[0]  # foreground probability (1 - P(bg))
+        elif pred.ndim == gt.ndim + 1:
+            # ensemble stacked on dim 0
             if args.reduction == "mean":
                 pred = pred.mean(0)
             elif args.reduction == "max":
                 pred = pred.max(0)
             else:
                 pred = pred[int(args.reduction)]
-        if args.prediction_mode == "logits":
-            if args.n_classes > 2 and pred.ndim == gt.ndim + 1:
-                pred = _softmax(pred, axis=0)[1]
-            else:
-                pred = 1.0 / (1.0 + np.exp(-pred))
+        if args.prediction_mode == "logits" and not is_class_axis:
+            pred = 1.0 / (1.0 + np.exp(-pred))
         gt_bin = (gt > 0.5).astype(np.float32)
         m = binary_metrics(
             pred.ravel(), gt_bin.ravel(), threshold=args.proba_threshold

@@ -764,7 +764,9 @@ def main(arguments):
             # lesion-level V_AP/V_AUC/V_score every validation epoch
             # (parity: segmentation/pl.py:604-626)
             callbacks.append(
-                LesionEvalCallback(model, n_classes=args.n_classes)
+                # the DERIVED n_classes (from --possible_labels), like
+                # every other consumer in this function
+                LesionEvalCallback(model, n_classes=n_classes)
             )
         loop = TrainLoop(
             train_step=train_step,

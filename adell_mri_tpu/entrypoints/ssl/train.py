@@ -230,6 +230,11 @@ def main(arguments):
                 "image_keys": list(args.image_keys),
                 "target_size": list(base_size),
                 "crop_size": list(crop_size) if crop_size else None,
+                "target_spacing": (
+                    list(args.target_spacing)
+                    if getattr(args, "target_spacing", None)
+                    else None
+                ),
             },
         },
         monitor=args.monitor,
