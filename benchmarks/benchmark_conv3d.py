@@ -234,6 +234,57 @@ def main():
                     f"{str(exc).splitlines()[0][:120]}"
                 )
 
+    # decoder upscale rows: XLA's transpose conv vs the block-matmul
+    # lowering (conv_transpose_block — what TpuConvTranspose serves) at
+    # the flagship UNet's kernel==strides==2 decoder shapes
+    from adell_mri_tpu.ops.conv import conv_transpose_block
+
+    for xs, cout in [
+        ((B, 16, 16, 4, 256), 128),
+        ((B, 32, 32, 8, 128), 64),
+        ((B, 64, 64, 16, 64), 32),
+    ]:
+        cin = xs[-1]
+        kt = (2, 2, 2)
+        wt = jnp.full(kt + (cin, cout), 0.01, dtype)
+        # each input voxel contracted into prod(k) output voxels
+        flops = 2 * int(np.prod(xs[:4])) * 8 * cin * cout
+
+        def t_xla(x, w):
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC")
+            )
+            return jax.lax.conv_transpose(
+                x, w, strides=kt, padding="VALID",
+                dimension_numbers=dn, transpose_kernel=False,
+            )
+
+        for name, fn in [
+            ("xla", t_xla),
+            ("block", lambda x, w: conv_transpose_block(x, w)),
+        ]:
+            x0 = jnp.ones(xs, dtype)
+
+            @jax.jit
+            def tr_chain(x, w, n, fn=fn):
+                def body(i, c):
+                    return c + jnp.mean(fn(c, w)) * 1e-6
+
+                return jax.lax.fori_loop(0, n, body, x)
+
+            try:
+                dt_f, ok_f = slope_time(lambda n: tr_chain(x0, wt, n))
+                print(
+                    f"deconv2 {name:7s} {str(xs):26s} -> {cout:4d}: "
+                    f"{dt_f * 1e3:8.2f} ms  {flops / dt_f / 1e12:6.2f}"
+                    f" TFLOP/s{'' if ok_f else '  (UNRESOLVED)'}"
+                )
+            except Exception as exc:
+                print(
+                    f"deconv2 {name:7s} {str(xs):26s}: FAILED "
+                    f"{str(exc).splitlines()[0][:120]}"
+                )
+
     # calibration: the MXU speed-of-light on this run
     m = 4096
 
