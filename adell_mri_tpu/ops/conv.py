@@ -35,11 +35,14 @@ _DIMNUMS = ("NDHWC", "DHWIO", "NDHWC")
 
 
 def conv3d_xla(x, w, strides=(1, 1, 1), padding="SAME"):
+    # no preferred_element_type: its transpose rule mixes dtypes in the
+    # backward (f32 cotangent vs bf16 operands fails conv_general_dilated),
+    # and TPU bf16 convs accumulate f32 in the MXU regardless — same
+    # reasoning as TpuConv's inline call below
     return jax.lax.conv_general_dilated(
         x, w, window_strides=strides, padding=padding,
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def conv3d_im2col(x, w, strides=(1, 1, 1), padding="SAME"):
