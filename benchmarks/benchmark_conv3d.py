@@ -73,25 +73,32 @@ def main():
         lowerings = [
             ("xla", lambda x, w: conv3d_xla(x, w)),
             ("z2d", lambda x, w: conv3d_z2d(x, w)),
-            ("zfold", lambda x, w: conv3d_zfold(x, w)),
         ]
-        # match production routing: the stem's 3.4 GB patch tensor (plus
-        # XLA's 4x lane-padded shifted slices) OOMs HBM when forced, so
-        # only sweep im2col where the auto guard would actually pick it
-        if _im2col_patch_bytes(
-            xs, (3, 3, 3), (1, 1, 1), dtype
-        ) <= _IM2COL_MAX_BYTES:
-            lowerings.append(
-                ("im2col", lambda x, w: conv3d_im2col_trainable(
-                    x, w, (1, 1, 1), "SAME"))
-            )
-        if conv3d_pallas_supported(
-            xs, (3, 3, 3, cin, cout), (1, 1, 1), "SAME"
-        ):
-            lowerings.append(
-                ("pallas", lambda x, w: conv3d_pallas_trainable(
-                    x, w, (1, 1, 1), "SAME"))
-            )
+        # non-default lowerings are opt-in (ADELL_BENCH_RISKY=1): a zfold
+        # row crashed the remote TPU worker mid-sweep (2026-08-18), losing
+        # every row after it — the default sweep covers only the lowerings
+        # production auto-routing can actually pick
+        import os as _os
+
+        if _os.environ.get("ADELL_BENCH_RISKY", "0") == "1":
+            lowerings.append(("zfold", lambda x, w: conv3d_zfold(x, w)))
+            # match production routing: the stem's 3.4 GB patch tensor
+            # (plus XLA's 4x lane-padded shifted slices) OOMs HBM when
+            # forced, so only sweep im2col where the guard would pick it
+            if _im2col_patch_bytes(
+                xs, (3, 3, 3), (1, 1, 1), dtype
+            ) <= _IM2COL_MAX_BYTES:
+                lowerings.append(
+                    ("im2col", lambda x, w: conv3d_im2col_trainable(
+                        x, w, (1, 1, 1), "SAME"))
+                )
+            if conv3d_pallas_supported(
+                xs, (3, 3, 3, cin, cout), (1, 1, 1), "SAME"
+            ):
+                lowerings.append(
+                    ("pallas", lambda x, w: conv3d_pallas_trainable(
+                        x, w, (1, 1, 1), "SAME"))
+                )
         for name, fn in lowerings:
             x0 = jnp.ones(xs, dtype)
 
