@@ -361,6 +361,7 @@ def _train_regular(
         metrics = _epoch_metrics(sums, n)
         mlog.log_metrics(metrics, step=epoch)
         ckpt.save(epoch + 1, g_state, metrics=metrics)
+    ckpt.wait()  # commit the last async save before the caller exits
     return metrics
 
 
@@ -452,6 +453,7 @@ def _train_cycle(
         metrics = _epoch_metrics(sums, n)
         mlog.log_metrics(metrics, step=epoch)
         ckpt.save(epoch + 1, g_states["ab"], metrics=metrics)
+    ckpt.wait()  # commit the last async save before the caller exits
     return metrics
 
 
@@ -573,4 +575,5 @@ def _train_progressive(
         metrics.update({"stage": stage, "alpha": alpha})
         mlog.log_metrics(metrics, step=epoch)
         ckpt.save(epoch + 1, g_state, metrics=metrics)
+    ckpt.wait()  # commit the last async save before the caller exits
     return metrics

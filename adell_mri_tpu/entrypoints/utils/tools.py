@@ -817,6 +817,7 @@ def import_torch_checkpoint(argv):
     if "batch_stats" in imported:
         payload["batch_stats"] = imported["batch_stats"]
     mngr.save(0, payload, metrics={"val_loss": 0.0})
+    mngr.wait()  # the caller reads the directory immediately
     print(
         json.dumps(
             {

@@ -79,14 +79,23 @@ class CheckpointManager:
 
     # -- save/restore ------------------------------------------------------
     def save(self, step: int, state: Any, metrics: Optional[Dict] = None):
+        # the host copy is MANDATORY before returning control to the train
+        # loop: train steps donate the state buffers (steps.py
+        # donate_argnums), so the device arrays this state refers to are
+        # invalidated by the next step — only the np snapshot stays valid
+        # for the async writer
         tree = jax.tree.map(np.asarray, _savable(state))
+        # async save: orbax's default manager writes on a background
+        # thread; serialize against the PREVIOUS save here instead of
+        # blocking the train loop on this one (wait_until_finished after
+        # save stalled an epoch boundary by the full disk-write time)
+        self._mngr.wait_until_finished()
         # last-write-wins (Lightning semantics): orbax silently SKIPS a
         # save whose step already exists, which resurrects stale weights
         # when a run is restarted from scratch into the same directory
         if step in self._mngr.all_steps():
             self._mngr.delete(step)
         self._mngr.save(step, args=ocp.args.StandardSave(tree))
-        self._mngr.wait_until_finished()
         if metrics and self.monitor in metrics:
             value = float(metrics[self.monitor])
             best = self._best()
@@ -99,15 +108,17 @@ class CheckpointManager:
                 with open(os.path.join(self.dir, "best.json"), "w") as f:
                     json.dump({"step": step, "value": value}, f)
         # retention: the most recent ``max_to_keep`` steps, ALWAYS
-        # protecting the best step (best.json must stay restorable)
+        # protecting the best step (best.json must stay restorable) and
+        # the save scheduled above (whether or not the async writer has
+        # registered it in all_steps() yet)
         if self.max_to_keep is not None:
-            steps = sorted(self._mngr.all_steps())
-            protect = set(steps[-self.max_to_keep:])
+            steps = sorted(set(self._mngr.all_steps()) | {step})
+            protect = set(steps[-self.max_to_keep:]) | {step}
             best = self._best()
             if best is not None:
                 protect.add(int(best["step"]))
             for s in steps:
-                if s not in protect:
+                if s not in protect and s in self._mngr.all_steps():
                     self._mngr.delete(s)
 
     def _best(self) -> Optional[Dict]:
@@ -117,7 +128,14 @@ class CheckpointManager:
                 return json.load(f)
         return None
 
+    def wait(self):
+        """Blocks until any in-flight async save has committed to disk.
+        Call before process exit or before handing the directory to
+        another consumer (test/predict entrypoints re-open it)."""
+        self._mngr.wait_until_finished()
+
     def latest_step(self) -> Optional[int]:
+        self._mngr.wait_until_finished()
         return self._mngr.latest_step()
 
     def best_step(self) -> Optional[int]:
@@ -125,6 +143,8 @@ class CheckpointManager:
         return best["step"] if best else self.latest_step()
 
     def restore(self, step: Optional[int] = None, target: Any = None):
+        # an in-flight async save of exactly this step must land first
+        self._mngr.wait_until_finished()
         step = step if step is not None else self.latest_step()
         if step is None:
             return None
@@ -144,6 +164,8 @@ class CheckpointManager:
         and best.json (parity: ref --delete_checkpoints — metrics survive,
         weights go)."""
         import shutil
+
+        self._mngr.wait_until_finished()
 
         for entry in os.listdir(self.dir):
             path = os.path.join(self.dir, entry)

@@ -218,6 +218,14 @@ class TrainLoop:
         if self._profiling:
             jax.profiler.stop_trace()
             self._profiling = False
+        if self.ckpt_manager is not None and hasattr(
+            self.ckpt_manager, "wait"
+        ):
+            # commit the in-flight async save before handing the directory
+            # to whatever runs next (test/predict re-open it, possibly via
+            # a FRESH manager instance that knows nothing about this one's
+            # writer thread)
+            self.ckpt_manager.wait()
         return state, history
 
 
