@@ -9,6 +9,11 @@ supported_modes = {
     "model_to_export": (
         "adell_mri_tpu.entrypoints.classification.model_to_export"
     ),
+    # reference spelling (entrypoints/classification/model_to_torchscript.py)
+    # maps to the same exporter — here it emits StableHLO, not torchscript
+    "model_to_torchscript": (
+        "adell_mri_tpu.entrypoints.classification.model_to_export"
+    ),
 }
 
 

@@ -8,6 +8,9 @@ supported_modes = {
     "train": "adell_mri_tpu.entrypoints.ssl.train",
     "predict_folder": "adell_mri_tpu.entrypoints.ssl.predict_folder",
     "model_to_export": "adell_mri_tpu.entrypoints.ssl.model_to_export",
+    # reference spelling (entrypoints/ssl/model_to_torchscript.py); the
+    # exporter emits StableHLO rather than torchscript
+    "model_to_torchscript": "adell_mri_tpu.entrypoints.ssl.model_to_export",
 }
 
 

@@ -57,6 +57,18 @@ def main():
     )
     from adell_mri_tpu.ops.pallas.conv import conv3d_pallas_supported
 
+    import os as _os
+
+    # ADELL_BENCH_SECTIONS: comma list of {unet,patchify,dw,deconv} — a
+    # wedge-prone row (the pathological XLA stem fwd+bwd compile hung a
+    # 2026-08-18 healthy-window sweep for 25 min) shouldn't cost the
+    # decision rows after it; default runs everything
+    _sections = set(
+        _os.environ.get(
+            "ADELL_BENCH_SECTIONS", "unet,patchify,dw,deconv"
+        ).split(",")
+    )
+
     B = 4
     shapes = [
         # (input shape, cout): the flagship UNet's per-level hot convs
@@ -66,7 +78,7 @@ def main():
         ((B, 16, 16, 4, 128), 256),
     ]
     dtype = jnp.bfloat16
-    for xs, cout in shapes:
+    for xs, cout in (shapes if "unet" in _sections else []):
         cin = xs[-1]
         w0 = jnp.full((3, 3, 3, cin, cout), 0.01, dtype)
         fwd_flops = 2 * int(np.prod(xs[:4])) * 27 * cin * cout
@@ -162,10 +174,14 @@ def main():
     # TPU auto pick) vs XLA's 3D conv — ConvNeXt stem / ViT patch embed
     from adell_mri_tpu.ops.conv import conv3d_s2d
 
-    for xs, k, cout in [
-        ((B, 128, 128, 32, 1), (4, 4, 2), 96),
-        ((B, 128, 128, 32, 4), (4, 4, 4), 768),
-    ]:
+    for xs, k, cout in (
+        [
+            ((B, 128, 128, 32, 1), (4, 4, 2), 96),
+            ((B, 128, 128, 32, 4), (4, 4, 4), 768),
+        ]
+        if "patchify" in _sections
+        else []
+    ):
         cin = xs[-1]
         wp = jnp.full(k + (cin, cout), 0.01, dtype)
         flops = (
@@ -201,7 +217,11 @@ def main():
     # depthwise lowering (ADELL_DW_LOWERING candidate)
     from adell_mri_tpu.ops.conv import conv3d_dw_z2d
 
-    for xs in [(B, 32, 32, 16, 96), (B, 16, 16, 8, 192)]:
+    for xs in (
+        [(B, 32, 32, 16, 96), (B, 16, 16, 8, 192)]
+        if "dw" in _sections
+        else []
+    ):
         c = xs[-1]
         wd = jnp.full((7, 7, 7, 1, c), 0.01, dtype)
         flops = 2 * int(np.prod(xs[:4])) * 343 * c
@@ -246,11 +266,15 @@ def main():
     # the flagship UNet's kernel==strides==2 decoder shapes
     from adell_mri_tpu.ops.conv import conv_transpose_block
 
-    for xs, cout in [
-        ((B, 16, 16, 4, 256), 128),
-        ((B, 32, 32, 8, 128), 64),
-        ((B, 64, 64, 16, 64), 32),
-    ]:
+    for xs, cout in (
+        [
+            ((B, 16, 16, 4, 256), 128),
+            ((B, 32, 32, 8, 128), 64),
+            ((B, 64, 64, 16, 64), 32),
+        ]
+        if "deconv" in _sections
+        else []
+    ):
         cin = xs[-1]
         kt = (2, 2, 2)
         wt = jnp.full(kt + (cin, cout), 0.01, dtype)

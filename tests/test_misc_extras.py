@@ -80,3 +80,24 @@ def test_device_lock(tmp_path):
     assert DeviceLock(n_devices=2, lock_dir=str(tmp_path))._stale(
         str(tmp_path / "device_1.lock")
     )
+
+
+def test_reference_mode_spellings_dispatch():
+    # the reference's mode names (entrypoints/classification/
+    # model_to_torchscript.py, ssl/model_to_torchscript.py, ssl/train_3d.py,
+    # generative_gan/train_2d.py) resolve in our dispatch tables
+    from adell_mri_tpu.entrypoints.classification.__main__ import (
+        supported_modes as cls_modes,
+    )
+    from adell_mri_tpu.entrypoints.generative_gan.__main__ import (
+        supported_modes as gan_modes,
+    )
+    from adell_mri_tpu.entrypoints.ssl.__main__ import (
+        supported_modes as ssl_modes,
+    )
+
+    assert "model_to_torchscript" in cls_modes
+    assert cls_modes["model_to_torchscript"] == cls_modes["model_to_export"]
+    assert "model_to_torchscript" in ssl_modes
+    assert "train_3d" in ssl_modes
+    assert "train_2d" in gan_modes
