@@ -57,8 +57,8 @@ class ConvNeXtBackbone(nn.Module):
         )
         kernel = tuple(max(s, 2) for s in stride)
         # patchify stem: non-overlapping stride-4 conv + LayerNorm
-        # TpuConv: k==strides patchify lowers to space-to-depth + one
-        # GEMM (ops/conv.py conv3d_s2d); name pins the param path
+        # TpuConv routes patchify by the measured auto policy
+        # (ops/conv.py _pick_lowering); name pins the param path
         x = TpuConv(f0, kernel, strides=stride, name="stem_conv")(x)
         x = nn.LayerNorm(name="stem_norm")(x)
 

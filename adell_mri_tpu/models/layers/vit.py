@@ -208,8 +208,8 @@ class LinearEmbedding(nn.Module):
             tokens = x.reshape(b, -1, x.shape[-1]).transpose(0, 2, 1)
             tokens = nn.Dense(self.embed_dim)(tokens)
         elif self.embed_method == "convolutional":
-            # TpuConv: k==strides patchify lowers to space-to-depth + one
-            # GEMM in 3D (ops/conv.py conv3d_s2d); name pins the auto path
+            # TpuConv routes patchify by the measured auto policy
+            # (ops/conv.py _pick_lowering); name pins the param path
             y = TpuConv(
                 self.embed_dim, p, strides=p, padding="VALID",
                 name="Conv_0",
@@ -518,8 +518,8 @@ class SWINTransformerBlockStack(nn.Module):
     def __call__(self, x, train: bool = False):
         ndim = x.ndim - 2
         p = tuple(self.patch_size[:ndim])
-        # patchify -> s2d lowering in 3D (space-to-depth + one GEMM);
-        # name pins the previous nn.Conv auto path
+        # patchify conv routed by the measured auto policy
+        # (ops/conv.py _pick_lowering); name pins the nn.Conv param path
         x = TpuConv(
             self.embed_dim, p, strides=p, padding="VALID", name="Conv_0"
         )(x)

@@ -11,14 +11,15 @@ XLA/TPU runtime tiles best:
 - ``z2d``: the 3D conv decomposed over its smallest-kernel axis into k 2D
   convs on shifted slabs (XLA's 2D conv path tiles well where its 3D path
   is erratically pathological at stem shapes — BASELINE.md round-3);
-- ``s2d``: patchify convs (kernel == strides) as space-to-depth + ONE GEMM;
+- ``s2d``: patchify convs (kernel == strides) as space-to-depth + ONE GEMM
+  (force-only: XLA's own conv path won the on-chip A/B at patchify shapes);
 - ``im2col``/``im2col_t``/``zfold``: explicit patch-tensor GEMM variants —
   HBM-bound by construction on a healthy MXU (round-3 measurement), kept
   for degraded-bandwidth environments and benchmarking;
 - ``pallas``: implicit-GEMM kernel building patch tiles in VMEM.
 
 ``lowering="auto"`` (the default, see ``_pick_lowering``) chooses z2d on
-TPU for general convs and s2d for patchify convs; plain xla elsewhere.
+TPU for general convs and plain xla for patchify convs and off-TPU.
 ``ADELL_CONV_LOWERING`` forces any lowering. ``ADELL_IM2COL_MAX_BYTES``
 only gates im2col rows in benchmarks/benchmark_conv3d.py — it does NOT
 steer the training auto policy.
@@ -454,9 +455,12 @@ def conv3d_dw_z2d(x, w, strides=(1, 1, 1), padding="SAME"):
 
 class TpuDwConv(_nn.Module):
     """Depthwise ``nn.Conv`` drop-in (kernel [*k, 1, C], bias [C] — same
-    param tree as nn.Conv with feature_group_count=C). 3D forwards route
-    through conv3d_dw_z2d when ADELL_DW_LOWERING=z2d; default stays the
-    XLA depthwise conv pending an on-chip measurement."""
+    param tree as nn.Conv with feature_group_count=C). On TPU, 3D
+    forwards route through conv3d_dw_z2d by default — it beat XLA's
+    grouped conv 2.3-3.6x at the ConvNeXt 7^3 shapes in the 2026-08-18
+    healthy-window A/B (1.61 vs 3.73 ms at 32^2x16x96, 0.26 vs 0.94 ms
+    at 16^2x8x192, calibration 229 TFLOP/s). ``ADELL_DW_LOWERING``
+    forces either lowering on any backend."""
 
     features: int
     kernel_size: tuple
@@ -475,8 +479,10 @@ class TpuDwConv(_nn.Module):
             k + (1, self.features),
         ).astype(x.dtype)
         # explicit env force wins regardless of backend (same contract as
-        # ADELL_CONV_LOWERING in _pick_lowering)
-        lowering = os.environ.get("ADELL_DW_LOWERING", "xla")
+        # ADELL_CONV_LOWERING in _pick_lowering); auto = z2d on TPU
+        lowering = os.environ.get("ADELL_DW_LOWERING") or (
+            "z2d" if _tpu_backend() else "xla"
+        )
         if ndim == 3 and lowering == "z2d":
             y = conv3d_dw_z2d(x, w, strides, self.padding)
         else:
@@ -583,9 +589,15 @@ def _pick_lowering(x, k, strides, padding="SAME", cout=None):
     if not _tpu_backend():
         return "xla"
     if tuple(k) == tuple(strides):
-        # patchify conv: non-overlapping windows = space-to-depth + one
-        # GEMM (no conv op at all)
-        return "s2d"
+        # patchify conv (kernel == strides): XLA's conv path WON the
+        # healthy-window on-chip A/B (2026-08-18, calibration 229
+        # TFLOP/s: 0.19 vs 0.54 ms at the 1-ch ConvNeXt stem, 0.54 vs
+        # 2.25 ms at the 4-ch 4^3->768 patch embed) — the explicit
+        # space-to-depth reshape materializes a transposed copy XLA's
+        # own im2col-style tiling avoids. s2d stays a force-only option
+        # (ADELL_CONV_LOWERING=s2d) for environments where the conv path
+        # misbehaves.
+        return "xla"
     return "z2d"
 
 
