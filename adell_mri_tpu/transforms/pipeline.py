@@ -84,6 +84,13 @@ def _augment_one(
     ndim = image.ndim - 1
     shape = image.shape[:-1]
     keys = jax.random.split(key, 8)
+    # warp/intensity internals compute in f32 for interpolation accuracy,
+    # but the AUGMENT boundary must preserve the caller's dtype: a silent
+    # f32 output from a bf16 input promotes every downstream matmul/conv
+    # to f32 (bf16 params @ f32 activations), which measured as a ~40%
+    # tax on the whole aug+forward graph (BASELINE.md round-3 session F)
+    in_dtype = image.dtype
+    label_dtype = None if label is None else label.dtype
 
     fold_flip = policy.flip and (policy.affine or policy.shear) and ndim == 3
     # elastic distortion composes into the SAME warp as a displacement field
@@ -171,6 +178,9 @@ def _augment_one(
     if policy.trivial and workhorse is not None:
         # independent stream — keys[7] already drives blur when enabled
         image = workhorse(jax.random.fold_in(keys[7], 11), image)
+    image = image.astype(in_dtype)
+    if label is not None:
+        label = label.astype(label_dtype)
     return image, label
 
 
@@ -181,6 +191,8 @@ def _batch_intensity(key, image, policy: AugmentPolicy):
         return image
     from adell_mri_tpu.ops.pallas.intensity import fused_intensity_aug_batch
 
+    # dtype-preserving boundary (same rationale as _augment_one): the
+    # fused pass may compute/emit f32 internally
     return fused_intensity_aug_batch(
         key,
         image,
@@ -189,7 +201,7 @@ def _batch_intensity(key, image, policy: AugmentPolicy):
         shift_delta=0.1 if policy.intensity else 0.0,
         sigma=policy.noise_std if policy.noise else 0.0,
         rician=True,
-    )
+    ).astype(image.dtype)
 
 
 @dataclass
