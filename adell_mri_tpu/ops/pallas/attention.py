@@ -35,10 +35,15 @@ _VMEM_KV_LIMIT = 4 * 1024 * 1024
 
 
 def _use_tiled() -> bool:
-    """The scalable tiled kernel uses scratch accumulators + revisited
-    output blocks, which wedge the axon remote-compile tunnel (see memory
-    note axon-pallas-quirks); opt in explicitly on real TPU pods."""
-    return os.environ.get("ADELL_PALLAS_TILED", "0") == "1"
+    """Scalable tiled kernel (scratch accumulators + revisited output
+    blocks) — DEFAULT since the 2026-08-18 healthy-window probe compiled
+    and ran it cleanly on the real chip and it beat XLA's materialized
+    attention 2.1-2.3x fwd / 3.1-3.9x fwd+bwd at 4k/16k tokens
+    (108.6 TFLOP/s fwd+bwd at 16k; benchmarks/benchmark_flash_attention.py,
+    calibration 201.6). An early round-3 compile attempt had wedged the
+    remote compile service — ADELL_PALLAS_TILED=0 opts back into the
+    VMEM-resident variant (<=4 MB KV/head, XLA bwd) if that recurs."""
+    return os.environ.get("ADELL_PALLAS_TILED", "1") != "0"
 
 
 def _flash_kernel_vmem(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, scale, n_kv, bk):
