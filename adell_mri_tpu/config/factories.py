@@ -252,13 +252,23 @@ def get_classification_network(
             dropout_param=cfg.get("dropout_param", 0.0),
         )
     elif net_type == "vit":
+        _vit_embed = cfg.get(
+            "embed_dim",
+            cfg.get("attention_dim", cfg.get("embedding_size", 256)),
+        )
+        # the reference's mlp_structure ([1024] in classification-vit.yaml)
+        # sets the transformer MLP width; ours parameterizes it as a ratio
+        _mlp_struct = cfg.get("mlp_structure")
+        _mlp_ratio = (
+            max(_mlp_struct) / _vit_embed
+            if _mlp_struct
+            else cfg.get("mlp_ratio", 4.0)
+        )
         net = ViTClassifier(
             patch_size=tuple(cfg.get("patch_size", (4, 4, 4))),
             n_classes=n_classes,
-            embed_dim=cfg.get(
-                "embed_dim",
-                cfg.get("attention_dim", cfg.get("embedding_size", 256)),
-            ),
+            embed_dim=_vit_embed,
+            mlp_ratio=_mlp_ratio,
             n_blocks=cfg.get("n_blocks", cfg.get("number_of_blocks", 4)),
             n_heads=cfg.get("n_heads", cfg.get("number_of_attention_heads", 4)),
             dropout_param=cfg.get(
@@ -267,6 +277,8 @@ def get_classification_network(
             use_class_token=cfg.get("use_class_token", True),
             use_seq_pool=cfg.get("use_seq_pool", False),
             moe_experts=cfg.get("moe_experts", 0),
+            embed_method=cfg.get("embed_method", "linear"),
+            embed_norm=bool(cfg.get("embed_norm", False)),
         )
     elif net_type == "factorized_vit":
         net = FactorizedViTClassifier(

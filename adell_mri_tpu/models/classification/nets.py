@@ -294,6 +294,9 @@ class ViTClassifier(nn.Module):
     use_class_token: bool = True
     use_seq_pool: bool = False
     moe_experts: int = 0
+    embed_method: str = "linear"
+    mlp_ratio: float = 4.0
+    embed_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -302,9 +305,12 @@ class ViTClassifier(nn.Module):
             embed_dim=self.embed_dim,
             n_blocks=self.n_blocks,
             n_heads=self.n_heads,
+            mlp_ratio=self.mlp_ratio,
             dropout=self.dropout_param,
+            embed_method=self.embed_method,
             use_class_token=self.use_class_token,
             moe_experts=self.moe_experts,
+            embed_norm=self.embed_norm,
         )(x, train=train)
         # ref pooling order: seq-pool > class token > token mean
         # (classification.py:782-787)

@@ -20,7 +20,7 @@ activation_factory: Dict[str, Callable] = {
     "identity": _identity,
     "linear": _identity,
     "elu": jax.nn.elu,
-    "gelu": jax.nn.gelu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),  # torch GELU default is exact erf
     "hard_shrink": lambda x, l=0.5: jnp.where(jnp.abs(x) > l, x, 0.0),
     "hard_tanh": jax.nn.hard_tanh,
     "leaky_relu": jax.nn.leaky_relu,

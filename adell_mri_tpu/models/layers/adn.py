@@ -153,7 +153,7 @@ def make_norm(norm_fn: str, spatial_dim: int = 3) -> Callable[[], nn.Module]:
     if norm_fn == "instance_affine":
         return lambda: InstanceNorm()
     if norm_fn == "layer":
-        return lambda: nn.LayerNorm()
+        return lambda: nn.LayerNorm(epsilon=1e-5)  # torch eps parity
     if norm_fn == "group":
         return lambda: nn.GroupNorm(num_groups=None, group_size=8)
     if norm_fn in ("identity", "none"):

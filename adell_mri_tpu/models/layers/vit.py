@@ -58,6 +58,10 @@ class MultiHeadAttention(nn.Module):
     head_dim: Optional[int] = None
     dropout: float = 0.0
     use_flash: bool = True
+    # per-head LayerNorm on q and k after the head split — the reference's
+    # MultiHeadSelfAttention applies it UNCONDITIONALLY (linear_blocks.py:
+    # 328-329, the ViT-22B qk-norm stability trick), so parity keeps it on
+    qk_norm: bool = True
 
     @nn.compact
     def __call__(self, q_in, kv_in=None, bias=None, train: bool = False):
@@ -73,6 +77,11 @@ class MultiHeadAttention(nn.Module):
             return x.reshape(x.shape[:-1] + (self.n_heads, hd))
 
         q, k, v = split(q), split(k), split(v)
+        if self.qk_norm:
+            # one LayerNorm(head_dim) SHARED across heads, like the
+            # reference's q_norm/k_norm over real_attention_dim
+            q = nn.LayerNorm(epsilon=1e-5, name="q_norm")(q)
+            k = nn.LayerNorm(epsilon=1e-5, name="k_norm")(k)
         flash_ok = (
             self.use_flash
             and bias is None
@@ -121,11 +130,11 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, bias=None, train: bool = False):
         dim = x.shape[-1]
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)
         x = x + MultiHeadAttention(
             self.n_heads, dropout=self.dropout
         )(y, bias=bias, train=train)
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)
         if self.moe_experts > 0:
             from adell_mri_tpu.models.layers.moe import MoEFFN
 
@@ -138,7 +147,7 @@ class TransformerBlock(nn.Module):
                 self.sow("moe_aux", "aux_loss", aux)
             return x + y
         y = nn.Dense(int(dim * self.mlp_ratio))(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch-GELU (erf) parity
         if self.dropout > 0 and train:
             y = nn.Dropout(self.dropout)(y, deterministic=False)
         y = nn.Dense(dim)(y)
@@ -188,6 +197,11 @@ class LinearEmbedding(nn.Module):
     learnable_embedding: bool = True
     dropout: float = 0.0
     channel_to_token: bool = False
+    # LayerNorm on the raw patch features before the linear projection —
+    # the reference's map_to_out does this whenever out_dim differs from
+    # the raw patch size (vit.py:533-537); off by default to keep existing
+    # param trees, on for reference-checkpoint interop
+    embed_norm: bool = False
 
     @staticmethod
     def n_patches(spatial, patch_size):
@@ -232,6 +246,8 @@ class LinearEmbedding(nn.Module):
             y = y.transpose(order)
             n = math.prod(grid)
             y = y.reshape(b, n, -1)
+            if self.embed_norm:
+                y = nn.LayerNorm(epsilon=1e-5, name="embed_norm")(y)
             tokens = nn.Dense(self.embed_dim)(y)
 
         n_tok = tokens.shape[1]
@@ -290,6 +306,8 @@ class ViT(nn.Module):
     use_class_token: bool = False
     n_registers: int = 0
     moe_experts: int = 0
+    learnable_embedding: bool = True
+    embed_norm: bool = False
 
     @nn.compact
     def __call__(
@@ -305,6 +323,8 @@ class ViT(nn.Module):
             use_class_token=self.use_class_token,
             n_registers=self.n_registers,
             dropout=self.dropout,
+            learnable_embedding=self.learnable_embedding,
+            embed_norm=self.embed_norm,
         )(x, train=train)
         return TransformerBlockStack(
             self.n_blocks, self.n_heads, self.mlp_ratio, self.dropout,
@@ -455,7 +475,7 @@ class SWINTransformerBlock(nn.Module):
             for w, s in zip(window, spatial)
         )
         shortcut = x
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)
         # pad to window multiples (standard SWIN): without this any stage
         # whose spatial size is not a multiple of the clamped window fails
         # window_partition's reshape
@@ -492,10 +512,10 @@ class SWINTransformerBlock(nn.Module):
                 + (slice(None),)
             ]
         x = shortcut + y
-        y = nn.LayerNorm()(x)
+        y = nn.LayerNorm(epsilon=1e-5)(x)
         dim = x.shape[-1]
         y = nn.Dense(int(dim * self.mlp_ratio))(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch-GELU (erf) parity
         y = nn.Dense(dim)(y)
         return x + y
 

@@ -1412,3 +1412,67 @@ def test_lesion_parity_missed_and_multiblob(ref_picai):
     assert our_m.AP == pytest.approx(ref_m.AP, abs=1e-6), (
         f"AP ours={our_m.AP} ref={ref_m.AP}"
     )
+
+
+@pytest.mark.parametrize("embed_method", ["linear", "convolutional"])
+def test_vit_classifier_weight_transfer_forward_parity(torch, embed_method):
+    """Reference ViTClassifier (vit.py:1618 + classification.py:709) -> our
+    ViTClassifier on the SAME weights (interop/torch_vit.py): fused
+    interleaved qkv split, per-head q/k LayerNorms (qk_norm), map_to_out
+    LayerNorm+Linear (embed_norm) / conv patch embed, class-token head."""
+    import einops.layers.torch  # noqa: F401 (reference uses bare import)
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import import_reference_vit_state_dict
+    from adell_mri_tpu.models.classification.nets import ViTClassifier
+
+    _ref_module("adell_mri.modules.segmentation.unet")
+    ref_c = _ref_module(
+        "adell_mri.modules.classification.classification.classification"
+    )
+    torch.manual_seed(11)
+    ref = ref_c.ViTClassifier(
+        n_classes=2,
+        use_class_token=True,
+        image_size=[16, 16, 8],
+        patch_size=[4, 4, 4],
+        in_channels=1,
+        number_of_blocks=2,
+        attention_dim=48,
+        hidden_dim=48,
+        embedding_size=48,
+        n_heads=4,
+        dropout_rate=0.0,
+        embed_method=embed_method,
+        mlp_structure=[96],
+    )
+    ref.eval()
+    # perturb off torch's init so the comparison is not near-zero-trivial
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_reference_vit_state_dict(sd, n_heads=4, n_blocks=2)
+    ours = ViTClassifier(
+        patch_size=(4, 4, 4),
+        n_classes=2,
+        embed_dim=48,
+        n_blocks=2,
+        n_heads=4,
+        mlp_ratio=2.0,
+        use_class_token=True,
+        embed_method=embed_method,
+        embed_norm=(embed_method == "linear"),
+    )
+    x = np.random.default_rng(5).normal(size=(2, 1, 16, 16, 8)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        theirs = ref(torch.as_tensor(x)).numpy()
+    got = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1)))
+    )
+    assert got.shape == theirs.shape
+    assert np.abs(got - theirs).max() < 2e-5, (
+        f"max dev {np.abs(got - theirs).max()}"
+    )
