@@ -644,9 +644,10 @@ def import_torch_checkpoint(argv):
     """
     Migration path from the reference: converts a torch/Lightning
     checkpoint saved by adell-mri (UNet — reference unet.py:31 /
-    segmentation/pl.py:668 — or CatNet, classification.py:263) into an
-    orbax checkpoint + metadata.json consumable by
-    ``segmentation test|predict`` / ``classification test|predict`` here.
+    segmentation/pl.py:668 — CatNet, classification.py:263, or
+    ViTClassifier, classification.py:709) into an orbax checkpoint +
+    metadata.json consumable by ``segmentation test|predict`` /
+    ``classification test|predict`` here.
     Weight-transfer parity is exact (tests/test_reference_parity.py::
     test_*_weight_transfer_forward_parity).
     """
@@ -657,7 +658,8 @@ def import_torch_checkpoint(argv):
     p.add_argument("--config_file", required=True,
                    help="network YAML (same file the model was trained "
                         "with: depth/conv_type/link_type/...)")
-    p.add_argument("--net_type", default="unet", choices=["unet", "cat"])
+    p.add_argument("--net_type", default="unet",
+                   choices=["unet", "cat", "vit"])
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--checkpoint_name", default=None,
                    help="defaults to 'segmentation' / 'classification' "
@@ -689,6 +691,7 @@ def import_torch_checkpoint(argv):
     from adell_mri_tpu.interop import (
         import_reference_catnet,
         import_reference_unet_state_dict,
+        import_reference_vit_state_dict,
         load_reference_state_dict,
     )
     from adell_mri_tpu.train.checkpoints import CheckpointManager
@@ -697,7 +700,25 @@ def import_torch_checkpoint(argv):
 
     cfg = load_yaml(args.config_file)
     cfg = cfg.get("network", cfg)
-    if args.net_type == "cat":
+    if args.net_type == "vit":
+        # detect the embed variant from the checkpoint itself and record
+        # it in the config so test/predict rebuild the identical tree
+        cfg["embed_method"] = (
+            "convolutional" if "embedding.conv.weight" in sd else "linear"
+        )
+        cfg["embed_norm"] = "embedding.map_to_out.1.weight" in sd
+        imported = {
+            "params": import_reference_vit_state_dict(
+                sd,
+                n_heads=cfg.get(
+                    "n_heads", cfg.get("number_of_attention_heads", 4)
+                ),
+                n_blocks=cfg.get(
+                    "n_blocks", cfg.get("number_of_blocks", 4)
+                ),
+            )
+        }
+    elif args.net_type == "cat":
         imported = import_reference_catnet(
             sd,
             resnet_structure=[
@@ -742,9 +763,9 @@ def import_torch_checkpoint(argv):
     size = tuple(args.target_size)
     x0 = np.zeros((1,) + size + (len(args.image_keys),), np.float32)
     init_kwargs = {}
-    if args.net_type == "cat":
+    if args.net_type in ("cat", "vit"):
         model = get_classification_network(
-            "cat", cfg, n_classes=args.n_classes
+            args.net_type, cfg, n_classes=args.n_classes
         )
     else:
         model = get_segmentation_network(
@@ -769,7 +790,7 @@ def import_torch_checkpoint(argv):
             "structure — wrong --config_file for this checkpoint?"
         )
 
-    if args.net_type == "cat":
+    if args.net_type in ("cat", "vit"):
         t_args = {
             "image_keys": list(args.image_keys),
             "label_key": args.label_key,

@@ -1476,3 +1476,84 @@ def test_vit_classifier_weight_transfer_forward_parity(torch, embed_method):
     assert np.abs(got - theirs).max() < 2e-5, (
         f"max dev {np.abs(got - theirs).max()}"
     )
+
+
+def test_vit_import_torch_checkpoint_cli_roundtrip(torch, tmp_path):
+    """REFERENCE ViTClassifier torch checkpoint -> `utils
+    import_torch_checkpoint --net_type vit` -> `classification predict`
+    consumes the orbax dir directly (the AUC-parity migration path,
+    CLI-driven end-to-end)."""
+    import json as _json
+
+    import einops.layers.torch  # noqa: F401
+
+    from adell_mri_tpu.__main__ import main as adell_main
+    from adell_mri_tpu.data.nifti import write_nifti
+
+    _ref_module("adell_mri.modules.segmentation.unet")
+    ref_c = _ref_module(
+        "adell_mri.modules.classification.classification.classification"
+    )
+    torch.manual_seed(3)
+    ref = ref_c.ViTClassifier(
+        n_classes=2, use_class_token=True,
+        image_size=[16, 16, 8], patch_size=[4, 4, 4], in_channels=1,
+        number_of_blocks=1, attention_dim=32, hidden_dim=32,
+        embedding_size=32, n_heads=2, dropout_rate=0.0,
+        embed_method="linear", mlp_structure=[64],
+    )
+    pt = tmp_path / "ref_vit.ckpt"
+    torch.save({"state_dict": ref.state_dict()}, str(pt))
+
+    yaml_path = tmp_path / "vit.yaml"
+    yaml_path.write_text(
+        "patch_size: [4, 4, 4]\n"
+        "number_of_blocks: 1\n"
+        "n_heads: 2\n"
+        "attention_dim: 32\n"
+        "mlp_structure: [64]\n"
+        "use_class_token: true\n"
+        "batch_size: 2\n"
+        "learning_rate: 0.001\n"
+    )
+    rng = np.random.default_rng(0)
+    ds = {}
+    aff = np.diag([1.0, 1.0, 1.0, 1.0])
+    for i in range(2):
+        vol = rng.normal(500, 100, size=(16, 16, 8)).astype(np.float32)
+        path = tmp_path / f"v{i}.nii.gz"
+        write_nifti(str(path), vol, affine=aff)
+        ds[f"case_{i}"] = {"image": str(path), "label": i % 2}
+    ds_path = tmp_path / "ds.json"
+    ds_path.write_text(_json.dumps(ds))
+
+    ckpt_dir = tmp_path / "imported"
+    adell_main(
+        [
+            "utils", "import_torch_checkpoint",
+            "--input_path", str(pt),
+            "--config_file", str(yaml_path),
+            "--net_type", "vit",
+            "--checkpoint_dir", str(ckpt_dir),
+            "--image_keys", "image",
+            "--target_size", "16", "16", "8",
+            "--target_spacing", "1", "1", "1",
+            "--n_classes", "2",
+        ]
+    )
+    out_path = tmp_path / "preds.json"
+    adell_main(
+        [
+            "classification", "predict",
+            "--dataset_json", str(ds_path),
+            "--checkpoint_dir", str(ckpt_dir),
+            "--output_path", str(out_path),
+            "--dev", "cpu",
+        ]
+    )
+    preds = _json.loads(out_path.read_text())
+    assert len(preds) == 2
+    for v in preds.values():
+        prob = v["prediction"] if isinstance(v, dict) else v
+        prob = float(prob[0] if isinstance(prob, list) else prob)
+        assert 0.0 <= prob <= 1.0
