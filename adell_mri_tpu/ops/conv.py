@@ -352,6 +352,86 @@ def conv3d_z2d(x, w, strides=(1, 1, 1), padding="SAME"):
     return out.astype(x.dtype).reshape(b, od, oh, ow, cout)
 
 
+def conv3d_b2(x, w, strides=(1, 1, 1), padding="SAME"):
+    """3D conv on a 2x2x2 space-to-depth blocking — fills the MXU's
+    output-channel lanes at narrow-channel levels.
+
+    At Cout<=32 a direct conv's GEMM feeds only N=Cout of the MXU's 128
+    output lanes (25% fill at the flagship's 32-channel levels 0-1 —
+    the measured ~10%-of-peak forward). Blocking space by 2 per axis
+    multiplies both channel dims by 8 (N=8*Cout fills the array) at the
+    cost of structural zeros in the embedded blocked kernel: per-axis
+    extent E=ceil((k+1)/2), FLOP overhead prod(4*E)/(8*prod(k)) = 2.37x
+    at k=3^3. Net expected ~1.7x at Cout=32, ~3.4x at Cout=16; a LOSS at
+    Cout>=64 (fill already >=50%), so any auto policy must gate on Cout.
+    FORCE-ONLY (ADELL_CONV_LOWERING=b2) until the on-chip A/B.
+
+    Derivation: outputs {2j, 2j+1} read padded coords [2j, 2j+k] (the
+    low pad shifts every patch onto a block boundary regardless of its
+    size), i.e. blocks {j .. j+E-1}. Blocked weight
+    W_b[e][(u,cin)][(o,cout)] = W[2e+u-o] where 0<=2e+u-o<k (e block
+    offset, u/o input/output intra-block offsets) — a per-axis one-hot
+    embedding applied as one einsum (at most one kernel tap per blocked
+    entry, so bf16 stays exact, and the map is linear: autodiff reaches
+    w and x through it).
+
+    Stride-1 only: a stride-2 output grid misaligns with the blocks
+    (extent 3 per axis, 8x structural overhead — a loss by construction).
+    """
+    if tuple(strides) != (1, 1, 1):
+        raise ValueError("conv3d_b2 supports stride 1 only")
+    import numpy as np
+
+    kd, kh, kw, cin, cout = w.shape
+    ks = (kd, kh, kw)
+    pads = _explicit_pads(x.shape, ks, strides, padding)
+    out_sp = tuple(
+        x.shape[1 + a] + pads[a][0] + pads[a][1] - ks[a] + 1
+        for a in range(3)
+    )
+    ext = tuple((k + 2) // 2 for k in ks)  # ceil((k+1)/2)
+    ob = tuple(-(-o // 2) for o in out_sp)
+    pad_cfg = [(0, 0)]
+    for a in range(3):
+        need = 2 * (ob[a] + ext[a] - 1)
+        pad_cfg.append((pads[a][0], need - x.shape[1 + a] - pads[a][0]))
+    pad_cfg.append((0, 0))
+    xp = jnp.pad(x, pad_cfg)
+    b = x.shape[0]
+    mb = tuple(xp.shape[1 + a] // 2 for a in range(3))
+    xb = (
+        xp.reshape(b, mb[0], 2, mb[1], 2, mb[2], 2, cin)
+        .transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        .reshape(b, mb[0], mb[1], mb[2], 8 * cin)
+    )
+
+    def _t(k, e):
+        t = np.zeros((e, 2, 2, k), np.float32)
+        for eo in range(e):
+            for u in range(2):
+                for o in range(2):
+                    i = 2 * eo + u - o
+                    if 0 <= i < k:
+                        t[eo, u, o, i] = 1.0
+        return t
+
+    t3 = np.einsum(
+        "dupi,evqj,fxrk->defuvxpqrijk",
+        _t(kd, ext[0]), _t(kh, ext[1]), _t(kw, ext[2]),
+    )
+    wb = jnp.einsum(
+        "defuvxpqrijk,ijkmn->defuvxmpqrn",
+        jnp.asarray(t3, w.dtype), w,
+    ).reshape(ext[0], ext[1], ext[2], 8 * cin, 8 * cout)
+    yb = conv3d_z2d(xb, wb, (1, 1, 1), ((0, 0), (0, 0), (0, 0)))
+    y = (
+        yb.reshape(b, ob[0], ob[1], ob[2], 2, 2, 2, cout)
+        .transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        .reshape(b, 2 * ob[0], 2 * ob[1], 2 * ob[2], cout)
+    )
+    return y[:, : out_sp[0], : out_sp[1], : out_sp[2]]
+
+
 def conv3d_zfold(x, w, strides=(1, 1, 1), padding="SAME"):
     """3D conv as ONE 2D conv over a z-fold of the input.
 
@@ -576,6 +656,9 @@ def _pick_lowering(x, k, strides, padding="SAME", cout=None):
         # s2d only exists for patchify convs; a forced sweep over a real
         # model must not crash its stride-1 convs — those fall back
         return "s2d" if tuple(k) == tuple(strides) else "z2d"
+    if env == "b2":
+        # b2 only exists for stride-1 convs; strided convs fall back
+        return "b2" if tuple(strides) == (1, 1, 1) else "z2d"
     if env in ("xla", "im2col", "z2d", "zfold", "im2col_t"):
         return env
     if env == "pallas" and cout is not None and _tpu_backend():
@@ -650,7 +733,10 @@ def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
         "zfold": conv3d_zfold,
         "im2col_t": conv3d_im2col_t,
         "s2d": conv3d_s2d,
+        "b2": conv3d_b2,
     }.get(lowering, conv3d_xla)
+    if lowering == "b2":  # b2 widens cout x8 itself; padding would fight it
+        return fn(x, w, strides, padding)
     return _maybe_pad_cout(x, w, fn)(x, w, strides, padding)
 
 
@@ -702,6 +788,8 @@ class TpuConv(_nn.Module):
             y = conv3d_im2col_trainable(
                 x, w, strides, _hashable_padding(self.padding)
             )
+        elif ndim == 3 and lowering == "b2":
+            y = conv3d_b2(x, w, strides, self.padding)
         elif ndim == 3 and lowering in ("z2d", "zfold", "im2col_t", "s2d"):
             fn = {
                 "z2d": conv3d_z2d,

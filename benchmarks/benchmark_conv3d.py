@@ -86,6 +86,15 @@ def main():
             ("xla", lambda x, w: conv3d_xla(x, w)),
             ("z2d", lambda x, w: conv3d_z2d(x, w)),
         ]
+        if cout <= 64:
+            # b2 (2^3 space-to-depth blocking) only pays where the MXU's
+            # output lanes are underfilled: N=8*cout vs cout against its
+            # 2.37x structural-zero overhead — a loss by construction at
+            # cout >= 64 unless the conv path misbehaves (ops/conv.py
+            # conv3d_b2 docstring)
+            from adell_mri_tpu.ops.conv import conv3d_b2
+
+            lowerings.append(("b2", lambda x, w: conv3d_b2(x, w)))
         # non-default lowerings are opt-in (ADELL_BENCH_RISKY=1): a zfold
         # row crashed the remote TPU worker mid-sweep (2026-08-18), losing
         # every row after it — the default sweep covers only the lowerings

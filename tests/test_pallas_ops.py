@@ -652,3 +652,59 @@ def test_tpu_conv_transpose_matches_flax():
         got = TpuConvTranspose(12, s).apply(params, x)
         assert got.shape == ref.shape
         assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
+@pytest.mark.parametrize(
+    "k,padding,shape",
+    [
+        ((3, 3, 3), "SAME", (2, 9, 10, 7, 3)),
+        ((3, 3, 3), "VALID", (2, 8, 9, 10, 3)),
+        ((3, 3, 1), "SAME", (2, 7, 6, 5, 2)),
+        ((5, 3, 3), "SAME", (1, 9, 9, 9, 2)),
+        ((1, 1, 1), "SAME", (1, 6, 6, 6, 3)),
+        ((2, 2, 2), "SAME", (1, 8, 8, 8, 3)),
+    ],
+)
+def test_conv3d_b2_matches_xla(k, padding, shape):
+    """The 2x2x2 space-to-depth blocked lowering (MXU output-lane fill
+    for narrow-channel levels, ops/conv.py conv3d_b2) is exact vs the
+    XLA conv across odd/even/anisotropic kernels, SAME/VALID, and
+    odd spatial dims (block-grid cropping)."""
+    from adell_mri_tpu.ops.conv import conv3d_b2, conv3d_xla
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.asarray(rng.normal(size=k + (shape[-1], 5)), jnp.float32)
+    ref = conv3d_xla(x, w, strides=(1, 1, 1), padding=padding)
+    got = conv3d_b2(x, w, strides=(1, 1, 1), padding=padding)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
+def test_conv3d_b2_grad_parity():
+    """The blocked-weight einsum embedding is linear, so autodiff through
+    conv3d_b2 must match the XLA conv's dx/dw exactly."""
+    from adell_mri_tpu.ops.conv import conv3d_b2, conv3d_xla
+
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 6, 3)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 3, 4)), jnp.float32)
+
+    def loss(fn, x, w):
+        return jnp.sum(jnp.sin(fn(x, w, (1, 1, 1), "SAME")))
+
+    gx_ref, gw_ref = jax.grad(loss, argnums=(1, 2))(conv3d_xla, x, w)
+    gx, gw = jax.grad(loss, argnums=(1, 2))(conv3d_b2, x, w)
+    assert float(jnp.abs(gx - gx_ref).max()) < 1e-4
+    assert float(jnp.abs(gw - gw_ref).max()) < 1e-4
+
+
+def test_b2_env_force_falls_back_for_strided(monkeypatch):
+    """ADELL_CONV_LOWERING=b2 must not crash strided convs — the pick
+    falls back to z2d when strides != 1."""
+    from adell_mri_tpu.ops.conv import _pick_lowering
+
+    monkeypatch.setenv("ADELL_CONV_LOWERING", "b2")
+    x = jnp.ones((1, 4, 4, 4, 2))
+    assert _pick_lowering(x, (3, 3, 3), (1, 1, 1)) == "b2"
+    assert _pick_lowering(x, (3, 3, 3), (2, 2, 2)) == "z2d"
