@@ -35,7 +35,11 @@ import numpy as np
 #: the ratio stays comparable across batch sizes (sweep knob, BASELINE.md
 #: round-3 backlog "batch-8 sweep")
 BATCH = int(os.environ.get("ADELL_BENCH_BATCH", 4))
-SHAPE = (128, 128, 32)
+#: ADELL_BENCH_SHAPE=dxhxw overrides the flagship volume (CPU smoke runs
+#: of the harness itself; the official record uses the default)
+SHAPE = tuple(
+    int(s) for s in os.environ.get("ADELL_BENCH_SHAPE", "128x128x32").split("x")
+)
 N_ITERS = 20
 DEPTH = (32, 32, 64, 128, 256)
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
@@ -132,15 +136,20 @@ def _cpu_torch_fwd_seconds_per_volume() -> float:
 
 
 def _cpu_baseline() -> dict:
+    # the cache is keyed on the volume shape so an ADELL_BENCH_SHAPE
+    # smoke run cannot poison the official record's denominator
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        if cached.get("version") == BASELINE_VERSION:
+        if cached.get("version") == BASELINE_VERSION and cached.get(
+            "shape", [128, 128, 32]  # pre-shape-key caches used the default
+        ) == list(SHAPE):
             return cached
     aug_s = _cpu_aug_seconds_per_volume()
     fwd_s = _cpu_torch_fwd_seconds_per_volume()
     cached = {
         "version": BASELINE_VERSION,
+        "shape": list(SHAPE),
         "cpu_aug_seconds_per_volume": aug_s,
         "cpu_torch_fwd_seconds_per_volume": fwd_s,
         # 8 workers, perfectly parallel (upper bound for the baseline)
@@ -313,7 +322,7 @@ def main():
 
     try:
         _stage("calibrating matmul")
-        m = 4096
+        m = int(os.environ.get("ADELL_BENCH_CAL_DIM", 4096))
 
         @jax.jit
         def mm_chain(a, n):
@@ -343,19 +352,23 @@ def main():
 
     def loss_fn(p, x, key):
         xa = aug(key, x)
-        # ADELL_BENCH_REMAT_POLICY: jax.checkpoint_policies name (e.g.
-        # dots_with_no_batch_dims_saveable) to A/B the faster-backward
-        # remat against the full-remat default
+        # Production default (train/steps.py) is remat=False — at the
+        # flagship batch-4 shape the activations fit HBM with room to
+        # spare, and full remat taxes the backward a whole extra forward
+        # (4/3 of the FLOP-bound step time). ADELL_BENCH_REMAT=1 opts
+        # into full remat; ADELL_BENCH_REMAT_POLICY names a
+        # jax.checkpoint_policies entry (implies remat) for the A/B.
         _pol = os.environ.get("ADELL_BENCH_REMAT_POLICY")
-        _ckpt_kw = (
-            {"policy": getattr(jax.checkpoint_policies, _pol)}
-            if _pol
-            else {}
-        )
-        apply_ckpt = jax.checkpoint(
-            lambda q, xi: model.apply({"params": q}, xi)[0], **_ckpt_kw
-        )
-        pred = apply_ckpt(
+        _remat = _pol or os.environ.get("ADELL_BENCH_REMAT", "0") == "1"
+        apply_fn = lambda q, xi: model.apply({"params": q}, xi)[0]
+        if _remat:
+            _ckpt_kw = (
+                {"policy": getattr(jax.checkpoint_policies, _pol)}
+                if _pol
+                else {}
+            )
+            apply_fn = jax.checkpoint(apply_fn, **_ckpt_kw)
+        pred = apply_fn(
             jax.tree.map(lambda q: q.astype(jnp.bfloat16), p), xa
         )
         pr = pred[..., 0].astype(jnp.float32)
