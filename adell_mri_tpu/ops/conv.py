@@ -364,7 +364,11 @@ def conv3d_b2(x, w, strides=(1, 1, 1), padding="SAME"):
     extent E=ceil((k+1)/2), FLOP overhead prod(4*E)/(8*prod(k)) = 2.37x
     at k=3^3. Net expected ~1.7x at Cout=32, ~3.4x at Cout=16; a LOSS at
     Cout>=64 (fill already >=50%), so any auto policy must gate on Cout.
-    FORCE-ONLY (ADELL_CONV_LOWERING=b2) until the on-chip A/B.
+    FORCE-ONLY (ADELL_CONV_LOWERING=b2): the 2026-08-19 on-chip A/B at
+    calibration 197.8 TFLOP/s went to z2d at BOTH cout<=64 shapes (stem
+    fwd+bwd 8.1 ms z2d vs 10.7 b2; level2 1.42 vs 2.86 — BASELINE.md
+    session-G rows). z2d already reaches 43-61 TF/s there; the 2.37x
+    structural-zero overhead eats b2's lane-fill gain.
 
     Derivation: outputs {2j, 2j+1} read padded coords [2j, 2j+k] (the
     low pad shifts every patch onto a block boundary regardless of its
