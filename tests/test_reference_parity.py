@@ -1557,3 +1557,301 @@ def test_vit_import_torch_checkpoint_cli_roundtrip(torch, tmp_path):
         prob = v["prediction"] if isinstance(v, dict) else v
         prob = float(prob[0] if isinstance(prob, list) else prob)
         assert 0.0 <= prob <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# North-star capstone: converged Dice parity (BASELINE.json "Dice/AUC
+# parity within 1%"). Unlike the trajectory test above (8 steps, loss
+# tracking), this trains BOTH stacks to convergence on a learnable
+# synthetic task and compares the metric a user actually reads: Dice on
+# held-out cases. Same transferred init + same batch order, then each
+# framework accumulates its own arithmetic for the full run — parity of
+# OUTCOME, not of per-step floats.
+# ---------------------------------------------------------------------------
+
+
+def _blob_cohort(rng, n, shape=(20, 20, 12)):
+    """Learnable synthetic segmentation task: a bright ellipsoid on a
+    noisy background (SNR chosen so a small UNet converges to Dice ~0.9
+    in ~100 SGD steps with weighted BCE, i.e. the reference focal loss
+    at gamma=0 — any gamma>0 traps a background-collapsed net because
+    the reference's positive term (pred**gamma)*log(pred) has vanishing
+    gradient as pred->0; measured: gamma in {1,2} gives Dice 0.000)."""
+    D, H, W = shape
+    zz, yy, xx = np.meshgrid(
+        np.arange(D), np.arange(H), np.arange(W), indexing="ij"
+    )
+    xs, ys = [], []
+    for _ in range(n):
+        c = rng.uniform([5, 5, 3], [D - 5, H - 5, W - 3])
+        r = rng.uniform(2.5, 4.5, size=3)
+        mask = (
+            ((zz - c[0]) / r[0]) ** 2
+            + ((yy - c[1]) / r[1]) ** 2
+            + ((xx - c[2]) / r[2]) ** 2
+        ) <= 1.0
+        x = mask * 1.0 + rng.normal(0, 0.35, size=shape)
+        xs.append(x.astype(np.float32))
+        ys.append(mask.astype(np.float32))
+    return np.stack(xs)[:, None], np.stack(ys)[:, None]  # NCDHW
+
+
+def _dice(pred_bin, y):
+    inter = float((pred_bin * y).sum())
+    denom = float(pred_bin.sum() + y.sum())
+    return 2.0 * inter / max(denom, 1.0)
+
+
+def test_converged_dice_parity(ref_unet_mod, torch):
+    """Trains the reference UNet (torch, its own focal loss + SGD) and our
+    UNet (same transferred init, same batches) INDEPENDENTLY for 100
+    steps, then asserts held-out Dice within 1% absolute — the literal
+    north-star claim (/root/repo/BASELINE.json)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from adell_mri_tpu.interop import import_reference_unet_state_dict
+    from adell_mri_tpu.models.segmentation.losses import binary_focal_loss
+    from adell_mri_tpu.models.segmentation.unet import UNet
+
+    ref_losses = _ref_module("adell_mri.modules.segmentation.losses")
+
+    depth = [4, 8, 16]
+    torch.manual_seed(7)
+    ref = ref_unet_mod.UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type="identity",
+        upscale_type="upsample",
+        interpolation="trilinear",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn=torch.nn.PReLU,
+        in_channels=1,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    ref.eval()  # instance norm; dropout 0
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_unet_state_dict(
+        sd,
+        depth=depth,
+        link_type="identity",
+        upscale_type="upsample",
+        norm_type="instance",
+        activation_fn="prelu",
+    )
+
+    rng = np.random.default_rng(1234)
+    n_steps, batch = 100, 4
+    tr_x, tr_y = _blob_cohort(rng, n_steps * batch)
+    te_x, te_y = _blob_cohort(rng, 16)
+
+    lr, mom = 0.02, 0.9
+
+    # ---- reference stack ----
+    opt = torch.optim.SGD(
+        ref.parameters(), lr=lr, momentum=mom, nesterov=True
+    )
+    for i in range(n_steps):
+        sl = slice(i * batch, (i + 1) * batch)
+        opt.zero_grad()
+        pred = ref(torch.from_numpy(tr_x[sl]))[0]
+        loss = ref_losses.binary_focal_loss(
+            pred, torch.from_numpy(tr_y[sl]), alpha=3.0, gamma=0.0
+        ).mean()
+        loss.backward()
+        opt.step()
+    with torch.no_grad():
+        t_pred = ref(torch.from_numpy(te_x))[0].numpy()
+    t_dice = _dice((t_pred > 0.5).astype(np.float32), te_y)
+
+    # ---- our stack ----
+    model = UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type="identity",
+        upscale_type="upsample",
+        interpolation="linear",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn="prelu",
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    params = jax.tree.map(jnp.asarray, imported["params"])
+    tx = optax.sgd(lr, momentum=mom, nesterov=True)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            pred, _ = model.apply({"params": p}, x)
+            return jnp.mean(
+                binary_focal_loss(
+                    pred[..., 0], y[..., 0], alpha=3.0, gamma=0.0
+                )
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def to_cl(a):
+        return jnp.asarray(np.transpose(a, (0, 2, 3, 4, 1)))
+
+    for i in range(n_steps):
+        sl = slice(i * batch, (i + 1) * batch)
+        params, opt_state, _ = step(
+            params, opt_state, to_cl(tr_x[sl]), to_cl(tr_y[sl])
+        )
+
+    @jax.jit
+    def infer(params, x):
+        return model.apply({"params": params}, x)[0]
+
+    j_pred = np.asarray(infer(params, to_cl(te_x)))[..., 0]
+    j_dice = _dice(
+        (j_pred > 0.5).astype(np.float32), te_y[:, 0]
+    )
+
+    # both stacks must actually have LEARNED the task, and agree
+    assert t_dice > 0.75, f"reference failed to learn (dice {t_dice:.3f})"
+    assert j_dice > 0.75, f"ours failed to learn (dice {j_dice:.3f})"
+    assert abs(t_dice - j_dice) < 0.01, (
+        f"converged Dice diverges: ref {t_dice:.4f} vs ours {j_dice:.4f}"
+    )
+
+
+def test_converged_auc_parity(torch):
+    """AUC half of the north star: reference CatNet and ours train
+    INDEPENDENTLY (same transferred init, same batches, BCE + SGD) on a
+    blob-present/absent task; held-out AUC must agree within 1%."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from sklearn.metrics import roc_auc_score
+
+    from adell_mri_tpu.interop import import_reference_catnet
+    from adell_mri_tpu.models.classification.nets import CatNet
+
+    _ref_module("adell_mri.modules.segmentation.unet")
+    ref_c = _ref_module(
+        "adell_mri.modules.classification.classification.classification"
+    )
+    ref_adn = _ref_module("adell_mri.modules.layers.adn_fn")
+
+    shape = (16, 16, 8)
+
+    def cohort(rng, n):
+        xs, ys = [], []
+        zz, yy, xx = np.meshgrid(
+            *[np.arange(s) for s in shape], indexing="ij"
+        )
+        for _ in range(n):
+            label = rng.integers(0, 2)
+            x = rng.normal(0, 0.5, size=shape)
+            if label:
+                c = rng.uniform([4, 4, 2], [12, 12, 6])
+                r = rng.uniform(2.0, 3.5)
+                x = x + (
+                    ((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
+                    <= r * r
+                )
+            xs.append(x.astype(np.float32))
+            ys.append(float(label))
+        return np.stack(xs)[:, None], np.asarray(ys, np.float32)
+
+    structure = [(4, 4, 3, 1), (8, 8, 3, 2)]
+    torch.manual_seed(11)
+    ref = ref_c.CatNet(
+        spatial_dimensions=3,
+        in_channels=1,
+        n_classes=2,
+        resnet_structure=structure,
+        maxpool_structure=[2, 2],
+        adn_fn=ref_adn.get_adn_fn(3, "instance", "prelu", 0.0),
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_catnet(
+        sd, resnet_structure=structure, norm_type="instance"
+    )
+
+    rng = np.random.default_rng(77)
+    n_steps, batch = 100, 8
+    tr_x, tr_y = cohort(rng, n_steps * batch)
+    te_x, te_y = cohort(rng, 48)
+
+    lr, mom = 0.03, 0.9
+
+    # ---- reference stack ----
+    opt = torch.optim.SGD(
+        ref.parameters(), lr=lr, momentum=mom, nesterov=True
+    )
+    bce = torch.nn.BCEWithLogitsLoss()
+    for i in range(n_steps):
+        sl = slice(i * batch, (i + 1) * batch)
+        opt.zero_grad()
+        logits = ref(torch.from_numpy(tr_x[sl])).reshape(-1)
+        loss = bce(logits, torch.from_numpy(tr_y[sl]))
+        loss.backward()
+        opt.step()
+    with torch.no_grad():
+        t_logits = ref(torch.from_numpy(te_x)).reshape(-1).numpy()
+    t_auc = roc_auc_score(te_y, t_logits)
+
+    # ---- our stack ----
+    ours = CatNet(
+        spatial_dimensions=3,
+        n_classes=2,
+        resnet_structure=structure,
+        maxpool_structure=[2, 2],
+        norm_type="instance",
+        act_fn="prelu",
+        dropout_param=0.0,
+    )
+    params = jax.tree.map(jnp.asarray, imported["params"])
+    tx = optax.sgd(lr, momentum=mom, nesterov=True)
+    opt_state = tx.init(params)
+
+    def to_cl(a):
+        return jnp.asarray(np.transpose(a, (0, 2, 3, 4, 1)))
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = ours.apply(
+                {"params": p}, x, train=False
+            ).reshape(-1)
+            return jnp.mean(
+                optax.sigmoid_binary_cross_entropy(logits, y)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(n_steps):
+        sl = slice(i * batch, (i + 1) * batch)
+        params, opt_state, _ = step(
+            params, opt_state, to_cl(tr_x[sl]), jnp.asarray(tr_y[sl])
+        )
+
+    @jax.jit
+    def infer(params, x):
+        return ours.apply({"params": params}, x, train=False)
+
+    j_logits = np.asarray(infer(params, to_cl(te_x))).reshape(-1)
+    j_auc = roc_auc_score(te_y, j_logits)
+
+    assert t_auc > 0.8, f"reference failed to learn (auc {t_auc:.3f})"
+    assert j_auc > 0.8, f"ours failed to learn (auc {j_auc:.3f})"
+    assert abs(t_auc - j_auc) < 0.01, (
+        f"converged AUC diverges: ref {t_auc:.4f} vs ours {j_auc:.4f}"
+    )
