@@ -257,18 +257,15 @@ def get_classification_network(
             cfg.get("attention_dim", cfg.get("embedding_size", 256)),
         )
         # the reference's mlp_structure ([1024] in classification-vit.yaml)
-        # sets the transformer MLP width; ours parameterizes it as a ratio
+        # passes through EXACTLY (a ratio round-trip truncates widths:
+        # int(88*(49/88)) == 48, and multi-entry structures have no ratio)
         _mlp_struct = cfg.get("mlp_structure")
-        _mlp_ratio = (
-            max(_mlp_struct) / _vit_embed
-            if _mlp_struct
-            else cfg.get("mlp_ratio", 4.0)
-        )
         net = ViTClassifier(
             patch_size=tuple(cfg.get("patch_size", (4, 4, 4))),
             n_classes=n_classes,
             embed_dim=_vit_embed,
-            mlp_ratio=_mlp_ratio,
+            mlp_structure=tuple(_mlp_struct) if _mlp_struct else None,
+            mlp_ratio=cfg.get("mlp_ratio", 4.0),
             n_blocks=cfg.get("n_blocks", cfg.get("number_of_blocks", 4)),
             n_heads=cfg.get("n_heads", cfg.get("number_of_attention_heads", 4)),
             dropout_param=cfg.get(

@@ -707,6 +707,20 @@ def import_torch_checkpoint(argv):
             "convolutional" if "embedding.conv.weight" in sd else "linear"
         )
         cfg["embed_norm"] = "embedding.map_to_out.1.weight" in sd
+        cfg["use_seq_pool"] = "seqpool.embedding_layer.weight" in sd
+        # exact transformer MLP widths from the checkpoint (mlp.0, mlp.2,
+        # ... are the hidden linears; the last even index is the out proj)
+        _mlp_keys = sorted(
+            int(k.split(".")[-2])
+            for k in sd
+            if k.startswith("tbs.transformer_blocks.0.mlp.")
+            and k.endswith(".weight")
+        )
+        if _mlp_keys:
+            cfg["mlp_structure"] = [
+                int(sd[f"tbs.transformer_blocks.0.mlp.{i}.weight"].shape[0])
+                for i in _mlp_keys[:-1]
+            ]
         imported = {
             "params": import_reference_vit_state_dict(
                 sd,

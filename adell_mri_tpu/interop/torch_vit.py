@@ -109,8 +109,15 @@ def import_reference_vit_state_dict(
         _layernorm(sd, used, "embedding.map_to_out.0", tree,
                    emb + ("embed_norm",))
         _linear(sd, used, "embedding.map_to_out.1", tree, emb + ("Dense_0",))
-    # (identity map_to_out — raw-patch transformer — has no parameters; our
-    # Dense would need an identity kernel, which callers set themselves)
+    else:
+        # identity map_to_out (embedding_size == prod(patch)*in_channels,
+        # vit.py:533-537): parameter-free in the reference; our Dense gets
+        # an exact identity kernel so the import still round-trips
+        e_dim = sd["tbs.transformer_blocks.0.mha.qkv.weight"].shape[1]
+        _put(tree, emb + ("Dense_0", "kernel"),
+             np.eye(e_dim, dtype=np.float32))
+        _put(tree, emb + ("Dense_0", "bias"),
+             np.zeros(e_dim, np.float32))
     if "embedding.positional_embedding" in sd:
         _put(
             tree, emb + ("pos_embedding",),
@@ -144,8 +151,12 @@ def import_reference_vit_state_dict(
         _layernorm(sd, used, f"{t}.mha.q_norm", tree, mha + ("q_norm",))
         _layernorm(sd, used, f"{t}.mha.k_norm", tree, mha + ("k_norm",))
         _linear(sd, used, f"{t}.mha.output_layer", tree, mha + ("proj",))
-        _linear(sd, used, f"{t}.mlp.0", tree, f + ("Dense_0",))
-        _linear(sd, used, f"{t}.mlp.2", tree, f + ("Dense_1",))
+        # reference MLP = [Linear, act]*len(structure) + Linear, i.e. keys
+        # mlp.0, mlp.2, ..., mlp.2n; ours names them Dense_0..Dense_n
+        j = 0
+        while f"{t}.mlp.{2 * j}.weight" in sd:
+            _linear(sd, used, f"{t}.mlp.{2 * j}", tree, f + (f"Dense_{j}",))
+            j += 1
 
     if classifier:
         head = ("MLP_0",)

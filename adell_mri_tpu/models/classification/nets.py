@@ -297,6 +297,9 @@ class ViTClassifier(nn.Module):
     embed_method: str = "linear"
     mlp_ratio: float = 4.0
     embed_norm: bool = False
+    # exact transformer MLP hidden widths (the reference's mlp_structure);
+    # overrides mlp_ratio when set
+    mlp_structure: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -311,6 +314,7 @@ class ViTClassifier(nn.Module):
             use_class_token=self.use_class_token,
             moe_experts=self.moe_experts,
             embed_norm=self.embed_norm,
+            mlp_structure=self.mlp_structure,
         )(x, train=train)
         # ref pooling order: seq-pool > class token > token mean
         # (classification.py:782-787)

@@ -126,13 +126,24 @@ class TransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     moe_experts: int = 0
+    # exact hidden widths (the reference's mlp_structure, vit.py:884) —
+    # overrides mlp_ratio when set; a float round-trip via the ratio can
+    # truncate the width by 1 (int(88*(49/88)) == 48) and a multi-entry
+    # structure has no ratio representation at all
+    mlp_structure: Optional[Sequence[int]] = None
+    qk_norm: bool = True
+
+    def _mlp_widths(self, dim):
+        if self.mlp_structure:
+            return tuple(self.mlp_structure)
+        return (int(dim * self.mlp_ratio),)
 
     @nn.compact
     def __call__(self, x, bias=None, train: bool = False):
         dim = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-5)(x)
         x = x + MultiHeadAttention(
-            self.n_heads, dropout=self.dropout
+            self.n_heads, dropout=self.dropout, qk_norm=self.qk_norm
         )(y, bias=bias, train=train)
         y = nn.LayerNorm(epsilon=1e-5)(x)
         if self.moe_experts > 0:
@@ -140,16 +151,19 @@ class TransformerBlock(nn.Module):
 
             y, aux = MoEFFN(
                 n_experts=self.moe_experts,
-                d_ff=int(dim * self.mlp_ratio),
+                d_ff=max(self._mlp_widths(dim)),
                 name="moe",
             )(y)
             if self.is_mutable_collection("moe_aux"):
                 self.sow("moe_aux", "aux_loss", aux)
             return x + y
-        y = nn.Dense(int(dim * self.mlp_ratio))(y)
-        y = nn.gelu(y, approximate=False)  # torch-GELU (erf) parity
-        if self.dropout > 0 and train:
-            y = nn.Dropout(self.dropout)(y, deterministic=False)
+        # single-entry structures keep the historical Dense_0/Dense_1
+        # param names (flax auto-numbering), so checkpoints stay loadable
+        for width in self._mlp_widths(dim):
+            y = nn.Dense(width)(y)
+            y = nn.gelu(y, approximate=False)  # torch-GELU (erf) parity
+            if self.dropout > 0 and train:
+                y = nn.Dropout(self.dropout)(y, deterministic=False)
         y = nn.Dense(dim)(y)
         return x + y
 
@@ -162,6 +176,8 @@ class TransformerBlockStack(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     moe_experts: int = 0
+    mlp_structure: Optional[Sequence[int]] = None
+    qk_norm: bool = True
 
     @nn.compact
     def __call__(
@@ -174,7 +190,9 @@ class TransformerBlockStack(nn.Module):
         for i in range(self.n_blocks):
             x = TransformerBlock(
                 self.n_heads, self.mlp_ratio, self.dropout,
-                moe_experts=self.moe_experts, name=f"block_{i}"
+                moe_experts=self.moe_experts,
+                mlp_structure=self.mlp_structure, qk_norm=self.qk_norm,
+                name=f"block_{i}"
             )(x, train=train)
             if return_at is not None and i in return_at:
                 outs.append(x)
@@ -308,6 +326,7 @@ class ViT(nn.Module):
     moe_experts: int = 0
     learnable_embedding: bool = True
     embed_norm: bool = False
+    mlp_structure: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(
@@ -329,6 +348,7 @@ class ViT(nn.Module):
         return TransformerBlockStack(
             self.n_blocks, self.n_heads, self.mlp_ratio, self.dropout,
             moe_experts=self.moe_experts,
+            mlp_structure=self.mlp_structure,
         )(tokens, train=train, return_at=return_at)
 
 

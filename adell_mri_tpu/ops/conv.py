@@ -39,9 +39,12 @@ def conv3d_xla(x, w, strides=(1, 1, 1), padding="SAME"):
     # no preferred_element_type: its transpose rule mixes dtypes in the
     # backward (f32 cotangent vs bf16 operands fails conv_general_dilated),
     # and TPU bf16 convs accumulate f32 in the MXU regardless — same
-    # reasoning as TpuConv's inline call below
+    # reasoning as TpuConv's inline call below. w casts to x.dtype so the
+    # OUTPUT dtype matches the other lowerings (an f32 w against bf16 x
+    # would otherwise return f32 here but bf16 under z2d — a silent
+    # promotion of everything downstream, routing-dependent)
     return jax.lax.conv_general_dilated(
-        x, w, window_strides=strides, padding=padding,
+        x, w.astype(x.dtype), window_strides=strides, padding=padding,
         dimension_numbers=_DIMNUMS,
     )
 
@@ -720,6 +723,11 @@ def _maybe_pad_cout(x, w, fn):
 
 
 def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
+    # one dtype for every lowering: lax.conv rejects mixed operands
+    # outright, and matching w to x here means the output dtype cannot
+    # depend on which lowering the auto policy picked
+    if w.dtype != x.dtype:
+        w = w.astype(x.dtype)
     if lowering == "auto":
         lowering = _pick_lowering(
             x, w.shape[:3], strides, padding, cout=w.shape[4]

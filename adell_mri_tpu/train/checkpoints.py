@@ -140,7 +140,23 @@ class CheckpointManager:
 
     def best_step(self) -> Optional[int]:
         best = self._best()
-        return best["step"] if best else self.latest_step()
+        if best is None:
+            return self.latest_step()
+        step = int(best["step"])
+        # best.json is written when the save is SCHEDULED (the async
+        # writer commits later), so a crash between the two can leave it
+        # pointing at a step that never landed — fall back to the latest
+        # committed step instead of crashing every downstream restore
+        self._mngr.wait_until_finished()
+        if step not in self._mngr.all_steps():
+            latest = self.latest_step()
+            logger.warning(
+                "best.json points at uncommitted step %d (interrupted "
+                "async save?); falling back to latest committed step %s",
+                step, latest,
+            )
+            return latest
+        return step
 
     def restore(self, step: Optional[int] = None, target: Any = None):
         # an in-flight async save of exactly this step must land first

@@ -49,6 +49,7 @@ def main():
     from adell_mri_tpu.ops.conv import (
         _IM2COL_MAX_BYTES,
         _im2col_patch_bytes,
+        conv3d_b2,
         conv3d_im2col_trainable,
         conv3d_pallas_trainable,
         conv3d_xla,
@@ -92,15 +93,11 @@ def main():
             # 2.37x structural-zero overhead — a loss by construction at
             # cout >= 64 unless the conv path misbehaves (ops/conv.py
             # conv3d_b2 docstring)
-            from adell_mri_tpu.ops.conv import conv3d_b2
-
             lowerings.append(("b2", lambda x, w: conv3d_b2(x, w)))
         # non-default lowerings are opt-in (ADELL_BENCH_RISKY=1): a zfold
         # row crashed the remote TPU worker mid-sweep (2026-08-18), losing
         # every row after it — the default sweep covers only the lowerings
         # production auto-routing can actually pick
-        import os as _os
-
         if _os.environ.get("ADELL_BENCH_RISKY", "0") == "1":
             lowerings.append(("zfold", lambda x, w: conv3d_zfold(x, w)))
             # match production routing: the stem's 3.4 GB patch tensor

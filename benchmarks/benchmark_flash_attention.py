@@ -12,30 +12,9 @@ the wall slope between two loop lengths (bench.py protocol — per-call
 timing through the tunnel is dispatch-dominated).
 """
 
-import time
-
 import numpy as np
 
-
-def slope_time(chain, n_small=4, min_delta=2.0, max_chain_s=90.0):
-    import jax.numpy as jnp
-
-    def t_of(n):
-        t0 = time.perf_counter()
-        np.asarray(chain(jnp.int32(n))).ravel()[:1]
-        return time.perf_counter() - t0
-
-    np.asarray(chain(jnp.int32(1))).ravel()[:1]
-    t_small = min(t_of(n_small) for _ in range(2))
-    n_big = max(4 * n_small, 16)
-    while True:
-        t_big = min(t_of(n_big) for _ in range(2))
-        dt = t_big - t_small
-        if dt >= min_delta:
-            return dt / (n_big - n_small), True
-        if t_big > max_chain_s or n_big >= 65536:
-            return max(dt, 1e-9) / (n_big - n_small), False
-        n_big *= 4
+from benchmarks.benchmark_unet_ablation import slope as slope_time
 
 
 def main():

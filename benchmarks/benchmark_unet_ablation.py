@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def slope(chain, n_small=4, min_delta=2.0):
+def slope(chain, n_small=4, min_delta=2.0, max_chain_s=90.0):
     import jax.numpy as jnp
 
     def t_of(n):
@@ -35,7 +35,7 @@ def slope(chain, n_small=4, min_delta=2.0):
         dt = t_big - t_small
         if dt >= min_delta:
             return dt / (n_big - n_small), True
-        if t_big > 90 or n_big >= 65536:
+        if t_big > max_chain_s or n_big >= 65536:
             return max(dt, 1e-9) / (n_big - n_small), False
         n_big *= 4
 

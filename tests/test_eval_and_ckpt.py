@@ -361,3 +361,31 @@ def test_extract_dynamic_all_blobs_too_small_yields_nothing():
     )
     assert confidences == []
     assert indexed.max() == 0
+
+
+def test_best_step_falls_back_when_best_json_uncommitted(tmp_path):
+    """best.json is written when a save is SCHEDULED; a crash before the
+    async writer commits can leave it pointing at a step with no payload.
+    best_step() must fall back to the latest committed step, not crash
+    downstream restores."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.train import TrainState, get_optimizer
+    from adell_mri_tpu.train.checkpoints import CheckpointManager
+
+    params = {"w": jnp.ones((3,))}
+    state = TrainState.create(
+        lambda *a: None, params, get_optimizer("sgd", learning_rate=0.1)
+    )
+    mngr = CheckpointManager(str(tmp_path), name="m", fold=0)
+    mngr.save(1, state, metrics={"val_loss": 1.0})
+    mngr.wait()
+    # simulate the crash: best.json points at a step that never landed
+    with open(f"{mngr.dir}/best.json", "w") as f:
+        json.dump({"step": 7, "value": 0.1}, f)
+    assert mngr.best_step() == 1
+    restored = mngr.restore(mngr.best_step(), target={"params": params})
+    assert restored is not None

@@ -237,3 +237,58 @@ def test_batchnorm_head_not_degenerate_at_batch_one():
     y1 = m.apply(v, x1, train=False)
     y2 = m.apply(v, x2, train=False)
     assert abs(float(y1[0, 0]) - float(y2[0, 0])) > 1e-6
+
+
+def test_transformer_block_exact_mlp_structure():
+    """mlp_structure passes hidden widths EXACTLY (a ratio round-trip
+    truncates: int(88*(49/88)) == 48) and multi-entry structures build
+    one hidden Dense per entry plus the out projection."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.layers.vit import TransformerBlockStack
+
+    m = TransformerBlockStack(
+        n_blocks=1, n_heads=2, mlp_structure=(49,)
+    )
+    v = m.init({"params": jax.random.PRNGKey(0)}, jnp.ones((1, 4, 88)))
+    blk = v["params"]["block_0"]
+    assert blk["Dense_0"]["kernel"].shape == (88, 49)
+    assert blk["Dense_1"]["kernel"].shape == (49, 88)
+
+    m2 = TransformerBlockStack(
+        n_blocks=1, n_heads=2, mlp_structure=(64, 32)
+    )
+    v2 = m2.init({"params": jax.random.PRNGKey(0)}, jnp.ones((1, 4, 16)))
+    blk2 = v2["params"]["block_0"]
+    assert blk2["Dense_0"]["kernel"].shape == (16, 64)
+    assert blk2["Dense_1"]["kernel"].shape == (64, 32)
+    assert blk2["Dense_2"]["kernel"].shape == (32, 16)
+    out = m2.apply({"params": v2["params"]}, jnp.ones((1, 4, 16)))
+    assert out.shape == (1, 4, 16)
+
+
+def test_vit_factory_exact_mlp_structure():
+    """The classification factory passes the YAML's mlp_structure through
+    exactly instead of a truncating ratio round-trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.config.factories import get_classification_network
+
+    net = get_classification_network(
+        "vit",
+        {
+            "embed_dim": 88,
+            "mlp_structure": [49],
+            "patch_size": [4, 4, 4],
+            "n_blocks": 1,
+            "n_heads": 2,
+        },
+        n_classes=2,
+    )
+    v = net.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.ones((1, 8, 8, 8, 1))
+    )
+    blk = v["params"]["ViT_0"]["TransformerBlockStack_0"]["block_0"]
+    assert blk["Dense_0"]["kernel"].shape == (88, 49)

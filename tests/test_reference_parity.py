@@ -1855,3 +1855,66 @@ def test_converged_auc_parity(torch):
     assert abs(t_auc - j_auc) < 0.01, (
         f"converged AUC diverges: ref {t_auc:.4f} vs ours {j_auc:.4f}"
     )
+
+
+def test_vit_identity_embed_weight_transfer(torch):
+    """Reference ViT whose linear embedding is the IDENTITY (embedding_size
+    == prod(patch_size) * in_channels -> parameter-free map_to_out,
+    vit.py:533-537): the importer synthesizes the exact identity kernel for
+    our Dense patch projection instead of returning a tree with a missing
+    leaf."""
+    import einops.layers.torch  # noqa: F401
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import import_reference_vit_state_dict
+    from adell_mri_tpu.models.classification.nets import ViTClassifier
+
+    _ref_module("adell_mri.modules.segmentation.unet")
+    ref_c = _ref_module(
+        "adell_mri.modules.classification.classification.classification"
+    )
+    torch.manual_seed(3)
+    ref = ref_c.ViTClassifier(
+        n_classes=2,
+        use_class_token=True,
+        image_size=[16, 16, 8],
+        patch_size=[4, 4, 4],
+        in_channels=1,
+        number_of_blocks=2,
+        attention_dim=64,
+        hidden_dim=64,
+        embedding_size=64,  # == 4*4*4*1: identity map_to_out
+        n_heads=4,
+        dropout_rate=0.0,
+        mlp_structure=[128],
+    )
+    ref.eval()
+    assert not any(
+        k.startswith("embedding.map_to_out")
+        for k in ref.state_dict()
+    ), "fixture must hit the identity-embed branch"
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = import_reference_vit_state_dict(sd, n_heads=4, n_blocks=2)
+    ours = ViTClassifier(
+        patch_size=(4, 4, 4),
+        n_classes=2,
+        embed_dim=64,
+        n_blocks=2,
+        n_heads=4,
+        mlp_structure=(128,),
+        use_class_token=True,
+    )
+    x = np.random.default_rng(9).normal(size=(2, 1, 16, 16, 8)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        theirs = ref(torch.as_tensor(x)).numpy()
+    got = np.asarray(
+        ours.apply({"params": params}, jnp.asarray(np.moveaxis(x, 1, -1)))
+    )
+    assert np.abs(got - theirs).max() < 2e-5, (
+        f"max dev {np.abs(got - theirs).max()}"
+    )

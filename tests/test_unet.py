@@ -218,3 +218,17 @@ def test_brunet_cli_factory_roundtrip():
     v = model.init({"params": KEY}, x)
     pred, _ = model.apply(v, x)
     assert pred.shape == x.shape[:-1] + (1,)
+
+
+def test_conv3d_xla_output_dtype_matches_input():
+    """conv3d_xla casts w to x.dtype so the OUTPUT dtype is the same for
+    every lowering — an f32 weight against bf16 activations must not
+    silently promote everything downstream only on the xla route."""
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.ops.conv import conv3d
+
+    x = jnp.ones((1, 4, 4, 4, 2), jnp.bfloat16)
+    w = jnp.ones((3, 3, 3, 2, 3), jnp.float32)
+    assert conv3d(x, w, lowering="xla").dtype == jnp.bfloat16
+    assert conv3d(x, w, lowering="z2d").dtype == jnp.bfloat16
