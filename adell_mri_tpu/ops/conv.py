@@ -612,6 +612,44 @@ def _conv3d_pallas_fwd(x, w, strides, padding):
 conv3d_pallas_trainable.defvjp(_conv3d_pallas_fwd, _conv3d_im2col_bwd)
 
 
+@jax.custom_vjp
+def conv3d_pallas_fz(x, w):
+    """Pallas implicit-GEMM FORWARD + z2d-derived BACKWARD (stride-1 SAME
+    k=3^3 with one 128-multiple spatial axis; other shapes fall back to
+    z2d inside). Why a second trainable pallas wrapper:
+    ``conv3d_pallas_trainable``'s backward is the im2col matmul vjp, which
+    materializes the k^3 patch tensor in HBM — 3.4 GB at the flagship stem,
+    unusable exactly where the Pallas forward pays. Here the backward
+    differentiates the z2d lowering instead (its grads are conv-transposes
+    XLA tiles well — the production default's own backward), so training
+    gets the Pallas forward at z2d's backward cost. The z2d primal built
+    by jax.vjp in the backward is dead code (a conv is bilinear: its vjp
+    closes over x and w only), so XLA DCEs it."""
+    from .pallas.conv import conv3d_pallas_raw
+
+    out = conv3d_pallas_raw(
+        x, w, interpret=os.environ.get("ADELL_PALLAS_INTERPRET", "0") == "1"
+    )
+    if out is None:
+        return conv3d_z2d(x, w, (1, 1, 1), "SAME")
+    return out
+
+
+def _pallas_fz_fwd(x, w):
+    return conv3d_pallas_fz(x, w), (x, w)
+
+
+def _pallas_fz_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda a, b: conv3d_z2d(a, b, (1, 1, 1), "SAME"), x, w
+    )
+    return tuple(vjp(g))
+
+
+conv3d_pallas_fz.defvjp(_pallas_fz_fwd, _pallas_fz_bwd)
+
+
 #: Patch-tensor budget for the auto heuristic. im2col materializes
 #: [B, *out_spatial, k^3*Cin]; above this it risks HBM pressure (and the
 #: backward materializes the same shape again for the dot's grad), so
@@ -668,14 +706,14 @@ def _pick_lowering(x, k, strides, padding="SAME", cout=None):
         return "b2" if tuple(strides) == (1, 1, 1) else "z2d"
     if env in ("xla", "im2col", "z2d", "zfold", "im2col_t"):
         return env
-    if env == "pallas" and cout is not None and _tpu_backend():
+    if env in ("pallas", "pallas_fz") and cout is not None and _tpu_backend():
         from .pallas.conv import conv3d_pallas_supported
 
         if conv3d_pallas_supported(
             x.shape, tuple(k) + (x.shape[4], cout), strides, padding,
             elt_bytes=x.dtype.itemsize,
         ):
-            return "pallas"
+            return env
     if not _tpu_backend():
         return "xla"
     if tuple(k) == tuple(strides):
@@ -736,6 +774,10 @@ def conv3d(x, w, strides=(1, 1, 1), padding="SAME", lowering: str = "auto"):
         return conv3d_pallas_trainable(
             x, w, tuple(strides), _hashable_padding(padding)
         )
+    if lowering == "pallas_fz":
+        if tuple(strides) == (1, 1, 1) and padding == "SAME":
+            return conv3d_pallas_fz(x, w)
+        return conv3d_z2d(x, w, strides, padding)
     if lowering == "im2col":
         return conv3d_im2col_trainable(
             x, w, tuple(strides), _hashable_padding(padding)

@@ -322,6 +322,67 @@ def main():
                     f"{str(exc).splitlines()[0][:120]}"
                 )
 
+    # pallas_fz section — NOT in the default list: the implicit-GEMM
+    # kernel's first real-chip compile coincided with a compile-service
+    # wedge (BASELINE.md 2026-08-17), so run it ALONE and LAST:
+    #   ADELL_BENCH_SECTIONS=pallas_fz python -m benchmarks.benchmark_conv3d
+    # A/B at the only flagship shapes the kernel takes (128-multiple axis):
+    # z2d (production default) vs pallas_fz (Pallas fwd + z2d-derived bwd).
+    if "pallas_fz" in _sections:
+        from adell_mri_tpu.ops.conv import conv3d_pallas_fz
+
+        for xs, cout in [((B, 128, 128, 32, 32), 32)]:
+            cin = xs[-1]
+            w0 = jnp.full((3, 3, 3, cin, cout), 0.01, dtype)
+            x0 = jnp.ones(xs, dtype)
+            fwd_flops = 2 * int(np.prod(xs[:4])) * 27 * cin * cout
+            for name, fn in [
+                ("z2d", lambda x, w: conv3d_z2d(x, w, (1, 1, 1), "SAME")),
+                ("pls_fz", conv3d_pallas_fz),
+            ]:
+
+                @jax.jit
+                def fwd_chain(x, w, n, fn=fn):
+                    def body(i, c):
+                        return c + jnp.mean(fn(c, w)) * 1e-6
+
+                    return jax.lax.fori_loop(0, n, body, x)
+
+                @jax.jit
+                def bwd_chain(x, w, n, fn=fn):
+                    def body(i, carry):
+                        xx, ww = carry
+
+                        def loss(xi, wi):
+                            return jnp.mean(fn(xi, wi) ** 2)
+
+                        dx, dw = jax.grad(loss, argnums=(0, 1))(xx, ww)
+                        return (
+                            xx + dx.astype(xx.dtype) * 1e-6,
+                            ww + dw.astype(ww.dtype) * 1e-6,
+                        )
+
+                    return jax.lax.fori_loop(0, n, body, (x, w))[0]
+
+                for tag, chain, fl in (
+                    ("fwd    ", fwd_chain, fwd_flops),
+                    ("fwd+bwd", bwd_chain, 3 * fwd_flops),
+                ):
+                    try:
+                        dt, ok = slope_time(
+                            lambda n, c=chain: c(x0, w0, n)
+                        )
+                        print(
+                            f"{tag} {name:7s} {str(xs):26s} -> {cout:4d}: "
+                            f"{dt * 1e3:8.2f} ms  {fl / dt / 1e12:6.2f}"
+                            f" TFLOP/s{'' if ok else '  (UNRESOLVED)'}"
+                        )
+                    except Exception as exc:
+                        print(
+                            f"{tag} {name:7s} {str(xs):26s}: FAILED "
+                            f"{str(exc).splitlines()[0][:120]}"
+                        )
+
     # calibration: the MXU speed-of-light on this run
     m = 4096
 

@@ -708,3 +708,69 @@ def test_b2_env_force_falls_back_for_strided(monkeypatch):
     x = jnp.ones((1, 4, 4, 4, 2))
     assert _pick_lowering(x, (3, 3, 3), (1, 1, 1)) == "b2"
     assert _pick_lowering(x, (3, 3, 3), (2, 2, 2)) == "z2d"
+
+
+def test_conv3d_pallas_fz_forward_and_grad_parity(monkeypatch):
+    """conv3d_pallas_fz: Pallas implicit-GEMM forward (interpret mode) ==
+    z2d forward, and its custom backward (differentiated z2d) == the
+    autodiff grads of the z2d lowering itself."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("ADELL_PALLAS_INTERPRET", "1")
+    from adell_mri_tpu.ops.conv import conv3d_pallas_fz, conv3d_z2d
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.normal(size=(1, 4, 128, 6, 5)).astype(np.float32)
+    )
+    w = jnp.asarray(
+        rng.normal(size=(3, 3, 3, 5, 7)).astype(np.float32) * 0.1
+    )
+    ours = conv3d_pallas_fz(x, w)
+    ref = conv3d_z2d(x, w, (1, 1, 1), "SAME")
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )
+
+    def loss_fz(x, w):
+        return jnp.sum(conv3d_pallas_fz(x, w) ** 2)
+
+    def loss_z2d(x, w):
+        return jnp.sum(conv3d_z2d(x, w, (1, 1, 1), "SAME") ** 2)
+
+    gx, gw = jax.grad(loss_fz, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(loss_z2d, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(
+        np.asarray(gx), np.asarray(rx), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw), np.asarray(rw), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_conv3d_pallas_fz_unsupported_fallback(monkeypatch):
+    """Shapes the kernel cannot take (no 128-multiple axis) fall back to
+    z2d inside conv3d_pallas_fz; strided calls through the dispatcher
+    route to z2d."""
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("ADELL_PALLAS_INTERPRET", "1")
+    from adell_mri_tpu.ops.conv import conv3d, conv3d_pallas_fz, conv3d_z2d
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 4, 12, 6, 5)).astype(np.float32))
+    w = jnp.asarray(
+        rng.normal(size=(3, 3, 3, 5, 7)).astype(np.float32) * 0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(conv3d_pallas_fz(x, w)),
+        np.asarray(conv3d_z2d(x, w, (1, 1, 1), "SAME")),
+        rtol=1e-5, atol=1e-5,
+    )
+    # strided dispatcher call must not reach the stride-1-only kernel
+    y = conv3d(x, w, strides=(2, 2, 2), lowering="pallas_fz")
+    ref = conv3d_z2d(x, w, (2, 2, 2), "SAME")
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
