@@ -26,6 +26,14 @@ standard-BlockSpec pipelining only — no manual DMA, no scalar prefetch
 (the axon compile service has wedged on those; memory note
 axon-pallas-quirks).
 
+DECISION (2026-08-19 on-chip A/B, calibration 196 TFLOP/s, BASELINE.md
+session H): FORCE-ONLY — lost to z2d 4.8x fwd at the stem (13.15 ms vs
+2.76). The voxel-lane GEMM is sound but the in-VMEM patch build (27
+unaligned lane-axis slices + concat + reshape per tile) is VPU-bound at
+~5x the MXU time it feeds. At Cout=32 the no-structural-zeros ceiling is
+~25% of peak (32 of 128 output lanes); z2d's 42 TF/s (21%) is near it,
+so no conv lowering has meaningful headroom left at this shape.
+
 Backward: the hand-derived im2col matmul vjp (ops/conv.py
 _conv3d_im2col_bwd) — dW is one big matmul, dx is a stride-1 conv that
 itself routes back through this kernel when shapes qualify.
