@@ -402,12 +402,13 @@ def main():
         print(f"bench: train-step sidecar failed: {exc}", file=sys.stderr)
         train_vps, train_ok = None, False
 
-    # optional sidecar (ADELL_BENCH_SLIDING=1): whole-volume
+    # sidecar (default ON, ADELL_BENCH_SLIDING=0 to skip): whole-volume
     # sliding-window segmentation — the production SERVING metric (a
     # 256x256x64 case tiled by the flagship 128x128x32 window at stride
-    # 0.5, overlap-accumulated in one jit; inference/sliding_window.py)
+    # 0.5, overlap-accumulated in one jit; inference/sliding_window.py).
+    # Default-on so the driver's plain round-end invocation records it.
     sliding_vps, sliding_ok = None, None
-    if os.environ.get("ADELL_BENCH_SLIDING", "0") == "1":
+    if os.environ.get("ADELL_BENCH_SLIDING", "1") == "1":
         try:
             from adell_mri_tpu.inference.sliding_window import (
                 sliding_window_inference,
