@@ -72,18 +72,12 @@ ARG_KEYS = [
 
 
 def _fit_2d_fn(base_size):
+    from adell_mri_tpu.transforms.host import center_crop_pad
+
     def _fit_2d(img):
+        # central slice of a 3D volume, then the shared center pad/crop
         img = img[:, :, img.shape[2] // 2, :] if img.ndim == 4 else img
-        pads = []
-        for s, t in zip(img.shape[:2], base_size):
-            total = max(t - s, 0)
-            pads.append((total // 2, total - total // 2))
-        img = np.pad(img, pads + [(0, 0)])
-        sl = tuple(
-            slice((s - t) // 2, (s - t) // 2 + t)
-            for s, t in zip(img.shape[:2], base_size)
-        )
-        return img[sl + (Ellipsis,)]
+        return center_crop_pad(img, base_size)
 
     return _fit_2d
 
@@ -209,8 +203,43 @@ def main(arguments):
         n_classes=len(class_to_int) if class_to_int else None,
     )
     if args.progressive or args.gan_type == "stylegan":
+        # the progressive steps consume only batch["image"] — refusing
+        # beats silently training an unconditional model under flags the
+        # user believes are active
+        bad = [
+            f
+            for f, v in (
+                ("--cycle_consistency", args.cycle_consistency),
+                ("--class_target_key", args.class_target_key),
+                ("--reg_target_key", args.reg_target_key),
+                ("--input_image_key", args.input_image_key),
+            )
+            if v
+        ]
+        if bad:
+            raise ValueError(
+                f"{' / '.join(bad)} is not supported with "
+                "--progressive/--gan_type stylegan (parity: the reference "
+                "ProGANPL trains unconditionally, gan/gan/pl.py:48)"
+            )
+        for f, v, default in (
+            ("--loss_type", args.loss_type, "adversarial"),
+            ("--smoothing", args.smoothing, 0.0),
+            ("--feature_matching", args.feature_matching, 0.0),
+            ("--lambda_identity", args.lambda_identity, 0.0),
+        ):
+            if v != default:
+                logger.warning(
+                    "%s is ignored by the progressive/stylegan losses", f
+                )
         metrics = _train_progressive(**common)
     elif args.cycle_consistency:
+        if args.class_target_key or args.reg_target_key:
+            raise ValueError(
+                "--class_target_key/--reg_target_key are not supported "
+                "with --cycle_consistency (the cycle steps are "
+                "unconditional image-to-image)"
+            )
         metrics = _train_cycle(**common)
     else:
         metrics = _train_regular(**common)
@@ -316,6 +345,17 @@ def _train_regular(
         disc = Discriminator(
             spatial_dimensions=sd, depth=tuple(reversed(depth)),
         )
+        # the generator emits latent_grid * 2^n_up — a pad_size that is
+        # not divisible by 2^n_up would silently train the discriminator
+        # on systematically different real/fake geometry (both shapes
+        # pass through the fully-convolutional mean-pooled critic)
+        bad_dims = [s for s in base_size if s % (2 ** len(depth))]
+        if bad_dims:
+            raise ValueError(
+                f"--pad_size {list(base_size)} must be divisible by "
+                f"2^len(depth) = {2 ** len(depth)} for the latent "
+                "generator's upsampling ladder to reproduce it"
+            )
         z0 = np.zeros((1, latent_dim), np.float32)
         x0 = np.zeros((1,) + base_size + (out_channels,), np.float32)
         g_params = gen.init({"params": jax.random.PRNGKey(args.seed)}, z0)[
@@ -372,6 +412,13 @@ def _train_cycle(
     """CycleGAN: domain A = --input_image_key, domain B = image_keys[0]."""
     if not args.input_image_key:
         raise ValueError("--cycle_consistency requires --input_image_key")
+    if len(args.image_keys) > 1:
+        logger.warning(
+            "cycle training is single-channel: domain B uses only "
+            "image_keys[0] (%s); %s are ignored",
+            args.image_keys[0],
+            args.image_keys[1:],
+        )
     rng = jax.random.PRNGKey(args.seed)
     num_channels = tuple(cfg.get("num_channels", (32, 64)))
     mk_gen = lambda: ConditionalGenerator(  # noqa: E731
@@ -433,7 +480,10 @@ def _train_cycle(
         for batch in loader:
             cyc_batch = {
                 "image_a": batch["input_image"],
-                "image_b": batch["image"],
+                # domain B = image_keys[0] (docstring contract): the
+                # loader stacks ALL image_keys into "image", but the
+                # generators/discriminators here are single-channel
+                "image_b": batch["image"][..., :1],
             }
             rng, k1, k2 = jax.random.split(rng, 3)
             for ci in range(args.n_critic):
@@ -467,7 +517,20 @@ def _train_progressive(
     grow_params (parity: ProGANPL level schedule, gan/gan/pl.py:99-120)."""
     rng = jax.random.PRNGKey(args.seed)
     depths = tuple(cfg.get("depths", (128, 64, 32)))
-    n_stages = int(np.log2(base_size[0] // cfg.get("base_resolution", 4)))
+    base_resolution = int(cfg.get("base_resolution", 4))
+    n_stages = int(np.log2(base_size[0] // base_resolution))
+    # the int(log2) floor would otherwise silently train the final stage
+    # BELOW the requested size (metadata target_size then lies to every
+    # downstream consumer)
+    if base_resolution * 2**n_stages != base_size[0] or any(
+        s % (2**n_stages) for s in base_size
+    ):
+        raise ValueError(
+            f"--pad_size {list(base_size)}: the leading dim must be "
+            f"base_resolution ({base_resolution}) times a power of two "
+            "and every dim divisible by that power for the progressive "
+            "schedule to finish at the requested size"
+        )
     base_grid = tuple(s // (2**n_stages) for s in base_size)
     schedule = progan_level_schedule(
         args.max_epochs, n_stages, args.epochs_per_level,

@@ -41,8 +41,16 @@ class _Mapper:
     ):
         # COPY: tensor.detach().numpy() aliases live torch parameter
         # storage — without a copy, later in-place optimizer steps on the
-        # source model would silently mutate the imported tree
-        self.sd = {k: np.array(v) for k, v in sd.items()}
+        # source model would silently mutate the imported tree. Arrays
+        # that already own their data (e.g. from load_reference_state_dict,
+        # which copies at the deserialization boundary) pass through, so
+        # stacked mappers over one state dict don't multiply host memory.
+        self.sd = {
+            k: v
+            if isinstance(v, np.ndarray) and v.flags.owndata
+            else np.array(v)
+            for k, v in sd.items()
+        }
         self.norm_type = norm_type
         self.activation_fn = activation_fn
         self.strict = strict
@@ -64,7 +72,6 @@ class _Mapper:
             _put(self.params, fpath + ("kernel",), transpose(w))
         b = self.take(f"{tkey}.bias") if f"{tkey}.bias" in self.sd else None
         if b is not None:
-            self.used.add(f"{tkey}.bias")
             _put(self.params, fpath + ("bias",), b)
 
     def linear(self, tkey: str, fpath: Tuple[str, ...]):

@@ -26,6 +26,22 @@ __all__ = [
 ]
 
 
+def _check_leftovers(m: _Mapper):
+    """Raises when mapped-over state-dict keys were never consumed — a
+    declared structure smaller than the checkpoint would otherwise
+    silently drop trained weights."""
+    leftovers = [
+        k
+        for k in m.sd
+        if k not in m.used and not k.endswith("num_batches_tracked")
+    ]
+    if leftovers:
+        raise ValueError(
+            "unmapped reference parameters "
+            f"({len(leftovers)}): {leftovers[:8]}..."
+        )
+
+
 def _res_block(
     m: _Mapper,
     tprefix: str,
@@ -41,10 +57,8 @@ def _res_block(
     m.conv(f"{tprefix}.op.2", (fname, "Conv_1"))
     m.adn(f"{tprefix}.op.3", (fname, "ActDropNorm_1"))
     m.conv(f"{tprefix}.op.4", (fname, "Conv_2"))
-    next_conv = 3
     if in_ch != out_ch:
-        m.conv(f"{tprefix}.final_op", (fname, f"Conv_{next_conv}"))
-        next_conv += 1
+        m.conv(f"{tprefix}.final_op", (fname, "Conv_3"))
     m.adn(f"{tprefix}.adn_op", (fname, "ActDropNorm_2"))
 
 
@@ -103,16 +117,7 @@ def import_reference_resnet_backbone(
     if m.batch_stats:
         out["batch_stats"] = m.batch_stats
     if strict:
-        leftovers = [
-            k
-            for k in m.sd
-            if k not in m.used and not k.endswith("num_batches_tracked")
-        ]
-        if leftovers:
-            raise ValueError(
-                "unmapped reference parameters "
-                f"({len(leftovers)}): {leftovers[:8]}..."
-            )
+        _check_leftovers(m)
     return out
 
 
@@ -166,10 +171,17 @@ def import_reference_resnet(
         strict,
     )
 
+    # the backbone.* subset was mapped (and leftover-checked) by the
+    # sub-importer above — mark it used here so the head leftover check
+    # below covers ONLY the head keys
+    for k in m.sd:
+        if k.startswith("backbone."):
+            m.used.add(k)
+
     def head(tprefix: str, fname: str, hidden: Sequence[int]):
         # ProjectionHead op: linear_{i} = Sequential(Linear, adn) for
-        # hidden layers, bare final Linear (init_head :306-318)
-        sub: Dict[str, Any] = {}
+        # hidden layers, bare final Linear (init_head :306-318) — written
+        # into m.params under fname
         for i in range(len(hidden)):
             m.linear(f"{tprefix}.op.linear_{i}.0", (fname, f"Dense_{i}"))
             m.adn(
@@ -180,7 +192,6 @@ def import_reference_resnet(
             f"{tprefix}.op.linear_{len(hidden)}",
             (fname, f"Dense_{len(hidden)}"),
         )
-        return sub
 
     if projection_head_structure is not None:
         head(
@@ -195,6 +206,15 @@ def import_reference_resnet(
         if ln_w is not None and ln_w.shape == (d,):
             m.params.setdefault("LayerNorm_0", {})["scale"] = ln_w
             m.params["LayerNorm_0"]["bias"] = ln_b
+        elif ln_w is not None:
+            # silently dropping a consumed-but-mismatched norm would ship
+            # an untransferred layer — the declared head width disagrees
+            # with the checkpoint
+            raise ValueError(
+                "projection head trailing norm has width "
+                f"{ln_w.shape} but projection_head_structure[-1]={d} — "
+                "the head structure does not match the checkpoint"
+            )
     if prediction_head_structure is not None:
         head(
             "prediction_head",
@@ -202,6 +222,8 @@ def import_reference_resnet(
             prediction_head_structure[:-1],
         )
 
+    if strict:
+        _check_leftovers(m)
     params.update(m.params)
     if m.batch_stats:
         batch_stats.update(m.batch_stats)
@@ -237,13 +259,17 @@ def import_reference_catnet(
         for k, v in state_dict.items()
         if not k.startswith("feature_extraction.")
     }
+    # strict passes through: the prefix filter inside the backbone import
+    # restricts its leftover check to the res_net.* subset, so a
+    # resnet_structure smaller than the checkpoint raises instead of
+    # silently dropping trained stages
     out = import_reference_resnet_backbone(
         sd,
         structure=resnet_structure,
         norm_type=norm_type,
         activation_fn=activation_fn,
         torch_prefix="res_net.",
-        strict=False,
+        strict=strict,
     )
     params: Dict[str, Any] = {"ResNetBackbone_0": out["params"]}
     batch_stats: Dict[str, Any] = (
@@ -269,6 +295,8 @@ def import_reference_catnet(
         f"classification_layer.0.op.{2 * len(hidden)}",
         (f"Dense_{len(hidden)}",),
     )
+    if strict:
+        _check_leftovers(m)
     params.update(m.params)
     if m.batch_stats:
         batch_stats.update(m.batch_stats)

@@ -88,7 +88,12 @@ def import_reference_vit_state_dict(
     """Maps a reference ViT/ViTClassifier state dict onto our
     ViTClassifier (classifier=True) / ViT param tree. Requires
     n_registers == 0 and no windowing (the classifier configs the
-    reference factories build, network_factories.py:229)."""
+    reference factories build, network_factories.py:229).
+
+    NOTE: unlike the resnet/unet importers, ``strict=False`` relaxes only
+    the unmapped-leftover check — a key this mapping NEEDS that is absent
+    from the state dict always raises (the ViT layout has no optional
+    submodules to skip, so a missing key is always a config mismatch)."""
     sd = {k[len(prefix):]: np.array(v) for k, v in sd.items()
           if k.startswith(prefix)}
     used: set = set()

@@ -78,13 +78,24 @@ class CheckpointManager:
             return json.load(f)
 
     # -- save/restore ------------------------------------------------------
+    @staticmethod
+    def _host_copy(x):
+        # the host copy is MANDATORY: train steps donate the state buffers
+        # (steps.py donate_argnums), so the device arrays are invalidated
+        # by the next step. np.asarray alone is NOT enough — on the CPU
+        # backend a jax.Array's __array__ can return a zero-copy view of
+        # the device buffer, which donation then reuses under the async
+        # writer. Force ownership whenever the result aliases.
+        a = np.asarray(x)
+        if not a.flags.owndata:
+            a = np.array(a)
+        return a
+
     def save(self, step: int, state: Any, metrics: Optional[Dict] = None):
-        # the host copy is MANDATORY before returning control to the train
-        # loop: train steps donate the state buffers (steps.py
-        # donate_argnums), so the device arrays this state refers to are
-        # invalidated by the next step — only the np snapshot stays valid
-        # for the async writer
-        tree = jax.tree.map(np.asarray, _savable(state))
+        # snapshot to host-owned numpy before returning control to the
+        # train loop (see _host_copy) — only the snapshot stays valid for
+        # the async writer
+        tree = jax.tree.map(self._host_copy, _savable(state))
         # async save: orbax's default manager writes on a background
         # thread; serialize against the PREVIOUS save here instead of
         # blocking the train loop on this one (wait_until_finished after

@@ -302,7 +302,11 @@ def test_gan_modes_cli(cohort, tmp_path):
         "--checkpoint_dir", str(tmp_path / "c1"),
         "--metric_path", str(tmp_path / "m1.csv"),
     ])
-    adell_main(base + [
+    # cycle with MULTIPLE image_keys: domain B must be image_keys[0]'s
+    # single channel (the stacked 2-channel load used to crash the
+    # 1-channel discriminator, review r3)
+    i = base.index("T2")
+    adell_main(base[: i + 1] + ["adc"] + base[i + 1 :] + [
         "--input_image_key", "adc", "--cycle_consistency",
         "--lambda_cycle", "10", "--lambda_identity", "1",
         "--checkpoint_dir", str(tmp_path / "c2"),
@@ -328,6 +332,25 @@ def test_gan_modes_cli(cohort, tmp_path):
     assert meta["gan_type"] == "stylegan"
     for m in ("m1.csv", "m2.csv", "m3.csv", "m4.csv"):
         assert os.path.exists(tmp_path / m)
+    # mode conflicts refuse instead of silently ignoring flags (review
+    # r3): progressive consumes only batch["image"]
+    with pytest.raises(ValueError, match="not supported"):
+        adell_main(base + [
+            "--progressive", "--class_target_key", "grade",
+            "--checkpoint_dir", str(tmp_path / "c5"),
+        ])
+    # progressive geometry: pad_size must be base_resolution * 2^k
+    # (int(log2) floor would otherwise finish BELOW the requested size)
+    j = base.index("--pad_size")
+    bad = base[:j] + ["--pad_size", "10", "10"] + base[j + 3 :]
+    with pytest.raises(ValueError, match="power of two"):
+        adell_main(bad + [
+            "--progressive", "--checkpoint_dir", str(tmp_path / "c5"),
+        ])
+    # latent-generator geometry: pad_size not divisible by 2^len(depth)
+    # would train the critic on mismatched real/fake sizes
+    with pytest.raises(ValueError, match="divisible"):
+        adell_main(bad + ["--checkpoint_dir", str(tmp_path / "c5")])
 
 
 def test_conditioned_segmentation_train_then_predict(cohort, tmp_path):

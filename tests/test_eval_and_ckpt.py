@@ -389,3 +389,19 @@ def test_best_step_falls_back_when_best_json_uncommitted(tmp_path):
     assert mngr.best_step() == 1
     restored = mngr.restore(mngr.best_step(), target={"params": params})
     assert restored is not None
+
+
+def test_checkpoint_save_snapshots_own_memory():
+    """save()'s host snapshot must OWN its buffers: on the CPU backend
+    np.asarray of a jax.Array is a zero-copy memoryview of the device
+    buffer, which a donating train step invalidates while the async orbax
+    writer is still serializing (review r3)."""
+    x = jnp.arange(8, dtype=jnp.float32)
+    view = np.asarray(x)
+    if view.flags.owndata:  # pragma: no cover - backend-dependent
+        pytest.skip("this backend already copies on np.asarray")
+    a = CheckpointManager._host_copy(x)
+    assert a.flags.owndata
+    np.testing.assert_array_equal(a, view)
+    # non-array leaves pass through as owned 0-d arrays
+    assert CheckpointManager._host_copy(3).flags.owndata

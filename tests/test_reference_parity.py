@@ -1918,3 +1918,60 @@ def test_vit_identity_embed_weight_transfer(torch):
     assert np.abs(got - theirs).max() < 2e-5, (
         f"max dev {np.abs(got - theirs).max()}"
     )
+
+
+def test_interop_strict_rejects_truncated_structure(torch):
+    """strict=True must refuse to silently drop trained weights (review
+    r3): a resnet_structure smaller than the checkpoint leaves unmapped
+    res_net.* keys (ValueError), and a projection-head width that
+    disagrees with the checkpoint's trailing norm raises instead of
+    shipping an untransferred layer."""
+    import pytest as _pytest
+
+    from adell_mri_tpu.interop import (
+        import_reference_catnet,
+        import_reference_resnet,
+    )
+
+    _ref_module("adell_mri.modules.segmentation.unet")
+    ref_c = _ref_module(
+        "adell_mri.modules.classification.classification.classification"
+    )
+    ref_rn = _ref_module("adell_mri.modules.layers.res_net")
+    ref_adn = _ref_module("adell_mri.modules.layers.adn_fn")
+
+    structure = [(4, 4, 3, 1), (8, 8, 3, 2)]
+    adn_t = ref_adn.get_adn_fn(3, "instance", "prelu", 0.0)
+    torch.manual_seed(23)
+    cat = ref_c.CatNet(
+        spatial_dimensions=3,
+        in_channels=1,
+        n_classes=2,
+        resnet_structure=structure,
+        maxpool_structure=[2, 2],
+        adn_fn=adn_t,
+    )
+    sd = {k: v.numpy() for k, v in cat.state_dict().items()}
+    with _pytest.raises(ValueError, match="unmapped"):
+        import_reference_catnet(
+            sd, resnet_structure=structure[:1], norm_type="instance"
+        )
+
+    adn_h_t = ref_adn.get_adn_fn(1, "layer", "prelu", 0.0)
+    res = ref_rn.ResNet(
+        backbone_args=dict(
+            spatial_dim=3, in_channels=1, structure=structure, adn_fn=adn_t
+        ),
+        projection_head_args=dict(
+            in_channels=8, structure=[8, 6, 4], adn_fn=adn_h_t
+        ),
+    )
+    sd = {k: v.numpy() for k, v in res.state_dict().items()}
+    with _pytest.raises(ValueError, match="trailing norm"):
+        import_reference_resnet(
+            sd,
+            structure=structure,
+            projection_head_structure=[8, 6, 3],
+            norm_type="instance",
+            head_norm_type="layer",
+        )
