@@ -47,8 +47,10 @@ def safe_collate_crops(
 
 def collate_last_slice(batch: List[Optional[Dict[str, Any]]]) -> Dict[str, Any]:
     """
-    2.5D collation: samples carry arrays whose last axis is the slice axis;
-    folds that axis into the batch axis (parity: utils/utils.py:246).
+    2.5D collation: folds the slice axis into the batch axis (parity:
+    utils/utils.py:246). The reference folds the LAST axis of its
+    channels-first ``[C, H, W, S]`` tensors; this repo's load_fns emit
+    channels-LAST ``[H, W, S, C]``, so the slice axis is -2 here.
     """
     batch = [b for b in batch if b is not None]
     if len(batch) == 0:
@@ -57,10 +59,10 @@ def collate_last_slice(batch: List[Optional[Dict[str, Any]]]) -> Dict[str, Any]:
     for k in batch[0].keys():
         values = [b[k] for b in batch]
         if isinstance(values[0], np.ndarray) and values[0].ndim >= 3:
-            # [C, H, W, S] -> S entries of [C, H, W]
+            # [H, W, S, C] -> S entries of [H, W, C]
             slices = [
-                np.moveaxis(v, -1, 0) for v in values
-            ]  # [S, C, H, W] each
+                np.moveaxis(v, -2, 0) for v in values
+            ]  # [S, H, W, C] each
             out[k] = np.concatenate(slices, axis=0)
         else:
             out[k] = _stack_values(values)

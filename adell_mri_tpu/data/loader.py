@@ -82,8 +82,21 @@ class CachedVolumeDataset:
         if self.cache_dir is not None:
             path = self._disk_path(entry)
             if os.path.exists(path):
-                with np.load(path, allow_pickle=True) as z:
-                    sample = {k: z[k] for k in z.files}
+                try:
+                    with np.load(path, allow_pickle=True) as z:
+                        sample = {k: z[k] for k in z.files}
+                except Exception as e:
+                    # a process killed mid-write leaves a truncated .npz;
+                    # treat it as a miss and recompute instead of crashing
+                    # the run on the same file forever
+                    logger.warning(
+                        "corrupt cache %s (%s); recomputing", path, e
+                    )
+                    sample = None
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
         if sample is None:
             try:
                 sample = self.load_fn(entry)
@@ -91,7 +104,21 @@ class CachedVolumeDataset:
                 logger.warning("failed to load %s: %s", entry.get("identifier", i), e)
                 return None
             if self.cache_dir is not None and sample is not None:
-                np.savez(self._disk_path(entry), **sample)
+                # atomic write: savez to a temp file object (a str path
+                # would get ".npz" appended) then rename over the target,
+                # so a kill mid-save can never leave a truncated cache
+                path = self._disk_path(entry)
+                tmp = f"{path}.tmp{os.getpid()}"
+                try:
+                    with open(tmp, "wb") as f:
+                        np.savez(f, **sample)
+                    os.replace(tmp, path)
+                except Exception as e:
+                    logger.warning("cache write failed %s: %s", path, e)
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
         if sample is not None and (
             self.cache_rate >= 1.0 or (i / max(1, len(self))) < self.cache_rate
         ):
@@ -134,7 +161,16 @@ class DataLoader:
         return list(self.sampler)
 
     def __len__(self) -> int:
-        n = len(self._indices()) if self.sampler is not None else len(self.dataset)
+        # use the sampler's own __len__ — materializing it (list(sampler))
+        # would consume an RNG epoch draw, making the actual epoch indices
+        # depend on how many times len() was called before iteration
+        if self.sampler is None:
+            n = len(self.dataset)
+        else:
+            try:
+                n = len(self.sampler)
+            except TypeError:
+                n = len(list(self.sampler))
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)

@@ -54,12 +54,6 @@ spatial_augments: List[str] = [
 ]
 
 
-def _axis_sigma(axis: int, mag):
-    s = [0.0, 0.0, 0.0]
-    sig = [jnp.where(axis == d, 0.3 * mag + 1e-3, 1e-3) for d in range(3)]
-    return sig
-
-
 def _smooth_axis(key, x, mag, axis):
     # anisotropic smoothing: blur only one axis
     sigma = 0.3 + mag  # magnitude-scaled
@@ -193,7 +187,6 @@ class AugmentationWorkhorse:
         augmentations: Sequence[str] = None,
         n_transforms: int = 1,
         ndim: int = 3,
-        mask_keys: Sequence[str] = (),
     ):
         registry = build_registry(ndim)
         if augmentations is None:

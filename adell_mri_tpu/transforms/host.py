@@ -14,7 +14,6 @@ Also ports the spacing-inference helpers
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-from scipy import ndimage
 
 from adell_mri_tpu.data.nifti import NiftiImage, read_nifti, reorient_to_ras
 from adell_mri_tpu.utils import get_logger
@@ -97,15 +96,16 @@ def precompute_fg_indices(
     (FgBgToIndicesd analogue, SURVEY.md §7 hard parts): padded to a fixed
     ``max_fg`` so shapes stay static under jit.
     """
+    ndim = label.ndim
     fg = np.argwhere(label > 0)
     n = len(fg)
     if n == 0:
-        return np.zeros((max_fg, 3), np.int32), 0
+        return np.zeros((max_fg, ndim), np.int32), 0
     if n > max_fg:
         rng = np.random.default_rng(seed)
         fg = fg[rng.choice(n, size=max_fg, replace=False)]
         n = max_fg
-    out = np.zeros((max_fg, 3), np.int32)
+    out = np.zeros((max_fg, ndim), np.int32)
     out[:n] = fg
     return out, n
 

@@ -75,11 +75,19 @@ def _augment_one(
     label,
     policy: AugmentPolicy,
     workhorse: Optional[AugmentationWorkhorse] = None,
+    return_geometry: bool = False,
 ):
     """
     Single-sample augmentation: ONE fused warp for all geometry (affine +
     shear folded into one matrix; label warped with nearest) + fused
     intensity/noise ops. image [*S, C]; label [*S] or None.
+
+    With ``return_geometry=True`` also returns the homogeneous matrix
+    mapping OUTPUT voxel -> INPUT voxel for the applied geometric ops
+    (None when no geometry ran), so callers can relocate host-precomputed
+    coordinates (pos/neg-crop fg indices) through the warp. The elastic
+    displacement field is not folded in (bounded by ~distort_magnitude
+    voxels — negligible at crop scale).
     """
     ndim = image.ndim - 1
     shape = image.shape[:-1]
@@ -106,6 +114,7 @@ def _augment_one(
             )
             * do_distort
         )
+    geom = None  # output voxel -> input voxel, for return_geometry
     if policy.affine or policy.shear or policy.distort:
         mat = S.random_affine_matrix(
             keys[0],
@@ -120,6 +129,7 @@ def _augment_one(
             # (a negative scale through the same separable passes) instead
             # of paying a separate full-volume select+reverse
             mat = S.compose_flips(keys[1], mat, shape, policy.flip_axes)
+        geom = mat
         if (
             displacement is None
             and ndim == 3
@@ -149,12 +159,17 @@ def _augment_one(
                 )
                 label = lab[..., 0] if label.ndim == ndim else lab
     if policy.flip and not fold_flip:
-        image_flipped = S.random_flip(keys[1], image, policy.flip_axes)
+        # same key as random_flip -> identical draws; the returned matrix
+        # composes AFTER the warp in output space: out[o] = in[mat @ F @ o]
+        image_flipped, flip_mat = S.random_flip_with_matrix(
+            keys[1], image, policy.flip_axes, ndim
+        )
         if label is not None:
             lab = label[..., None] if label.ndim == ndim else label
             lab = S.random_flip(keys[1], lab, policy.flip_axes)
             label = lab[..., 0] if label.ndim == ndim else lab
         image = image_flipped
+        geom = flip_mat if geom is None else geom @ flip_mat
     # gamma/scale/shift/rician run batch-level AFTER the vmapped geometry
     # as ONE fused pallas pass (_batch_intensity below); only the FFT-based
     # gibbs ringing stays per-sample here
@@ -181,6 +196,8 @@ def _augment_one(
     image = image.astype(in_dtype)
     if label is not None:
         label = label.astype(label_dtype)
+    if return_geometry:
+        return image, label, geom
     return image, label
 
 
@@ -285,10 +302,28 @@ class SegmentationTransforms:
         )
 
         def one(key, image, label, fg, n_fg):
-            image, label = _augment_one(
-                key, image, label, self.augmentations, wh
+            image, label, geom = _augment_one(
+                key, image, label, self.augmentations, wh,
+                return_geometry=True,
             )
             if self.crop_size is not None:
+                nd = image.ndim - 1
+                if geom is not None:
+                    # fg_indices were computed on the PRE-warp label; an
+                    # input fg voxel p now sits at inv(geom) @ p in the
+                    # warped output, so map the centers through the inverse
+                    # (clip keeps warped-out points at the border — the
+                    # crop start clip bounds them anyway)
+                    inv = jnp.linalg.inv(geom)
+                    pts = (
+                        fg.astype(jnp.float32) @ inv[:nd, :nd].T
+                        + inv[:nd, nd]
+                    )
+                    fg = jnp.clip(
+                        jnp.round(pts).astype(jnp.int32),
+                        0,
+                        jnp.asarray(image.shape[:-1], jnp.int32) - 1,
+                    )
                 k = jax.random.fold_in(key, 17)
                 image, label, _ = S.pos_neg_crop(
                     k, image, label, tuple(self.crop_size), fg, n_fg,
@@ -299,7 +334,7 @@ class SegmentationTransforms:
 
         fg = batch.get(
             "fg_indices",
-            jnp.zeros((b, self.max_fg, 3), jnp.int32),
+            jnp.zeros((b, self.max_fg, batch["image"].ndim - 2), jnp.int32),
         )
         n_fg = batch.get("n_fg", jnp.zeros((b,), jnp.int32))
         image, label = jax.vmap(one)(
@@ -632,6 +667,7 @@ class DetectionTransforms:
             return image, obj, ctr, sz, cls
 
         b = image.shape[0]
+        in_dtype = image.dtype
         keys = jax.random.split(key, b)
         image, obj, ctr, sz, cls = jax.vmap(one)(
             keys,
@@ -640,6 +676,10 @@ class DetectionTransforms:
             batch["box_classes"],
             batch["n_boxes"],
         )
+        # dtype-preserving boundary (same rationale as _augment_one): the
+        # warp upcasts to f32; cast back BEFORE _batch_intensity so its
+        # .astype(image.dtype) restores the caller's dtype, not f32
+        image = image.astype(in_dtype)
         out = dict(batch)
         out.update(
             image=_batch_intensity(jax.random.fold_in(key, 91), image, policy),
@@ -662,19 +702,22 @@ class DetectionTransforms:
         out = dict(batch)
         image = batch["image"]
         ndim = image.ndim - 2
-        keys = jax.random.split(key, ndim + 1)
+        k_flip, k_int = jax.random.split(key)
         if policy.flip:
             # all targets are [B, *G, channels]: objectness channels = A,
             # center/size channels = A*ndim (anchor-major: a*ndim + d),
-            # classes channels = C
+            # classes channels = C. Only policy.flip_axes flip — the box
+            # path and _augment_one honor the same restriction (anatomy is
+            # not flip-symmetric along every axis).
             obj = batch["objectness"]
             ctr = batch["center_offsets"]
             sz = batch["sizes"]
             cls = batch["classes"]
-            n_anchors = obj.shape[-1]
             dim_idx = jnp.arange(ctr.shape[-1]) % ndim  # per-channel axis id
-            for d in range(ndim):
-                flip = jax.random.bernoulli(keys[d], 0.5, (image.shape[0],))
+            for d in policy.flip_axes:
+                flip = jax.random.bernoulli(
+                    jax.random.fold_in(k_flip, d), 0.5, (image.shape[0],)
+                )
                 f_img = flip.reshape((-1,) + (1,) * (image.ndim - 1))
                 image = jnp.where(f_img, jnp.flip(image, axis=d + 1), image)
 
@@ -700,6 +743,6 @@ class DetectionTransforms:
             out.update(
                 objectness=obj, center_offsets=ctr, sizes=sz, classes=cls
             )
-        image = _batch_intensity(keys[-1], image, policy)
+        image = _batch_intensity(k_int, image, policy)
         out["image"] = image
         return out

@@ -236,6 +236,30 @@ def random_flip(key: jax.Array, vol: jax.Array, axes: Sequence[int], prob: float
     return vol
 
 
+def random_flip_with_matrix(
+    key: jax.Array,
+    vol: jax.Array,
+    axes: Sequence[int],
+    ndim: int,
+    prob: float = 0.5,
+):
+    """``random_flip`` (same key-split pattern, so identical draws) that also
+    returns the homogeneous reflection matrix mapping output voxel -> input
+    voxel, so callers can relocate host-precomputed coordinates (e.g. the
+    pos/neg-crop foreground indices) through the applied geometry."""
+    keys = jax.random.split(key, len(axes))
+    diag = jnp.ones((ndim,))
+    trans = jnp.zeros((ndim,))
+    for ax, k in zip(axes, keys):
+        do = jax.random.bernoulli(k, prob)
+        vol = jnp.where(do, jnp.flip(vol, axis=ax), vol)
+        diag = diag.at[ax].set(jnp.where(do, -1.0, 1.0))
+        trans = trans.at[ax].set(
+            jnp.where(do, float(vol.shape[ax] - 1), 0.0)
+        )
+    return vol, _homogeneous(ndim, jnp.diag(diag), trans)
+
+
 def center_crop_or_pad(vol: jax.Array, target: Sequence[int], cval: float = 0.0):
     """Static center crop/pad of spatial axes to ``target`` (channels-last)."""
     ndim = len(target)
@@ -331,8 +355,15 @@ def random_slices(
     Mask-weighted 2.5D slice sampling (parity: RandomSlices,
     utils/monai_transforms/random.py:120): slices with label mass are
     upweighted. Returns vol/label with the slice axis reduced to n_slices.
+    ``axis`` indexes the FULL (channels-last) array; the default -2 is the
+    last spatial axis of a ``[*spatial, C]`` volume.
     """
-    axis = axis % (vol.ndim - 1)
+    axis = axis % vol.ndim
+    if axis == vol.ndim - 1:
+        raise ValueError(
+            "random_slices axis is the channel axis of a channels-last "
+            "volume; pass a spatial axis (default -2 = last spatial)"
+        )
     lab = label if label.ndim == vol.ndim else label[..., None]
     sum_axes = tuple(d for d in range(lab.ndim) if d != axis)
     weights = jnp.sum(lab, axis=sum_axes) + 1e-3
@@ -353,9 +384,15 @@ def get_all_crops(vol: jax.Array, size: Sequence[int], strides: Optional[Sequenc
     """
     ndim = len(size)
     strides = strides or size
+    # undersized axes pad up to the crop size first (negative starts would
+    # otherwise wrap or produce short crops that break jnp.stack)
+    if any(vol.shape[d] < size[d] for d in range(ndim)):
+        vol = center_crop_or_pad(
+            vol, [max(vol.shape[d], size[d]) for d in range(ndim)]
+        )
     starts_per_dim = []
     for d in range(ndim):
-        s = list(range(0, max(vol.shape[d] - size[d], 0) + 1, strides[d]))
+        s = list(range(0, vol.shape[d] - size[d] + 1, strides[d]))
         if s[-1] != vol.shape[d] - size[d]:
             s.append(vol.shape[d] - size[d])
         starts_per_dim.append(s)

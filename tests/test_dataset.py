@@ -1,6 +1,7 @@
 """Data layer tests (dataset JSON, filters, samplers, collate)."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -122,9 +123,12 @@ def test_safe_collate_crops():
 
 
 def test_collate_last_slice():
-    b = [{"x": np.zeros((1, 8, 8, 3))}, {"x": np.ones((1, 8, 8, 3))}]
+    # channels-last [H, W, S, C]: the SLICE axis (-2) folds into the batch,
+    # channels stay last
+    b = [{"x": np.zeros((8, 8, 3, 2))}, {"x": np.ones((8, 8, 3, 2))}]
     out = collate_last_slice(b)
-    assert out["x"].shape == (6, 1, 8, 8)
+    assert out["x"].shape == (6, 8, 8, 2)
+    assert out["x"][:3].sum() == 0 and (out["x"][3:] == 1).all()
 
 
 def test_subsample_minority_stratum_survives(tmp_path):
@@ -226,3 +230,55 @@ def test_cache_fingerprint_separates_configs(tmp_path):
     out = ds_b[0]
     assert calls == ["a", "b"]  # cfgB missed cfgA's cache entry
     assert out["x"].shape == (4,)
+
+
+def test_loader_len_does_not_consume_sampler_rng():
+    """Regression: __len__ used to materialize the sampler, advancing its
+    RNG — epoch-1 indices depended on how many len() calls preceded it."""
+    from adell_mri_tpu.data.loader import DataLoader
+    from adell_mri_tpu.data.samplers import RandomSampler
+
+    data = [{"i": np.asarray(i)} for i in range(10)]
+
+    def run(n_len_calls):
+        loader = DataLoader(
+            data, sampler=RandomSampler(10, seed=0), batch_size=2, prefetch=0
+        )
+        for _ in range(n_len_calls):
+            len(loader)
+        return [b["i"].tolist() for b in loader]
+
+    assert run(0) == run(3)
+
+
+def test_disk_cache_corrupt_npz_recovers(tmp_path):
+    """Regression: a truncated/corrupt cache file is a miss (recompute +
+    rewrite), not a permanent crash."""
+    from adell_mri_tpu.data.loader import CachedVolumeDataset
+
+    entry = {"identifier": "a", "v": 3}
+    calls = []
+
+    def load_fn(e):
+        calls.append(1)
+        return {"x": np.full((4,), float(e["v"]))}
+
+    ds = CachedVolumeDataset(
+        [entry], load_fn, cache_rate=0.0, cache_dir=str(tmp_path)
+    )
+    s1 = ds[0]
+    assert s1["x"].tolist() == [3.0] * 4 and len(calls) == 1
+    path = ds._disk_path(entry)
+    assert os.path.exists(path)
+    with open(path, "wb") as f:
+        f.write(b"not a zip file")
+    ds2 = CachedVolumeDataset(
+        [entry], load_fn, cache_rate=0.0, cache_dir=str(tmp_path)
+    )
+    s2 = ds2[0]
+    assert s2["x"].tolist() == [3.0] * 4 and len(calls) == 2
+    # the cache file was rewritten and is valid again
+    ds3 = CachedVolumeDataset(
+        [entry], load_fn, cache_rate=0.0, cache_dir=str(tmp_path)
+    )
+    assert ds3[0]["x"].tolist() == [3.0] * 4 and len(calls) == 2

@@ -166,3 +166,149 @@ def test_augment_distort_and_lowres_wired():
     )
     out_id = jax.jit(identity.augment)(jax.random.PRNGKey(0), batch)
     assert not np.allclose(np.asarray(out["image"]), np.asarray(out_id["image"]))
+
+
+def test_pos_neg_crop_tracks_flip_geometry():
+    """Regression: fg_indices are computed on the PRE-warp label; the crop
+    must relocate them through the applied geometry. A corner blob under a
+    flip-only policy lands at the far end — stale centers would miss it."""
+    from adell_mri_tpu.transforms.host import precompute_fg_indices
+
+    vol = jnp.zeros((48, 16, 8, 1)).at[1:4, 6:10, 2:5].set(1.0)
+    lab = vol[..., 0]
+    fg, n_fg = precompute_fg_indices(np.asarray(lab), max_fg=64)
+    tr = SegmentationTransforms(
+        crop_size=(8, 8, 4),
+        augmentations=AugmentPolicy(
+            intensity=False, noise=False, affine=False, flip=True,
+            flip_axes=(0,),
+        ),
+        pos_ratio=1.0,
+        max_fg=64,
+    )
+    b = 8
+    batch = {
+        "image": jnp.stack([vol] * b),
+        "label": jnp.stack([lab] * b),
+        "fg_indices": jnp.stack([jnp.asarray(fg)] * b),
+        "n_fg": jnp.asarray([n_fg] * b, jnp.int32),
+    }
+    out = jax.jit(tr.augment)(jax.random.PRNGKey(3), batch)
+    sums = np.asarray(out["label"]).sum(axis=(1, 2, 3))
+    assert (sums > 0).all(), sums
+
+
+def test_pos_neg_crop_tracks_affine_translation():
+    """Same regression for the warp path: pure translations larger than the
+    crop half-width must not break the pos_ratio=1 fg guarantee."""
+    from adell_mri_tpu.transforms.host import precompute_fg_indices
+
+    vol = jnp.zeros((48, 16, 8, 1)).at[22:26, 6:10, 2:5].set(1.0)
+    lab = vol[..., 0]
+    fg, n_fg = precompute_fg_indices(np.asarray(lab), max_fg=64)
+    tr = SegmentationTransforms(
+        crop_size=(8, 8, 4),
+        augmentations=AugmentPolicy(
+            intensity=False, noise=False, flip=False, affine=True,
+            rotate_range=0.0, scale_range=0.0, translate_range=0.25,
+        ),
+        pos_ratio=1.0,
+        max_fg=64,
+    )
+    b = 8
+    batch = {
+        "image": jnp.stack([vol] * b),
+        "label": jnp.stack([lab] * b),
+        "fg_indices": jnp.stack([jnp.asarray(fg)] * b),
+        "n_fg": jnp.asarray([n_fg] * b, jnp.int32),
+    }
+    out = jax.jit(tr.augment)(jax.random.PRNGKey(7), batch)
+    sums = np.asarray(out["label"]).sum(axis=(1, 2, 3))
+    assert (sums > 0).all(), sums
+
+
+def test_random_slices_default_axis():
+    """Regression: axis=-2 must select the LAST SPATIAL axis of a
+    channels-last volume (it used to normalize to W)."""
+    vol = jnp.broadcast_to(
+        jnp.arange(6, dtype=jnp.float32)[None, None, :, None], (4, 5, 6, 2)
+    )
+    lab = jnp.zeros((4, 5, 6)).at[:, :, 3].set(100.0)
+    v, l = S.random_slices(jax.random.PRNGKey(0), vol, lab, n_slices=4)
+    assert v.shape == (4, 5, 4, 2)
+    assert (np.asarray(v) == 3).mean() > 0.9
+    with pytest.raises(ValueError):
+        S.random_slices(jax.random.PRNGKey(0), vol, lab, 4, axis=-1)
+
+
+def test_precompute_fg_indices_2d():
+    from adell_mri_tpu.transforms.host import precompute_fg_indices
+
+    lab = np.zeros((8, 8), np.float32)
+    lab[2:4, 5:7] = 1.0
+    fg, n = precompute_fg_indices(lab, max_fg=16)
+    assert fg.shape == (16, 2) and n == 4
+    fg0, n0 = precompute_fg_indices(np.zeros((8, 8), np.float32), max_fg=16)
+    assert fg0.shape == (16, 2) and n0 == 0
+
+
+def test_get_all_crops_undersized_axis():
+    """Axes smaller than the crop size pad up instead of producing wrapped
+    or short crops."""
+    vol = jnp.ones((6, 10, 1))
+    crops = S.get_all_crops(vol, (8, 4))
+    assert crops.shape == (3, 8, 4, 1)
+    assert np.isfinite(np.asarray(crops)).all()
+
+
+def test_detection_grid_flip_respects_axes_and_dtype():
+    """Regression: the grid-target flip path flipped EVERY spatial axis and
+    leaked f32 from a bf16 input."""
+    from adell_mri_tpu.transforms.pipeline import DetectionTransforms
+
+    tr = DetectionTransforms(
+        augmentations=AugmentPolicy(
+            intensity=False, noise=False, affine=False, shear=False,
+            flip=True, flip_axes=(0,),
+        )
+    )
+    b = 4
+    image = jnp.zeros((b, 8, 8, 4, 1), jnp.bfloat16).at[:, :, 0].set(1.0)
+    batch = {
+        "image": image,
+        "objectness": jnp.zeros((b, 4, 4, 2, 1)),
+        "center_offsets": jnp.full((b, 4, 4, 2, 3), 0.5),
+        "sizes": jnp.ones((b, 4, 4, 2, 3)),
+        "classes": jnp.zeros((b, 4, 4, 2, 2)),
+    }
+    out = jax.jit(tr.augment)(jax.random.PRNGKey(5), batch)
+    assert out["image"].dtype == jnp.bfloat16
+    # marker at W=0 is invariant to axis-0 flips; a (wrong) axis-1 flip
+    # would move it to W=-1
+    assert float(jnp.asarray(out["image"], jnp.float32)[:, :, 0].min()) == 1.0
+
+
+def test_detection_boxes_path_preserves_dtype():
+    from adell_mri_tpu.transforms.pipeline import DetectionTransforms
+
+    tr = DetectionTransforms(
+        augmentations=AugmentPolicy(
+            intensity=False, noise=False, affine=True, flip=True,
+        ),
+        anchors=np.asarray([[4.0, 4.0, 2.0]]),
+        grid_shape=(4, 4, 2),
+        input_shape=(16, 16, 8),
+        n_classes=2,
+    )
+    b = 2
+    batch = {
+        "image": jnp.ones((b, 16, 16, 8, 1), jnp.bfloat16),
+        "boxes": jnp.asarray(
+            np.tile(np.asarray([[2.0, 2, 1, 8, 8, 4]], np.float32), (b, 1, 1))
+        ),
+        "box_classes": jnp.zeros((b, 1), jnp.int32),
+        "n_boxes": jnp.ones((b,), jnp.int32),
+    }
+    out = jax.jit(tr.augment)(jax.random.PRNGKey(1), batch)
+    assert out["image"].dtype == jnp.bfloat16
+    assert out["objectness"].shape[0] == b
