@@ -706,7 +706,17 @@ def _pick_lowering(x, k, strides, padding="SAME", cout=None):
         return "b2" if tuple(strides) == (1, 1, 1) else "z2d"
     if env in ("xla", "im2col", "z2d", "zfold", "im2col_t"):
         return env
-    if env in ("pallas", "pallas_fz") and cout is not None and _tpu_backend():
+    if (
+        env in ("pallas", "pallas_fz")
+        and cout is not None
+        and (
+            _tpu_backend()
+            # interpret mode runs the kernels on CPU — honor the force
+            # there too, otherwise off-chip "parity" drives through the
+            # dispatcher silently validate the XLA path instead
+            or os.environ.get("ADELL_PALLAS_INTERPRET", "0") == "1"
+        )
+    ):
         from .pallas.conv import conv3d_pallas_supported
 
         if conv3d_pallas_supported(
@@ -802,7 +812,8 @@ class TpuConv(_nn.Module):
     kernel == strides, else ``z2d`` (sum of z-shifted 2D convs — 7-270x
     over XLA's erratically-pathological 3D path at stem shapes and never
     slower anywhere measured; BASELINE.md round 3). Force with
-    ``ADELL_CONV_LOWERING`` (xla/z2d/zfold/s2d/im2col/im2col_t/pallas).
+    ``ADELL_CONV_LOWERING``
+    (xla/z2d/zfold/s2d/b2/im2col/im2col_t/pallas/pallas_fz).
     Parameter tree matches nn.Conv
     (``kernel`` [*k, cin, cout], ``bias`` [cout]) so checkpoints are
     interchangeable; give instances the name ``Conv_{i}`` to keep tree
@@ -838,6 +849,15 @@ class TpuConv(_nn.Module):
             y = conv3d_pallas_trainable(
                 x, w, strides, _hashable_padding(self.padding)
             )
+        elif ndim == 3 and lowering == "pallas_fz":
+            # same contract as conv3d(): Pallas implicit-GEMM forward for
+            # qualifying stride-1 SAME convs, z2d otherwise — without this
+            # arm a forced pallas_fz silently fell through to the XLA path
+            # this module exists to avoid
+            if strides == (1, 1, 1) and self.padding == "SAME":
+                y = conv3d_pallas_fz(x, w)
+            else:
+                y = conv3d_z2d(x, w, strides, self.padding)
         elif ndim == 3 and lowering == "im2col":
             y = conv3d_im2col_trainable(
                 x, w, strides, _hashable_padding(self.padding)

@@ -168,7 +168,16 @@ def _flash_kernel(
     # accumulation; softmax statistics stay f32
     q = q_ref[0]  # [BQ, D]
     k = k_ref[0]  # [BK, D]
-    v = v_ref[0]
+    # out-of-range kv rows of the last partial block are garbage VMEM
+    # reads; p is masked to exactly 0 at those columns below, but the
+    # p @ v dot still computes 0 * v_garbage and 0 * NaN = NaN would
+    # contaminate acc for EVERY query row — zero the garbage v rows
+    # (the VMEM variant avoids this by padding kf/vf up front)
+    kv_row = (
+        jax.lax.broadcasted_iota(jnp.int32, k_ref.shape[1:], 0)
+        + kk * k_ref.shape[1]
+    ) < n_kv
+    v = jnp.where(kv_row, v_ref[0], 0)
     s = (
         jax.lax.dot_general(
             q,
@@ -178,7 +187,8 @@ def _flash_kernel(
         )
         * scale
     )  # [BQ, BK] f32
-    # mask out-of-range kv rows (last partial block)
+    # mask out-of-range kv rows (last partial block); jnp.where also
+    # swallows any NaN that garbage k rows injected into s
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kk * s.shape[1]
     s = jnp.where(col < n_kv, s, _NEG)
     m_prev = m_sc[:]
@@ -303,8 +313,17 @@ def _bwd_dq_kernel(
         dq_sc[:] = jnp.zeros_like(dq_sc)
 
     q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    # out-of-range kv rows of the last partial block are garbage VMEM
+    # reads: masking the SCORES (s -> _NEG, ds -> 0) is not enough because
+    # the ds @ k contraction still multiplies the masked zeros against the
+    # garbage k rows and 0 * NaN = NaN rides into VALID dq rows — zero the
+    # k/v operands themselves
+    kv_row = (
+        jax.lax.broadcasted_iota(jnp.int32, k_ref.shape[1:], 0)
+        + kk * k_ref.shape[1]
+    ) < n_kv
+    k = jnp.where(kv_row, k_ref[0], 0)
+    v = jnp.where(kv_row, v_ref[0], 0)
     do = do_ref[0]
     L = L_ref[0]
     delta = dl_ref[0]
@@ -322,10 +341,6 @@ def _bwd_dq_kernel(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # out-of-range kv columns (last partial kv block) read garbage v/k
-    # rows: p is exactly 0 there, but dp may be non-finite and 0 * inf
-    # = NaN would ride the kv contraction into valid dq rows — mask ds
-    # explicitly (mirror of the dkv kernel's row_ok guard)
     ds = jnp.where(col < n_kv, p * (dp - delta) * scale, 0.0)
     dq_sc[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -357,8 +372,15 @@ def _bwd_dkv_kernel(
         + qq * q_ref.shape[1]
     ) < n_q
     q = jnp.where(row_ok, q_ref[0], 0)
-    k = k_ref[0]
-    v = v_ref[0]
+    # garbage kv rows of the last partial block only ever reach dk/dv rows
+    # that the out-of-range output write discards, but zero them anyway so
+    # no NaN transits the accumulators (same guard as the other kernels)
+    kv_row = (
+        jax.lax.broadcasted_iota(jnp.int32, k_ref.shape[1:], 0)
+        + pl.program_id(1) * k_ref.shape[1]
+    ) < n_kv
+    k = jnp.where(kv_row, k_ref[0], 0)
+    v = jnp.where(kv_row, v_ref[0], 0)
     do = jnp.where(row_ok, do_ref[0], 0)
     L = L_ref[0]
     delta = jnp.where(row_ok, dl_ref[0], 0)

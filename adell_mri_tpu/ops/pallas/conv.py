@@ -100,7 +100,10 @@ def _supported(x_shape, w_shape, strides, padding, elt_bytes: int = 2):
     else:
         return None
     w_sz, h_sz = (h, w) if swap else (w, h)
-    if w_sz % _TW != 0 and w_sz != _TW:
+    # non-multiples above one tile are rejected; anything <= _TW runs as a
+    # single tw = w_sz chunk (the old gate `w_sz != _TW` was vacuous when
+    # w_sz % _TW == 0 and wrongly rejected small-W shapes)
+    if w_sz % _TW != 0 and w_sz > _TW:
         return None
     cout = w_shape[4]
     tw = _TW if w_sz % _TW == 0 else w_sz

@@ -95,12 +95,21 @@ def fused_intensity_aug(
     min/max (one cheap XLA reduction, fused upstream). ``seed`` is an int32
     scalar. Falls back to the XLA reference off-TPU.
     """
+    # a concretely-zero sigma must disable the noise branch entirely: the
+    # Rician magnitude sqrt((x+0)^2 + 0^2) = |x| would silently rectify
+    # negative voxels of z-score-normalized volumes (the batch variant
+    # already gates on sigma > 0)
+    try:
+        noise = float(sigma) > 0.0
+    except TypeError:  # traced sigma: keep the branch, value decides
+        noise = True
     if jax.devices()[0].platform not in ("tpu", "axon"):
         return fused_intensity_aug_reference(
-            seed, x, lo, hi, gamma, scale, shift, sigma, rician
+            seed, x, lo, hi, gamma, scale, shift, sigma, rician and noise
         )
     return _fused_intensity_kernel_call(
-        seed, x, lo, hi, gamma, scale, shift, sigma, rician=rician
+        seed, x, lo, hi, gamma, scale, shift, sigma,
+        rician=rician, noise=noise,
     )
 
 

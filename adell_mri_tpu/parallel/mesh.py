@@ -14,6 +14,7 @@ Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``; the
 mesh then spans all processes with DCN as the outermost (data) axis.
 """
 
+from collections import Counter
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -158,15 +159,23 @@ def shard_batch(batch: Dict, mesh: Mesh, pad: bool = False) -> Dict:
     """
     sharding = batch_sharding(mesh)
     divisor = mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]
-    batch_dim = next(
-        (
-            x.shape[0]
-            for x in batch.values()
-            if isinstance(x, (np.ndarray, jax.Array))
-            and getattr(x, "ndim", 0) >= 1
-        ),
-        0,
-    )
+    # the batch size comes from the canonical "image" leaf when present,
+    # else the MODAL leading dim across array leaves — the first leaf's
+    # dim is dict-order-dependent and an auxiliary array (class-weight
+    # vector, anchor table) appearing first would corrupt padding and
+    # silently replicate the real batch leaves
+    dims = [
+        x.shape[0]
+        for x in batch.values()
+        if isinstance(x, (np.ndarray, jax.Array))
+        and getattr(x, "ndim", 0) >= 1
+    ]
+    if isinstance(batch.get("image"), (np.ndarray, jax.Array)):
+        batch_dim = batch["image"].shape[0]
+    elif dims:
+        batch_dim = Counter(dims).most_common(1)[0][0]
+    else:
+        batch_dim = 0
     if batch_dim % divisor != 0 and pad and batch_dim > 0:
         pad_n = -batch_dim % divisor
         idx = np.arange(pad_n) % batch_dim

@@ -774,3 +774,78 @@ def test_conv3d_pallas_fz_unsupported_fallback(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1300, 32), (1, 2, 4097, 16)])
+def test_flash_tiled_partial_kv_block_parity(interpret_pallas, shape):
+    """Regression: the tiled forward/backward must guard the last PARTIAL
+    KV block's k/v rows (n_kv % _BK != 0, e.g. a ViT class token at 4097)
+    — masked-zero p/ds contracted against garbage rows is 0*NaN."""
+    rng = np.random.default_rng(4)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=shape), jnp.float32) for _ in range(3)
+    )
+    scale = shape[-1] ** -0.5
+    out, m, l = attn_mod._flash_fwd_raw(q, k, v, scale)
+    ref = attention_reference(q, k, v)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+    # backward through the Pallas kernels (partial q/kv blocks both hit)
+    g = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    dq, dk, dv = attn_mod._flash_bwd_pallas(q, k, v, out, m, l, g, scale)
+
+    def f(q, k, v):
+        return attention_reference(q, k, v)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    rq, rk, rv = vjp(g)
+    for ours, refg in ((dq, rq), (dk, rk), (dv, rv)):
+        assert np.isfinite(np.asarray(ours)).all()
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(refg), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_tpu_conv_pallas_fz_route(monkeypatch):
+    """Regression: TpuConv's dispatch had no pallas_fz arm — a forced
+    ADELL_CONV_LOWERING=pallas_fz fell through to the XLA else-branch."""
+    import flax.linen as nn
+
+    import adell_mri_tpu.ops.conv as conv_mod
+    from adell_mri_tpu.ops.conv import TpuConv
+
+    monkeypatch.setenv("ADELL_CONV_LOWERING", "pallas_fz")
+    monkeypatch.setenv("ADELL_PALLAS_INTERPRET", "1")
+    calls = []
+    real = conv_mod.conv3d_pallas_fz
+
+    def spy(x, w):
+        calls.append(x.shape)
+        return real(x, w)
+
+    monkeypatch.setattr(conv_mod, "conv3d_pallas_fz", spy)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 4, 128, 8, 5)), jnp.float32
+    )
+    m = TpuConv(features=7, kernel_size=(3, 3, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert calls, "forced pallas_fz did not route through the kernel"
+    ref = nn.Conv(features=7, kernel_size=(3, 3, 3), padding="SAME").apply(
+        params, x
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_fused_intensity_sigma_zero_preserves_sign():
+    """Regression: the scalar entry point ran the Rician branch at
+    sigma=0, rectifying negative voxels (|x|)."""
+    from adell_mri_tpu.ops.pallas.intensity import fused_intensity_aug
+
+    x = jnp.full((2, 128), -0.5, jnp.float32)
+    out = fused_intensity_aug(
+        0, x, float(x.min()), float(x.max()), sigma=0.0, rician=True
+    )
+    assert float(out.max()) < 0.0

@@ -324,3 +324,28 @@ def test_shard_batch_replicates_non_batch_leaves():
     sharded2 = shard_batch(batch2, mesh, pad=True)
     assert sharded2["x"].shape[0] == 8
     assert sharded2["w"].shape == (3,)
+
+
+def test_shard_batch_aux_leaf_first(monkeypatch):
+    """Regression: the batch size was inferred from the FIRST array leaf —
+    an auxiliary (non-batch) array appearing first corrupted padding and
+    left the real batch leaves replicated."""
+    import numpy as np
+
+    from adell_mri_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    # dict order puts a 3-element class-weight vector first
+    batch = {
+        "weights": np.asarray([1.0, 2.0, 3.0], np.float32),
+        "image": np.ones((4, 6, 6, 2), np.float32),
+        "label": np.zeros((4, 6, 6), np.float32),
+    }
+    out = shard_batch(batch, mesh, pad=True)
+    pad_to = -(-4 // n_dev) * n_dev
+    assert out["image"].shape[0] == pad_to
+    assert out["label"].shape[0] == pad_to
+    assert out["weights"].shape == (3,)  # aux leaf untouched, replicated
+    # the batch leaves actually shard (not silently replicated)
+    assert not out["image"].sharding.is_fully_replicated
