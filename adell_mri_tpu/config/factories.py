@@ -62,6 +62,10 @@ def _unet_kwargs(cfg: Dict[str, Any], n_classes: int) -> Dict[str, Any]:
             else None
         ),
         res_type=cfg.get("res_type", "resnet"),
+        dropout_type=cfg.get("dropout_type", "dropout"),
+        # --semi_supervised creates the UNetSemiSL linear_transformation
+        # head; dropping this key silently trained semi-SL runs without it
+        semi_supervised=cfg.get("semi_supervised", False),
     )
 
 
@@ -85,7 +89,12 @@ def get_segmentation_network(
         return BrUNetStacked(
             brunet=BrUNet(n_input_branches=n_input_branches, **{
                 k: v for k, v in kw.items()
-                if k not in ("encoder_only", "encoder_structure", "res_type")
+                if k not in (
+                    "encoder_only",
+                    "encoder_structure",
+                    "res_type",
+                    "semi_supervised",
+                )
             })
         )
     if net_type == "unetpp":

@@ -484,7 +484,16 @@ def main(arguments):
             callbacks=(metrics_cb,),
             steps_per_epoch=args.steps_per_epoch,
         )
-        state, history = loop.fit(state, train_loader, val_loader)
+        start_epoch = 0
+        if args.resume_from_last:
+            state, start_epoch = ckpt.resume(state)
+            if start_epoch:
+                logger.info(
+                    "fold %d: resuming from epoch %d", fold_idx, start_epoch
+                )
+        state, history = loop.fit(
+            state, train_loader, val_loader, start_epoch=start_epoch
+        )
         final = history[-1] if history else {}
         if args.log_model:
             csv_logger.log_artifact(ckpt.dir)

@@ -787,7 +787,20 @@ def main(arguments):
             profile_dir=args.profile_dir,
             steps_per_epoch=args.steps_per_epoch,
         )
-        state, history = loop.fit(state, train_loader, val_loader)
+        start_epoch = 0
+        if args.resume_from_last:
+            # status()=='finished' was handled above; anything saved here
+            # is an interrupted run — restore and continue (previously the
+            # flag only skipped finished folds and silently RESTARTED
+            # interrupted ones from scratch)
+            state, start_epoch = ckpt.resume(state)
+            if start_epoch:
+                logger.info(
+                    "fold %d: resuming from epoch %d", fold_idx, start_epoch
+                )
+        state, history = loop.fit(
+            state, train_loader, val_loader, start_epoch=start_epoch
+        )
         final = history[-1] if history else {}
         csv_logger.log_metrics(
             {k: v for k, v in final.items()}, step=args.max_epochs,

@@ -257,5 +257,10 @@ def main(arguments):
         monitor=args.monitor,
         seed=args.seed,
     )
-    state, history = loop.fit(state, loader)
+    start_epoch = 0
+    if args.resume_from_last:
+        state, start_epoch = ckpt.resume(state)
+        if start_epoch:
+            logger.info("resuming from epoch %d", start_epoch)
+    state, history = loop.fit(state, loader, start_epoch=start_epoch)
     logger.info("done: %s", json.dumps(history[-1] if history else {}, default=float))

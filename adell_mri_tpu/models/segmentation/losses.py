@@ -354,9 +354,11 @@ class CompoundLoss:
     def __init__(self, losses: Dict[str, Dict], weights: Optional[Dict[str, float]] = None):
         """
         Args:
-            losses: ``{name: {"fn": callable, "params": {...}}}`` or
-                ``{name: params_dict}`` with the fn looked up in
-                loss_factory by name and task inferred by the caller.
+            losses: ``{name: callable}`` or
+                ``{name: {"fn": callable, "params": {...}}}``. Name-only
+                specs are NOT resolved here — the task-aware lookup in
+                loss_factory lives in ``config.parsing.build_compound_loss``
+                (the constructor cannot infer binary vs multiclass).
             weights: per-loss scalar weights (default 1).
         """
         self.losses = {}

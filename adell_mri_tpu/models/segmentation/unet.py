@@ -524,6 +524,36 @@ class BrUNet(nn.Module):
                 )
                 skip = jnp.concatenate([skip, cond], axis=-1)
                 skip = nn.Conv(d, _tuple(1, ndim), name=f"skipproj_{i}")(skip)
+            # link op on the merged skip, same zoo as UNet (parity: ref
+            # BrUNet runs init_link_ops like UNet, unet.py:846+:144 —
+            # link_type used to be silently ignored here)
+            if self.link_type == "identity":
+                pass
+            elif self.link_type == "conv":
+                skip = TpuConv(
+                    d, _tuple(3, ndim), padding="SAME", name=f"link_{i}"
+                )(skip)
+                skip = apply_adn(
+                    adn_fn(d, name=f"link_adn_{i}"), skip, train
+                )
+            elif self.link_type == "residual":
+                skip = ResidualBlock(
+                    kernel_size=3,
+                    inter_channels=d,
+                    out_channels=d,
+                    adn_fn=adn_fn,
+                    name=f"link_{i}",
+                )(skip, train=train)
+            elif self.link_type == "attention":
+                skip = SelfAttentionBlock(
+                    inter_channels=16, name=f"link_{i}"
+                )(resize_like(curr, skip.shape[1:-1]), skip)
+            else:
+                raise NotImplementedError(f"link_type {self.link_type!r}")
+            if skip.shape[-1] != d:
+                skip = nn.Conv(d, _tuple(1, ndim), name=f"link_proj_{i}")(
+                    skip
+                )
             # feature FiLM gate on the skip, same structure as UNet
             # (parity: ref BrUNet applies the conditioned gate per decoder
             # stage, unet.py:1214-1222)
@@ -554,7 +584,11 @@ class BrUNet(nn.Module):
             else:
                 curr = nn.Conv(d, _tuple(1, ndim), name=f"up_{i}")(curr)
                 curr = resize_like(
-                    curr, tuple(a * b for a, b in zip(curr.shape[1:-1], s))
+                    curr,
+                    tuple(a * b for a, b in zip(curr.shape[1:-1], s)),
+                    method=self.interpolation
+                    if self.interpolation != "bilinear"
+                    else "linear",
                 )
             if curr.shape[1:-1] != skip.shape[1:-1]:
                 curr = resize_like(curr, skip.shape[1:-1])

@@ -206,6 +206,45 @@ class CheckpointManager:
             return "fresh"
         return "finished" if latest >= max_steps else "resume"
 
+    def resume(self, state: Any):
+        """Restores the latest saved step INTO ``state`` and returns
+        ``(state, start_epoch)`` — the consumer half of status()=='resume'
+        (--resume_from_last): params, opt_state, ema and mutable variables
+        continue where the interrupted run stopped, and ``start_epoch``
+        (the saved step; epochs save as step epoch+1) goes to
+        TrainLoop.fit(start_epoch=...). A fresh directory returns the
+        state unchanged with start_epoch 0."""
+        step = self.latest_step()
+        if step is None:
+            return state, 0
+        try:
+            # structured restore: the live state as template keeps the
+            # optax NamedTuple structure intact (a bare restore() returns
+            # plain dicts that optax cannot consume)
+            target = _savable(state)
+            restored = self._mngr.restore(
+                step, args=ocp.args.StandardRestore(target)
+            )
+            replace = {"params": restored["params"]}
+            if "step" in restored:
+                import jax.numpy as jnp
+
+                replace["step"] = jnp.asarray(restored["step"], jnp.int32)
+            for key in ("opt_state", "ema_params", "variables"):
+                if key in restored and getattr(state, key, None) is not None:
+                    replace[key] = restored[key]
+            state = state.replace(**replace)
+        except Exception as e:
+            # structure drift (e.g. optimizer changed between runs): keep
+            # the trained weights at least
+            logger.warning(
+                "structured resume failed (%s); restoring params only", e
+            )
+            restored = self.restore(step, target=state)
+            state = state.replace(params=restored["params"])
+        logger.info("resumed from step %d", step)
+        return state, int(step)
+
 
 def _savable(state: Any) -> Dict[str, Any]:
     """Extracts the array tree from a TrainState or passes a dict through."""

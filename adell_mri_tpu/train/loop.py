@@ -8,6 +8,7 @@ CSV/experiment logging, resume-from-last. Single-program multi-device: the
 loop shards each host batch over the mesh and the jitted step does the rest.
 """
 
+import itertools
 import time
 from typing import Callable, Dict, Optional
 
@@ -88,19 +89,29 @@ class TrainLoop:
         n = 0
         t0 = time.perf_counter()
         n_samples = 0
-        for batch in loader:
-            if self.steps_per_epoch is not None and n >= self.steps_per_epoch:
-                break
+        # cap BEFORE fetching: a post-fetch break would load+discard one
+        # full volume batch per epoch
+        batches = (
+            itertools.islice(loader, self.steps_per_epoch)
+            if self.steps_per_epoch is not None
+            else loader
+        )
+        for batch in batches:
             self._profile_tick()
+            # count REAL samples before padding (pad duplicates rows to
+            # fill the data axes — counting them inflated samples_per_sec)
+            real = batch.get("image")
+            if not hasattr(real, "shape"):
+                real = next(
+                    v for v in batch.values() if hasattr(v, "shape")
+                )
+            n_samples += real.shape[0]
             batch = self._put(batch, pad=True)
             self.rng, aug_key, step_key = jax.random.split(self.rng, 3)
             if self.augment_fn is not None:
                 batch = self.augment_fn(aug_key, batch)
             state, metrics = self.train_step(state, batch, step_key)
             n += 1
-            n_samples += next(
-                v.shape[0] for v in batch.values() if hasattr(v, "shape")
-            )
             for k, v in metrics.items():
                 if np.ndim(v) == 0:
                     metric_sums[k] = (
@@ -166,13 +177,16 @@ class TrainLoop:
                 out.update(hook(params) or {})
         return out
 
-    def fit(self, state, train_loader, val_loader=None):
+    def fit(self, state, train_loader, val_loader=None, start_epoch: int = 0):
+        """``start_epoch`` resumes an interrupted run: pass the restored
+        checkpoint step (epochs are saved as step epoch+1) so epoch
+        numbering, checkpoint steps and schedules continue seamlessly."""
         best = None
         patience = 0
         history = []
         ctx = self.mesh or _nullcontext()
         with ctx:
-            for epoch in range(self.max_epochs):
+            for epoch in range(start_epoch, self.max_epochs):
                 state, train_metrics = self._epoch(state, train_loader, epoch)
                 all_metrics = dict(train_metrics)
                 if (

@@ -49,29 +49,36 @@ def get_optimizer(
     """
     name = optimizer_str.lower()
     mask = wd_mask(params) if (params is not None and weight_decay) else None
-    if name == "sgd":
-        tx = optax.chain(
-            optax.add_decayed_weights(weight_decay, mask=mask)
-            if weight_decay
-            else optax.identity(),
-            optax.sgd(learning_rate, momentum=momentum, nesterov=True),
+
+    def _l2(inner):
+        # coupled L2 (torch semantics: wd*param added to the GRADIENT
+        # before the adaptive update) for optimizers whose optax version
+        # has no weight_decay arg — torch.optim.Adam/RMSprop/... all apply
+        # it, so silently dropping it broke training-dynamics parity
+        if not weight_decay:
+            return inner
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay, mask=mask), inner
         )
+
+    if name == "sgd":
+        tx = _l2(optax.sgd(learning_rate, momentum=momentum, nesterov=True))
     elif name == "adam":
-        tx = optax.adam(learning_rate, **kwargs)
+        tx = _l2(optax.adam(learning_rate, **kwargs))
     elif name == "adamw":
         tx = optax.adamw(
             learning_rate, weight_decay=weight_decay, mask=mask, **kwargs
         )
     elif name == "adamax":
-        tx = optax.adamax(learning_rate, **kwargs)
+        tx = _l2(optax.adamax(learning_rate, **kwargs))
     elif name == "nadam":
-        tx = optax.nadam(learning_rate, **kwargs)
+        tx = _l2(optax.nadam(learning_rate, **kwargs))
     elif name == "radam":
-        tx = optax.radam(learning_rate, **kwargs)
+        tx = _l2(optax.radam(learning_rate, **kwargs))
     elif name == "rmsprop":
-        tx = optax.rmsprop(learning_rate, momentum=momentum, **kwargs)
+        tx = _l2(optax.rmsprop(learning_rate, momentum=momentum, **kwargs))
     elif name == "adagrad":
-        tx = optax.adagrad(learning_rate, **kwargs)
+        tx = _l2(optax.adagrad(learning_rate, **kwargs))
     elif name == "lamb":
         tx = optax.lamb(
             learning_rate, weight_decay=weight_decay, mask=mask, **kwargs

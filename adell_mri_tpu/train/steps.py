@@ -144,7 +144,20 @@ def make_segmentation_step(
             individual = {**individual, "class_loss": class_loss}
         # soft dice metric for logging
         p = prediction[..., 0] if prediction.shape[-1] == 1 else prediction
-        yb = y[..., 0] if (y.ndim == p.ndim + 1) else y
+        # squeeze a trailing singleton label channel in BOTH layouts: for
+        # multiclass p keeps its class axis so [B,*S,1] labels satisfy
+        # y.ndim == p.ndim, and the unsqueezed channel used to break the
+        # one_hot broadcast at trace time
+        yb = y
+        if yb.ndim == p.ndim + 1 and yb.shape[-1] == 1:
+            yb = yb[..., 0]
+        elif (
+            n_classes > 2
+            and yb.ndim == p.ndim
+            and yb.shape[-1] == 1
+            and p.shape[-1] != 1
+        ):
+            yb = yb[..., 0]
         per_class_dice = None
         if n_classes <= 2:
             inter = jnp.sum(p * yb)
@@ -260,28 +273,15 @@ def make_eval_step(loss_and_metrics: Callable):
 
 
 def unet_from_config(network_config: Dict, n_classes: int = 2, **overrides):
-    """Builds a UNet from a parse_config_unet network dict."""
+    """Builds a UNet from a parse_config_unet network dict. Thin wrapper
+    over config.factories._unet_kwargs — a previous hand-rolled copy here
+    had silently diverged (dropping encoder_structure/res_type/
+    semi_supervised/dropout_type)."""
+    from adell_mri_tpu.config.factories import _unet_kwargs
     from adell_mri_tpu.models.segmentation.unet import UNet
 
     cfg = dict(network_config)
     cfg.update(overrides)
     return UNet(
-        spatial_dimensions=cfg.get("spatial_dimensions", 3),
-        conv_type=cfg.get("conv_type", "regular"),
-        link_type=cfg.get("link_type", "identity"),
-        upscale_type=cfg.get("upscale_type", "upsample"),
-        interpolation=cfg.get("interpolation", "linear"),
-        norm_type=cfg.get("norm_type", "instance"),
-        dropout_param=cfg.get("dropout_param", 0.0),
-        activation_fn=cfg.get("activation_fn", "swish"),
-        in_channels=cfg.get("n_channels", 1),
-        n_classes=n_classes,
-        depth=tuple(cfg.get("depth", (16, 32, 64))),
-        kernel_sizes=tuple(cfg.get("kernel_sizes", (3, 3, 3))),
-        strides=tuple(cfg.get("strides", (2, 2, 2))),
-        bottleneck_classification=cfg.get("bottleneck_classification", False),
-        skip_conditioning=cfg.get("skip_conditioning"),
-        feature_conditioning=cfg.get("feature_conditioning"),
-        feature_conditioning_params=cfg.get("feature_conditioning_params"),
-        deep_supervision=cfg.get("deep_supervision", False),
+        in_channels=cfg.get("n_channels", 1), **_unet_kwargs(cfg, n_classes)
     )

@@ -405,3 +405,106 @@ def test_checkpoint_save_snapshots_own_memory():
     np.testing.assert_array_equal(a, view)
     # non-array leaves pass through as owned 0-d arrays
     assert CheckpointManager._host_copy(3).flags.owndata
+
+
+def test_resume_restores_state_and_epoch(tmp_path):
+    """Regression: status()=='resume' existed but nothing ever restored —
+    --resume_from_last silently RESTARTED interrupted runs from scratch.
+    resume() must bring back params, opt_state (momentum) and the step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from adell_mri_tpu.train.checkpoints import CheckpointManager
+    from adell_mri_tpu.train.state import TrainState
+
+    def apply_fn(params, x):
+        return x @ params["params"]["w"]
+
+    tx = optax.sgd(0.1, momentum=0.9)
+    params = {"w": jnp.ones((3, 2))}
+    state = TrainState.create(apply_fn=apply_fn, params=params, tx=tx)
+    # take two steps so opt_state momentum is nonzero
+    for _ in range(2):
+        g = {"w": jnp.full((3, 2), 0.5)}
+        updates, new_opt = state.tx.update(g, state.opt_state, state.params)
+        state = state.replace(
+            params=optax.apply_updates(state.params, updates),
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+    ckpt = CheckpointManager(str(tmp_path), name="m", fold=0)
+    ckpt.save(2, state, metrics={"val_loss": 1.0})
+    ckpt.wait()
+    assert ckpt.status(max_steps=5) == "resume"
+
+    fresh = TrainState.create(
+        apply_fn=apply_fn, params={"w": jnp.ones((3, 2))}, tx=tx
+    )
+    resumed, start_epoch = ckpt.resume(fresh)
+    assert start_epoch == 2
+    np.testing.assert_allclose(
+        np.asarray(resumed.params["w"]), np.asarray(state.params["w"])
+    )
+    # momentum buffer restored with its optax structure intact
+    live_tr = [
+        x for x in jax.tree.leaves(resumed.opt_state) if np.ndim(x) == 2
+    ]
+    want_tr = [
+        x for x in jax.tree.leaves(state.opt_state) if np.ndim(x) == 2
+    ]
+    assert live_tr and all(
+        np.allclose(a, b) for a, b in zip(live_tr, want_tr)
+    )
+    assert int(resumed.step) == 2
+    # and the restored opt_state still drives an update without error
+    g = {"w": jnp.full((3, 2), 0.5)}
+    updates, _ = resumed.tx.update(g, resumed.opt_state, resumed.params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+    # a fresh directory is a no-op
+    ckpt2 = CheckpointManager(str(tmp_path), name="other", fold=0)
+    same, ep = ckpt2.resume(fresh)
+    assert ep == 0 and same is fresh
+
+
+def test_optimizer_weight_decay_applies_to_adam_family():
+    """Regression: adam/adamax/nadam/radam/rmsprop/adagrad silently dropped
+    weight_decay (torch applies coupled L2 for all of them)."""
+    import jax.numpy as jnp
+    import optax
+
+    from adell_mri_tpu.train.optim import get_optimizer
+
+    params = {"w": jnp.ones((4,)), "bias": jnp.ones((4,))}
+    zero_g = {"w": jnp.zeros((4,)), "bias": jnp.zeros((4,))}
+    for name in ("adam", "adamax", "nadam", "radam", "rmsprop", "adagrad"):
+        tx = get_optimizer(name, 0.1, weight_decay=1e-2, params=params)
+        opt = tx.init(params)
+        updates, _ = tx.update(zero_g, opt, params)
+        assert float(jnp.abs(updates["w"]).max()) > 0, name
+        # the wd mask exempts 1-D bias leaves (norm/bias no-decay)
+        assert float(jnp.abs(updates["bias"]).max()) == 0, name
+
+
+def test_train_loop_steps_per_epoch_no_overfetch_and_real_samples():
+    """Regression: the steps_per_epoch cap used to fetch-and-discard one
+    batch past the cap, and samples_per_sec counted pad-duplicated rows."""
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.train.loop import TrainLoop
+
+    pulls = []
+
+    def gen():
+        for i in range(5):
+            pulls.append(i)
+            yield {"image": np.ones((2, 4), np.float32)}
+
+    loop = TrainLoop(
+        train_step=lambda s, b, k: (s, {"loss": jnp.float32(0.0)}),
+        max_epochs=1,
+        steps_per_epoch=2,
+    )
+    _, metrics = loop._epoch(None, gen(), 0)
+    assert pulls == [0, 1]
+    assert "samples_per_sec" in metrics

@@ -232,3 +232,84 @@ def test_conv3d_xla_output_dtype_matches_input():
     w = jnp.ones((3, 3, 3, 2, 3), jnp.float32)
     assert conv3d(x, w, lowering="xla").dtype == jnp.bfloat16
     assert conv3d(x, w, lowering="z2d").dtype == jnp.bfloat16
+
+
+def test_brunet_link_type_builds_link_ops():
+    """Regression: BrUNet declared link_type but never built link ops."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.segmentation.unet import BrUNet
+
+    m = BrUNet(
+        n_input_branches=2,
+        link_type="conv",
+        depth=(4, 8),
+        kernel_sizes=(3, 3),
+        strides=(2, 2),
+        norm_type="instance",
+    )
+    x = [jnp.ones((1, 8, 8, 4, 1)) for _ in range(2)]
+    params = m.init(jax.random.PRNGKey(0), x)
+    names = set(params["params"].keys())
+    assert any(k.startswith("link_") for k in names), names
+    pred, _ = m.apply(params, x)
+    assert pred.shape == (1, 8, 8, 4, 1)
+
+
+def test_factory_threads_semi_supervised_and_dropout_type():
+    """Regression: --semi_supervised was dropped by _unet_kwargs, training
+    semi-SL runs without the linear_transformation head."""
+    from adell_mri_tpu.config.factories import get_segmentation_network
+
+    net = get_segmentation_network(
+        "unet", {"semi_supervised": True, "dropout_type": "uout"}, n_classes=2
+    )
+    assert net.semi_supervised is True
+    assert net.dropout_type == "uout"
+
+
+def test_unet_from_config_matches_factory_surface():
+    """Regression: the exported unet_from_config had silently diverged from
+    factories._unet_kwargs (dropping encoder_structure etc.)."""
+    from adell_mri_tpu.train.steps import unet_from_config
+
+    net = unet_from_config(
+        {
+            "depth": [4, 8],
+            "kernel_sizes": [3, 3],
+            "strides": [2, 2],
+            "encoder_structure": [[4, 4, 3, 1], [8, 8, 3, 1]],
+            "semi_supervised": True,
+        },
+        n_classes=2,
+    )
+    assert net.encoder_structure is not None
+    assert net.semi_supervised is True
+
+
+def test_segmentation_step_multiclass_channel_label():
+    """Regression: the multiclass dice metric crashed at trace time on the
+    documented [B,*S,1] label layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.segmentation.unet import UNet
+    from adell_mri_tpu.train.steps import make_segmentation_step
+    from adell_mri_tpu.models.segmentation.losses import CompoundLoss, mc_focal_loss
+
+    model = UNet(
+        spatial_dimensions=3, n_classes=3, depth=(4, 8),
+        kernel_sizes=(3, 3), strides=(2, 2), norm_type="instance",
+    )
+    x = jnp.ones((2, 8, 8, 4, 1))
+    params = model.init(jax.random.PRNGKey(0), x)
+    loss = CompoundLoss({"focal": {"fn": mc_focal_loss, "params": {}}})
+    lm = make_segmentation_step(model, loss, n_classes=3, train=False)
+    y = jnp.zeros((2, 8, 8, 4, 1))
+    _, metrics = lm(
+        params["params"], {"image": x, "label": y}, jax.random.PRNGKey(1)
+    )
+    import math
+
+    assert math.isfinite(float(metrics["dice"]))
