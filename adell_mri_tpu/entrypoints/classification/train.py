@@ -466,6 +466,8 @@ def main(arguments):
             model,
             n_classes=n_classes,
             feature_key="features" if feat_keys else None,
+            # OrdNet emits cumulative threshold logits, not class logits
+            ordinal=net_type == "ord",
         )
         loop = TrainLoop(
             train_step=make_train_step(train_lm),

@@ -105,12 +105,15 @@ class ClassificationMetricsCallback:
         n_classes: int = 2,
         max_cases: int = 4096,
         feature_key: Optional[str] = None,
+        ordinal: bool = False,
     ):
         import jax
+        import jax.numpy as jnp
 
         self.n_classes = n_classes
         self.max_cases = max_cases
         self.feature_key = feature_key
+        self.ordinal = ordinal
         self._probs = []
         self._labels = []
 
@@ -118,6 +121,21 @@ class ClassificationMetricsCallback:
             logits = model.apply({"params": params}, x, *feats, train=False)
             if isinstance(logits, tuple):
                 logits = logits[0]
+            if ordinal:
+                # OrdNet emits n_classes-1 CUMULATIVE threshold logits
+                # (P(y > k)); treating them as class logits made class
+                # n_classes-1 unpredictable and corrupted every metric.
+                # Convert to per-class probabilities:
+                # P(y = k) = P(y > k-1) - P(y > k), P(y > -1) = 1
+                cum = jax.nn.sigmoid(logits)
+                upper = jnp.concatenate(
+                    [jnp.ones_like(cum[:, :1]), cum], axis=1
+                )
+                lower = jnp.concatenate(
+                    [cum, jnp.zeros_like(cum[:, :1])], axis=1
+                )
+                p = jnp.maximum(upper - lower, 1e-9)
+                return p / jnp.sum(p, axis=-1, keepdims=True)
             if n_classes > 2:
                 return jax.nn.softmax(logits, -1)
             return jax.nn.sigmoid(
@@ -151,7 +169,7 @@ class ClassificationMetricsCallback:
         probs = np.stack(self._probs)
         labels = np.asarray(self._labels)
         self._probs, self._labels = [], []
-        if self.n_classes > 2:
+        if self.n_classes > 2 or self.ordinal:
             m = multiclass_metrics(probs, labels)
         else:
             m = binary_metrics(probs, labels)

@@ -262,6 +262,12 @@ class Metrics:
         y = np.asarray([is_l for is_l, _ in flat])
         p = np.asarray([conf for _, conf in flat])
         prec, rec, thr = precision_recall_curve(y, p)
+        # same zero-threshold precision zeroing as AP (missed-lesion
+        # placeholders must not credit precision) — without it the
+        # returned curve integrates to a HIGHER value than the AP it is
+        # plotted next to whenever any GT lesion was missed
+        prec = np.array(prec)
+        prec[:-1][thr == 0] = 0
         return prec, rec, thr
 
     def froc(self) -> Tuple[np.ndarray, np.ndarray]:
@@ -327,15 +333,20 @@ class Metrics:
                     for i, j in enumerate(pick)
                 },
             )
-            for k, v in (("AP", m.AP), ("auroc", m.auroc), ("score", m.score)):
+            # evaluate each curve ONCE; the score property would recompute
+            # AP and auroc a second time per resample
+            ap, auc = m.AP, m.auroc
+            sc = float(np.nanmean([ap, auc]))
+            for k, v in (("AP", ap), ("auroc", auc), ("score", sc)):
                 if np.isfinite(v):
                     samples[k].append(v)
         alpha = (1 - ci) / 2
         out = {}
+        ap, auc = self.AP, self.auroc
         for k, point in (
-            ("AP", self.AP),
-            ("auroc", self.auroc),
-            ("score", self.score),
+            ("AP", ap),
+            ("auroc", auc),
+            ("score", float(np.nanmean([ap, auc]))),
         ):
             vs = samples[k]
             if vs:

@@ -78,14 +78,23 @@ def vicreg_loss(
         n = z.shape[0]
         mean = _maybe_pmean(jnp.mean(z, axis=0), axis_name)
         zc = z - mean
-        # torch.var default: unbiased /(n-1) (ref variance_loss :58)
-        var = _maybe_pmean(
-            jnp.sum(zc**2, axis=0) / max(n - 1, 1), axis_name
-        )
+        # torch.var default: unbiased /(n-1) (ref variance_loss :58).
+        # Under an explicit axis the GLOBAL sum divides by (N-1): pmean of
+        # per-shard /(n_local-1) terms would divide by N-P instead,
+        # inflating variance with the shard count
+        if axis_name is not None:
+            n_total = n * jax.lax.psum(1, axis_name)
+            var = jax.lax.psum(jnp.sum(zc**2, axis=0), axis_name) / (
+                jnp.maximum(n_total - 1, 1)
+            )
+            cov = jax.lax.psum(zc.T @ zc, axis_name) / jnp.maximum(
+                n_total - 1, 1
+            )
+        else:
+            var = jnp.sum(zc**2, axis=0) / max(n - 1, 1)
+            cov = (zc.T @ zc) / max(n - 1, 1)
         std = jnp.sqrt(var + eps)
         var_loss = jnp.mean(jax.nn.relu(gamma - std))
-        cov = (zc.T @ zc) / max(n - 1, 1)
-        cov = _maybe_pmean(cov, axis_name)
         d = z.shape[-1]
         off_diag = cov - jnp.diag(jnp.diag(cov))
         cov_loss = jnp.sum(off_diag**2) / d
@@ -93,7 +102,9 @@ def vicreg_loss(
 
     v1, c1 = _one_side(z1)
     v2, c2 = _one_side(z2)
-    inv = jnp.mean((z1 - z2) ** 2)
+    # global-batch mean under an explicit axis (equal-size shards), so the
+    # loss VALUE matches the pjit/global computation on every shard
+    inv = _maybe_pmean(jnp.mean((z1 - z2) ** 2), axis_name)
     # the reference averages the two sides (vicreg_loss :141-150)
     var_loss = (v1 + v2) / 2
     cov_loss = (c1 + c2) / 2
@@ -136,7 +147,12 @@ def vicregl_loss(
         )
         pair_mse = jnp.mean((a_feat - b_matched) ** 2, axis=-1)  # [B, Na]
         k = min(top_k, pair_mse.shape[1])
-        best = -jax.lax.top_k(-pair_mse, k)[0]  # smallest k
+        # select the k SPATIALLY closest pairs (VICRegL's gamma selection
+        # runs on the coordinate-distance matrix, ref local_loss :237-239);
+        # ranking by feature agreement instead let the term collapse —
+        # gradient only ever reached pairs that already matched
+        _, best_idx = jax.lax.top_k(-nn_dist, k)
+        best = jnp.take_along_axis(pair_mse, best_idx, axis=1)
         return jnp.mean(best)
 
     local = match(local1, coords1, local2, coords2) + match(
@@ -195,11 +211,22 @@ def sinkhorn_knopp(
     Sinkhorn normalization of teacher scores (parity: dino.py:174-181 —
     reference all_reduces row sums; global batch semantics here).
     """
-    q = jnp.exp(scores / eps).T  # [K, B]
-    q = q / jnp.sum(q)
-    K, B = q.shape
+    q = jnp.exp(scores / eps).T  # [K, B_local]
+    # row (prototype) statistics are GLOBAL-batch quantities: the
+    # reference all_reduces them (dino.py:174-181). Columns are
+    # per-sample, so they stay local.
+    if axis_name is not None:
+        total = jax.lax.psum(jnp.sum(q), axis_name)
+        B = q.shape[1] * jax.lax.psum(1, axis_name)
+    else:
+        total = jnp.sum(q)
+        B = q.shape[1]
+    q = q / total
+    K = q.shape[0]
     for _ in range(n_iter):
         rows = jnp.sum(q, axis=1, keepdims=True)
+        if axis_name is not None:
+            rows = jax.lax.psum(rows, axis_name)
         q = q / jnp.maximum(rows, 1e-12) / K
         cols = jnp.sum(q, axis=0, keepdims=True)
         q = q / jnp.maximum(cols, 1e-12) / B

@@ -230,13 +230,22 @@ class IJEPA(nn.Module):
         return [s // pi for s, pi in zip(x.shape[1:-1], p)]
 
     @nn.compact
-    def __call__(self, x, rng=None, train: bool = False):
+    def __call__(
+        self, x, rng=None, train: bool = False, encode_only: bool = False
+    ):
         from adell_mri_tpu.models.ssl.masking import block_masking
 
+        tokens = self._embed(x)
+        if encode_only:
+            # target-branch embedding (serving/feature extraction with the
+            # EMA params) — must live inside the compact scope: submodule
+            # creation in a plain method raised AssignSubModuleError
+            return TransformerBlockStack(
+                self.n_blocks, self.n_heads, name="target_encoder"
+            )(tokens, train=False)
         if rng is None:
             rng = self.make_rng("masking")
         grid = self._grid(x)
-        tokens = self._embed(x)
         mask = block_masking(
             rng, grid, n_blocks=self.n_target_blocks
         )  # [N], 1 = target region
@@ -264,10 +273,10 @@ class IJEPA(nn.Module):
         return pred_f, tgt, mask_b[..., 0]
 
     def encode_target(self, x):
-        tokens = self._embed(x)
-        return TransformerBlockStack(
-            self.n_blocks, self.n_heads, name="target_encoder"
-        )(tokens, train=False)
+        """Documented embedding API (``apply(vars, x,
+        method=IJEPA.encode_target)``): delegates to the compact
+        ``__call__`` so the submodules are created in a valid scope."""
+        return self(x, encode_only=True)
 
 
 class DINO(nn.Module):

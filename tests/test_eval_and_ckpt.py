@@ -508,3 +508,46 @@ def test_train_loop_steps_per_epoch_no_overfetch_and_real_samples():
     _, metrics = loop._epoch(None, gen(), 0)
     assert pulls == [0, 1]
     assert "samples_per_sec" in metrics
+
+
+def test_ordinal_callback_scores_cumulative_logits():
+    """Regression: OrdNet's cumulative threshold logits were scored as
+    class logits — a PERFECT ordinal model reported V_accuracy 0.25."""
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.eval.callbacks import ClassificationMetricsCallback
+
+    class StubOrd:
+        def apply(self, variables, x, train=False):
+            # perfect cumulative logits for label k encoded in x[:, 0]:
+            # logit_j = +5 if k > j else -5
+            k = x[:, 0]
+            return jnp.stack(
+                [jnp.where(k > j, 5.0, -5.0) for j in range(2)], axis=-1
+            )
+
+    cb = ClassificationMetricsCallback(StubOrd(), n_classes=3, ordinal=True)
+    labels = np.asarray([0, 1, 2, 1, 0, 2], np.float32)
+    batch = {"image": labels[:, None], "label": labels}
+    cb.on_validation_batch({}, batch, {})
+    out = cb.on_validation_end({})
+    assert out["V_accuracy"] == 1.0
+
+
+def test_lesion_pr_curve_consistent_with_ap():
+    """Regression: precision_recall() skipped the zero-threshold precision
+    zeroing AP applies, so the curve integrated above the reported AP
+    whenever a GT lesion was missed."""
+    from adell_mri_tpu.eval.lesion import Metrics
+
+    m = Metrics(
+        lesion_results={
+            "a": [(1, 0.9), (0, 0.4)],
+            "b": [(1, 0.0)],  # missed lesion placeholder
+        },
+        case_pred={"a": 0.9, "b": 0.0},
+        case_target={"a": 1, "b": 1},
+    )
+    prec, rec, thr = m.precision_recall()
+    ap_from_curve = float(-np.sum(np.diff(rec) * np.asarray(prec)[:-1]))
+    assert abs(ap_from_curve - m.AP) < 1e-9

@@ -359,3 +359,87 @@ def test_ijepa_target_is_ema_of_context_encoder():
     )
     same, _ = lm(params, {"image": x}, KEY, ema_params=ema_tgt)
     assert abs(float(same) - float(base)) < 1e-8
+
+
+def test_vicregl_local_selects_spatially_nearest():
+    """Regression: the top_k local pairs were ranked by feature MSE, so
+    gradient only ever reached pairs that ALREADY matched (collapse path).
+    VICRegL's gamma selection runs on the coordinate distance matrix."""
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.ssl.losses import vicregl_loss
+
+    B, N, F = 2, 8, 4
+    # coords drift apart with index: low-i pairs are spatially nearest
+    c1 = jnp.tile(jnp.arange(N, dtype=jnp.float32)[None, :, None], (B, 1, 1))
+    c2 = c1 * 1.1
+    # features DISAGREE at the near (low-i) pairs, agree at far ones
+    f1 = jnp.zeros((B, N, F))
+    f2 = jnp.zeros((B, N, F)).at[:, :4].set(1.0)
+    z = jnp.ones((B, 16))
+    _, comp = vicregl_loss(z, z, f1, f2, c1, c2, top_k=4)
+    # old ranking picked the 4 agreeing background pairs -> local == 0
+    assert float(comp["local"]) > 0.5
+
+
+def test_ijepa_encode_target_method():
+    """Regression: apply(method=IJEPA.encode_target) crashed with
+    AssignSubModuleError (submodules created outside a compact scope)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.ssl.nets import IJEPA
+
+    m = IJEPA(patch_size=(4, 4, 4), embed_dim=32, n_blocks=1, n_heads=2)
+    x = jnp.ones((1, 8, 8, 8, 1))
+    variables = m.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        x,
+        rng=jax.random.PRNGKey(2),
+    )
+    out = m.apply(variables, x, method=IJEPA.encode_target)
+    assert out.shape == (1, 8, 32)
+
+
+def test_sinkhorn_and_vicreg_global_semantics_under_shard_map():
+    """Regression: sinkhorn_knopp ignored axis_name (per-shard row sums)
+    and vicreg's sharded variance divided by N-P instead of N-1."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from adell_mri_tpu.models.ssl.losses import sinkhorn_knopp, vicreg_loss
+    from adell_mri_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    scores = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+
+    sharded_sk = jax.shard_map(
+        lambda s: sinkhorn_knopp(s, axis_name="data"),
+        mesh=mesh,
+        in_specs=P("data"),
+        out_specs=P("data"),
+        check_vma=False,
+    )(scores)
+    ref_sk = sinkhorn_knopp(scores)
+    np.testing.assert_allclose(
+        np.asarray(sharded_sk), np.asarray(ref_sk), rtol=1e-5, atol=1e-6
+    )
+
+    z1 = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+    z2 = jnp.asarray(rng.normal(size=(16, 6)), jnp.float32)
+
+    def local(a, b):
+        total, _ = vicreg_loss(a, b, axis_name="data")
+        return jnp.full((a.shape[0],), total)
+
+    sharded_v = jax.shard_map(
+        local, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    )(z1, z2)
+    ref_total, _ = vicreg_loss(z1, z2)
+    np.testing.assert_allclose(
+        float(sharded_v[0]), float(ref_total), rtol=1e-5
+    )
