@@ -212,6 +212,10 @@ def main(arguments):
                 preds,
                 {k: batch[k] for k in ("objectness", "center_offsets", "sizes", "classes")},
                 n_classes=args.n_classes,
+                # decoded-box CIoU regression + IoU objectness targets
+                # (the reference composition; MSE fallback without these)
+                anchors=anchors,
+                input_shape=base_size,
             )
             return total, {"loss": total, **comp}
 

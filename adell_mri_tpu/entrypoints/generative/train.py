@@ -221,11 +221,14 @@ def main(arguments):
                 )
                 return model.apply({"params": p}, x, t)
 
-            return process.sample(
+            # fast epoch panel: DDIM with a 50-step ladder (passing
+            # skip_steps without x_start used to be silently IGNORED,
+            # running all n_timesteps forwards per panel)
+            return process.ddim_sample(
                 rng,
                 model_fn,
                 (4,) + base_size + (len(args.image_keys),),
-                skip_steps=max(process.n_timesteps - 50, 0),
+                n_steps=min(50, process.n_timesteps),
             )
 
         callbacks.append(

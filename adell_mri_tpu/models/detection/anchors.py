@@ -59,6 +59,14 @@ def boxes_to_anchor_targets(
         lo, hi = box[:ndim], box[ndim:]
         center = (lo + hi) / 2.0
         size = np.maximum(hi - lo, 1e-3)
+        # a center cropped out of the volume must be DROPPED: the old
+        # upper-only clamp let negative cells wrap through numpy indexing,
+        # rasterizing a ghost positive at the OPPOSITE border (the jax
+        # twin marks such boxes invalid)
+        if np.any(center < 0) or np.any(
+            center >= np.asarray(input_shape, np.float32)
+        ):
+            continue
         cell = np.minimum(
             (center / stride).astype(int), np.asarray(grid_shape) - 1
         )

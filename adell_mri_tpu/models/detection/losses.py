@@ -49,7 +49,10 @@ def complete_iou_components(pred_boxes, true_boxes, eps: float = 1e-6):
     iou = jnp.where(union_area > 0.0, inter_area / union_area, 0.0)
     center_distance = jnp.sum((a_center - b_center) ** 2, axis=-1)
     bb_distance = jnp.sum((diag_br - diag_tl) ** 2, axis=-1)
-    cpd_component = center_distance / bb_distance
+    # eps guard: bb_distance is 0 only for IDENTICAL boxes (0/0 in the
+    # reference); NaN here would poison masked grid-wide evaluations via
+    # 0 * NaN even at cells the loss ignores
+    cpd_component = center_distance / jnp.maximum(bb_distance, eps)
     pis = jnp.pi**2
     ar_list = [
         4
@@ -85,35 +88,98 @@ def yolo_loss(
     lam_cls: float = 1.0,
     focal_gamma: float = 2.0,
     n_classes: int = 2,
+    anchors=None,
+    input_shape=None,
 ):
     """
     Composite YOLO loss. predictions/targets: channels-last grid maps
     (targets built by boxes_to_anchor_targets, moved to channels-last).
+
+    With ``anchors`` + ``input_shape`` the regression term is the
+    reference's CIoU composition on decoded boxes at positive cells —
+    (1-IoU) + cpd + ar — and the objectness target at positive cells is
+    the detached IoU (object_detection/pl.py calculate_loss:143-186).
+    Without them it falls back to plain MSE on the grid encodings.
+    Multiclass class targets take softmax CE at positive cells (the
+    reference's long-target cross entropy); binary stays sigmoid BCE.
     """
     obj_logits = predictions["objectness"]
     obj_t = targets["objectness"]
+    pos = obj_t  # [B, *G, A]
+    A = obj_t.shape[-1]
+    ndim = predictions["center_offsets"].shape[-1] // A
+    grid_shape = obj_t.shape[1:-1]
+    npos = jnp.maximum(jnp.sum(pos), 1.0)
+
+    if anchors is not None and input_shape is not None:
+        anchors_a = jnp.asarray(anchors, jnp.float32)  # [A, ndim]
+        stride = jnp.asarray(input_shape, jnp.float32) / jnp.asarray(
+            grid_shape, jnp.float32
+        )
+
+        def decode(ctr, sz):
+            # [B, *G, A*ndim] -> corner boxes [B, *G, A, 2*ndim]
+            shp = ctr.shape[:-1] + (A, ndim)
+            ctr = ctr.reshape(shp)
+            sz = sz.reshape(shp)
+            cells = jnp.stack(
+                jnp.meshgrid(
+                    *[
+                        jnp.arange(g, dtype=jnp.float32)
+                        for g in grid_shape
+                    ],
+                    indexing="ij",
+                ),
+                axis=-1,
+            )[None, ..., None, :]  # [1, *G, 1, ndim]
+            center = (cells + ctr) * stride
+            size = anchors_a * jnp.exp(sz)
+            return jnp.concatenate(
+                [center - size / 2, center + size / 2], axis=-1
+            )
+
+        pb = decode(predictions["center_offsets"], predictions["sizes"])
+        tb = decode(targets["center_offsets"], targets["sizes"])
+        iou, cpd, ar = complete_iou_components(pb, tb)
+        ctr_loss = jnp.sum(pos * ((1.0 - iou) + cpd)) / npos
+        size_loss = jnp.sum(pos * ar) / npos
+        # soft objectness target: detached IoU at positive cells (ref
+        # :175-177); clipped because the inclusive-size IoU is unbounded
+        # below for disjoint boxes and BCE needs a [0,1] target
+        obj_t = jnp.where(
+            pos > 0,
+            jax.lax.stop_gradient(jnp.clip(iou, 0.0, 1.0)),
+            0.0,
+        )
+    else:
+        pos_rep = jnp.repeat(pos, ndim, axis=-1)
+        ctr_loss = jnp.sum(
+            pos_rep
+            * (predictions["center_offsets"] - targets["center_offsets"])
+            ** 2
+        ) / jnp.maximum(jnp.sum(pos_rep), 1.0)
+        size_loss = jnp.sum(
+            pos_rep * (predictions["sizes"] - targets["sizes"]) ** 2
+        ) / jnp.maximum(jnp.sum(pos_rep), 1.0)
+
     # focal objectness
     p = jax.nn.sigmoid(obj_logits)
     pt = obj_t * p + (1 - obj_t) * (1 - p)
     bce = optax.sigmoid_binary_cross_entropy(obj_logits, obj_t)
     obj_loss = jnp.mean((1 - pt) ** focal_gamma * bce)
 
-    pos = obj_t  # [B, *G, A]
-    ndim = (predictions["center_offsets"].shape[-1]) // obj_t.shape[-1]
-    pos_rep = jnp.repeat(pos, ndim, axis=-1)
-    ctr_loss = jnp.sum(
-        pos_rep * (predictions["center_offsets"] - targets["center_offsets"]) ** 2
-    ) / jnp.maximum(jnp.sum(pos_rep), 1.0)
-    size_loss = jnp.sum(
-        pos_rep * (predictions["sizes"] - targets["sizes"]) ** 2
-    ) / jnp.maximum(jnp.sum(pos_rep), 1.0)
-
     cls_logits = predictions["classes"]
     cls_t = targets["classes"]
     pos_any = jnp.max(pos, axis=-1, keepdims=True)
-    cls_loss = jnp.sum(
-        pos_any * optax.sigmoid_binary_cross_entropy(cls_logits, cls_t)
-    ) / jnp.maximum(jnp.sum(pos_any), 1.0)
+    if n_classes > 2:
+        ce = optax.softmax_cross_entropy(cls_logits, cls_t)[..., None]
+        cls_loss = jnp.sum(pos_any * ce) / jnp.maximum(
+            jnp.sum(pos_any), 1.0
+        )
+    else:
+        cls_loss = jnp.sum(
+            pos_any * optax.sigmoid_binary_cross_entropy(cls_logits, cls_t)
+        ) / jnp.maximum(jnp.sum(pos_any), 1.0)
 
     total = (
         lam_obj * obj_loss

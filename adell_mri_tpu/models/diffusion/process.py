@@ -101,8 +101,16 @@ class DiffusionProcess:
         """
         Full (or partial, parity: DiffusionInfererSkipSteps) reverse loop as
         one lax.scan. ``skip_steps`` starts the denoise at
-        T - skip_steps from ``x_start`` noised to that level.
+        T - skip_steps from ``x_start`` noised to that level; it REQUIRES
+        ``x_start`` (partial denoise of an input image) — for fast
+        sampling from pure noise use ``ddim_sample``.
         """
+        if skip_steps > 0 and x_start is None:
+            raise ValueError(
+                "skip_steps requires x_start (partial denoise of an input "
+                "image); it used to be silently ignored. For fast "
+                "from-noise sampling use ddim_sample(n_steps=...)."
+            )
         t_start = self.n_timesteps - 1
         if x_start is not None and skip_steps > 0:
             t0 = self.n_timesteps - skip_steps

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.blocks import _gn, _tuple
-from adell_mri_tpu.ops.conv import TpuConv
+from adell_mri_tpu.ops.conv import TpuConv, TpuConvTranspose
 from adell_mri_tpu.models.layers.multi_resolution import resize_like
 
 
@@ -114,9 +114,12 @@ class DiffusionUNet(nn.Module):
         h = _ResBlockT(self.depth[-1], name="mid_2")(h, temb)
         for i in range(len(self.depth) - 1, -1, -1):
             if i < len(self.depth) - 1:
-                h = nn.ConvTranspose(
-                    self.depth[i], _tuple(2, ndim), strides=_tuple(2, ndim),
-                    name=f"up_samp_{i}",
+                # kernel == strides: block-matmul lowering, 2-6x over
+                # XLA's transposed conv at decoder shapes (BASELINE.md);
+                # multiplied by the ~1000-forward sampling loop here.
+                # Param tree identical to nn.ConvTranspose.
+                h = TpuConvTranspose(
+                    self.depth[i], _tuple(2, ndim), name=f"up_samp_{i}"
                 )(h)
                 if h.shape[1:-1] != skips[i].shape[1:-1]:
                     h = resize_like(h, skips[i].shape[1:-1])

@@ -108,7 +108,10 @@ class NormalizedActivation(nn.Module):
             blended = old * self.momentum + (1 - self.momentum) * new
             return jnp.where(out_of_bounds, old, blended)
 
-        if train:
+        # the mutability guard mirrors GlobalBatchNorm (adn.py): steps that
+        # thread only params call apply() without marking activation_stats
+        # mutable, which would raise on the first assignment
+        if train and self.is_mutable_collection("activation_stats"):
             rho.value = bounded_update(rho.value, rho_now)
             rho_dash.value = bounded_update(rho_dash.value, rho_dash_now)
             mu.value = (

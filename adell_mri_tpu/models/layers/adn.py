@@ -141,6 +141,18 @@ class GlobalBatchNorm(nn.Module):
         return y * scale + bias
 
 
+class AdaptiveGroupNorm(nn.Module):
+    """GroupNorm with the group count chosen at call time: the largest
+    divisor of the channel count that is <= 8 (the _gn policy used by the
+    gan/diffusion blocks)."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = next(g for g in (8, 4, 2, 1) if c % g == 0)
+        return nn.GroupNorm(num_groups=g, name="gn")(x)
+
+
 def make_norm(norm_fn: str, spatial_dim: int = 3) -> Callable[[], nn.Module]:
     """Norm constructor by name: batch / instance / layer / group / identity."""
     norm_fn = (norm_fn or "identity").lower()
@@ -155,7 +167,10 @@ def make_norm(norm_fn: str, spatial_dim: int = 3) -> Callable[[], nn.Module]:
     if norm_fn == "layer":
         return lambda: nn.LayerNorm(epsilon=1e-5)  # torch eps parity
     if norm_fn == "group":
-        return lambda: nn.GroupNorm(num_groups=None, group_size=8)
+        # group count adapts to the width: a fixed group_size=8 raised at
+        # init for any channel count not divisible by 8 (the docstring
+        # above explicitly recommends 'group' for deployed models)
+        return lambda: AdaptiveGroupNorm()
     if norm_fn in ("identity", "none"):
         return lambda: None
     raise NotImplementedError(f"norm {norm_fn!r}")

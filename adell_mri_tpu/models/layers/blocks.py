@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
-from adell_mri_tpu.ops.conv import TpuConv, TpuDwConv
+from adell_mri_tpu.ops.conv import TpuConv, TpuConvTranspose, TpuDwConv
 
 AdnFactory = Callable[..., Optional[nn.Module]]
 
@@ -190,8 +190,10 @@ class VGGDeconvolution(nn.Module):
     def __call__(self, x, train: bool = False):
         ndim = x.ndim - 2
         adn = get_adn_fn(ndim, self.norm_fn, self.act_fn)
-        x = nn.ConvTranspose(
-            self.depth, _tuple(2, ndim), strides=_tuple(2, ndim)
+        # block-matmul lowering (kernel == strides); name pins the
+        # previous auto-assigned nn.ConvTranspose path for checkpoints
+        x = TpuConvTranspose(
+            self.depth, _tuple(2, ndim), name="ConvTranspose_0"
         )(x)
         x = apply_adn(adn(self.depth), x, train)
         if not self.last:

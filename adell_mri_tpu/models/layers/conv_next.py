@@ -63,6 +63,12 @@ class ConvNeXtBackbone(nn.Module):
         x = nn.LayerNorm(name="stem_norm")(x)
 
         pools = self.maxpool_structure or [2] * len(self.structure)
+        if len(pools) != len(self.structure):
+            # zip would silently drop trailing stages (see res_net.py)
+            raise ValueError(
+                f"maxpool_structure has {len(pools)} entries for "
+                f"{len(self.structure)} backbone stages"
+            )
         intermediates = []
         prev_ch = f0
         for stage_idx, (stage, pool) in enumerate(zip(self.structure, pools)):

@@ -70,6 +70,13 @@ class ResNetBackbone(nn.Module):
         x = max_pool(x, 2)
 
         mp = self.maxpool_structure or [2] * len(self.structure)
+        if len(mp) != len(self.structure):
+            # zip would silently DROP trailing stages, training a smaller
+            # network than configured with no error
+            raise ValueError(
+                f"maxpool_structure has {len(mp)} entries for "
+                f"{len(self.structure)} backbone stages"
+            )
         # UNet-encoder use (resnet_to_encoding_ops, res_net.py:27): the
         # stem output doubles as the first skip level
         intermediates = [stem] if return_stem else []

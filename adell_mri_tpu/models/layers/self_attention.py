@@ -95,8 +95,13 @@ class EfficientConditioningAttentionBlock(nn.Module):
         c = x.shape[-1]
         gate = nn.Dense(c, name="class_to_channels")(cls)  # [B, C]
         if self.op_type == "conv":
-            k = int(math.log2(max(c, 2)) / self.gamma + self.b)
+            # eca-net kernel size: t = (log2(C) + b) / gamma, nearest odd
+            # (b is INSIDE the division — the old form over-sized k for
+            # every channel count, breaking reference-shape parity)
+            k = int((math.log2(max(c, 2)) + self.b) / self.gamma)
             k = k + 1 if k % 2 == 0 else k
+            # reference op = SiLU -> Conv1d (class_attention.py:75-80)
+            gate = jax.nn.silu(gate)
             gate = nn.Conv(
                 1, (max(k, 1),), padding="SAME", name="channel_conv"
             )(gate[..., None])[..., 0]

@@ -314,3 +314,80 @@ def test_multiclass_targets_match_head_channels():
     v = model.init({"params": jax.random.PRNGKey(0)}, x)
     preds = model.apply(v, x)
     assert preds["classes"].shape[-1] == cls.shape[0]
+
+
+def test_host_rasterizer_drops_cropped_out_boxes():
+    """Regression: a box center left of the crop wrapped through numpy
+    negative indexing and rasterized a ghost positive at the FAR edge."""
+    from adell_mri_tpu.models.detection.anchors import boxes_to_anchor_targets
+
+    obj, ctr, sz, cls = boxes_to_anchor_targets(
+        np.asarray([[-20.0, 10, 10, -4, 20, 20]]),
+        np.asarray([1]),
+        grid_shape=(8, 8, 8),
+        anchors=np.asarray([[8.0, 8.0, 8.0]]),
+        input_shape=(64, 64, 64),
+    )
+    assert obj.sum() == 0  # dropped, not wrapped to cell 7
+
+
+def test_yolo_loss_ciou_path():
+    """With anchors+input_shape the regression term is decoded-box CIoU:
+    perfect predictions give ~zero box loss, and gradients are finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.detection.losses import yolo_loss
+
+    G = (4, 4, 2)
+    A, ndim = 1, 3
+    anchors = np.asarray([[8.0, 8.0, 4.0]], np.float32)
+    obj = jnp.zeros((1,) + G + (A,)).at[0, 1, 2, 1, 0].set(1.0)
+    ctr = jnp.full((1,) + G + (A * ndim,), 0.5)
+    sz = jnp.zeros((1,) + G + (A * ndim,))
+    cls = jnp.zeros((1,) + G + (1,)).at[0, 1, 2, 1, 0].set(1.0)
+    targets = {
+        "objectness": obj, "center_offsets": ctr, "sizes": sz, "classes": cls
+    }
+    preds_perfect = {
+        "objectness": jnp.where(obj > 0, 8.0, -8.0),
+        "center_offsets": ctr,
+        "sizes": sz,
+        "classes": jnp.where(cls > 0, 8.0, -8.0),
+    }
+    total, comp = yolo_loss(
+        preds_perfect, targets, anchors=anchors, input_shape=(32, 32, 16)
+    )
+    assert float(comp["center"]) < 1e-3  # (1-IoU)+cpd at perfect overlap
+    assert float(comp["size"]) < 1e-3  # aspect-ratio term
+    assert np.isfinite(float(total))
+
+    # gradients flow through the decoded CIoU and are finite
+    def loss_of(offsets):
+        p = dict(preds_perfect, center_offsets=offsets)
+        return yolo_loss(
+            p, targets, anchors=anchors, input_shape=(32, 32, 16)
+        )[0]
+
+    g = jax.grad(loss_of)(ctr + 0.1)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+    # multiclass path uses softmax CE without crashing
+    cls3_t = jnp.zeros((1,) + G + (3,)).at[0, 1, 2, 1, 2].set(1.0)
+    t3 = dict(targets, classes=cls3_t)
+    p3 = dict(preds_perfect, classes=jnp.zeros((1,) + G + (3,)))
+    total3, _ = yolo_loss(
+        p3, t3, n_classes=3, anchors=anchors, input_shape=(32, 32, 16)
+    )
+    assert np.isfinite(float(total3))
+
+
+def test_ciou_identical_boxes_finite():
+    """cpd eps guard: identical boxes were 0/0 in the raw formula."""
+    from adell_mri_tpu.models.detection.losses import complete_iou_components
+
+    b = np.asarray([[0.0, 0, 0, 10, 10, 10]], np.float32)
+    iou, cpd, ar = complete_iou_components(b, b)
+    assert np.isfinite(float(iou[0])) and float(iou[0]) == 1.0
+    assert np.isfinite(float(cpd[0])) and np.isfinite(float(ar[0]))

@@ -536,3 +536,18 @@ def test_stylegan_steps_train():
     g_state, g_m = g_step(g_state, d_state.params, batch, rng, 1.0)
     assert np.isfinite(float(d_m["loss"])) and np.isfinite(float(g_m["loss"]))
     assert "r1" in d_m
+
+
+def test_sample_skip_steps_requires_x_start():
+    """Regression: skip_steps without x_start was silently ignored (the
+    epoch panel ran all n_timesteps forwards)."""
+    import pytest
+
+    from adell_mri_tpu.models.diffusion.process import DiffusionProcess
+
+    proc = DiffusionProcess(n_timesteps=10)
+    with pytest.raises(ValueError, match="skip_steps"):
+        proc.sample(
+            jax.random.PRNGKey(0), lambda x, t: x, (1, 8, 8, 1),
+            skip_steps=5,
+        )

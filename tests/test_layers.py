@@ -292,3 +292,72 @@ def test_vit_factory_exact_mlp_structure():
     )
     blk = v["params"]["ViT_0"]["TransformerBlockStack_0"]["block_0"]
     assert blk["Dense_0"]["kernel"].shape == (88, 49)
+
+
+def test_group_norm_adapts_to_channel_count():
+    """Regression: norm_type='group' crashed at init for widths not
+    divisible by 8."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.layers.adn import get_adn_fn
+
+    adn = get_adn_fn(3, "group", "relu", 0.0)(12)
+    x = jnp.ones((1, 4, 4, 2, 12))
+    params = adn.init(jax.random.PRNGKey(0), x)
+    out = adn.apply(params, x)
+    assert out.shape == x.shape
+
+
+def test_normalized_activation_params_only_apply():
+    """Regression: train=True without a mutable activation_stats
+    collection raised instead of freezing the stats (GlobalBatchNorm's
+    guard pattern)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.layers.activations import NormalizedActivation
+
+    import numpy as np
+
+    m = NormalizedActivation(act_str="relu")
+    x = jnp.ones((2, 8))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x, train=True)  # no mutable= passed
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_eca_kernel_matches_reference_formula():
+    """Regression: k = int(log2(C)/gamma + b) oversized the 1-D conv vs
+    the reference's odd((log2(C)+b)/gamma) (class_attention.py:70)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.layers.self_attention import (
+        EfficientConditioningAttentionBlock,
+    )
+
+    m = EfficientConditioningAttentionBlock(class_dimension=3, op_type="conv")
+    x = jnp.ones((1, 4, 4, 2, 64))
+    cls = jnp.ones((1, 3))
+    params = m.init(jax.random.PRNGKey(0), x, cls)
+    k_shape = params["params"]["channel_conv"]["kernel"].shape
+    # C=64, gamma=2, b=1 -> odd((6+1)/2) = 3
+    assert k_shape[0] == 3, k_shape
+
+
+def test_backbone_rejects_short_maxpool_structure():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from adell_mri_tpu.models.layers.adn import get_adn_fn
+    from adell_mri_tpu.models.layers.res_net import ResNetBackbone
+
+    bb = ResNetBackbone(
+        structure=[(8, 8, 3, 1), (16, 16, 3, 1)],
+        maxpool_structure=[2],
+        adn_fn=get_adn_fn(3, "instance", "relu", 0.0),
+    )
+    with pytest.raises(ValueError, match="maxpool_structure"):
+        bb.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 4, 1)))
