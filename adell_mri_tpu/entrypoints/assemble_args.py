@@ -260,6 +260,7 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "ema": dict(action="store_true", help="EMA teacher"),
     "stop_gradient": dict(action="store_true", help="Stop gradient on target branch"),
     "n_local_crops": dict(default=0, type=int, help="DINO multi-crop: number of extra small student views"),
+    "sample_channels": dict(default=None, type=int, help="Randomly keep this many channels of each 4D (multi-channel) image key at load time (parity: SampleChannelDimd)"),
     "n_series_iterations": dict(default=2, type=int, help="Random slices drawn per DICOM series per epoch"),
     "max_slices": dict(default=None, type=int, help="Maximum slices kept per DICOM series"),
     # prediction

@@ -55,9 +55,14 @@ def main(arguments):
     method = metadata.get("ssl_method", args.ssl_method)
     size = tuple(t_args.get("target_size") or (64, 64, 32))
     spacing = t_args.get("target_spacing")
+    # channel count must match training (4D inputs / --sample_channels);
+    # inference keeps the FIRST n channels deterministically
+    n_channels = len(t_args.get("image_keys") or [1]) * (
+        t_args.get("sample_channels") or 1
+    )
 
     model = get_ssl_network(method, net_cfg)
-    x0 = np.zeros((1,) + size + (1,), np.float32)
+    x0 = np.zeros((1,) + size + (n_channels,), np.float32)
     init_vars = model.init({"params": jax.random.PRNGKey(0)}, x0)
     target = {"params": init_vars["params"]}
     extra = {k: v for k, v in init_vars.items() if k != "params"}
@@ -81,10 +86,18 @@ def main(arguments):
     out = {}
     for path in paths:
         img = reorient_to_ras(read_nifti(path))
-        vol = resample_to_spec(img, spacing, size)
+        vol = resample_to_spec(img, spacing, size, keep_channels=True)
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        if vol.shape[-1] < n_channels:
+            raise ValueError(
+                f"{path} has {vol.shape[-1]} channels; the checkpoint "
+                f"was trained with {n_channels}"
+            )
+        vol = vol[..., :n_channels]
         lo, hi = vol.min(), vol.max()
         vol = (vol - lo) / max(hi - lo, 1e-6)
-        x = vol[None, ..., None].astype(np.float32)
+        x = vol[None].astype(np.float32)
         f = np.asarray(encode(x))[0]
         out[os.path.basename(path)] = {
             "features": [round(float(v), 4) for v in f.ravel()]

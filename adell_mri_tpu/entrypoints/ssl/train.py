@@ -76,6 +76,7 @@ ARG_KEYS = [
     "ema_decay",
     "stop_gradient",
     "n_local_crops",
+    "sample_channels",
 ]
 
 
@@ -95,7 +96,7 @@ def main(arguments):
     config = parse_config_ssl(
         args.config_file,
         dropout_param=args.dropout_param,
-        n_keys=len(args.image_keys),
+        n_keys=len(args.image_keys) * (args.sample_channels or 1),
         is_ijepa=args.ssl_method == "ijepa",
     )
     net_cfg = config["network"]
@@ -119,6 +120,7 @@ def main(arguments):
         target_size=base_size,
         crop_size=crop_size,
         adc_keys=args.adc_keys or (),
+        sample_channels=args.sample_channels,
         # VICRegL matches local features by absolute position, so views
         # must expose their crop warp matrices
         expose_boxes=args.ssl_method == "vicregl",
@@ -144,7 +146,8 @@ def main(arguments):
 
     model = get_ssl_network(args.ssl_method, net_cfg)
     shape = tuple(crop_size or base_size)
-    x0 = np.zeros((1,) + shape + (len(args.image_keys),), np.float32)
+    n_channels = len(args.image_keys) * (args.sample_channels or 1)
+    x0 = np.zeros((1,) + shape + (n_channels,), np.float32)
     rngs = {"params": jax.random.PRNGKey(args.seed)}
     if args.ssl_method in ("mae", "ijepa"):
         rngs["masking"] = jax.random.PRNGKey(args.seed + 1)
@@ -228,6 +231,7 @@ def main(arguments):
             "ssl_method": args.ssl_method,
             "transform_arguments": {
                 "image_keys": list(args.image_keys),
+                "sample_channels": args.sample_channels,
                 "target_size": list(base_size),
                 "crop_size": list(crop_size) if crop_size else None,
                 "target_spacing": (

@@ -53,15 +53,37 @@ def resample_to_spec(
     target_size: Optional[Sequence[int]] = None,
     interp_order: int = 1,
     cval: float = 0.0,
+    keep_channels: bool = False,
 ) -> np.ndarray:
     """
     One composed resample: target grid -> (crop/pad center alignment) ->
     spacing scale -> original voxel grid, evaluated with a single
     map_coordinates call. Matches Spacingd + CenterSpatialCropd/SpatialPadd
     composition but touches each voxel once.
+
+    4D NIfTIs (e.g. multi-b-value DWI): ``keep_channels=True`` resamples
+    every trailing-axis channel and returns ``[x, y, z, C]``; the default
+    keeps the historical first-channel behavior for 3D-contract callers.
     """
     data = img.data
     if data.ndim > 3:
+        if keep_channels:
+            flat = data.reshape(data.shape[:3] + (-1,))
+            chans = [
+                resample_to_spec(
+                    NiftiImage(
+                        data=np.ascontiguousarray(flat[..., c]),
+                        affine=img.affine,
+                        header=img.header,
+                    ),
+                    target_spacing,
+                    target_size,
+                    interp_order=interp_order,
+                    cval=cval,
+                )
+                for c in range(flat.shape[-1])
+            ]
+            return np.stack(chans, axis=-1)
         data = data[..., 0]
     spacing = img.spacing
     if target_spacing is None:
@@ -209,6 +231,7 @@ def make_load_fn(
     scale_intensity: bool = True,
     extra_scalar_keys: Sequence[str] = (),
     missing_to_empty: bool = False,
+    sample_channels: Optional[int] = None,
 ):
     """
     Builds the CachedVolumeDataset load_fn: reads every image key, RAS
@@ -217,6 +240,14 @@ def make_load_fn(
     transform_factory/transforms.py:24), stacks channels-last, combines/
     binarizes labels (LabelOperatorSegmentationd analogue) and precomputes
     fg indices.
+
+    4D NIfTIs contribute ALL their channels (LoadImaged
+    ensure_channel_first semantics); ``sample_channels=N`` randomly keeps N
+    of each key's channels when it has more (parity: SampleChannelDimd,
+    utils/monai_transforms.py:2418, applied per key in the SSL/generation
+    pipelines, transform_factory/transforms.py:573,678). Like the
+    reference's cached pre-transforms, the random pick happens once at
+    load/cache time, not per epoch.
     """
     label_keys = list(label_keys or [])
 
@@ -235,12 +266,37 @@ def make_load_fn(
             if resize_size is not None:
                 # reference order (transforms.py:152-173): Spacingd ->
                 # Resized(mode="area", SCALE not crop) -> pad/crop
-                vol = resample_to_spec(img, target_spacing, None)
-                vol = area_resize(vol, resize_size)
+                vol = resample_to_spec(
+                    img, target_spacing, None, keep_channels=True
+                )
+                if vol.ndim == 4:
+                    vol = np.stack(
+                        [
+                            area_resize(vol[..., c], resize_size)
+                            for c in range(vol.shape[-1])
+                        ],
+                        axis=-1,
+                    )
+                else:
+                    vol = area_resize(vol, resize_size)
                 if target_size is not None:
                     vol = center_crop_pad(vol, target_size)
             else:
-                vol = resample_to_spec(img, target_spacing, target_size)
+                vol = resample_to_spec(
+                    img, target_spacing, target_size, keep_channels=True
+                )
+            if vol.ndim == 3:
+                vol = vol[..., None]
+            if (
+                sample_channels is not None
+                and vol.shape[-1] > sample_channels
+            ):
+                picks = np.random.choice(
+                    vol.shape[-1], sample_channels, replace=False
+                )
+                vol = vol[..., picks]
+            # intensity ops act on the key's whole (multi-channel) tensor,
+            # matching the per-key MONAI dict transforms
             if key in adc_keys:
                 # ADC conditional rescale (image_intensity_ops.py:77)
                 if vol.max() > 1e3:
@@ -252,11 +308,16 @@ def make_load_fn(
             weights.append(1.0)
         if missing_to_empty:
             present = next(c for c in channels if c is not None)
+            if present.shape[-1] != 1:
+                raise ValueError(
+                    "missing_to_empty (BrUNet's one-channel-per-modality "
+                    "contract) does not support multi-channel (4D) inputs"
+                )
             channels = [
                 c if c is not None else np.zeros_like(present)
                 for c in channels
             ]
-        image = np.stack(channels, axis=-1).astype(np.float32)
+        image = np.concatenate(channels, axis=-1).astype(np.float32)
         sample = {"image": image, "identifier": entry.get("identifier", "")}
         if missing_to_empty:
             sample["image_weights"] = np.asarray(weights, np.float32)

@@ -467,6 +467,9 @@ class SSLTransforms:
     target_size: Optional[Sequence[int]] = None
     crop_size: Optional[Sequence[int]] = None
     adc_keys: Sequence[str] = ()
+    # keep N random channels of each 4D key at load time (parity:
+    # SampleChannelDimd in the SSL pre-transforms, transforms.py:678)
+    sample_channels: Optional[int] = None
     n_transforms: int = 3
     scaled_crop_range: Tuple[float, float] = (0.6, 1.0)
     # DINO multi-crop: n_local_crops extra small student views
@@ -489,6 +492,7 @@ class SSLTransforms:
             target_spacing=self.target_spacing,
             target_size=self.target_size,
             adc_keys=self.adc_keys,
+            sample_channels=self.sample_channels,
         )
 
     def augment(self, key, batch: Dict) -> Dict:

@@ -282,3 +282,53 @@ def test_disk_cache_corrupt_npz_recovers(tmp_path):
         [entry], load_fn, cache_rate=0.0, cache_dir=str(tmp_path)
     )
     assert ds3[0]["x"].tolist() == [3.0] * 4 and len(calls) == 2
+
+
+def test_multichannel_4d_nifti_load_and_sample_channels(tmp_path):
+    """4D NIfTIs keep ALL channels through make_load_fn (LoadImaged
+    ensure_channel_first semantics) and sample_channels=N randomly keeps N
+    of them (parity: SampleChannelDimd, utils/monai_transforms.py:2418).
+    resample_to_spec's default 3D contract is unchanged (first channel)."""
+    from adell_mri_tpu.data import read_nifti, reorient_to_ras, write_nifti
+    from adell_mri_tpu.transforms.host import make_load_fn, resample_to_spec
+
+    # channel c is the constant c so identities survive any resampling
+    data = np.stack(
+        [np.full((8, 8, 4), float(c), np.float32) for c in range(3)],
+        axis=-1,
+    )
+    path = str(tmp_path / "dwi.nii.gz")
+    write_nifti(path, data, np.eye(4))
+
+    # default: all channels, in order
+    fn = make_load_fn(image_keys=["image"], scale_intensity=False)
+    s = fn({"image": path, "identifier": "a"})
+    assert s["image"].shape == (8, 8, 4, 3)
+    for c in range(3):
+        np.testing.assert_allclose(s["image"][..., c], float(c))
+
+    # sample_channels=2: exactly 2 distinct original channels survive
+    np.random.seed(0)
+    fn2 = make_load_fn(
+        image_keys=["image"], scale_intensity=False, sample_channels=2
+    )
+    s2 = fn2({"image": path, "identifier": "a"})
+    assert s2["image"].shape == (8, 8, 4, 2)
+    vals = {float(s2["image"][0, 0, 0, c]) for c in range(2)}
+    assert len(vals) == 2 and vals <= {0.0, 1.0, 2.0}
+
+    # two single-channel keys still stack to 2 channels (old contract)
+    path3d = str(tmp_path / "t2.nii.gz")
+    write_nifti(path3d, np.full((8, 8, 4), 7.0, np.float32), np.eye(4))
+    fn3 = make_load_fn(image_keys=["a", "b"], scale_intensity=False)
+    s3 = fn3({"a": path3d, "b": path3d, "identifier": "a"})
+    assert s3["image"].shape == (8, 8, 4, 2)
+
+    # resample_to_spec: 3D default unchanged; keep_channels resamples all
+    img = reorient_to_ras(read_nifti(path))
+    v3 = resample_to_spec(img, None, (8, 8, 4))
+    assert v3.shape == (8, 8, 4)
+    np.testing.assert_allclose(v3, 0.0)
+    v4 = resample_to_spec(img, None, (8, 8, 4), keep_channels=True)
+    assert v4.shape == (8, 8, 4, 3)
+    np.testing.assert_allclose(v4[..., 2], 2.0)
