@@ -9,6 +9,7 @@ back to scipy.ndimage when no compiler is available.
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -23,9 +24,20 @@ _LIB = os.path.join(_REPO_ROOT, "native", "libfastvol.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _checked = False
+# first use can come from several DataLoader prefetch threads at once;
+# without the lock two g++ subprocesses would write the same .so
+_load_lock = threading.Lock()
 
 
 def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _checked
+    if _checked:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
     global _lib, _checked
     if _checked:
         return _lib
@@ -35,14 +47,18 @@ def _load() -> Optional[ctypes.CDLL]:
             os.path.exists(_SRC)
             and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
         ):
+            # build to a temp path + rename so an interrupted compile can
+            # never leave a truncated .so for the next process to dlopen
+            tmp = _LIB + f".tmp{os.getpid()}"
             subprocess.run(
                 [
                     "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                    "-o", _LIB, _SRC,
+                    "-o", tmp, _SRC,
                 ],
                 check=True,
                 capture_output=True,
             )
+            os.replace(tmp, _LIB)
         lib = ctypes.CDLL(_LIB)
         for name in ("resample_trilinear_f32", "resample_nearest_f32"):
             fn = getattr(lib, name)

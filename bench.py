@@ -8,7 +8,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Numerator: jit-compiled on-device augmentation (affine warp with folded
 flips + Rician/Gibbs noise + gamma/scale/shift) chained into the bf16
-U-Net forward, batch 4, auto conv lowering (ops/conv.py im2col heuristic).
+U-Net forward, batch 4, auto conv lowering (ops/conv.py z2d decomposition
+on TPU — the on-chip A/B winner, BASELINE.md round-3 decision rows).
 
 Denominator: a faithful CPU re-creation of the reference hot path
 (MONAI is not installed here): scipy affine resample + numpy intensity ops

@@ -108,6 +108,7 @@ void resample_nearest_f32(
 // min-max normalize in place; returns 0, or 1 when constant
 int minmax_scale_f32(float* data, int64_t n, float lo_out, float hi_out)
 {
+    if (n <= 0) return 1;
     float lo = data[0], hi = data[0];
     for (int64_t i = 1; i < n; ++i) {
         lo = std::min(lo, data[i]);
