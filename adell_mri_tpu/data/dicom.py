@@ -158,11 +158,20 @@ def _read_mini(path: str):
 
 
 def read_dicom(path: str):
-    """Returns (float32 [rows, cols] array, metadata dict)."""
+    """Returns (float32 [rows, cols] array, metadata dict).
+
+    pydicom when importable; any pydicom failure (absent, or a file it
+    can't decode) falls back to the built-in mini codec so environments
+    WITH pydicom can still read mini-codec-written files."""
     try:
         return _read_pydicom(path)
     except ImportError:
         return _read_mini(path)
+    except Exception as pyd_exc:
+        try:
+            return _read_mini(path)
+        except Exception:
+            raise pyd_exc
 
 
 def write_dicom(
@@ -200,19 +209,38 @@ def write_dicom(
         )
 
     ts = b"1.2.840.10008.1.2.1\x00"
-    meta_body = elem(0x0002, 0x0010, b"UI", ts)
+    # MR Image Storage SOP class + a file-unique instance UID: the tags
+    # pydicom/other tools require to build a dataset and decode pixels
+    sop_class = b"1.2.840.10008.5.1.4.1.1.4\x00"
+    import zlib
+
+    # crc32, not hash(): PYTHONHASHSEED would make re-exports differ
+    sop_instance = f"{series_uid}.{zlib.crc32(path.encode())}".encode()
+    meta_body = (
+        elem(0x0002, 0x0002, b"UI", sop_class)
+        + elem(0x0002, 0x0003, b"UI", sop_instance)
+        + elem(0x0002, 0x0010, b"UI", ts)
+    )
     meta = elem(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body)))
+    # data-set elements in ascending (group, element) order as the
+    # standard requires (strict parsers stop at out-of-order tags)
     body = b""
-    if orientation is not None:
-        txt = "\\".join(f"{v:g}" for v in orientation).encode()
-        body += elem(0x0020, 0x0037, b"DS", txt)
+    body += elem(0x0008, 0x0016, b"UI", sop_class)
+    body += elem(0x0008, 0x0018, b"UI", sop_instance)
+    body += elem(0x0020, 0x000E, b"UI", series_uid.encode())
     if position is not None:
         txt = "\\".join(f"{v:g}" for v in position).encode()
         body += elem(0x0020, 0x0032, b"DS", txt)
-    body += elem(0x0020, 0x000E, b"UI", series_uid.encode())
+    if orientation is not None:
+        txt = "\\".join(f"{v:g}" for v in orientation).encode()
+        body += elem(0x0020, 0x0037, b"DS", txt)
+    body += elem(0x0028, 0x0002, b"US", struct.pack("<H", 1))
+    body += elem(0x0028, 0x0004, b"CS", b"MONOCHROME2 ")
     body += elem(0x0028, 0x0010, b"US", struct.pack("<H", array.shape[0]))
     body += elem(0x0028, 0x0011, b"US", struct.pack("<H", array.shape[1]))
     body += elem(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += elem(0x0028, 0x0101, b"US", struct.pack("<H", 16))
+    body += elem(0x0028, 0x0102, b"US", struct.pack("<H", 15))
     body += elem(0x0028, 0x0103, b"US", struct.pack("<H", 0))
     body += elem(0x0028, 0x1053, b"DS", f"{span / 65535:g}".encode())
     body += elem(0x0028, 0x1052, b"DS", f"{lo:g}".encode())
