@@ -153,10 +153,15 @@ class TrainLoop:
             self.rng, key = jax.random.split(self.rng)
             metrics = self.eval_step(params, batch, key)
             # weight per-batch means by batch size: a partial final batch
-            # must not count as much as a full one ("exact metrics")
-            bs = next(
-                v.shape[0] for v in batch.values() if hasattr(v, "shape")
-            )
+            # must not count as much as a full one ("exact metrics");
+            # prefer the canonical image leaf over dict order (an aux leaf
+            # like a class-weight vector could lead the dict)
+            ref_leaf = batch.get("image")
+            if not hasattr(ref_leaf, "shape"):
+                ref_leaf = next(
+                    v for v in batch.values() if hasattr(v, "shape")
+                )
+            bs = ref_leaf.shape[0]
             n_samples += bs
             for k, v in metrics.items():
                 if np.ndim(v) == 0:
