@@ -3,8 +3,6 @@ Utils mode dispatch (parity: adell_mri/entrypoints/utils/__main__.py:5-35 —
 same subcommand names).
 """
 
-from adell_mri_tpu.entrypoints.cli_utils import run_main
-
 P = "adell_mri_tpu.entrypoints.utils.tools"
 supported_modes = {
     # preprocessing

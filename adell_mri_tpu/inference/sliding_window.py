@@ -12,9 +12,8 @@ scatter-add (dynamic_update_slice) carried through the scan — the whole
 inference is ONE jit-compiled program, no per-tile host round-trips.
 """
 
-import math
 from functools import partial
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ SegmentationInference (:787-989) composing sliding window x flips x
 MC-dropout x checkpoint ensembling with TensorListReduction.
 """
 
-from itertools import combinations
 from typing import Callable, List, Optional, Sequence
 
 import jax

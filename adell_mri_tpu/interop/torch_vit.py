@@ -25,7 +25,7 @@ the reference's per-head LayerNorms; LinearEmbedding's ``embed_norm=True``
 reproduces map_to_out's LayerNorm.
 """
 
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Dict, Mapping
 
 import numpy as np
 

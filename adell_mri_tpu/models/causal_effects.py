@@ -9,8 +9,6 @@ decorrelation_loss (:101, CE + beta*AE reconstruction MSE from
 https://arxiv.org/abs/2008.09858).
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

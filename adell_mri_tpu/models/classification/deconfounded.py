@@ -8,7 +8,7 @@ surrogates); auxiliary heads predict the confounders from their subspace and
 a decorrelation penalty keeps the classification features orthogonal to them.
 """
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ ensemble.py (:15,144,190). Channels-last flax; binary tasks emit 1 logit,
 multiclass emit n_classes logits (activations live in the losses).
 """
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -22,7 +22,6 @@ from adell_mri_tpu.models.layers.blocks import (
     GlobalPooling,
     MLP,
     VGGConvolution,
-    _tuple,
     apply_adn,
 )
 from adell_mri_tpu.models.layers.res_net import ResNetBackbone

@@ -7,7 +7,7 @@ complete_iou_loss (:7) and the YOLO composite loss used by YOLONet3dPL
 cells + class CE.
 """
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

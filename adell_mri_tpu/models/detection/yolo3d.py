@@ -11,7 +11,6 @@ from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.adn import get_adn_fn
 from adell_mri_tpu.models.layers.blocks import _tuple

@@ -11,7 +11,6 @@ import math
 from typing import Optional, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.blocks import _gn, _tuple

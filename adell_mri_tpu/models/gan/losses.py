@@ -7,7 +7,7 @@ penalties, feature matching, cycle consistency; StyleGANLoss
 (gan/gan/loss_functions.py:12) is hinge + R1 here.
 """
 
-from typing import List, Sequence
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ encoder-decoder/latent decoder), Discriminator (discriminator.py:11, patchGAN
 option), AutoEncoder/VariationalAutoEncoder (ae.py, vae.py). Channels-last.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

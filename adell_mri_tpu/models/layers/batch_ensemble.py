@@ -7,11 +7,10 @@ per-member input/output rank-1 vectors; at train time each sample draws a
 random member, at eval the ensemble is averaged (or a member is selected).
 """
 
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.blocks import AdnFactory, _tuple, apply_adn, identity_adn
 

@@ -9,8 +9,6 @@ computes the Laplace covariance over a dataset of features and
 ``predictive_logits`` applies the mean-field correction.
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

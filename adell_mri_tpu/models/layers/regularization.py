@@ -7,8 +7,6 @@ LayerScale (:264). Channels-last throughout (LayerNormChannelsFirst has no
 analogue: plain LayerNorm over the trailing axis is the TPU-friendly layout).
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

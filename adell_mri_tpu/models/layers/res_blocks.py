@@ -10,7 +10,6 @@ Rank-agnostic (channels-last); 2D/3D pairs collapse into one module.
 from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.blocks import (
     AdnFactory,

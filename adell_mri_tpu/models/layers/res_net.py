@@ -12,7 +12,6 @@ ResNet (:327) with ret=representation/projection/prediction forwards.
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from adell_mri_tpu.models.layers.batch_ensemble import BatchEnsembleConv
 from adell_mri_tpu.models.layers.blocks import (

@@ -17,7 +17,7 @@ reshape-based (no gather).
 """
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 

@@ -6,7 +6,7 @@ Parity target: adell_mri/modules/segmentation/unetpp.py — UNetPlusPlus
 up(X[i+1][j-1]))); deep supervision reads the X[0][j] row.
 """
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

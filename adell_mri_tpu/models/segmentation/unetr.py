@@ -8,7 +8,6 @@ conv decoder). The Monai-wrapped variants (:435,:1036) collapse into these
 (same config surface; one implementation).
 """
 
-import math
 from typing import Optional, Sequence
 
 import flax.linen as nn

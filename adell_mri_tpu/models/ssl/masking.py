@@ -6,7 +6,7 @@ Jit-safe fixed-count masking: shuffles token indices with jax.random and
 splits at a static count, so shapes stay static (no boolean gathers).
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ backbone+projection+prediction vs EMA/stop-grad target) — functional here:
 the EMA teacher is the train state's ema_params tree (SURVEY.md §5).
 """
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

@@ -49,7 +49,6 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 #: VMEM budget for the per-program working set (halo slabs + patch tile
 #: + out slab); v5e has ~16 MB of VMEM per core.

@@ -8,8 +8,6 @@ simply two train states and two jitted steps (SURVEY.md §7: easier than
 Lightning's manual optimization).
 """
 
-from typing import Callable, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ by CPU transform workers — the unlabeled loader ships one volume, the
 device makes both views.
 """
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ Mesh, batches are sharded on the data axis and XLA inserts gradient
 all-reduces (the NCCL DDP equivalent, SURVEY.md §2.5).
 """
 
-from functools import partial
 from typing import Callable, Dict, Optional
 
 import jax

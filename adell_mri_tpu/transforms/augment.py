@@ -9,7 +9,7 @@ static shapes; per-sample op choice is a ``lax.switch`` so one compiled
 program covers the whole registry (SURVEY.md §7).
 """
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ ops that XLA folds into neighbouring kernels. All functions take
 channels-last arrays and are jit/vmap-safe with static output shapes.
 """
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ DbscanAssistedSegmentSelection (:310), CropFromMaskd (:403); and
 bounding_boxes.py — MasksToBBd (:315).
 """
 
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 import numpy as np
 

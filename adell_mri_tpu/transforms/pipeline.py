@@ -15,7 +15,7 @@ TPU split of labour (SURVEY.md §7): each factory exposes
 """
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,7 @@ are built with ``jax.vmap``. Matrices are homogeneous (ndim+1)² acting on
 voxel coordinates (unit = voxel; callers fold spacing in if needed).
 """
 
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
