@@ -71,12 +71,23 @@ ARG_KEYS = [
 ]
 
 
-def _fit_2d_fn(base_size):
+def _fit_2d_fn(base_size, selection: str = "central", seed: int = 42):
     from adell_mri_tpu.transforms.host import center_crop_pad
 
+    # "random" draws a slice per volume at load/cache time — the reference
+    # semantics (SampleChannelDimd(keys, 1, 3) sits in the CACHED
+    # pre-transforms, transforms.py:573, so its draw is frozen too);
+    # "central" (default) is the deterministic variant, PARITY.md §2.2
+    rng = np.random.default_rng(seed)
+
     def _fit_2d(img):
-        # central slice of a 3D volume, then the shared center pad/crop
-        img = img[:, :, img.shape[2] // 2, :] if img.ndim == 4 else img
+        if img.ndim == 4:
+            z = (
+                int(rng.integers(img.shape[2]))
+                if selection == "random"
+                else img.shape[2] // 2
+            )
+            img = img[:, :, z, :]
         return center_crop_pad(img, base_size)
 
     return _fit_2d
@@ -90,6 +101,10 @@ def main(arguments):
     parser.add_argument("--gp_weight", type=float, default=None,
                     help="WGAN-GP / R1 weight (stylegan defaults to 10, others to 0)")
     parser.add_argument("--smoothing", type=float, default=0.0)
+    parser.add_argument("--slice_selection", default="central",
+                    choices=["central", "random"],
+                    help="2D-from-3D slice pick at load/cache time (the "
+                    "reference samples randomly; central is deterministic)")
     parser.add_argument("--feature_matching", type=float, default=0.0)
     # conditional generation (parity: GANPL classification_target_key /
     # regression_target_key + Generator class embeds / cross-attention)
@@ -162,7 +177,7 @@ def main(arguments):
         target_size=base_size if sd == 3 else None,
     )
     base_load = transforms.load_fn()
-    fit_2d = _fit_2d_fn(base_size)
+    fit_2d = _fit_2d_fn(base_size, selection=args.slice_selection)
 
     def load_fn(entry):
         s = base_load(entry)

@@ -551,3 +551,24 @@ def test_sample_skip_steps_requires_x_start():
             jax.random.PRNGKey(0), lambda x, t: x, (1, 8, 8, 1),
             skip_steps=5,
         )
+
+
+def test_gan_2d_slice_selection():
+    """--slice_selection: central is deterministic, random draws across the
+    volume at load/cache time (reference SampleChannelDimd(keys, 1, 3)
+    semantics, transform_factory/transforms.py:573)."""
+    import numpy as np
+
+    from adell_mri_tpu.entrypoints.generative_gan.train import _fit_2d_fn
+
+    img = np.stack(
+        [np.full((8, 8, 1), float(z)) for z in range(6)], axis=2
+    )
+    central = _fit_2d_fn((8, 8))
+    assert float(central(img)[0, 0, 0]) == 3.0
+    rand = _fit_2d_fn((8, 8), selection="random", seed=0)
+    picks = {float(rand(img)[0, 0, 0]) for _ in range(12)}
+    assert len(picks) > 1 and picks <= set(map(float, range(6)))
+    # 2D inputs pass through untouched (slice datasets via the DICOM layer)
+    flat = np.zeros((8, 8, 1))
+    assert central(flat).shape == (8, 8, 1)
