@@ -5,11 +5,18 @@ Parity target: adell_mri/utils/pl_utils.py — GPULock (:22-123): a
 lock-file-per-device mutex so concurrent jobs on a shared machine do not
 land on the same accelerator. TPU-native: one lock per chip index (a TPU
 chip has no MIG-style sharing, so exclusive acquisition is the only mode).
+
+Locking is ``fcntl.flock`` on a persistent per-device file — the kernel
+releases the lock when the holder dies, so there is no stale-pid heuristic
+and none of its reclaim races (two waiters that both judge a pid-file stale
+unlink each other's fresh locks; the reference's pid-file scheme has that
+window). The pid is still written into the file for debuggability.
 """
 
+import fcntl
 import os
 import time
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 from adell_mri_tpu.utils import get_logger
 
@@ -20,8 +27,8 @@ _LOCK_DIR = os.environ.get("ADELL_LOCK_DIR", "/tmp/adell_device_locks")
 
 class DeviceLock:
     """
-    Acquires an exclusive lock file for one of ``n_devices`` accelerator
-    slots. Stale locks (owner pid dead) are reclaimed.
+    Acquires an exclusive kernel lock for one of ``n_devices`` accelerator
+    slots. Locks auto-release when the owning process exits.
     """
 
     def __init__(self, n_devices: Optional[int] = None, lock_dir: str = _LOCK_DIR):
@@ -33,22 +40,24 @@ class DeviceLock:
         self.lock_dir = lock_dir
         os.makedirs(lock_dir, exist_ok=True)
         self.held: List[int] = []
+        self._fds: Dict[int, int] = {}
 
     def _path(self, idx: int) -> str:
         return os.path.join(self.lock_dir, f"device_{idx}.lock")
 
-    def _stale(self, path: str) -> bool:
+    def _try_lock(self, idx: int) -> bool:
+        fd = os.open(self._path(idx), os.O_CREAT | os.O_RDWR, 0o644)
         try:
-            with open(path) as f:
-                pid = int(f.read().strip() or 0)
-            if pid <= 0:
-                return True
-            os.kill(pid, 0)  # raises if gone
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(fd)
             return False
-        except (ProcessLookupError, ValueError, FileNotFoundError):
-            return True
-        except PermissionError:
-            return False
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())
+        self._fds[idx] = fd
+        self.held.append(idx)
+        logger.info("locked device %d", idx)
+        return True
 
     def acquire(self, n: int = 1, timeout: float = 0.0, poll: float = 5.0):
         """Locks ``n`` devices; returns their indices. With timeout=0 a
@@ -58,26 +67,9 @@ class DeviceLock:
             for idx in range(self.n_devices):
                 if len(self.held) >= n:
                     return list(self.held)
-                path = self._path(idx)
-                if os.path.exists(path) and not self._stale(path):
+                if idx in self._fds:
                     continue
-                try:
-                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                except FileExistsError:
-                    if self._stale(path):
-                        os.unlink(path)
-                        try:
-                            fd = os.open(
-                                path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                            )
-                        except FileExistsError:
-                            continue
-                    else:
-                        continue
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                self.held.append(idx)
-                logger.info("locked device %d", idx)
+                self._try_lock(idx)
             if len(self.held) >= n:
                 return list(self.held)
             if time.monotonic() >= deadline:
@@ -88,12 +80,22 @@ class DeviceLock:
             time.sleep(poll)
 
     def release(self):
-        for idx in self.held:
+        # closing the fd releases the flock; the file itself stays (an
+        # unlink would open the unlink-vs-flock race where a new waiter
+        # locks a directory entry another process is about to replace)
+        for idx, fd in self._fds.items():
             try:
-                os.unlink(self._path(idx))
-            except FileNotFoundError:
+                os.close(fd)
+            except OSError:
                 pass
+        self._fds = {}
         self.held = []
+
+    def __del__(self):
+        # drop the flocks if the object is abandoned without release();
+        # otherwise the leaked fds keep the devices locked for the whole
+        # process lifetime
+        self.release()
 
     def __enter__(self):
         self.acquire()
