@@ -188,7 +188,9 @@ def write_dicom(
     array = np.asarray(array)
     lo, hi = float(array.min()), float(array.max())
     span = max(hi - lo, 1e-6)
-    pix = ((array - lo) / span * 65535).astype(np.uint16)
+    # round, don't truncate: astype alone floors, a biased full-step
+    # quantization error where rounding gives unbiased half-step
+    pix = np.round((array - lo) / span * 65535).astype(np.uint16)
 
     def elem(group, el, vr, value: bytes):
         if len(value) % 2:
@@ -229,10 +231,10 @@ def write_dicom(
     body += elem(0x0008, 0x0018, b"UI", sop_instance)
     body += elem(0x0020, 0x000E, b"UI", series_uid.encode())
     if position is not None:
-        txt = "\\".join(f"{v:g}" for v in position).encode()
+        txt = "\\".join(f"{v:.10g}" for v in position).encode()
         body += elem(0x0020, 0x0032, b"DS", txt)
     if orientation is not None:
-        txt = "\\".join(f"{v:g}" for v in orientation).encode()
+        txt = "\\".join(f"{v:.10g}" for v in orientation).encode()
         body += elem(0x0020, 0x0037, b"DS", txt)
     body += elem(0x0028, 0x0002, b"US", struct.pack("<H", 1))
     body += elem(0x0028, 0x0004, b"CS", b"MONOCHROME2 ")
@@ -242,8 +244,10 @@ def write_dicom(
     body += elem(0x0028, 0x0101, b"US", struct.pack("<H", 16))
     body += elem(0x0028, 0x0102, b"US", struct.pack("<H", 15))
     body += elem(0x0028, 0x0103, b"US", struct.pack("<H", 0))
-    body += elem(0x0028, 0x1053, b"DS", f"{span / 65535:g}".encode())
-    body += elem(0x0028, 0x1052, b"DS", f"{lo:g}".encode())
+    # 10 significant digits (DS allows 16 bytes; %g's 6 digits cost
+    # ~1e-6 relative error on top of quantization)
+    body += elem(0x0028, 0x1053, b"DS", f"{span / 65535:.10g}".encode())
+    body += elem(0x0028, 0x1052, b"DS", f"{lo:.10g}".encode())
     body += elem(0x7FE0, 0x0010, b"OW", pix.tobytes())
     with open(path, "wb") as f:
         f.write(b"\x00" * _MAGIC_OFFSET + b"DICM" + meta + meta_body + body)
