@@ -121,3 +121,73 @@ def test_transform_boxes_affine_inverts(seed, angle, tx):
     assert np.all(back[ok][:, nd:] >= orig[ok][:, nd:] - 1e-3)
     if abs(angle) < 1e-9:
         np.testing.assert_allclose(back[ok], orig[ok], atol=1e-3)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    angle=st.floats(-0.25, 0.25),
+    scale=st.floats(0.9, 1.1),
+    tx=st.floats(-2.0, 2.0),
+)
+def test_warps_reproduce_linear_functions(seed, angle, scale, tx):
+    """Analytic oracle for BOTH warp paths: linear interpolation
+    reproduces affine-linear functions exactly, so warping
+    f(v) = a . v + b through any matrix must yield a . (M @ o) + b at
+    every in-bounds output voxel — for the gather warp AND the
+    shear-decomposed separable warp (which the augment pipeline uses on
+    TPU; transforms/pipeline.py)."""
+    from adell_mri_tpu.transforms.spatial import (
+        separable_max_shift,
+        warp_affine_separable,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (16, 18, 12)
+    a = rng.uniform(-1, 1, size=3).astype(np.float32)
+    b = np.float32(rng.uniform(-5, 5))
+    idx = np.stack(
+        np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"), -1
+    ).astype(np.float32)
+    vol = jnp.asarray((idx @ a + b)[..., None])
+
+    c, s = np.cos(angle), np.sin(angle)
+    mat = np.eye(4, dtype=np.float32)
+    mat[:2, :2] = np.asarray([[c, -s], [s, c]]) * scale
+    mat[2, 2] = scale
+    mat[0, 3] = tx
+    matj = jnp.asarray(mat)
+
+    # expected: f at the SAMPLE coordinates M @ o
+    coords = np.concatenate([idx, np.ones(shape + (1,), np.float32)], -1)
+    sample_pts = coords @ mat.T
+    expected = sample_pts[..., :3] @ a + b
+    # only score voxels whose sample point is strictly interior (border
+    # voxels blend with cval)
+    interior = np.all(
+        (sample_pts[..., :3] >= 0.5)
+        & (sample_pts[..., :3] <= np.asarray(shape) - 1.5),
+        axis=-1,
+    )
+    assert interior.sum() > 100
+
+    got = np.asarray(warp_affine(vol, matj))[..., 0]
+    np.testing.assert_allclose(
+        got[interior], expected[interior], atol=5e-3
+    )
+
+    ms = int(separable_max_shift(shape, abs(angle), 0.0)) + 4
+    got_sep = np.asarray(
+        warp_affine_separable(vol, matj, max_shift=ms)
+    )[..., 0]
+    # the shear passes traverse intermediate volumes whose borders carry
+    # cval; restrict to a deeper interior for the separable path
+    deep = np.all(
+        (sample_pts[..., :3] >= 4.0)
+        & (sample_pts[..., :3] <= np.asarray(shape) - 5.0),
+        axis=-1,
+    )
+    if deep.sum() > 50:
+        np.testing.assert_allclose(
+            got_sep[deep], expected[deep], atol=5e-2
+        )
