@@ -70,7 +70,9 @@ def rician_noise(key, x, std: float = 0.1):
 def gibbs_ringing(key, x, alpha_range=(0.2, 0.8)):
     """
     Truncates high k-space frequencies (RandGibbsNoised analogue). FFT runs
-    on device; alpha is the fraction of spectrum retained.
+    on device; alpha is the fraction of spectrum RETAINED — the INVERSE of
+    MONAI's convention (there alpha=0 is the identity, 1 full truncation;
+    callers translating reference ranges must pass 1 - monai_alpha).
     """
     ndim = x.ndim - 1
     alpha = jax.random.uniform(

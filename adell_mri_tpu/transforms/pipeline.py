@@ -179,8 +179,15 @@ def _augment_one(
         # the bottom of alpha_range whenever the op fired)
         do_gibbs = jax.random.bernoulli(keys[5], 0.25)
         k_gibbs = jax.random.fold_in(keys[5], 1)
+        # reference: RandGibbsNoised alpha=(0.3, 0.6) in MONAI semantics
+        # (0 = identity, 1 = full truncation; augmentations.py:87) —
+        # our alpha is the fraction RETAINED, so the matching range is
+        # (1-0.6, 1-0.3) = (0.4, 0.7); the old (0.2, 0.8) default
+        # truncated far harder at its low end than the reference ever does
         image = jnp.where(
-            do_gibbs, I.gibbs_ringing(k_gibbs, image), image
+            do_gibbs,
+            I.gibbs_ringing(k_gibbs, image, alpha_range=(0.4, 0.7)),
+            image,
         )
     if policy.rbf:
         image = I.bias_field(keys[6], image)

@@ -191,3 +191,55 @@ def test_warps_reproduce_linear_functions(seed, angle, scale, tx):
         np.testing.assert_allclose(
             got_sep[deep], expected[deep], atol=5e-2
         )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    neg=st.booleans(),
+)
+def test_fused_intensity_identity_when_off(seed, neg):
+    """fused_intensity_aug_batch with every knob at its neutral value is
+    the IDENTITY — including on negative voxels (a past bug: sigma=0
+    rectified negatives to |x| through the Rician magnitude)."""
+    import jax
+
+    from adell_mri_tpu.ops.pallas.intensity import fused_intensity_aug_batch
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(2, 6, 6, 4, 1)).astype(np.float32)
+    if neg:
+        x = -np.abs(x)
+    out = fused_intensity_aug_batch(
+        jax.random.PRNGKey(seed),
+        jnp.asarray(x),
+        gamma_range=(1.0, 1.0),
+        scale_delta=0.0,
+        shift_delta=0.0,
+        sigma=0.0,
+        rician=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-5)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_gibbs_alpha_one_keeps_volume(seed):
+    """gibbs_ringing's alpha is the fraction of spectrum RETAINED (the
+    inverse of MONAI's convention): alpha=1 keeps all of k-space and must
+    return the volume unchanged up to FFT round-trip error, and any
+    alpha<1 must actually remove energy."""
+    import jax
+
+    from adell_mri_tpu.transforms.intensity import gibbs_ringing
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(8, 8, 4, 1)).astype(np.float32)
+    out = gibbs_ringing(
+        jax.random.PRNGKey(seed), jnp.asarray(x), alpha_range=(1.0, 1.0)
+    )
+    np.testing.assert_allclose(np.asarray(out), x, atol=1e-4)
+    cut = gibbs_ringing(
+        jax.random.PRNGKey(seed), jnp.asarray(x), alpha_range=(0.5, 0.5)
+    )
+    assert float(np.abs(np.asarray(cut) - x).max()) > 1e-3
