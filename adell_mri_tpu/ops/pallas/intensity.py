@@ -176,7 +176,13 @@ def _batch_kernel(seed_ref, par_ref, x_ref, o_ref, *, rician: bool, noise: bool)
     if noise:
         n1, n2 = _normal_pair(x.shape)
         if rician:
-            x = jnp.sqrt((x + sigma * n1) ** 2 + (sigma * n2) ** 2)
+            # per-sample sigma can be 0 (prob-gated off): the magnitude
+            # would rectify negatives to |x|, so guard like the scalar path
+            x = jnp.where(
+                sigma > 0.0,
+                jnp.sqrt((x + sigma * n1) ** 2 + (sigma * n2) ** 2),
+                x,
+            )
         else:
             x = x + sigma * n1
     o_ref[0] = x
@@ -223,15 +229,25 @@ def fused_intensity_aug_batch(
     shift_delta: float = 0.1,
     sigma: float = 0.0,
     rician: bool = True,
+    gamma_prob: float = 1.0,
+    shift_prob: float = 1.0,
+    noise_prob: float = 1.0,
+    std_shift: bool = False,
 ):
     """
     Batch-level fused gamma-contrast + scale/shift + noise with per-sample
     random parameters (replaces the RandAdjustContrastd /
     RandScaleIntensityd / RandShiftIntensityd / RandRicianNoised chain).
     One HBM pass on TPU; vectorized XLA math elsewhere.
+
+    ``*_prob`` fire each op per SAMPLE like the reference's MONAI chain
+    (every Rand*d carries prob=0.2, transform_factory/augmentations.py:51)
+    — a non-firing sample gets that op's exact identity parameters.
+    ``std_shift`` scales the shift by the sample's standard deviation
+    (RandStdShiftIntensityd semantics: shift = factor * std(x)).
     """
     b = x.shape[0]
-    kg, ksc, ksh, kseed, kn = jax.random.split(key, 5)
+    kg, ksc, ksh, kseed, kn, kp = jax.random.split(key, 6)
     gamma = jax.random.uniform(
         kg, (b,), minval=gamma_range[0], maxval=gamma_range[1]
     )
@@ -244,7 +260,24 @@ def fused_intensity_aug_batch(
     red_axes = tuple(range(1, x.ndim))
     lo = jnp.min(x, axis=red_axes)
     hi = jnp.max(x, axis=red_axes)
+    if std_shift:
+        shift = shift * jnp.std(
+            x.astype(jnp.float32), axis=red_axes
+        )
+    kpg, kps, kpn = jax.random.split(kp, 3)
+    if gamma_prob < 1.0:
+        gamma = jnp.where(
+            jax.random.bernoulli(kpg, gamma_prob, (b,)), gamma, 1.0
+        )
+    if shift_prob < 1.0:
+        fire = jax.random.bernoulli(kps, shift_prob, (b,))
+        scale = jnp.where(fire, scale, 1.0)
+        shift = jnp.where(fire, shift, 0.0)
     sig = jnp.full((b,), float(sigma), jnp.float32)
+    if noise_prob < 1.0:
+        sig = jnp.where(
+            jax.random.bernoulli(kpn, noise_prob, (b,)), sig, 0.0
+        )
     noise = sigma > 0
     total = 1
     for s in x.shape[1:]:
@@ -274,11 +307,18 @@ def fused_intensity_aug_batch(
     if noise:
         k1, k2 = jax.random.split(kn)
         n1 = jax.random.normal(k1, x.shape, jnp.float32)
+        sig_b = sig.reshape(bshape)
         if rician:
             n2 = jax.random.normal(k2, x.shape, jnp.float32)
-            out = jnp.sqrt((out + sigma * n1) ** 2 + (sigma * n2) ** 2)
+            # guard per-sample sigma==0 (prob-gated off): the magnitude
+            # would rectify negative voxels to |x|
+            out = jnp.where(
+                sig_b > 0,
+                jnp.sqrt((out + sig_b * n1) ** 2 + (sig_b * n2) ** 2),
+                out,
+            )
         else:
-            out = out + sigma * n1
+            out = out + sig_b * n1
     return out.astype(x.dtype)
 
 

@@ -40,15 +40,29 @@ class AugmentPolicy:
     distort: bool = False  # elastic/grid distortion (RandGridDistortiond)
     lowres: bool = False  # simulated low resolution (RandSimulateLowResolutiond)
     trivial: bool = False  # TrivialAugment OneOf with prob 1
-    # ranges
-    rotate_range: float = 0.26  # ~15 deg, MONAI default in reference
+    # per-op fire probability — the reference passes prob=0.2 to every
+    # Rand*d it assembles (augmentations.py:51); each op draws its own
+    # gate per sample, identity when it does not fire
+    prob: float = 0.2
+    # ranges (reference values from transform_factory/augmentations.py)
+    rotate_range: Tuple[float, float, float] = (
+        0.39269908,  # pi/8
+        0.39269908,  # pi/8
+        0.19634954,  # pi/16  (RandAffined rotate_range, :103)
+    )
     scale_range: float = 0.1
     shear_range: float = 0.1
     translate_range: float = 0.0
-    noise_std: float = 0.05
+    gamma_range: Tuple[float, float] = (0.5, 1.5)  # RandAdjustContrastd :71
+    scale_delta: float = 0.0  # the reference has no scale-intensity op
+    shift_delta: float = 0.1  # RandStdShiftIntensityd factors=0.1 (:74)
+    std_shift: bool = True  # shift = factor * std(x), MONAI semantics
+    noise_std: float = 0.02  # RandRicianNoised std (:85)
     distort_prob: float = 0.2  # reference prob=0.2 (augmentations.py:51)
     distort_magnitude: float = 2.0  # voxels, ~distort_limit 0.05 at 40vox
     lowres_prob: float = 0.2
+    blur_prob: float = 0.1  # RandGaussianSmoothd MONAI default prob
+    flip_prob: float = 0.25  # RandFlipd per-axis prob (:130)
     flip_axes: Tuple[int, ...] = (0,)
 
     @classmethod
@@ -116,19 +130,37 @@ def _augment_one(
         )
     geom = None  # output voxel -> input voxel, for return_geometry
     if policy.affine or policy.shear or policy.distort:
+        # the reference's RandAffined ops fire at prob=0.2 per sample
+        # (augmentations.py:101-115); gate by scaling the sampled ranges —
+        # a non-firing sample warps with the exact identity matrix (the
+        # warp still executes, so jit cost is shape-static)
+        do_aff = jax.random.bernoulli(
+            jax.random.fold_in(keys[0], 101), policy.prob
+        ).astype(jnp.float32)
+        do_shear = jax.random.bernoulli(
+            jax.random.fold_in(keys[0], 102), policy.prob
+        ).astype(jnp.float32)
+        rot = jnp.asarray(policy.rotate_range, jnp.float32)
         mat = S.random_affine_matrix(
             keys[0],
             shape,
-            rotate_range=policy.rotate_range if policy.affine else 0.0,
-            scale_range=policy.scale_range if policy.affine else 0.0,
-            shear_range=policy.shear_range if policy.shear else 0.0,
-            translate_range=policy.translate_range,
+            rotate_range=(rot * do_aff) if policy.affine else 0.0,
+            scale_range=(policy.scale_range * do_aff)
+            if policy.affine
+            else 0.0,
+            shear_range=(policy.shear_range * do_shear)
+            if policy.shear
+            else 0.0,
+            translate_range=policy.translate_range * do_aff,
         )
         if fold_flip:
             # flips are axis reflections — fold them into the warp matrix
             # (a negative scale through the same separable passes) instead
             # of paying a separate full-volume select+reverse
-            mat = S.compose_flips(keys[1], mat, shape, policy.flip_axes)
+            mat = S.compose_flips(
+                keys[1], mat, shape, policy.flip_axes,
+                prob=policy.flip_prob,
+            )
         geom = mat
         if (
             displacement is None
@@ -142,7 +174,7 @@ def _augment_one(
                 shape,
                 policy.rotate_range if policy.affine else 0.0,
                 policy.shear_range if policy.shear else 0.0,
-            )
+            )  # static bound from the UNGATED ranges (gates are traced)
             image = S.warp_affine_separable(image, mat, max_shift=max_shift)
             if label is not None:
                 lab = label[..., None] if label.ndim == ndim else label
@@ -162,11 +194,13 @@ def _augment_one(
         # same key as random_flip -> identical draws; the returned matrix
         # composes AFTER the warp in output space: out[o] = in[mat @ F @ o]
         image_flipped, flip_mat = S.random_flip_with_matrix(
-            keys[1], image, policy.flip_axes, ndim
+            keys[1], image, policy.flip_axes, ndim, prob=policy.flip_prob
         )
         if label is not None:
             lab = label[..., None] if label.ndim == ndim else label
-            lab = S.random_flip(keys[1], lab, policy.flip_axes)
+            lab = S.random_flip(
+                keys[1], lab, policy.flip_axes, prob=policy.flip_prob
+            )
             label = lab[..., 0] if label.ndim == ndim else lab
         image = image_flipped
         geom = flip_mat if geom is None else geom @ flip_mat
@@ -177,7 +211,7 @@ def _augment_one(
         # gate and alpha need INDEPENDENT randomness: reusing keys[5] for
         # both made alpha perfectly correlated with the gate (truncated to
         # the bottom of alpha_range whenever the op fired)
-        do_gibbs = jax.random.bernoulli(keys[5], 0.25)
+        do_gibbs = jax.random.bernoulli(keys[5], policy.prob)
         k_gibbs = jax.random.fold_in(keys[5], 1)
         # reference: RandGibbsNoised alpha=(0.3, 0.6) in MONAI semantics
         # (0 = identity, 1 = full truncation; augmentations.py:87) —
@@ -190,13 +224,33 @@ def _augment_one(
             image,
         )
     if policy.rbf:
-        image = I.bias_field(keys[6], image)
+        do_rbf = jax.random.bernoulli(
+            jax.random.fold_in(keys[6], 1), policy.prob
+        )
+        image = jnp.where(do_rbf, I.bias_field(keys[6], image), image)
     if policy.blur:
-        image = I.random_gaussian_smooth(keys[7], image)
+        # reference uses RandGaussianSmoothd defaults: prob=0.1,
+        # sigma (0.25, 1.5) per axis (augmentations.py:79)
+        do_blur = jax.random.bernoulli(
+            jax.random.fold_in(keys[7], 1), policy.blur_prob
+        )
+        image = jnp.where(
+            do_blur,
+            I.random_gaussian_smooth(
+                keys[7], image, sigma_range=(0.25, 1.5)
+            ),
+            image,
+        )
     if policy.lowres:
         k_lr = jax.random.fold_in(keys[4], 3)
         do_lr = jax.random.bernoulli(keys[4], policy.lowres_prob)
-        image = jnp.where(do_lr, I.low_resolution(k_lr, image), image)
+        # reference zoom_range [0.8, 1.2] (augmentations.py:120); zoom > 1
+        # maps to sigma 0 = identity in our smoothing approximation
+        image = jnp.where(
+            do_lr,
+            I.low_resolution(k_lr, image, zoom_range=(0.8, 1.2)),
+            image,
+        )
     if policy.trivial and workhorse is not None:
         # independent stream — keys[7] already drives blur when enabled
         image = workhorse(jax.random.fold_in(keys[7], 11), image)
@@ -220,11 +274,15 @@ def _batch_intensity(key, image, policy: AugmentPolicy):
     return fused_intensity_aug_batch(
         key,
         image,
-        gamma_range=(0.7, 1.5) if policy.intensity else (1.0, 1.0),
-        scale_delta=0.1 if policy.intensity else 0.0,
-        shift_delta=0.1 if policy.intensity else 0.0,
+        gamma_range=policy.gamma_range if policy.intensity else (1.0, 1.0),
+        scale_delta=policy.scale_delta if policy.intensity else 0.0,
+        shift_delta=policy.shift_delta if policy.intensity else 0.0,
         sigma=policy.noise_std if policy.noise else 0.0,
         rician=True,
+        gamma_prob=policy.prob,
+        shift_prob=policy.prob,
+        noise_prob=policy.prob,
+        std_shift=policy.std_shift,
     ).astype(image.dtype)
 
 
@@ -727,7 +785,9 @@ class DetectionTransforms:
             dim_idx = jnp.arange(ctr.shape[-1]) % ndim  # per-channel axis id
             for d in policy.flip_axes:
                 flip = jax.random.bernoulli(
-                    jax.random.fold_in(k_flip, d), 0.5, (image.shape[0],)
+                    jax.random.fold_in(k_flip, d),
+                    policy.flip_prob,
+                    (image.shape[0],),
                 )
                 f_img = flip.reshape((-1,) + (1,) * (image.ndim - 1))
                 image = jnp.where(f_img, jnp.flip(image, axis=d + 1), image)

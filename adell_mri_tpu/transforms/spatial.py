@@ -181,8 +181,14 @@ def random_affine_matrix(
     ndim = len(shape)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     n_angles = 1 if ndim == 2 else 3
+    # per-axis rotation bounds (reference RandAffined rotate_range is a
+    # 3-list, augmentations.py:103); scalars broadcast, traced values OK
+    rot = jnp.asarray(rotate_range, jnp.float32).reshape(-1)
+    rot = jnp.broadcast_to(
+        rot[:n_angles] if rot.size > 1 else rot, (n_angles,)
+    )
     angles = jax.random.uniform(
-        k1, (n_angles,), minval=-rotate_range, maxval=rotate_range
+        k1, (n_angles,), minval=-rot, maxval=rot
     )
     scales = 1.0 + jax.random.uniform(
         k2, (ndim,), minval=-scale_range, maxval=scale_range
@@ -554,13 +560,17 @@ def warp_affine_separable(
 
 
 def separable_max_shift(
-    shape: Sequence[int], rotate_range: float, shear_range: float
+    shape: Sequence[int], rotate_range, shear_range: float
 ) -> int:
     """Static per-line shift bound for warp_affine_separable given the
     augmentation policy's rotation/shear ranges (LDU shear coefficients
-    are bounded by ~tan of the combined angle; 1.3x safety margin)."""
+    are bounded by ~tan of the combined angle; 1.3x safety margin).
+    ``rotate_range`` may be a per-axis sequence (reference RandAffined
+    rotate_range=[pi/8, pi/8, pi/16]); the bound uses its max."""
     import math
 
+    if not isinstance(rotate_range, (int, float)):
+        rotate_range = max(rotate_range) if len(rotate_range) else 0.0
     coeff = math.tan(min(rotate_range + shear_range, 1.0)) * 1.3
     return max(1, int(math.ceil(coeff * max(shape))))
 

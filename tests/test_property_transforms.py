@@ -243,3 +243,63 @@ def test_gibbs_alpha_one_keeps_volume(seed):
         jax.random.PRNGKey(seed), jnp.asarray(x), alpha_range=(0.5, 0.5)
     )
     assert float(np.abs(np.asarray(cut) - x).max()) > 1e-3
+
+
+def test_augment_fire_probability_matches_reference():
+    """Per-op gating: the reference fires every Rand*d at prob=0.2
+    (augmentations.py:51). With the default policy, the fraction of
+    samples actually WARPED (affine) must sit near 0.2 — not 1.0 (the
+    pre-parity behavior) — and prob=1.0 warps every sample."""
+    import jax
+
+    from adell_mri_tpu.transforms.pipeline import AugmentPolicy, _augment_one
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.normal(size=(12, 12, 8, 1)), jnp.float32)
+
+    def changed_fraction(policy, n=300):
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+
+        def one(k):
+            out, _ = _augment_one(k, img, None, policy)
+            return (jnp.abs(out - img).max() > 1e-4).astype(jnp.float32)
+
+        return float(jnp.mean(jax.vmap(one)(keys)))
+
+    base = dict(
+        intensity=False, noise=False, flip=False, affine=True,
+        translate_range=0.3,
+    )
+    frac_default = changed_fraction(AugmentPolicy(**base))
+    assert 0.1 < frac_default < 0.33, frac_default
+    frac_always = changed_fraction(AugmentPolicy(**base, prob=1.0), n=50)
+    assert frac_always > 0.95, frac_always
+
+
+def test_intensity_fire_probability():
+    """The fused intensity pass gates gamma/shift/noise per sample at the
+    policy prob; neutral samples are bit-identical to the input."""
+    import jax
+
+    from adell_mri_tpu.ops.pallas.intensity import fused_intensity_aug_batch
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((400, 4, 4, 2, 1)), jnp.float32)
+    out = fused_intensity_aug_batch(
+        jax.random.PRNGKey(1),
+        x,
+        gamma_range=(0.5, 1.5),
+        scale_delta=0.0,
+        shift_delta=0.1,
+        sigma=0.02,
+        rician=True,
+        gamma_prob=0.2,
+        shift_prob=0.2,
+        noise_prob=0.2,
+        std_shift=True,
+    )
+    changed = np.asarray(
+        jnp.abs(out - x).reshape(x.shape[0], -1).max(axis=1) > 1e-6
+    )
+    # P(any of three independent 0.2 gates fires) = 1 - 0.8^3 = 0.488
+    assert 0.35 < changed.mean() < 0.62, changed.mean()
