@@ -64,20 +64,35 @@ def _padded_tiles(spatial, window, stride_frac, chunk):
     return positions, valid
 
 
+def overlap_counts(
+    spatial, window, positions: np.ndarray, valid: np.ndarray
+) -> np.ndarray:
+    """Per-voxel tile-overlap counts [*S, 1] — input-INDEPENDENT for a
+    fixed grid, so it embeds in the jit program as a constant instead of
+    being re-accumulated per call (it used to cost half the overlap-add
+    scan's dynamic-update traffic)."""
+    cnt = np.zeros(tuple(spatial) + (1,), np.float32)
+    for p, v in zip(positions, valid):
+        if v <= 0:
+            continue
+        sl = tuple(slice(int(s), int(s) + w) for s, w in zip(p, window))
+        cnt[sl] += 1.0
+    return cnt
+
+
 def _accumulate(
     fn, vol, positions_dev, valid_dev, window, out_channels, init=None
 ):
     """Overlap-add core: scans micro-batches of tiles, returning the
-    accumulated prediction and count buffers (full volume shape)."""
+    accumulated prediction buffer (full volume shape). Counts are static
+    (``overlap_counts``) and handled by the callers."""
     spatial = vol.shape[:-1]
     if init is None:
         acc0 = jnp.zeros(spatial + (out_channels,), jnp.float32)
-        cnt0 = jnp.zeros(spatial + (1,), jnp.float32)
     else:
-        acc0, cnt0 = init
+        acc0 = init
 
-    def scan_body(carry, inputs):
-        acc, cnt = carry
+    def scan_body(acc, inputs):
         pos, val = inputs  # [b, ndim], [b]
 
         crops = jax.vmap(
@@ -87,10 +102,7 @@ def _accumulate(
         )(pos)
         preds = fn(crops).astype(jnp.float32)
 
-        ones = jnp.ones(window + (1,), jnp.float32)
-
-        def add_one(carry, tile):
-            acc, cnt = carry
+        def add_one(acc, tile):
             p, pred, v = tile
             patch = jax.lax.dynamic_slice(
                 acc, list(p) + [0], list(window) + [out_channels]
@@ -98,21 +110,13 @@ def _accumulate(
             acc = jax.lax.dynamic_update_slice(
                 acc, patch + pred * v, list(p) + [0]
             )
-            cpatch = jax.lax.dynamic_slice(
-                cnt, list(p) + [0], list(window) + [1]
-            )
-            cnt = jax.lax.dynamic_update_slice(
-                cnt, cpatch + ones * v, list(p) + [0]
-            )
-            return (acc, cnt), None
+            return acc, None
 
-        (acc, cnt), _ = jax.lax.scan(add_one, (acc, cnt), (pos, preds, val))
-        return (acc, cnt), None
+        acc, _ = jax.lax.scan(add_one, acc, (pos, preds, val))
+        return acc, None
 
-    (acc, cnt), _ = jax.lax.scan(
-        scan_body, (acc0, cnt0), (positions_dev, valid_dev)
-    )
-    return acc, cnt
+    acc, _ = jax.lax.scan(scan_body, acc0, (positions_dev, valid_dev))
+    return acc
 
 
 def _probe_out_channels(fn, window, cin, dtype):
@@ -144,9 +148,10 @@ def sliding_window_inference(
     if out_channels is None:
         out_channels = _probe_out_channels(fn, window, vol.shape[-1], vol.dtype)
 
-    acc, cnt = _accumulate(
+    acc = _accumulate(
         fn, vol, positions_dev, valid_dev, window, out_channels
     )
+    cnt = jnp.asarray(overlap_counts(spatial, window, positions, valid))
     return acc / jnp.maximum(cnt, 1.0)
 
 
@@ -192,29 +197,27 @@ def sliding_window_inference_sharded(
 
     def per_device(vol, pos, val):
         # pos/val arrive with a leading shard axis of local size 1; the
-        # initial accumulators must be marked device-varying (each device
+        # initial accumulator must be marked device-varying (each device
         # fills a different tile subset) for shard_map's vma check
         spatial_ = vol.shape[:-1]
-        init = tuple(
-            jax.lax.pcast(z, (axis,), to="varying")
-            for z in (
-                jnp.zeros(spatial_ + (out_channels,), jnp.float32),
-                jnp.zeros(spatial_ + (1,), jnp.float32),
-            )
+        init = jax.lax.pcast(
+            jnp.zeros(spatial_ + (out_channels,), jnp.float32),
+            (axis,),
+            to="varying",
         )
-        acc, cnt = _accumulate(
+        acc = _accumulate(
             fn, vol, pos[0], val[0], window, out_channels, init=init
         )
-        acc = jax.lax.psum(acc, axis)
-        cnt = jax.lax.psum(cnt, axis)
-        return acc, cnt
+        return jax.lax.psum(acc, axis)
 
-    acc, cnt = jax.shard_map(
+    acc = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
-        out_specs=(P(), P()),
+        out_specs=P(),
     )(vol, positions_dev, valid_dev)
+    # counts are grid-static and global — no psum needed
+    cnt = jnp.asarray(overlap_counts(spatial, window, positions, valid))
     return acc / jnp.maximum(cnt, 1.0)
 
 
