@@ -144,7 +144,15 @@ def main(arguments):
         net_type, net_cfg, n_classes=n_classes,
         n_input_branches=len(image_keys),
     )
-    x0 = np.zeros((1,) + tuple(target_size) + (len(image_keys),), np.float32)
+    # 2D checkpoints run slice-wise over 3D volumes (parity: SlicesToFirst
+    # + collate_last_slice at predict, ref predict.py:209-210)
+    spatial_dims = int(net_cfg.get("spatial_dimensions", 3))
+    example_spatial = (
+        tuple(target_size)[:2] if spatial_dims == 2 else tuple(target_size)
+    )
+    x0 = np.zeros(
+        (1,) + example_spatial + (len(image_keys),), np.float32
+    )
     # conditioning inputs must be present at init so the restore target
     # carries the conditioned branches' params
     meta_skip = t_args.get("skip_keys") or []
@@ -204,6 +212,13 @@ def main(arguments):
         rngs = {"dropout": rng} if rng is not None else None
         if bf16:
             x = x.astype(jnp.bfloat16)
+        if spatial_dims == 2 and x.ndim == 4:
+            # single 3D volume [X, Y, Z, C] -> all z-slices as the batch
+            slices = jnp.moveaxis(x, -2, 0)
+            pred, *_ = model.apply(
+                variables, slices, train=rng is not None, rngs=rngs
+            )
+            return jnp.moveaxis(pred.astype(jnp.float32), 0, -2)
         pred, *_ = model.apply(
             variables,
             x if x.ndim == len(target_size) + 2 else x[None],
@@ -217,6 +232,12 @@ def main(arguments):
     # (sliding_window_inference_sharded); single chip keeps the one-jit
     # scan path
     sw_mesh = None
+    if args.sliding_window_size and spatial_dims == 2:
+        logger.warning(
+            "--sliding_window_size is a 3D windowing option; 2D "
+            "checkpoints predict slice-wise — ignoring it"
+        )
+        args.sliding_window_size = None
     if args.sliding_window_size and len(jax.devices()) > 1:
         from adell_mri_tpu.parallel.mesh import make_mesh
 

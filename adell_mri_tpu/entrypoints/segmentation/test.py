@@ -115,6 +115,11 @@ def main(arguments):
             **{k: variables[k] for k in variables if k != "params"},
         }
 
+    # 2D checkpoints evaluate 3D volumes slice-wise: every z-slice rides
+    # the batch axis and the prediction volume is reassembled (parity:
+    # SlicesToFirst + collate_last_slice at test, ref test.py:211-212)
+    spatial_dims = int(net_cfg.get("spatial_dimensions", 3))
+
     @jax.jit
     def predict(x, *cond):
         if bf16:
@@ -127,6 +132,10 @@ def main(arguments):
             kwargs["x_skip_layer"] = cond[0][None]
         if feature_keys:
             kwargs["x_feature_conditioning"] = cond[-1][None]
+        if spatial_dims == 2 and x.ndim == 4:
+            slices = jnp.moveaxis(x, -2, 0)  # [Z, X, Y, C]
+            pred, *_ = model.apply(variables, slices, **kwargs)
+            return jnp.moveaxis(pred, 0, -2).astype(jnp.float32)
         pred, *_ = model.apply(variables, x[None], **kwargs)
         return pred[0].astype(jnp.float32)
 

@@ -316,6 +316,35 @@ def main(arguments):
             "one of --pad_size/--resize_size/--crop_size is required "
             "(static shapes on TPU)"
         )
+    # 2D networks train on mask-weighted random slices of the 3D volumes,
+    # folded into the batch (parity: the reference's spatial_dimensions==2
+    # branch — RandomSlices(n=8, base=0.05) + collate_last_slice,
+    # entrypoints/segmentation/train.py:390-398; its crop branch is an
+    # elif, so crops do not compose with 2D there either)
+    spatial_dims = int(net_cfg.get("spatial_dimensions", 3))
+    slices_2d = 8 if spatial_dims == 2 else None
+    if spatial_dims == 2:
+        if len(base_size) != 3:
+            raise ValueError(
+                "2D networks sample slices from 3D volumes: pass a 3D "
+                "--pad_size/--resize_size (X Y Z)"
+            )
+        if skip_keys or feature_keys or args.semi_supervised:
+            raise ValueError(
+                "spatial_dimensions=2 does not compose with skip/feature "
+                "conditioning or --semi_supervised"
+            )
+        if args.picai_eval:
+            raise ValueError(
+                "--picai_eval is a 3D lesion metric; drop it for "
+                "spatial_dimensions=2 training"
+            )
+        if crop_size and tuple(crop_size) != tuple(base_size):
+            logger.warning(
+                "spatial_dimensions=2 ignores random crops (the reference "
+                "does too); training on full-size slices"
+            )
+        crop_size = None
 
     platform, devices = get_devices(args.dev)
     mesh = mesh_for_batch(batch_size, devices)
@@ -360,6 +389,7 @@ def main(arguments):
             missing_to_empty=bool(args.missing_to_empty),
             skip_keys=skip_keys,
             feature_keys=feature_keys,
+            slices_2d=slices_2d,
         )
         load_fn = transforms.load_fn()
         train_list = data.to_datalist(train_pids)
@@ -452,6 +482,8 @@ def main(arguments):
             n_input_branches=len(args.image_keys),
         )
         example_shape = tuple(crop_size or base_size)
+        if spatial_dims == 2:
+            example_shape = example_shape[:2]
         x0 = np.zeros(
             (1,) + example_shape + (len(args.image_keys),), np.float32
         )
@@ -692,6 +724,28 @@ def main(arguments):
         else:
             train_step = make_train_step(train_lm)
         eval_step = make_eval_step(eval_lm)
+        if spatial_dims == 2:
+            import jax.numpy as jnp
+
+            # validation volumes are 3D: fold EVERY slice into the batch
+            # (SlicesToFirst + collate_last_slice at val, reference
+            # train.py:394-398) and run the 2D net on all of them
+            base_eval = eval_step
+
+            def _eval_2d(params, batch, rng):
+                b2 = dict(batch)
+                img, lab = batch["image"], batch["label"]
+                if lab.ndim == img.ndim:  # trailing singleton label chan
+                    lab = lab[..., 0]
+                b2["image"] = jnp.moveaxis(img, -2, 1).reshape(
+                    (-1,) + img.shape[1:-2] + (img.shape[-1],)
+                )
+                b2["label"] = jnp.moveaxis(lab, -1, 1).reshape(
+                    (-1,) + lab.shape[1:-1]
+                )
+                return base_eval(params, b2, rng)
+
+            eval_step = jax.jit(_eval_2d)
         if (
             args.sliding_window_val
             and crop_size

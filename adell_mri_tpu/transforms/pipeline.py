@@ -315,6 +315,12 @@ class SegmentationTransforms:
     # augmentation does not warp them (the entrypoint rejects that combo).
     skip_keys: Sequence[str] = ()
     feature_keys: Sequence[str] = ()
+    # 2D-network training on 3D volumes (parity: the reference's
+    # spatial_dimensions==2 branch, entrypoints/segmentation/train.py:390:
+    # RandomSlices(n=8, mask-weighted) + collate_last_slice): sample this
+    # many slices per volume after augmentation and fold them into the
+    # batch axis. Mutually exclusive with crop_size/skip/feature keys.
+    slices_2d: Optional[int] = None
 
     def load_fn(self):
         base = make_load_fn(
@@ -408,6 +414,30 @@ class SegmentationTransforms:
         image = _batch_intensity(
             jax.random.fold_in(key, 91), image, self.augmentations
         )
+        if self.slices_2d:
+            if self.crop_size is not None or self.skip_keys:
+                raise ValueError(
+                    "slices_2d (2D-network training) composes with neither "
+                    "random crops nor skip conditioning"
+                )
+            n = int(self.slices_2d)
+            ks = jax.random.split(jax.random.fold_in(key, 53), b)
+            sq = label.ndim < image.ndim  # random_slices pads a label chan
+
+            def slc(k, img, lab):
+                return S.random_slices(k, img, lab, n, axis=-2, base=0.05)
+
+            image, label = jax.vmap(slc)(ks, image, label)
+            if sq:
+                label = label[..., 0]
+            # fold the slice axis into the batch (collate_last_slice
+            # analogue, utils/utils.py:246): [B, X, Y, n, C] -> [B*n, X, Y, C]
+            image = jnp.moveaxis(image, -2, 1).reshape(
+                (b * n,) + image.shape[1:-2] + (image.shape[-1],)
+            )
+            label = jnp.moveaxis(label, -1, 1).reshape(
+                (b * n,) + label.shape[1:-1]
+            )
         out = dict(batch)
         out["image"] = image
         out["label"] = label

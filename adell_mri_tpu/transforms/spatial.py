@@ -355,13 +355,18 @@ def random_slices(
     label: jax.Array,
     n_slices: int,
     axis: int = -2,
+    base: float = 0.001,
 ):
     """
     Mask-weighted 2.5D slice sampling (parity: RandomSlices,
-    utils/monai_transforms/random.py:120): slices with label mass are
-    upweighted. Returns vol/label with the slice axis reduced to n_slices.
-    ``axis`` indexes the FULL (channels-last) array; the default -2 is the
-    last spatial axis of a ``[*spatial, C]`` volume.
+    utils/monai_transforms/random.py:120): each slice's weight is its
+    share of the volume's positive voxels plus ``base`` (the reference's
+    minimum probability; its 2D segmentation path passes 0.05,
+    entrypoints/segmentation/train.py:392), and ``n_slices`` DISTINCT
+    slices are drawn (torch.multinomial without replacement) via the
+    Gumbel top-k trick. Returns vol/label with the slice axis reduced to
+    n_slices. ``axis`` indexes the FULL (channels-last) array; the default
+    -2 is the last spatial axis of a ``[*spatial, C]`` volume.
     """
     axis = axis % vol.ndim
     if axis == vol.ndim - 1:
@@ -369,12 +374,21 @@ def random_slices(
             "random_slices axis is the channel axis of a channels-last "
             "volume; pass a spatial axis (default -2 = last spatial)"
         )
+    if n_slices > vol.shape[axis]:
+        raise ValueError(
+            f"n_slices={n_slices} exceeds the {vol.shape[axis]}-slice axis "
+            "(sampling is without replacement, like the reference)"
+        )
     lab = label if label.ndim == vol.ndim else label[..., None]
     sum_axes = tuple(d for d in range(lab.ndim) if d != axis)
-    weights = jnp.sum(lab, axis=sum_axes) + 1e-3
-    idx = jax.random.categorical(
-        key, jnp.log(weights), shape=(n_slices,)
-    )
+    # positive-voxel share per slice (multiclass integer labels count each
+    # foreground voxel once; the reference averages per-class proportions)
+    sums = jnp.sum((lab > 0).astype(jnp.float32), axis=sum_axes)
+    weights = sums / jnp.maximum(jnp.sum(sums), 1.0) + base
+    # Efraimidis-Spirakis: top-k of log(w) + Gumbel noise == weighted
+    # sampling without replacement
+    g = jax.random.gumbel(key, weights.shape)
+    _, idx = jax.lax.top_k(jnp.log(weights) + g, n_slices)
     return (
         jnp.take(vol, idx, axis=axis),
         jnp.take(lab, idx, axis=axis),

@@ -825,3 +825,67 @@ def test_ensemble_train_test_predict_roundtrip(cohort):
     preds = json.load(open(out_path))
     assert len(preds) == 4
     assert all(0.0 <= p <= 1.0 for p in preds.values())
+
+
+UNET2D_YAML = """
+spatial_dimensions: 2
+depth: [4, 8]
+kernel_sizes: [3, 3]
+strides: [2, 2]
+loss_fn:
+  dice: {}
+"""
+
+
+def test_segmentation_2d_train_test_predict(cohort):
+    """2D networks train on mask-weighted random slices folded into the
+    batch and serve slice-wise over 3D volumes (parity: the reference's
+    spatial_dimensions==2 branch — RandomSlices + collate_last_slice,
+    entrypoints/segmentation/train.py:390-398, test.py:211, predict.py:209)."""
+    cfg2d = os.path.join(cohort["root"], "unet2d.yaml")
+    with open(cfg2d, "w") as f:
+        f.write(UNET2D_YAML)
+    ckpt = os.path.join(cohort["root"], "ckpt2d")
+    adell_main(
+        [
+            "segmentation", "train",
+            "--dataset_json", cohort["ds"],
+            "--image_keys", "T2",
+            "--mask_keys", "mask",
+            "--config_file", cfg2d,
+            "--pad_size", "16", "16", "8",
+            "--target_spacing", "1.0", "1.0", "1.2",
+            "--batch_size", "2",
+            "--max_epochs", "1",
+            "--n_folds", "1",
+            "--dev", "cpu",
+            "--checkpoint_dir", ckpt,
+            "--cache_rate", "0.0",
+        ]
+    )
+    adell_main(
+        [
+            "segmentation", "test",
+            "--dataset_json", cohort["ds"],
+            "--checkpoint_dir", ckpt,
+            "--dev", "cpu",
+            "--metric_path", os.path.join(cohort["root"], "m2d.csv"),
+        ]
+    )
+    preds = os.path.join(cohort["root"], "preds2d")
+    adell_main(
+        [
+            "segmentation", "predict",
+            "--dataset_json", cohort["ds"],
+            "--checkpoint_dir", ckpt,
+            "--output_path", preds,
+            "--dev", "cpu",
+        ]
+    )
+    out = [f for f in os.listdir(preds) if f.endswith(".nii.gz")]
+    assert len(out) == 4
+    from adell_mri_tpu.data.nifti import read_nifti
+
+    vol = read_nifti(os.path.join(preds, out[0])).data
+    assert vol.shape == (16, 16, 8)
+    assert np.isfinite(vol).all()
