@@ -109,6 +109,18 @@ def main(arguments):
     crop_size = args.random_crop_size
     if base_size is None:
         raise ValueError("--pad_size or --crop_size required")
+    # 2D backbones train on one cache-frozen random slice per volume
+    # (parity: SSLTransforms n_dim==2, transform_factory/transforms.py:680)
+    sd = int(
+        (net_cfg.get("backbone_args") or {}).get(
+            "spatial_dim", net_cfg.get("spatial_dim", 3)
+        )
+    )
+    if sd == 2 and len(base_size) != 2:
+        raise ValueError(
+            "a 2D SSL backbone takes 2D --pad_size/--crop_size (the 3D "
+            "volume is sliced at load time)"
+        )
 
     platform, devices = get_devices(args.dev)
     mesh = mesh_for_batch(batch_size, devices)
@@ -121,6 +133,7 @@ def main(arguments):
         crop_size=crop_size,
         adc_keys=args.adc_keys or (),
         sample_channels=args.sample_channels,
+        slice_2d=sd == 2,
         # VICRegL matches local features by absolute position, so views
         # must expose their crop warp matrices
         expose_boxes=args.ssl_method == "vicregl",

@@ -565,6 +565,11 @@ class SSLTransforms:
     # keep N random channels of each 4D key at load time (parity:
     # SampleChannelDimd in the SSL pre-transforms, transforms.py:678)
     sample_channels: Optional[int] = None
+    # 2D SSL on 3D volumes (parity: SSLTransforms n_dim==2 —
+    # SampleChannelDimd(keys, 1, 3) + SqueezeDimd in the CACHED
+    # pre-transforms, transforms.py:680-688): take one random slice per
+    # volume at load/cache time; target_size/crop_size are then 2D
+    slice_2d: bool = False
     n_transforms: int = 3
     scaled_crop_range: Tuple[float, float] = (0.6, 1.0)
     # DINO multi-crop: n_local_crops extra small student views
@@ -581,14 +586,44 @@ class SSLTransforms:
     expose_boxes: bool = False
 
     def load_fn(self):
-        return make_load_fn(
+        if not self.slice_2d:
+            return make_load_fn(
+                image_keys=self.image_keys,
+                label_keys=None,
+                target_spacing=self.target_spacing,
+                target_size=self.target_size,
+                adc_keys=self.adc_keys,
+                sample_channels=self.sample_channels,
+            )
+        import numpy as np
+
+        from adell_mri_tpu.transforms.host import center_crop_pad
+
+        base = make_load_fn(
             image_keys=self.image_keys,
             label_keys=None,
             target_spacing=self.target_spacing,
-            target_size=self.target_size,
+            target_size=None,
             adc_keys=self.adc_keys,
             sample_channels=self.sample_channels,
         )
+        # cache-frozen random draw, like the reference's cached
+        # SampleChannelDimd pre-transform
+        rng = np.random.default_rng(4242)
+        target2d = tuple(self.target_size) if self.target_size else None
+
+        def load(entry):
+            s = base(entry)
+            img = s["image"]  # [X, Y, Z, C]
+            if img.ndim == 4:
+                z = int(rng.integers(img.shape[2]))
+                img = img[:, :, z, :]
+            if target2d is not None:
+                img = center_crop_pad(img, target2d)
+            s["image"] = np.ascontiguousarray(img)
+            return s
+
+        return load
 
     def augment(self, key, batch: Dict) -> Dict:
         b = batch["image"].shape[0]

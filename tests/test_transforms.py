@@ -315,3 +315,32 @@ def test_detection_boxes_path_preserves_dtype():
     out = jax.jit(tr.augment)(jax.random.PRNGKey(1), batch)
     assert out["image"].dtype == jnp.bfloat16
     assert out["objectness"].shape[0] == b
+
+
+def test_ssl_slice_2d_load_and_views(tmp_path):
+    """2D SSL on 3D volumes: load takes ONE cache-frozen random slice
+    (SSLTransforms n_dim==2 parity, transforms.py:680-688) and the two
+    augmented views come out 2D at crop size."""
+    from adell_mri_tpu.data import write_nifti
+    from adell_mri_tpu.transforms.pipeline import SSLTransforms
+
+    vol = np.stack(
+        [np.full((20, 20), float(z), np.float32) for z in range(6)], -1
+    )
+    path = str(tmp_path / "v.nii.gz")
+    write_nifti(path, vol, np.eye(4))
+    tr = SSLTransforms(
+        image_keys=["T2"], target_size=(16, 16), crop_size=(8, 8),
+        slice_2d=True,
+    )
+    s = tr.load_fn()({"T2": path, "identifier": "a"})
+    assert s["image"].shape == (16, 16, 1)
+    # constant-per-slice input -> the loaded slice is one constant
+    vals = np.unique(np.round(s["image"], 4))
+    assert len(vals) <= 2  # slice constant (min-max scaled) + crop pad
+    out = jax.jit(tr.augment)(
+        jax.random.PRNGKey(0),
+        {"image": jnp.asarray(s["image"])[None]},
+    )
+    assert out["view1"].shape == (1, 8, 8, 1)
+    assert out["view2"].shape == (1, 8, 8, 1)
