@@ -81,6 +81,9 @@ def main(arguments):
         image_keys=args.image_keys,
         target_spacing=args.target_spacing,
         target_size=base_size,
+        # 2D diffusion on 3D volumes: one cache-frozen random slice per
+        # volume (GenerationTransforms n_dim==2, transforms.py:570-578)
+        slice_2d=sd == 2,
     )
     datalist = data.to_datalist()
 

@@ -710,19 +710,48 @@ class SSLTransforms:
 
 @dataclass
 class GenerationTransforms:
-    """Parity: transform_factory/transforms.py:555 (diffusion/GAN input)."""
+    """Parity: transform_factory/transforms.py:555 (diffusion/GAN input).
+
+    ``slice_2d`` mirrors the n_dim==2 branch (:570-578): one cache-frozen
+    random slice per 3D volume, taken at load time; target_size is 2D."""
 
     image_keys: Sequence[str] = ("image",)
     target_spacing: Optional[Sequence[float]] = None
     target_size: Optional[Sequence[int]] = None
+    slice_2d: bool = False
 
     def load_fn(self):
-        return make_load_fn(
+        if not self.slice_2d:
+            return make_load_fn(
+                image_keys=self.image_keys,
+                label_keys=None,
+                target_spacing=self.target_spacing,
+                target_size=self.target_size,
+            )
+        import numpy as np
+
+        from adell_mri_tpu.transforms.host import center_crop_pad
+
+        base = make_load_fn(
             image_keys=self.image_keys,
             label_keys=None,
             target_spacing=self.target_spacing,
-            target_size=self.target_size,
+            target_size=None,
         )
+        rng = np.random.default_rng(4242)
+        target2d = tuple(self.target_size) if self.target_size else None
+
+        def load(entry):
+            s = base(entry)
+            img = s["image"]
+            if img.ndim == 4:
+                img = img[:, :, int(rng.integers(img.shape[2])), :]
+            if target2d is not None:
+                img = center_crop_pad(img, target2d)
+            s["image"] = np.ascontiguousarray(img)
+            return s
+
+        return load
 
     def augment(self, key, batch: Dict) -> Dict:
         return batch
