@@ -138,10 +138,13 @@ ARG_KEYS = [
 
 def get_folds(
     pids: List[str], n_folds: int, seed: int, explicit=None,
-    val_fraction=None,
+    val_fraction=None, labels=None,
 ):
     """K-fold split (parity: train.py:259-282). ``val_fraction`` sets the
-    validation share for the single-fold path (ref --val_from_train)."""
+    validation share for the single-fold path (ref --val_from_train).
+    ``labels`` (one per pid) switches to StratifiedKFold — the reference's
+    classification folds keep class balance per fold
+    (classification/train.py:247)."""
     if explicit:
         from adell_mri_tpu.data import parse_ids
 
@@ -171,8 +174,18 @@ def get_folds(
             "--val_from_train only applies with --n_folds <= 1; "
             "k-fold validation splits are 1/n_folds"
         )
-    kf = KFold(n_splits=n_folds, shuffle=True, random_state=seed)
     pids_arr = np.asarray(pids)
+    if labels is not None:
+        from sklearn.model_selection import StratifiedKFold
+
+        skf = StratifiedKFold(
+            n_splits=n_folds, shuffle=True, random_state=seed
+        )
+        return [
+            (pids_arr[tr].tolist(), pids_arr[va].tolist())
+            for tr, va in skf.split(pids_arr, np.asarray(labels))
+        ]
+    kf = KFold(n_splits=n_folds, shuffle=True, random_state=seed)
     return [
         (pids_arr[tr].tolist(), pids_arr[va].tolist())
         for tr, va in kf.split(pids_arr)

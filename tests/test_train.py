@@ -352,3 +352,20 @@ def test_ema_decay_clamps_to_final():
     assert abs(float(up) - 0.999) < 1e-7  # not 1.0
     down = ema_decay_at(2000, 0.999, final_decay=0.9, n_steps=1000)
     assert abs(float(down) - 0.9) < 1e-7  # not negative
+
+
+def test_get_folds_stratified():
+    """Classification folds are stratified on the class label like the
+    reference (StratifiedKFold, classification/train.py:247): every fold's
+    validation split carries the class proportions."""
+    from adell_mri_tpu.entrypoints.segmentation.train import get_folds
+
+    pids = [f"p{i}" for i in range(12)]
+    labels = [0] * 6 + [1] * 6
+    lab = dict(zip(pids, labels))
+    for tr, va in get_folds(pids, 3, 42, labels=labels):
+        assert sum(lab[p] for p in va) == 2
+        assert len(va) == 4
+    # unstratified path unchanged
+    folds = get_folds(pids, 3, 42)
+    assert sum(len(va) for _, va in folds) == 12
