@@ -182,24 +182,14 @@ def main(arguments):
         calib_set = set(parse_ids(args.calibration_ids, "list"))
         fold_pids = [p for p in fold_pids if p not in calib_set]
     # stratified on the class label like the reference
-    # (StratifiedKFold, classification/train.py:247); sklearn needs every
-    # class to have >= n_folds members — fall back to plain KFold otherwise
-    fold_labels = None
-    if args.n_folds > 1 and not args.folds:
-        try:
-            fold_labels = [str(data[p][label_key]) for p in fold_pids]
-            from collections import Counter
+    # (StratifiedKFold, classification/train.py:247)
+    from adell_mri_tpu.entrypoints.cli_utils import stratification_labels
 
-            if min(Counter(fold_labels).values()) < args.n_folds:
-                logger.warning(
-                    "a class has fewer members than --n_folds; using "
-                    "unstratified folds"
-                )
-                fold_labels = None
-        except KeyError:
-            fold_labels = None
     folds = get_folds(
-        fold_pids, args.n_folds, args.seed, args.folds, labels=fold_labels
+        fold_pids, args.n_folds, args.seed, args.folds,
+        labels=stratification_labels(
+            data, fold_pids, label_key, args.n_folds, args.folds
+        ),
     )
     csv_logger = MetricLogger(
         logger_type=args.logger_type,

@@ -144,7 +144,15 @@ def main(arguments):
             )
         return s
 
-    folds = get_folds(list(data.keys()), args.n_folds, args.seed)
+    from adell_mri_tpu.entrypoints.cli_utils import stratification_labels
+
+    _pids = list(data.keys())
+    folds = get_folds(
+        _pids, args.n_folds, args.seed,
+        labels=stratification_labels(
+            data, _pids, label_key, args.n_folds, None
+        ),
+    )
     train_pids, val_pids = folds[0]
     train_ds = CachedVolumeDataset(
         data.to_datalist(train_pids), load_fn, cache_rate=args.cache_rate,

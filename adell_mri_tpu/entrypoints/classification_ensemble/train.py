@@ -94,7 +94,15 @@ def main(arguments):
         target_spacing=args.target_spacing,
         target_size=base_size,
     )
-    folds = get_folds(list(data.keys()), args.n_folds, args.seed)
+    from adell_mri_tpu.entrypoints.cli_utils import stratification_labels
+
+    _pids = list(data.keys())
+    folds = get_folds(
+        _pids, args.n_folds, args.seed,
+        labels=stratification_labels(
+            data, _pids, label_key, args.n_folds, None
+        ),
+    )
     train_pids, val_pids = folds[0]
     load_fn = transforms.load_fn()
     train_ds = CachedVolumeDataset(

@@ -21,6 +21,25 @@ def run_main(package: str, supported_modes: Dict[str, str], arguments: List[str]
     module.main(arguments[1:])
 
 
+def stratification_labels(data, pids, label_key, n_folds, explicit_folds):
+    """Class labels for StratifiedKFold when usable, else None (parity:
+    every classification-family reference entrypoint stratifies its folds,
+    e.g. classification/train.py:247). Unusable when folds are explicit,
+    n_folds <= 1, a pid lacks the label, or any class has fewer members
+    than n_folds (sklearn raises there)."""
+    if n_folds <= 1 or explicit_folds:
+        return None
+    try:
+        labels = [str(data[p][label_key]) for p in pids]
+    except (KeyError, TypeError):
+        return None
+    from collections import Counter
+
+    if not labels or min(Counter(labels).values()) < n_folds:
+        return None
+    return labels
+
+
 def filter_training_pids(
     train_pids, excluded=None, subsample_fraction=None, seed=42, fold_idx=0
 ):
