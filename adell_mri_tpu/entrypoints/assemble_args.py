@@ -266,7 +266,8 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     # prediction
     "output_path": dict(default="output", help="Output path"),
     "prediction_ids": dict(default=None, nargs="+", help="IDs to predict"),
-    "prediction_type": dict(default="probability", help="probability|logit|features|set (conformal prediction sets; needs a calibrated checkpoint)"),
+    "prediction_type": dict(default="probability", help="probability|logit|features|pre_bias (ord nets)|set (conformal prediction sets; needs a calibrated checkpoint)"),
+    "ensemble": dict(default=None, choices=["mean", "median"], help="Ensembles predictions from different checkpoints (ref assemble_args.py:815; median per utils/prediction_utils.py)"),
     "calibration_ids": dict(default=None, nargs="+", help="Held-out IDs for conformal calibration (AdaptivePredictionSets) after training"),
     "conformal_alpha": dict(default=0.2, type=float, help="Conformal miscoverage level alpha (reference default 0.2)"),
     "test_ids": dict(default=None, nargs="+", help="Test IDs"),

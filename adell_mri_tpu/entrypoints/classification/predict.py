@@ -1,6 +1,13 @@
 """
 ``adell classification predict`` — per-case probabilities/logits/features
 to JSON (parity: entrypoints/classification/predict.py).
+
+Multi-checkpoint surface (predict.py:194-266): ``--checkpoint`` run dirs x
+``--prediction_ids`` groups, ``--one_to_one`` (checkpoint i serves group i),
+``--ensemble mean|median`` appends an aggregate record
+(utils/prediction_utils.py:6). With any of those the output is the
+reference's list-of-records schema; the plain single-checkpoint call keeps
+the flat ``{id: value}`` map.
 """
 
 import json
@@ -13,8 +20,16 @@ import numpy as np
 from adell_mri_tpu.config.factories import get_classification_network
 from adell_mri_tpu.data import Dataset
 from adell_mri_tpu.entrypoints.assemble_args import Parser
+from adell_mri_tpu.entrypoints.prediction_utils import (
+    prediction_id_groups,
+    resolve_checkpoint_variables,
+    run_prediction_matrix,
+)
 from adell_mri_tpu.train.checkpoints import CheckpointManager
 from adell_mri_tpu.transforms import ClassificationTransforms
+from adell_mri_tpu.utils import get_logger
+
+logger = get_logger(__name__)
 
 ARG_KEYS = [
     "dataset_json",
@@ -22,6 +37,9 @@ ARG_KEYS = [
     "prediction_ids",
     "checkpoint_dir",
     "checkpoint_name",
+    "checkpoint",
+    "one_to_one",
+    "ensemble",
     "n_classes",
     "output_path",
     "prediction_type",
@@ -69,25 +87,35 @@ def main(arguments):
     params0 = model.init({"params": jax.random.PRNGKey(0)}, *init_args)[
         "params"
     ]
-    params = mngr.restore(mngr.best_step(), target={"params": params0})["params"]
-    raw = mngr.restore(mngr.best_step())
-    batch_stats = raw.get("batch_stats") if isinstance(raw, dict) else None
-    variables = {"params": params}
-    if batch_stats:
-        variables["batch_stats"] = batch_stats
+    checkpoints = resolve_checkpoint_variables(
+        args.checkpoint, mngr, params0
+    )
     # --precision bf16: bf16 params + inputs (logits return to f32); the
     # alias table (bf16-mixed, 16-true, ...) matches training
     from adell_mri_tpu.train.precision import compute_dtype
 
     bf16 = compute_dtype(getattr(args, "precision", None)) is not None
     if bf16:
-        variables = {
-            "params": jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16), variables["params"]
-            ),
-            **{k: variables[k] for k in variables if k != "params"},
-        }
+        checkpoints = [
+            (
+                label,
+                {
+                    "params": jax.tree.map(
+                        lambda a: a.astype(jnp.bfloat16), var["params"]
+                    ),
+                    **{k: var[k] for k in var if k != "params"},
+                },
+            )
+            for label, var in checkpoints
+        ]
 
+    prediction_type = args.prediction_type
+    if prediction_type == "pre_bias" and net_type != "ord":
+        # parity: predict.py:141-146 — warn and fall back
+        logger.warning(
+            "Net type must be ord for pre_bias, using probability instead"
+        )
+        prediction_type = "probability"
 
     transforms = ClassificationTransforms(
         image_keys=image_keys,
@@ -100,19 +128,24 @@ def main(arguments):
     base_load = transforms.load_fn()
 
     # GP-head mean-field correction when a fitted covariance is present
-    # (parity: classification/pl.py:381-392 + SNGP predictive variance)
-    gp_cov_path = os.path.join(mngr.dir, "gp_covariance.npy")
-    gp_cov = np.load(gp_cov_path) if os.path.exists(gp_cov_path) else None
+    # (parity: classification/pl.py:381-392 + SNGP predictive variance);
+    # per-checkpoint covariances ride as a traced argument so every
+    # checkpoint shares the one compiled program
+    def _gp_cov(label):
+        path = os.path.join(label, "gp_covariance.npy")
+        return np.load(path) if os.path.exists(path) else None
 
-    if gp_cov is not None:
+    covs = {label: _gp_cov(label) for label, _ in checkpoints}
+    use_gp = any(c is not None for c in covs.values())
+    if use_gp:
         from adell_mri_tpu.models.layers.gaussian_process import (
             predictive_logits,
         )
 
-        cov = jax.numpy.asarray(gp_cov)
+        cov_dim = next(c for c in covs.values() if c is not None).shape[0]
 
         @jax.jit
-        def predict(x, *feats):
+        def predict(variables, cov, x, *feats):
             if bf16:
                 x = x.astype(jnp.bfloat16)
                 feats = tuple(f.astype(jnp.bfloat16) for f in feats)
@@ -124,23 +157,30 @@ def main(arguments):
             logits = logits.astype(jnp.float32)
             phi = jax.tree.leaves(inter)[0]
             phi = phi[0] if phi.ndim == 3 else phi
+            # zero covariance -> zero variance -> identity correction,
+            # so checkpoints without a fitted covariance pass through
             return predictive_logits(logits, phi, cov)[0]
 
     else:
+        extra_kwargs = {}
+        if prediction_type == "features":
+            extra_kwargs = {"return_features": True}
+        elif prediction_type == "pre_bias":
+            extra_kwargs = {"return_only_pre_bias": True}
 
         @jax.jit
-        def predict(x, *feats):
+        def predict(variables, cov, x, *feats):
             if bf16:
                 x = x.astype(jnp.bfloat16)
                 feats = tuple(f.astype(jnp.bfloat16) for f in feats)
             extra = tuple(f[None] for f in feats)
-            logits = model.apply(variables, x[None], *extra)[0]
-            return logits.astype(jnp.float32)
+            out = model.apply(variables, x[None], *extra, **extra_kwargs)[0]
+            return out.astype(jnp.float32)
 
     # conformal prediction sets (parity: predict_calibrated_step,
     # classification/pl.py:438-459) from the train-time calibration
     aps = None
-    if args.prediction_type == "set":
+    if prediction_type == "set":
         from adell_mri_tpu.models.layers.conformal import (
             AdaptivePredictionSets,
         )
@@ -157,31 +197,62 @@ def main(arguments):
         aps.q_hat = conf["q_hat"]
 
     data = Dataset(args.dataset_json)
-    pids = args.prediction_ids or list(data.keys())
-    out = {}
-    for pid in pids:
-        if pid not in data.dataset:
-            continue
+    groups = prediction_id_groups(args.prediction_ids, data)
+    label_key = t_args.get("label_key", "label")
+    cov_by_label = {
+        label: (
+            jnp.asarray(covs[label])
+            if covs[label] is not None
+            else jnp.zeros((cov_dim, cov_dim), jnp.float32)
+        )
+        if use_gp
+        else None
+        for label, _ in checkpoints
+    }
+    cache = {}
+
+    def predict_one(variables, pid, label):
         entry = {**data[pid], "identifier": pid}
-        if t_args.get("label_key", "label") not in entry:
-            entry[t_args.get("label_key", "label")] = 0
-        sample = base_load(entry)
+        if label_key not in entry:
+            entry[label_key] = 0
+        if pid not in cache:
+            cache[pid] = base_load(entry)
+        sample = cache[pid]
         cond = (sample["features"],) if feat_keys else ()
-        logits = np.asarray(predict(sample["image"], *cond))
-        if args.prediction_type == "logit":
-            out[pid] = logits.tolist()
-        elif args.prediction_type == "set":
+        cov_args = (cov_by_label[label],) if use_gp else (None,)
+        out = np.asarray(predict(variables, *cov_args, sample["image"], *cond))
+        if prediction_type in ("logit", "features", "pre_bias"):
+            return out.tolist()
+        if prediction_type == "set":
             if n_classes == 2:
-                p1 = float(jax.nn.sigmoid(logits[0]))
+                p1 = float(jax.nn.sigmoid(out[0]))
                 probs = np.asarray([[1.0 - p1, p1]])
             else:
-                probs = np.asarray(jax.nn.softmax(logits))[None]
+                probs = np.asarray(jax.nn.softmax(out))[None]
             members = aps(probs)[0]
-            out[pid] = [int(i) for i in np.nonzero(members)[0]]
-        elif n_classes == 2:
-            out[pid] = float(jax.nn.sigmoid(logits[0]))
-        else:
-            out[pid] = np.asarray(jax.nn.softmax(logits)).tolist()
+            return [int(i) for i in np.nonzero(members)[0]]
+        if n_classes == 2:
+            return float(jax.nn.sigmoid(out[0]))
+        return np.asarray(jax.nn.softmax(out)).tolist()
+
+    legacy = (
+        not args.checkpoint
+        and args.ensemble is None
+        and not args.one_to_one
+        and len(groups) == 1
+    )
+    global_output = run_prediction_matrix(
+        groups,
+        checkpoints,
+        predict_one,
+        one_to_one=args.one_to_one,
+        ensemble=args.ensemble,
+    )
+
+    if legacy:
+        out = global_output[0]["predictions"]
+    else:
+        out = global_output
     with open(args.output_path, "w") as f:
         json.dump(out, f)
     print(json.dumps(out))

@@ -26,6 +26,8 @@ ARG_KEYS = [
     "test_ids",
     "checkpoint_dir",
     "checkpoint_name",
+    "checkpoint",
+    "one_to_one",
     "n_classes",
     "metric_path",
     "dev",
@@ -73,26 +75,33 @@ def main(arguments):
     params0 = model.init({"params": jax.random.PRNGKey(0)}, *init_args)[
         "params"
     ]
-    restored = mngr.restore(mngr.best_step(), target={"params": params0})
-    params = restored["params"]
-    # imported reference checkpoints carry BatchNorm running stats
-    raw = mngr.restore(mngr.best_step())
-    batch_stats = raw.get("batch_stats") if isinstance(raw, dict) else None
-    variables = {"params": params}
-    if batch_stats:
-        variables["batch_stats"] = batch_stats
+    # --checkpoint list (imported reference checkpoints carry BatchNorm
+    # running stats, restored next to the params)
+    from adell_mri_tpu.entrypoints.prediction_utils import (
+        resolve_checkpoint_variables,
+    )
+
+    checkpoints = resolve_checkpoint_variables(
+        getattr(args, "checkpoint", None), mngr, params0
+    )
     # --precision bf16: bf16 params + inputs (logits return to f32); the
     # alias table (bf16-mixed, 16-true, ...) matches training
     from adell_mri_tpu.train.precision import compute_dtype
 
     bf16 = compute_dtype(getattr(args, "precision", None)) is not None
     if bf16:
-        variables = {
-            "params": jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16), variables["params"]
-            ),
-            **{k: variables[k] for k in variables if k != "params"},
-        }
+        checkpoints = [
+            (
+                label,
+                {
+                    "params": jax.tree.map(
+                        lambda a: a.astype(jnp.bfloat16), var["params"]
+                    ),
+                    **{k: var[k] for k in var if k != "params"},
+                },
+            )
+            for label, var in checkpoints
+        ]
 
 
     transforms = ClassificationTransforms(
@@ -105,8 +114,11 @@ def main(arguments):
     )
     load_fn = transforms.load_fn()
 
+    # variables ride as a traced argument so every --checkpoint entry
+    # shares one compiled program (parity: ref test.py:233-242 iterates
+    # checkpoints x test-id groups, with --one_to_one pairing them)
     @jax.jit
-    def predict(x, *feats):
+    def predict(variables, x, *feats):
         if bf16:
             x = x.astype(jnp.bfloat16)
             feats = tuple(f.astype(jnp.bfloat16) for f in feats)
@@ -116,25 +128,69 @@ def main(arguments):
         )
 
     data = Dataset(args.dataset_json)
-    pids = args.test_ids or list(data.keys())
-    probs, targets = [], []
-    for pid in pids:
-        if pid not in data.dataset:
-            continue
-        sample = load_fn({**data[pid], "identifier": pid})
-        cond = (sample["features"],) if feat_keys else ()
-        logits = np.asarray(predict(sample["image"], *cond))
-        if n_classes == 2:
-            probs.append(float(jax.nn.sigmoid(logits[0])))
-        else:
-            probs.append(np.asarray(jax.nn.softmax(logits)))
-        targets.append(float(sample["label"]))
-    if n_classes == 2:
-        results = binary_metrics(np.asarray(probs), np.asarray(targets))
-    else:
-        from adell_mri_tpu.eval.metrics import multiclass_metrics
+    if args.test_ids:
+        from adell_mri_tpu.data import parse_ids
 
-        results = multiclass_metrics(np.asarray(probs), np.asarray(targets))
-    results["n_cases"] = len(targets)
-    MetricLogger(csv_path=args.metric_path).log_metrics(results, step=0)
-    print(json.dumps(results))
+        groups = [
+            [pid for pid in g if pid in data.dataset]
+            for g in parse_ids(list(args.test_ids), "nested_list")
+        ]
+    else:
+        groups = [[pid for pid in data.keys()]]
+    if args.one_to_one and len(checkpoints) < len(groups):
+        raise ValueError(
+            f"--one_to_one needs one checkpoint per test-id group "
+            f"({len(groups)}), got {len(checkpoints)}"
+        )
+    cache = {}
+    mlog = MetricLogger(csv_path=args.metric_path)
+    legacy = (
+        not getattr(args, "checkpoint", None)
+        and not args.one_to_one
+        and len(groups) == 1
+    )
+    all_results = []
+    for iteration, group in enumerate(groups):
+        ckpt_list = (
+            [checkpoints[iteration]] if args.one_to_one else checkpoints
+        )
+        for ckpt_label, variables in ckpt_list:
+            probs, targets = [], []
+            for pid in group:
+                if pid not in cache:
+                    cache[pid] = load_fn({**data[pid], "identifier": pid})
+                sample = cache[pid]
+                cond = (sample["features"],) if feat_keys else ()
+                logits = np.asarray(
+                    predict(variables, sample["image"], *cond)
+                )
+                if n_classes == 2:
+                    probs.append(float(jax.nn.sigmoid(logits[0])))
+                else:
+                    probs.append(np.asarray(jax.nn.softmax(logits)))
+                targets.append(float(sample["label"]))
+            if n_classes == 2:
+                results = binary_metrics(
+                    np.asarray(probs), np.asarray(targets)
+                )
+            else:
+                from adell_mri_tpu.eval.metrics import multiclass_metrics
+
+                results = multiclass_metrics(
+                    np.asarray(probs), np.asarray(targets)
+                )
+            results["n_cases"] = len(targets)
+            mlog.log_metrics(
+                results,
+                step=0,
+                checkpoint=ckpt_label,
+                iteration=iteration,
+            )
+            all_results.append(
+                {
+                    "iteration": iteration,
+                    "checkpoint": ckpt_label,
+                    **results,
+                }
+            )
+    print(json.dumps(all_results[0] if legacy else all_results))

@@ -34,7 +34,10 @@ ARG_KEYS = [
 ]
 
 
-def _rebuild(args):
+def _rebuild_for_checkpoints(args):
+    """Rebuilds the model + template params from checkpoint metadata,
+    leaving checkpoint restoration to the caller (predict's
+    ``--checkpoint`` list; parity: reference deconfounder predict loop)."""
     mngr = CheckpointManager(
         args.checkpoint_dir,
         name=args.checkpoint_name or "deconfounder",
@@ -56,15 +59,22 @@ def _rebuild(args):
     size = tuple(t_args.get("target_size"))
     x0 = np.zeros((1,) + size + (len(image_keys),), np.float32)
     params0 = model.init({"params": jax.random.PRNGKey(0)}, x0)["params"]
-    params = mngr.restore(mngr.best_step(), target={"params": params0})[
-        "params"
-    ]
     transforms = ClassificationTransforms(
         image_keys=image_keys,
         label_key=t_args.get("label_key", "label"),
         target_spacing=t_args.get("target_spacing"),
         target_size=size,
     )
+    return model, mngr, params0, transforms, t_args, n_classes
+
+
+def _rebuild(args):
+    model, mngr, params0, transforms, t_args, n_classes = (
+        _rebuild_for_checkpoints(args)
+    )
+    params = mngr.restore(mngr.best_step(), target={"params": params0})[
+        "params"
+    ]
     return model, params, transforms, t_args, n_classes
 
 

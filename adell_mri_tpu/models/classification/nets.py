@@ -162,7 +162,12 @@ class OrdNet(nn.Module):
     dropout_param: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        return_only_pre_bias: bool = False,
+    ):
         adn = get_adn_fn(
             self.spatial_dimensions,
             self.norm_type,
@@ -178,6 +183,9 @@ class OrdNet(nn.Module):
         h = nn.Dense(feats.shape[-1])(feats)
         h = nn.relu(h)
         score = nn.Dense(1, use_bias=False)(h)  # shared scalar
+        if return_only_pre_bias:
+            # parity: classification.py:497-498 (--type pre_bias)
+            return score
         # CORAL init (parity: classification.py:445-452): descending
         # thresholds n-1..1 with a learnable 1/(n-1) scale — zero init
         # makes every cumulative logit identical at step 0

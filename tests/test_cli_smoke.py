@@ -503,6 +503,53 @@ def test_mil_train_test_predict_roundtrip(cohort):
     assert len(preds) == 4
     assert all(0.0 <= p <= 1.0 for p in preds.values())
 
+    # multi-checkpoint matrix + --ensemble (parity: ref predict.py:194-266
+    # + utils/prediction_utils.py get_ensemble_prediction): same run dir
+    # twice -> two identical records + an ensemble record equal to both
+    run_dir = os.path.join(ckpt, "mil_fold0")
+    out_ens = os.path.join(root, "mil_preds_ens.json")
+    adell_main(
+        [
+            "classification_mil", "predict",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--checkpoint", run_dir, run_dir,
+            "--ensemble", "mean",
+            "--output_path", out_ens,
+            "--dev", "cpu",
+        ]
+    )
+    records = json.load(open(out_ens))
+    assert [r["checkpoint"] for r in records[:2]] == [
+        os.path.abspath(run_dir)
+    ] * 2 or [r["checkpoint"] for r in records[:2]] == [run_dir] * 2
+    assert records[-1]["checkpoint"] == "ensemble"
+    for pid, v in records[-1]["predictions"].items():
+        assert abs(v - records[0]["predictions"][pid]) < 1e-6
+        assert records[-1]["n_predictions"][pid] == 2
+    assert set(records[-1]["predictions"]) == set(preds)
+
+    # --one_to_one: checkpoint i serves prediction-id group i only
+    out_oto = os.path.join(root, "mil_preds_oto.json")
+    ids = sorted(preds)
+    adell_main(
+        [
+            "classification_mil", "predict",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--checkpoint", run_dir, run_dir,
+            "--prediction_ids", ",".join(ids[:2]), ",".join(ids[2:]),
+            "--one_to_one",
+            "--output_path", out_oto,
+            "--dev", "cpu",
+        ]
+    )
+    records = json.load(open(out_oto))
+    assert len(records) == 2
+    assert sorted(records[0]["predictions"]) == ids[:2]
+    assert sorted(records[1]["predictions"]) == ids[2:]
+    assert records[0]["iteration"] == 0 and records[1]["iteration"] == 1
+
 
 DECONF_YAML = """
 resnet_structure: [[4, 8, 3, 1]]

@@ -105,3 +105,86 @@ def test_reference_mode_spellings_dispatch():
     assert "model_to_torchscript" in ssl_modes
     assert "train_3d" in ssl_modes
     assert "train_2d" in gan_modes
+
+
+def test_get_ensemble_prediction_mean_median():
+    """Parity: utils/prediction_utils.py:6-56 — per-id aggregation with
+    n_predictions counts; scalars stay scalars, per-class lists stay
+    lists; median supported (the reference helper's second mode)."""
+    from adell_mri_tpu.entrypoints.prediction_utils import (
+        get_ensemble_prediction,
+    )
+
+    records = [
+        {"predictions": {"a": 0.2, "b": [0.1, 0.9]}},
+        {"predictions": {"a": 0.4, "b": [0.3, 0.7]}},
+        {"predictions": {"a": 0.9}},
+    ]
+    ens = get_ensemble_prediction(records, "mean")
+    assert ens["checkpoint"] == "ensemble"
+    assert abs(ens["predictions"]["a"] - 0.5) < 1e-12
+    assert ens["n_predictions"]["a"] == 3
+    assert np.allclose(ens["predictions"]["b"], [0.2, 0.8])
+    assert ens["n_predictions"]["b"] == 2
+    med = get_ensemble_prediction(records, "median")
+    assert abs(med["predictions"]["a"] - 0.4) < 1e-12
+    try:
+        get_ensemble_prediction(records, "majority")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_run_prediction_matrix_one_to_one_and_labels():
+    from adell_mri_tpu.entrypoints.prediction_utils import (
+        run_prediction_matrix,
+    )
+
+    groups = [["a", "b"], ["c"]]
+    ckpts = [("ck0", {"w": 0}), ("ck1", {"w": 1})]
+    calls = []
+
+    def predict_one(variables, pid, label):
+        calls.append((variables["w"], pid, label))
+        return float(variables["w"])
+
+    out = run_prediction_matrix(
+        groups, ckpts, predict_one, one_to_one=True
+    )
+    # checkpoint i serves group i only
+    assert [(r["iteration"], r["checkpoint"]) for r in out] == [
+        (0, "ck0"),
+        (1, "ck1"),
+    ]
+    assert out[0]["predictions"] == {"a": 0.0, "b": 0.0}
+    assert out[1]["predictions"] == {"c": 1.0}
+
+    # full matrix + ensemble appended
+    out = run_prediction_matrix(
+        groups, ckpts, predict_one, ensemble="mean"
+    )
+    assert len(out) == 5  # 2 groups x 2 ckpts + ensemble
+    assert out[-1]["predictions"]["a"] == 0.5
+
+    # one_to_one with too few checkpoints errors
+    try:
+        run_prediction_matrix(groups, ckpts[:1], predict_one, one_to_one=True)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_manager_for_checkpoint_path(tmp_path):
+    from adell_mri_tpu.entrypoints.prediction_utils import (
+        manager_for_checkpoint_path,
+    )
+
+    run = tmp_path / "runs" / "model_fold2"
+    run.mkdir(parents=True)
+    mngr = manager_for_checkpoint_path(str(run) + "/")
+    assert mngr.dir == str(run)
+    try:
+        manager_for_checkpoint_path(str(tmp_path / "runs" / "no_fold_dir"))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
