@@ -26,6 +26,7 @@ supported_modes = {
     "merge_json_datasets": P,
     "remove_constant_masks": P,
     "describe_image": P,
+    "describe_sitk": P,  # reference name (utils/dataset/describe_sitk.py)
     "bb_to_anchors": P,
     "bb_to_distances": P,
     "generate_dicom_dataset_json": P,

@@ -330,23 +330,51 @@ def bias_field_correction(argv):
 
 
 def describe_image(argv):
+    """Prints image geometry + intensity summary (parity:
+    utils/dataset/describe_sitk.py — size/spacing/origin/direction/
+    components/pixel type/unique values; ``describe_sitk`` is an alias;
+    ``--paths`` accepted as the reference spelling)."""
     p = argparse.ArgumentParser(prog="adell utils describe_image")
-    p.add_argument("--input_paths", nargs="+", required=True)
+    p.add_argument(
+        "--input_paths", "--paths", dest="input_paths", nargs="+",
+        required=True,
+    )
     args = p.parse_args(argv)
     for path in args.input_paths:
         img = read_nifti(path)
-        print(
-            json.dumps(
-                {
-                    "path": path,
-                    "shape": list(img.shape),
-                    "spacing": [round(float(s), 4) for s in img.spacing],
-                    "min": float(img.data.min()),
-                    "max": float(img.data.max()),
-                    "mean": float(img.data.mean()),
-                }
-            )
-        )
+        data = img.data
+        desc = {
+            "path": path,
+            "shape": list(data.shape),
+            "spacing": [round(float(s), 4) for s in img.spacing],
+            # origin/direction from the RAS affine (the reference prints
+            # SimpleITK's LPS equivalents; axes flips aside, same info)
+            "origin": [round(float(o), 4) for o in img.affine[:3, 3]],
+            "direction": [
+                round(float(d), 6)
+                for d in (
+                    img.affine[:3, :3] / img.spacing[None, :]
+                ).flatten()
+            ],
+            "n_components": int(data.shape[3]) if data.ndim == 4 else 1,
+            "pixel_type": str(data.dtype),
+            "min": float(data.min()),
+            "max": float(data.max()),
+            "mean": float(data.mean()),
+        }
+        u, c = np.unique(data, return_counts=True)
+        if u.shape[0] > 5:
+            desc["n_unique_values"] = int(u.shape[0])
+        else:
+            desc["unique_values"] = [
+                [float(i), int(j)] for i, j in zip(u, c)
+            ]
+        print(json.dumps(desc))
+
+
+def describe_sitk(argv):
+    """Reference-name alias (utils/dataset/describe_sitk.py)."""
+    describe_image(argv)
 
 
 def bb_to_anchors(argv):

@@ -359,6 +359,53 @@ class Metrics:
                 out[k] = (float(point), float("nan"), float("nan"))
         return out
 
+    # -- persistence (parity: picai_eval/metrics.py:466-499 save/load via
+    # data_utils.py save_metrics/load_metrics: sterilized JSON, atomic
+    # tmp+rename write) --------------------------------------------------
+    def minimal_dict(self) -> Dict:
+        return {
+            "lesion_results": {
+                k: [[int(tp), float(conf)] for tp, conf in v]
+                for k, v in self.lesion_results.items()
+            },
+            "case_pred": {k: float(v) for k, v in self.case_pred.items()},
+            "case_target": {k: int(v) for k, v in self.case_target.items()},
+        }
+
+    def as_dict(self) -> Dict:
+        return {
+            **self.minimal_dict(),
+            "AP": self.AP,
+            "auroc": self.auroc,
+            "score": self.score,
+        }
+
+    def save(self, path: str):
+        import json
+        import os
+
+        tmp = str(path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.as_dict(), f, indent=4)
+        os.rename(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "Metrics":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            lesion_results={
+                k: [(int(tp), float(conf)) for tp, conf in v]
+                for k, v in d["lesion_results"].items()
+            },
+            case_pred={k: float(v) for k, v in d["case_pred"].items()},
+            case_target={
+                k: int(float(v)) for k, v in d["case_target"].items()
+            },
+        )
+
 
 def evaluate(
     y_det: Sequence[np.ndarray],

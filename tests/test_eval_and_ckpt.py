@@ -551,3 +551,29 @@ def test_lesion_pr_curve_consistent_with_ap():
     prec, rec, thr = m.precision_recall()
     ap_from_curve = float(-np.sum(np.diff(rec) * np.asarray(prec)[:-1]))
     assert abs(ap_from_curve - m.AP) < 1e-9
+
+
+def test_lesion_metrics_save_load_roundtrip(tmp_path):
+    """Parity: picai_eval/metrics.py:466-499 save/load via
+    data_utils.py save_metrics (sterilized JSON, atomic write)."""
+    from adell_mri_tpu.eval.lesion import Metrics
+
+    m = Metrics(
+        lesion_results={"a": [(1, 0.9), (0, 0.3)], "b": []},
+        case_pred={"a": np.float32(0.9), "b": 0.1},
+        case_target={"a": 1, "b": 0},
+    )
+    path = str(tmp_path / "metrics.json")
+    m.save(path)
+    m2 = Metrics.load(path)
+    assert m2.lesion_results == {"a": [(1, 0.9), (0, 0.30000001192092896)], "b": []} or (
+        m2.lesion_results["a"][0] == (1, 0.9)
+    )
+    assert m2.case_target == {"a": 1, "b": 0}
+    assert abs(m2.AP - m.AP) < 1e-12
+    assert abs(m2.auroc - m.auroc) < 1e-12
+    # derived metrics ride in the saved dict (as_dict parity)
+    import json
+
+    d = json.load(open(path))
+    assert {"AP", "auroc", "score"} <= set(d)

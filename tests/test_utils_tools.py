@@ -270,6 +270,19 @@ def test_describe_image(cohort, capsys):
     desc = _last_json(capsys)
     assert desc["shape"][:3] == [16, 16, 8]
     assert desc["spacing"] == [1.0, 1.0, 1.2]
+    # reference describe_sitk field set (utils/dataset/describe_sitk.py):
+    # geometry + components + pixel type + unique-value summary
+    assert len(desc["origin"]) == 3 and len(desc["direction"]) == 9
+    assert desc["n_components"] == 1
+    assert "n_unique_values" in desc or "unique_values" in desc
+
+    # reference-name alias with the reference's --paths spelling
+    adell_main(
+        ["utils", "describe_sitk", "--paths",
+         cohort["data"]["case_0"]["image"]]
+    )
+    desc2 = _last_json(capsys)
+    assert desc2["shape"] == desc["shape"]
 
 
 def test_bb_to_anchors(cohort, tmp_path):
