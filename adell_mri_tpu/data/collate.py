@@ -50,7 +50,10 @@ def collate_last_slice(batch: List[Optional[Dict[str, Any]]]) -> Dict[str, Any]:
     2.5D collation: folds the slice axis into the batch axis (parity:
     utils/utils.py:246). The reference folds the LAST axis of its
     channels-first ``[C, H, W, S]`` tensors; this repo's load_fns emit
-    channels-LAST ``[H, W, S, C]``, so the slice axis is -2 here.
+    channels-LAST ``[H, W, S, C]`` images and channel-less ``[H, W, S]``
+    labels, so the slice axis is -2 for ndim >= 4 and -1 for ndim == 3
+    (folding -2 of a 3D label would split along W, scrambling geometry
+    and mismatching the image's batch count).
     """
     batch = [b for b in batch if b is not None]
     if len(batch) == 0:
@@ -59,10 +62,10 @@ def collate_last_slice(batch: List[Optional[Dict[str, Any]]]) -> Dict[str, Any]:
     for k in batch[0].keys():
         values = [b[k] for b in batch]
         if isinstance(values[0], np.ndarray) and values[0].ndim >= 3:
-            # [H, W, S, C] -> S entries of [H, W, C]
-            slices = [
-                np.moveaxis(v, -2, 0) for v in values
-            ]  # [S, H, W, C] each
+            slice_axis = -2 if values[0].ndim >= 4 else -1
+            # [H, W, S, C] -> S entries of [H, W, C];
+            # [H, W, S]    -> S entries of [H, W]
+            slices = [np.moveaxis(v, slice_axis, 0) for v in values]
             out[k] = np.concatenate(slices, axis=0)
         else:
             out[k] = _stack_values(values)

@@ -141,16 +141,47 @@ class GlobalBatchNorm(nn.Module):
         return y * scale + bias
 
 
-class AdaptiveGroupNorm(nn.Module):
-    """GroupNorm with the group count chosen at call time: the largest
-    divisor of the channel count that is <= 8 (the _gn policy used by the
-    gan/diffusion blocks)."""
+class GroupNorm(nn.Module):
+    """Group normalization with a call-time group count. Width divisible
+    by 8 keeps the original ``group_size=8`` semantics (C=128 -> 16
+    groups); other widths — which used to crash flax init — take the
+    largest divisor of C that is <= 8 as the group COUNT. The class name
+    and param layout match flax's ``nn.GroupNorm``
+    (``GroupNorm_0/{scale,bias}``) so checkpoints from the fixed
+    ``group_size=8`` era stay loadable. Adjacent channels share a group,
+    like flax and torch."""
+
+    epsilon: float = 1e-6  # flax nn.GroupNorm default (the prior impl)
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        g = next(g for g in (8, 4, 2, 1) if c % g == 0)
-        return nn.GroupNorm(num_groups=g, name="gn")(x)
+        if c % 8 == 0:
+            groups = c // 8
+        else:
+            groups = next(g for g in (4, 2, 1) if c % g == 0)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xg = x.reshape(x.shape[0], -1, groups, c // groups)
+        # single-pass f32 stats for reduced-precision activations
+        # (same rationale as InstanceNorm above)
+        if x.dtype in (jnp.bfloat16, jnp.float16):
+            xf = xg.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(xf * xf, axis=(1, 3), keepdims=True) - mean * mean,
+                0.0,
+            )
+        else:
+            mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+            var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        inv = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
+        y = (xg - mean.astype(x.dtype)) * inv
+        return y.reshape(x.shape) * scale + bias
+
+
+# former name of the call-time-group-count module (kept for imports)
+AdaptiveGroupNorm = GroupNorm
 
 
 def make_norm(norm_fn: str, spatial_dim: int = 3) -> Callable[[], nn.Module]:
@@ -167,10 +198,11 @@ def make_norm(norm_fn: str, spatial_dim: int = 3) -> Callable[[], nn.Module]:
     if norm_fn == "layer":
         return lambda: nn.LayerNorm(epsilon=1e-5)  # torch eps parity
     if norm_fn == "group":
-        # group count adapts to the width: a fixed group_size=8 raised at
-        # init for any channel count not divisible by 8 (the docstring
-        # above explicitly recommends 'group' for deployed models)
-        return lambda: AdaptiveGroupNorm()
+        # group_size=8 when the width allows (the original semantics),
+        # else the group count adapts so non-multiple-of-8 widths no
+        # longer crash at init (the docstring above explicitly
+        # recommends 'group' for deployed models)
+        return lambda: GroupNorm()
     if norm_fn in ("identity", "none"):
         return lambda: None
     raise NotImplementedError(f"norm {norm_fn!r}")

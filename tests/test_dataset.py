@@ -131,6 +131,19 @@ def test_collate_last_slice():
     assert out["x"][:3].sum() == 0 and (out["x"][3:] == 1).all()
 
 
+def test_collate_last_slice_channelless_label():
+    """Regression: a channel-less [H, W, S] label (what make_load_fn
+    emits) must fold its TRUE slice axis (-1), not -2 (which is W) —
+    otherwise label geometry scrambles and the batch counts of image and
+    label disagree."""
+    img = np.zeros((8, 6, 3, 2))
+    lab = np.arange(8 * 6 * 3).reshape(8, 6, 3)
+    out = collate_last_slice([{"image": img, "label": lab}])
+    assert out["image"].shape == (3, 8, 6, 2)
+    assert out["label"].shape == (3, 8, 6)
+    np.testing.assert_array_equal(out["label"][1], lab[:, :, 1])
+
+
 def test_subsample_minority_stratum_survives(tmp_path):
     """Largest-remainder stratified subsampling: a stratum below
     1/subsample_size proportion keeps at least its rounded share instead of

@@ -309,6 +309,37 @@ def test_group_norm_adapts_to_channel_count():
     assert out.shape == x.shape
 
 
+def test_group_norm_matches_flax_group_size_8():
+    """At widths divisible by 8 the adaptive GroupNorm keeps the original
+    group_size=8 semantics AND the original param path
+    (GroupNorm_0/{scale,bias}) so fixed-group_size-era checkpoints load."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.models.layers.adn import GroupNorm, make_norm
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 3, 32))
+    ours = GroupNorm()
+    ref = nn.GroupNorm(num_groups=None, group_size=8)
+    vo = ours.init(jax.random.PRNGKey(1), x)
+    vr = ref.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(vo) == jax.tree_util.tree_structure(
+        vr
+    )
+    err = jnp.max(jnp.abs(ours.apply(vo, x) - ref.apply(vr, x)))
+    assert float(err) < 1e-5
+
+    class Parent(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return make_norm("group")()(x)
+
+    vp = Parent().init(jax.random.PRNGKey(0), x)
+    assert "GroupNorm_0" in vp["params"]
+    assert set(vp["params"]["GroupNorm_0"]) == {"scale", "bias"}
+
+
 def test_normalized_activation_params_only_apply():
     """Regression: train=True without a mutable activation_stats
     collection raised instead of freezing the stats (GlobalBatchNorm's
