@@ -32,7 +32,10 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "filter_on_keys": dict(default=[], nargs="+", help="Filter expressions key=value etc."),
     "filter_is_optional": dict(action="store_true", help="Filters are optional"),
     "possible_labels": dict(default=None, nargs="+", help="All possible labels"),
-    "positive_labels": dict(default=[1], nargs="+", help="Labels considered positive"),
+    # default None like the reference (assemble_args.py:93-98): an eager
+    # [1] default made every run look explicitly binarized, so n_classes
+    # could never follow --possible_labels (classification/train.py:171-174)
+    "positive_labels": dict(default=None, nargs="+", help="Labels considered positive"),
     "label_groups": dict(default=None, nargs="+", help="Label groups for classification"),
     "cache_rate": dict(default=1.0, type=float, help="Fraction of dataset cached in RAM"),
     "cache_dir": dict(default=None, help="Disk cache directory for preprocessed volumes"),

@@ -110,6 +110,14 @@ def main(arguments):
         ]
 
     prediction_type = args.prediction_type
+    if args.ensemble is not None and prediction_type == "set":
+        # conformal sets are variable-length member lists; elementwise
+        # mean/median over them is meaningless (and np.stack raises an
+        # opaque shape error) — reject the combination up front
+        raise ValueError(
+            "--ensemble cannot aggregate --prediction_type set outputs; "
+            "ensemble the probabilities instead and calibrate on them"
+        )
     if prediction_type == "pre_bias" and net_type != "ord":
         # parity: predict.py:141-146 — warn and fall back
         logger.warning(
@@ -124,6 +132,11 @@ def main(arguments):
         target_size=size,
         resize_size=t_args.get("resize_size"),
         clinical_feature_keys=feat_keys,
+        # training-time label semantics (prediction ignores the label,
+        # but the loader must not crash on non-numeric label values)
+        positive_labels=t_args.get("positive_labels"),
+        possible_labels=t_args.get("possible_labels"),
+        label_groups=t_args.get("label_groups"),
     )
     base_load = transforms.load_fn()
 
@@ -137,6 +150,17 @@ def main(arguments):
 
     covs = {label: _gp_cov(label) for label, _ in checkpoints}
     use_gp = any(c is not None for c in covs.values())
+    if use_gp and prediction_type in ("features", "pre_bias"):
+        # the GP mean-field correction only makes sense for probability
+        # outputs; the user explicitly asked for raw network outputs, so
+        # the fitted covariance is skipped rather than hijacking the
+        # requested prediction_type
+        logger.info(
+            "gp_covariance.npy present but --prediction_type %s requests "
+            "raw outputs; skipping the GP correction",
+            prediction_type,
+        )
+        use_gp = False
     if use_gp:
         from adell_mri_tpu.models.layers.gaussian_process import (
             predictive_logits,
@@ -167,6 +191,20 @@ def main(arguments):
             extra_kwargs = {"return_features": True}
         elif prediction_type == "pre_bias":
             extra_kwargs = {"return_only_pre_bias": True}
+        if extra_kwargs:
+            # fail with a clear CLI error instead of a TypeError inside
+            # jit when the net's __call__ lacks the kwarg (e.g. the ViT
+            # classifiers take no return_features)
+            import inspect
+
+            sig = inspect.signature(type(model).__call__)
+            missing = [k for k in extra_kwargs if k not in sig.parameters]
+            if missing:
+                raise ValueError(
+                    f"--prediction_type {prediction_type} is not supported "
+                    f"by net_type {net_type!r} ({type(model).__name__} "
+                    f"takes no {missing[0]})"
+                )
 
         @jax.jit
         def predict(variables, cov, x, *feats):
@@ -209,15 +247,41 @@ def main(arguments):
         else None
         for label, _ in checkpoints
     }
+    # multiclass probability outputs: ordinal nets emit cumulative
+    # threshold logits, converted like the train-time callback (plain
+    # softmax over them is wrong); everything else softmaxes
+    if net_type == "ord":
+        from adell_mri_tpu.models.classification.losses import (
+            ordinal_to_class_probs as _class_probs,
+        )
+    else:
+        _class_probs = jax.nn.softmax
+
+    from adell_mri_tpu.entrypoints.prediction_utils import (
+        sample_cache_is_reused,
+    )
+
+    cache_reused = sample_cache_is_reused(
+        groups, len(checkpoints), args.one_to_one
+    )
     cache = {}
+
+    # unlabeled cases get a placeholder the label mapping accepts
+    # (0 is not in e.g. possible_labels=["a","b"] and would KeyError)
+    _lg = t_args.get("label_groups")
+    _pl = t_args.get("possible_labels")
+    placeholder_label = _lg[0][0] if _lg else (_pl[0] if _pl else 0)
 
     def predict_one(variables, pid, label):
         entry = {**data[pid], "identifier": pid}
         if label_key not in entry:
-            entry[label_key] = 0
-        if pid not in cache:
-            cache[pid] = base_load(entry)
-        sample = cache[pid]
+            entry[label_key] = placeholder_label
+        if pid in cache:
+            sample = cache[pid]
+        else:
+            sample = base_load(entry)
+            if cache_reused:
+                cache[pid] = sample
         cond = (sample["features"],) if feat_keys else ()
         cov_args = (cov_by_label[label],) if use_gp else (None,)
         out = np.asarray(predict(variables, *cov_args, sample["image"], *cond))
@@ -228,12 +292,12 @@ def main(arguments):
                 p1 = float(jax.nn.sigmoid(out[0]))
                 probs = np.asarray([[1.0 - p1, p1]])
             else:
-                probs = np.asarray(jax.nn.softmax(out))[None]
+                probs = np.asarray(_class_probs(out))[None]
             members = aps(probs)[0]
             return [int(i) for i in np.nonzero(members)[0]]
         if n_classes == 2:
             return float(jax.nn.sigmoid(out[0]))
-        return np.asarray(jax.nn.softmax(out)).tolist()
+        return np.asarray(_class_probs(out)).tolist()
 
     legacy = (
         not args.checkpoint

@@ -111,6 +111,11 @@ def main(arguments):
         target_size=size,
         resize_size=t_args.get("resize_size"),
         clinical_feature_keys=feat_keys,
+        # rebuild the training-time label semantics (binarization /
+        # value->index / group mapping) so metrics score mapped labels
+        positive_labels=t_args.get("positive_labels"),
+        possible_labels=t_args.get("possible_labels"),
+        label_groups=t_args.get("label_groups"),
     )
     load_fn = transforms.load_fn()
 
@@ -142,6 +147,13 @@ def main(arguments):
             f"--one_to_one needs one checkpoint per test-id group "
             f"({len(groups)}), got {len(checkpoints)}"
         )
+    from adell_mri_tpu.entrypoints.prediction_utils import (
+        sample_cache_is_reused,
+    )
+
+    cache_reused = sample_cache_is_reused(
+        groups, len(checkpoints), args.one_to_one
+    )
     cache = {}
     mlog = MetricLogger(csv_path=args.metric_path)
     legacy = (
@@ -157,15 +169,29 @@ def main(arguments):
         for ckpt_label, variables in ckpt_list:
             probs, targets = [], []
             for pid in group:
-                if pid not in cache:
-                    cache[pid] = load_fn({**data[pid], "identifier": pid})
-                sample = cache[pid]
+                if pid in cache:
+                    sample = cache[pid]
+                else:
+                    sample = load_fn({**data[pid], "identifier": pid})
+                    if cache_reused:
+                        cache[pid] = sample
                 cond = (sample["features"],) if feat_keys else ()
                 logits = np.asarray(
                     predict(variables, sample["image"], *cond)
                 )
                 if n_classes == 2:
                     probs.append(float(jax.nn.sigmoid(logits[0])))
+                elif net_type == "ord":
+                    # cumulative threshold logits -> class probabilities
+                    # (same conversion as the train-time callback; plain
+                    # softmax corrupted AUC/accuracy for ordinal nets)
+                    from adell_mri_tpu.models.classification.losses import (
+                        ordinal_to_class_probs,
+                    )
+
+                    probs.append(
+                        np.asarray(ordinal_to_class_probs(logits))
+                    )
                 else:
                     probs.append(np.asarray(jax.nn.softmax(logits)))
                 targets.append(float(sample["label"]))

@@ -63,6 +63,7 @@ ARG_KEYS = [
     "filter_on_keys",
     "possible_labels",
     "positive_labels",
+    "label_groups",
     "cache_rate",
     "cache_dir",
     "subsample_size",
@@ -201,7 +202,16 @@ def main(arguments):
         log_model=args.log_model,
     )
 
-    n_classes = args.n_classes
+    from adell_mri_tpu.entrypoints.cli_utils import (
+        derive_n_classes,
+        parse_label_groups,
+    )
+
+    # n_classes follows the label flags like the reference
+    # (classification/train.py:162-174): --possible_labels a b c used to
+    # train a BINARY model unless --n_classes 3 was also passed
+    n_classes = derive_n_classes(args)
+    label_groups = parse_label_groups(getattr(args, "label_groups", None))
     net_type = args.classification_net_type
     if net_type == "ord":
         loss_fn = lambda logits, y: ordinal_sigmoidal_loss(
@@ -262,6 +272,14 @@ def main(arguments):
                     and args.possible_labels)
                 else None
             ),
+            # multiclass value->index mapping / group mapping (parity:
+            # LabelOperatord via the reference's transform factory)
+            possible_labels=(
+                args.possible_labels
+                if args.possible_labels and not args.positive_labels
+                else None
+            ),
+            label_groups=label_groups,
         )
         load_fn = transforms.load_fn()
         train_list = data.to_datalist(train_pids)
@@ -396,6 +414,21 @@ def main(arguments):
                         list(args.resize_size) if args.resize_size else None
                     ),
                     "clinical_feature_keys": list(feat_keys),
+                    # label mapping flags, so test/predict rebuild the
+                    # SAME label semantics (raw labels used to leak into
+                    # test metrics for binarized/mapped training runs)
+                    "positive_labels": (
+                        list(args.positive_labels)
+                        if (args.positive_labels and n_classes == 2
+                            and args.possible_labels)
+                        else None
+                    ),
+                    "possible_labels": (
+                        list(args.possible_labels)
+                        if args.possible_labels and not args.positive_labels
+                        else None
+                    ),
+                    "label_groups": label_groups,
                 },
                 "train_pids": train_pids,
                 "val_pids": val_pids,

@@ -56,6 +56,10 @@ def main(arguments):
     checkpoints = resolve_checkpoint_variables(args.checkpoint, mngr, params0)
     label_key = t_args.get("label_key", "label")
     load_fn = transforms.load_fn()
+    # unlabeled cases get a placeholder the label mapping accepts
+    _lg = t_args.get("label_groups")
+    _pl = t_args.get("possible_labels")
+    placeholder_label = _lg[0][0] if _lg else (_pl[0] if _pl else 0)
 
     from adell_mri_tpu.train.precision import wrap_apply
 
@@ -81,15 +85,26 @@ def main(arguments):
 
     data = Dataset(args.dataset_json)
     groups = prediction_id_groups(args.prediction_ids, data)
+    from adell_mri_tpu.entrypoints.prediction_utils import (
+        sample_cache_is_reused,
+    )
+
+    cache_reused = sample_cache_is_reused(
+        groups, len(checkpoints), args.one_to_one
+    )
     cache = {}
 
     def predict_one(variables, pid, label):
         entry = {**data[pid], "identifier": pid}
         if label_key not in entry:
-            entry[label_key] = 0
-        if pid not in cache:
-            cache[pid] = load_fn(entry)
-        logits, cat_preds, cont_pred = predict(variables, cache[pid]["image"])
+            entry[label_key] = placeholder_label
+        if pid in cache:
+            sample = cache[pid]
+        else:
+            sample = load_fn(entry)
+            if cache_reused:
+                cache[pid] = sample
+        logits, cat_preds, cont_pred = predict(variables, sample["image"])
         logits = np.asarray(logits)
         if args.prediction_type == "logit":
             pred = logits.tolist()

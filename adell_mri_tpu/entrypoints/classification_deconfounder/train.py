@@ -40,6 +40,9 @@ ARG_KEYS = [
     "dataset_json",
     "image_keys",
     ("label_keys", "label_keys", dict(nargs=None, default="label")),
+    "possible_labels",
+    "positive_labels",
+    "label_groups",
     "cache_rate",
     "cache_dir",
     "n_folds",
@@ -117,11 +120,20 @@ def main(arguments):
         cat_maps.append({v: i for i, v in enumerate(values)})
         cat_cards.append(len(values))
 
+    from adell_mri_tpu.entrypoints.cli_utils import (
+        derive_n_classes,
+        parse_label_groups,
+    )
+
+    # n_classes follows the label flags like the reference
+    # (classification_deconfounder/train.py:181-191)
+    n_classes = derive_n_classes(args)
+    label_groups = parse_label_groups(args.label_groups)
     model = build_deconfounder_model(
         net_cfg,
         cat_cards,
         len(args.cont_confounder_keys),
-        args.n_classes,
+        n_classes,
         n_features=args.n_features_deconfounder,
     )
 
@@ -130,6 +142,18 @@ def main(arguments):
         label_key=label_key,
         target_spacing=args.target_spacing,
         target_size=base_size,
+        positive_labels=(
+            args.positive_labels
+            if (args.positive_labels and n_classes == 2
+                and args.possible_labels)
+            else None
+        ),
+        possible_labels=(
+            args.possible_labels
+            if args.possible_labels and not args.positive_labels
+            else None
+        ),
+        label_groups=label_groups,
     )
     base_load = transforms.load_fn()
 
@@ -178,7 +202,7 @@ def main(arguments):
             logits, cat_preds, cont_pred, penalty = model.apply(
                 {"params": params}, batch["image"], train=train, rngs=rngs
             )
-            if args.n_classes > 2:
+            if n_classes > 2:
                 # softmax CE — binary_logistic_loss only trains the
                 # class-0 logit and test.py softmaxes all n_classes
                 from adell_mri_tpu.models.classification.losses import (
@@ -223,7 +247,7 @@ def main(arguments):
             # cardinalities rebuild the surrogate heads at test/predict
             # without re-scanning the training dataset
             "cat_confounder_cards": list(cat_cards),
-            "n_classes": args.n_classes,
+            "n_classes": n_classes,
             "n_features_deconfounder": args.n_features_deconfounder,
             "transform_arguments": {
                 "image_keys": list(args.image_keys),
@@ -232,6 +256,15 @@ def main(arguments):
                 "target_spacing": (
                     list(args.target_spacing) if args.target_spacing else None
                 ),
+                "positive_labels": (
+                    list(transforms.positive_labels)
+                    if transforms.positive_labels else None
+                ),
+                "possible_labels": (
+                    list(transforms.possible_labels)
+                    if transforms.possible_labels else None
+                ),
+                "label_groups": label_groups,
             },
         },
         monitor=args.monitor,

@@ -55,6 +55,11 @@ def main(arguments):
         label_key=label_key,
         target_spacing=t_args.get("target_spacing"),
         target_size=tuple(t_args["target_size"]),
+        # training-time label semantics (binarization / value->index /
+        # group mapping) from checkpoint metadata
+        positive_labels=t_args.get("positive_labels"),
+        possible_labels=t_args.get("possible_labels"),
+        label_groups=t_args.get("label_groups"),
     )
     load_fn = transforms.load_fn()
 

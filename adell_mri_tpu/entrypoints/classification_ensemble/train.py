@@ -39,6 +39,9 @@ ARG_KEYS = [
     "dataset_json",
     "image_keys",
     ("label_keys", "label_keys", dict(nargs=None, default="label")),
+    "possible_labels",
+    "positive_labels",
+    "label_groups",
     "config_files",
     "cache_rate",
     "cache_dir",
@@ -65,6 +68,14 @@ def main(arguments):
     parser.add_argument_by_key(ARG_KEYS)
     args = parser.parse_args(arguments)
     label_key = args.label_keys
+    from adell_mri_tpu.entrypoints.cli_utils import (
+        derive_n_classes,
+        parse_label_groups,
+    )
+
+    # n_classes follows the label flags like the reference entrypoints
+    n_classes = derive_n_classes(args)
+    label_groups = parse_label_groups(args.label_groups)
 
     data = Dataset(args.dataset_json, seed=args.seed)
     data.apply_filters(presence_keys=list(args.image_keys) + [label_key])
@@ -78,14 +89,14 @@ def main(arguments):
             get_classification_network(
                 args.classification_net_type,
                 {**config["network"], "feature_extraction": True},
-                n_classes=args.n_classes,
+                n_classes=n_classes,
             )
         )
         batch_size = args.batch_size or config["training"].get("batch_size", 4)
         lr = args.learning_rate or config["training"].get("learning_rate", 1e-3)
     if not members:
         raise ValueError("--config_files required (one per ensemble member)")
-    model = GenericEnsemble(networks=members, n_classes=args.n_classes)
+    model = GenericEnsemble(networks=members, n_classes=n_classes)
 
     base_size = tuple(args.pad_size)
     transforms = ClassificationTransforms(
@@ -93,6 +104,18 @@ def main(arguments):
         label_key=label_key,
         target_spacing=args.target_spacing,
         target_size=base_size,
+        positive_labels=(
+            args.positive_labels
+            if (args.positive_labels and n_classes == 2
+                and args.possible_labels)
+            else None
+        ),
+        possible_labels=(
+            args.possible_labels
+            if args.possible_labels and not args.positive_labels
+            else None
+        ),
+        label_groups=label_groups,
     )
     from adell_mri_tpu.entrypoints.cli_utils import stratification_labels
 
@@ -136,14 +159,14 @@ def main(arguments):
         state = TrainState.create(model.apply, params, tx)
     loss_fn = (
         (lambda lg, y: cross_entropy_loss(lg, y))
-        if args.n_classes > 2
+        if n_classes > 2
         else binary_logistic_loss
     )
     ckpt = CheckpointManager(
         args.checkpoint_dir, name=args.checkpoint_name or "ensemble", fold=0,
         metadata={
             "n_members": len(members),
-            "n_classes": args.n_classes,
+            "n_classes": n_classes,
             "net_type": args.classification_net_type,
             "member_configs": member_cfgs,
             "transform_arguments": {
@@ -151,16 +174,25 @@ def main(arguments):
                 "label_key": label_key,
                 "target_spacing": args.target_spacing,
                 "target_size": list(base_size),
+                "positive_labels": (
+                    list(transforms.positive_labels)
+                    if transforms.positive_labels else None
+                ),
+                "possible_labels": (
+                    list(transforms.possible_labels)
+                    if transforms.possible_labels else None
+                ),
+                "label_groups": label_groups,
             },
         },
         monitor=args.monitor,
     )
     loop = TrainLoop(
         train_step=make_train_step(
-            make_classification_step(model, loss_fn, args.n_classes, True)
+            make_classification_step(model, loss_fn, n_classes, True)
         ),
         eval_step=make_eval_step(
-            make_classification_step(model, loss_fn, args.n_classes, False)
+            make_classification_step(model, loss_fn, n_classes, False)
         ),
         mesh=mesh,
         max_epochs=args.max_epochs,

@@ -55,6 +55,11 @@ def _rebuild_for_checkpoints(args):
         label_key=t_args.get("label_key", "label"),
         target_spacing=t_args.get("target_spacing"),
         target_size=size,
+        # training-time label semantics (binarization / value->index /
+        # group mapping) from checkpoint metadata
+        positive_labels=t_args.get("positive_labels"),
+        possible_labels=t_args.get("possible_labels"),
+        label_groups=t_args.get("label_groups"),
     )
     return model, mngr, params0, transforms, t_args, n_classes
 

@@ -51,6 +51,8 @@ ARG_KEYS = [
     "image_keys",
     ("label_keys", "label_keys", dict(nargs=None, default="label")),
     "possible_labels",
+    "positive_labels",
+    "label_groups",
     "cache_rate",
     "cache_dir",
     "n_folds",
@@ -139,13 +141,34 @@ def main(arguments):
     lr = args.learning_rate or train_cfg.get("learning_rate", 1e-3)
     base_size = tuple(args.pad_size)
 
-    model = build_mil_model(net_cfg, args.mil_method, args.n_classes)
+    from adell_mri_tpu.entrypoints.cli_utils import (
+        derive_n_classes,
+        parse_label_groups,
+    )
+
+    # n_classes follows the label flags like the reference
+    # (classification_mil/train.py:150-159)
+    n_classes = derive_n_classes(args)
+    label_groups = parse_label_groups(args.label_groups)
+    model = build_mil_model(net_cfg, args.mil_method, n_classes)
 
     transforms = ClassificationTransforms(
         image_keys=args.image_keys,
         label_key=label_key,
         target_spacing=args.target_spacing,
         target_size=base_size,
+        positive_labels=(
+            args.positive_labels
+            if (args.positive_labels and n_classes == 2
+                and args.possible_labels)
+            else None
+        ),
+        possible_labels=(
+            args.possible_labels
+            if args.possible_labels and not args.positive_labels
+            else None
+        ),
+        label_groups=label_groups,
     )
     from adell_mri_tpu.entrypoints.cli_utils import stratification_labels
 
@@ -223,7 +246,7 @@ def main(arguments):
 
     loss_fn = (
         (lambda lg, y: cross_entropy_loss(lg, y))
-        if args.n_classes > 2
+        if n_classes > 2
         else binary_logistic_loss
     )
     ckpt = CheckpointManager(
@@ -238,17 +261,26 @@ def main(arguments):
                 "target_spacing": (
                     list(args.target_spacing) if args.target_spacing else None
                 ),
+                "positive_labels": (
+                    list(transforms.positive_labels)
+                    if transforms.positive_labels else None
+                ),
+                "possible_labels": (
+                    list(transforms.possible_labels)
+                    if transforms.possible_labels else None
+                ),
+                "label_groups": label_groups,
             },
-            "n_classes": args.n_classes,
+            "n_classes": n_classes,
         },
         monitor=args.monitor,
     )
     loop = TrainLoop(
         train_step=make_train_step(
-            make_classification_step(model, loss_fn, args.n_classes, True)
+            make_classification_step(model, loss_fn, n_classes, True)
         ),
         eval_step=make_eval_step(
-            make_classification_step(model, loss_fn, args.n_classes, False)
+            make_classification_step(model, loss_fn, n_classes, False)
         ),
         mesh=mesh,
         max_epochs=args.max_epochs,

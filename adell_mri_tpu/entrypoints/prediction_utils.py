@@ -57,6 +57,24 @@ def get_ensemble_prediction(
     return ens
 
 
+def sample_cache_is_reused(
+    groups: Sequence[Sequence[str]],
+    n_checkpoints: int,
+    one_to_one: bool,
+) -> bool:
+    """
+    True when a per-pid preprocessed-sample cache would actually be hit
+    more than once per pid: several checkpoints applied to each id group,
+    or the same pid appearing in more than one group. In the common
+    one-checkpoint single-group run the cache provides zero reuse and
+    would just pin every preprocessed volume in RAM for the whole run.
+    """
+    if not one_to_one and n_checkpoints > 1:
+        return True
+    all_pids = [pid for g in groups for pid in g]
+    return len(set(all_pids)) < len(all_pids)
+
+
 def manager_for_checkpoint_path(path: str):
     """
     Builds a :class:`CheckpointManager` for an explicit ``--checkpoint``

@@ -397,7 +397,7 @@ def main(arguments):
             resize_size=args.resize_size,
             crop_size=crop_size if crop_size != base_size else None,
             adc_keys=args.adc_keys or (),
-            positive_labels=[int(x) for x in args.positive_labels],
+            positive_labels=[int(x) for x in (args.positive_labels or [1])],
             augmentations=AugmentPolicy.from_flags(args.augment),
             missing_to_empty=bool(args.missing_to_empty),
             skip_keys=skip_keys,

@@ -108,7 +108,6 @@ class ClassificationMetricsCallback:
         ordinal: bool = False,
     ):
         import jax
-        import jax.numpy as jnp
 
         self.n_classes = n_classes
         self.max_cases = max_cases
@@ -123,19 +122,12 @@ class ClassificationMetricsCallback:
                 logits = logits[0]
             if ordinal:
                 # OrdNet emits n_classes-1 CUMULATIVE threshold logits
-                # (P(y > k)); treating them as class logits made class
-                # n_classes-1 unpredictable and corrupted every metric.
-                # Convert to per-class probabilities:
-                # P(y = k) = P(y > k-1) - P(y > k), P(y > -1) = 1
-                cum = jax.nn.sigmoid(logits)
-                upper = jnp.concatenate(
-                    [jnp.ones_like(cum[:, :1]), cum], axis=1
+                # (P(y > k)); see ordinal_to_class_probs.
+                from adell_mri_tpu.models.classification.losses import (
+                    ordinal_to_class_probs,
                 )
-                lower = jnp.concatenate(
-                    [cum, jnp.zeros_like(cum[:, :1])], axis=1
-                )
-                p = jnp.maximum(upper - lower, 1e-9)
-                return p / jnp.sum(p, axis=-1, keepdims=True)
+
+                return ordinal_to_class_probs(logits)
             if n_classes > 2:
                 return jax.nn.softmax(logits, -1)
             return jax.nn.sigmoid(

@@ -74,3 +74,21 @@ def ordinal_sigmoidal_loss(
 def ordinal_prediction_to_class(logits):
     """Predicted class = number of positive thresholds."""
     return jnp.sum(jax.nn.sigmoid(logits) > 0.5, axis=-1)
+
+
+def ordinal_to_class_probs(logits):
+    """Cumulative threshold logits [..., n_classes-1] -> class probabilities.
+
+    OrdNet emits ``P(y > k)`` logits; treating them as class logits makes
+    class ``n_classes-1`` unreachable under argmax and corrupts AUC/accuracy.
+    ``P(y = k) = P(y > k-1) - P(y > k)`` with ``P(y > -1) = 1`` and
+    ``P(y > n_classes-1) = 0``; clamped at 1e-9 and renormalized because
+    unordered threshold estimates can make the difference negative.
+    Shared by the validation-epoch callback and the test/predict
+    entrypoints so train-time and serving metrics agree.
+    """
+    cum = jax.nn.sigmoid(logits)
+    upper = jnp.concatenate([jnp.ones_like(cum[..., :1]), cum], axis=-1)
+    lower = jnp.concatenate([cum, jnp.zeros_like(cum[..., :1])], axis=-1)
+    p = jnp.maximum(upper - lower, 1e-9)
+    return p / jnp.sum(p, axis=-1, keepdims=True)

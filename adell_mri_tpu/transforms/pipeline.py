@@ -470,6 +470,13 @@ class ClassificationTransforms:
     # label values in this set map to 1, everything else to 0 (ref
     # positive_labels binarization)
     positive_labels: Optional[Sequence] = None
+    # scalar label mapping (parity: LabelOperatord, labels.py:32):
+    # label_groups maps each group's members to its index; otherwise
+    # possible_labels maps values (numeric or string) to 0..n-1.
+    # Precedence mirrors the reference (classification/train.py:162-174):
+    # label_groups > positive_labels > possible_labels > raw float.
+    possible_labels: Optional[Sequence] = None
+    label_groups: Optional[Sequence[Sequence]] = None
 
     def load_fn(self):
         base = make_load_fn(
@@ -509,10 +516,32 @@ class ClassificationTransforms:
                     )
             # label_key=None: inference-time pipeline (predict entrypoints)
             if label_key is not None and label_key in entry:
-                if self.positive_labels is not None:
+                if self.label_groups is not None:
+                    from adell_mri_tpu.transforms.labels import (
+                        label_operator,
+                    )
+
+                    sample["label"] = np.float32(
+                        label_operator(
+                            entry[label_key],
+                            self.possible_labels or (),
+                            label_groups=self.label_groups,
+                        )
+                    )
+                elif self.positive_labels is not None:
                     sample["label"] = np.float32(
                         str(entry[label_key])
                         in {str(v) for v in self.positive_labels}
+                    )
+                elif self.possible_labels is not None:
+                    from adell_mri_tpu.transforms.labels import (
+                        label_operator,
+                    )
+
+                    sample["label"] = np.float32(
+                        label_operator(
+                            entry[label_key], self.possible_labels
+                        )
                     )
                 else:
                     sample["label"] = np.float32(float(entry[label_key]))

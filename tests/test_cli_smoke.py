@@ -175,6 +175,89 @@ def test_classification_gp_conformal_train_then_predict_sets(cohort):
         assert all(m in (0, 1) for m in members)
 
 
+ORD_YAML = """
+resnet_structure: [[4, 8, 3, 1]]
+norm_type: instance
+batch_size: 2
+learning_rate: 0.002
+"""
+
+
+def test_classification_ordinal_multiclass_roundtrip(cohort):
+    """OrdNet 3-class round trip: n_classes follows --possible_labels like
+    the reference (no --n_classes needed; it used to silently train a
+    binary model), and test/predict convert the cumulative threshold
+    logits to class probabilities (plain softmax corrupted AUC and made
+    the top class unreachable)."""
+    root = cohort["root"]
+    ds = json.load(open(cohort["ds"]))
+    for i, k in enumerate(sorted(ds)):
+        ds[k]["label"] = i % 3
+    ds_path = os.path.join(root, "ds_ord.json")
+    with open(ds_path, "w") as f:
+        json.dump(ds, f)
+    cfg_path = os.path.join(root, "ord.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(ORD_YAML)
+    ckpt = os.path.join(root, "ckpt_ord")
+    adell_main(
+        [
+            "classification", "train",
+            "--dataset_json", ds_path,
+            "--image_keys", "T2",
+            "--label_keys", "label",
+            "--possible_labels", "0", "1", "2",
+            "--classification_net_type", "ord",
+            "--config_file", cfg_path,
+            "--pad_size", "16", "16", "8",
+            "--target_spacing", "1.0", "1.0", "1.2",
+            "--batch_size", "2",
+            "--max_epochs", "1",
+            "--n_folds", "1",
+            "--dev", "cpu",
+            "--checkpoint_dir", ckpt,
+            "--cache_rate", "0.0",
+        ]
+    )
+    meta = json.load(
+        open(os.path.join(ckpt, "classification_fold0", "metadata.json"))
+    )
+    assert meta["n_classes"] == 3
+    assert meta["transform_arguments"]["possible_labels"] == ["0", "1", "2"]
+
+    metric_path = os.path.join(root, "m_ord.csv")
+    adell_main(
+        [
+            "classification", "test",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--metric_path", metric_path,
+            "--dev", "cpu",
+        ]
+    )
+    import csv
+
+    keys = {row["metric"] for row in csv.DictReader(open(metric_path))}
+    assert "precision_c2" in keys  # 3-class metrics, incl. the top class
+
+    out_path = os.path.join(root, "preds_ord.json")
+    adell_main(
+        [
+            "classification", "predict",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--output_path", out_path,
+            "--dev", "cpu",
+        ]
+    )
+    preds = json.load(open(out_path))
+    assert len(preds) == 4
+    for probs in preds.values():
+        assert len(probs) == 3
+        assert abs(sum(probs) - 1.0) < 1e-5
+        assert all(p >= 0 for p in probs)
+
+
 SSL2D_YAML = """
 backbone_structure: [[4, 8, 3, 1]]
 norm_type: instance

@@ -135,6 +135,90 @@ def test_get_ensemble_prediction_mean_median():
         pass
 
 
+def test_derive_n_classes_and_label_groups():
+    """Parity: classification/train.py:162-174 — n_classes follows the
+    label flags (label_groups > positive_labels > possible_labels), and
+    a contradicting explicit --n_classes raises."""
+    from types import SimpleNamespace as NS
+
+    from adell_mri_tpu.entrypoints.cli_utils import (
+        derive_n_classes,
+        parse_label_groups,
+    )
+
+    base = dict(label_groups=None, positive_labels=None,
+                possible_labels=None, n_classes=2)
+    assert derive_n_classes(NS(**base)) == 2
+    assert derive_n_classes(
+        NS(**{**base, "possible_labels": ["0", "1", "2"]})
+    ) == 3
+    assert derive_n_classes(
+        NS(**{**base, "possible_labels": ["0", "1", "2"],
+              "positive_labels": ["2"]})
+    ) == 2
+    assert derive_n_classes(
+        NS(**{**base, "label_groups": ["0,1", "2,3", "4"]})
+    ) == 3
+    try:
+        derive_n_classes(
+            NS(**{**base, "possible_labels": ["a", "b", "c"],
+                  "n_classes": 5})
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert parse_label_groups(["0,1", "2"]) == [["0", "1"], ["2"]]
+    assert parse_label_groups(None) is None
+
+
+def test_classification_transforms_label_mapping(tmp_path):
+    """ClassificationTransforms maps scalar labels like the reference's
+    LabelOperatord: label_groups -> group index, possible_labels ->
+    value index (non-numeric values included), positive_labels ->
+    binarized."""
+    import numpy as np
+
+    from adell_mri_tpu.data.nifti import write_nifti
+    from adell_mri_tpu.transforms.pipeline import ClassificationTransforms
+
+    ip = str(tmp_path / "x.nii.gz")
+    write_nifti(ip, np.zeros((8, 8, 4), np.float32), np.eye(4))
+    entry = {"image": ip, "label": "b", "identifier": "p0"}
+
+    kw = dict(image_keys=["image"], label_key="label",
+              target_size=(8, 8, 4))
+    cat = ClassificationTransforms(
+        **kw, possible_labels=["a", "b", "c"]
+    ).load_fn()(dict(entry))
+    assert float(cat["label"]) == 1.0
+    grp = ClassificationTransforms(
+        **kw, label_groups=[["a"], ["b", "c"]]
+    ).load_fn()(dict(entry))
+    assert float(grp["label"]) == 1.0
+    pos = ClassificationTransforms(
+        **kw, positive_labels=["c"]
+    ).load_fn()(dict(entry))
+    assert float(pos["label"]) == 0.0
+
+
+def test_sample_cache_is_reused():
+    """The per-pid preprocessed-sample cache only engages when a pid is
+    actually loaded twice (multi-checkpoint groups, or repeated pids);
+    the common one-checkpoint run must not pin every volume in RAM."""
+    from adell_mri_tpu.entrypoints.prediction_utils import (
+        sample_cache_is_reused,
+    )
+
+    # one checkpoint, unique pids: no reuse
+    assert not sample_cache_is_reused([["a", "b"], ["c"]], 1, False)
+    # several checkpoints applied per group: reuse
+    assert sample_cache_is_reused([["a", "b"]], 2, False)
+    # one-to-one pairing keeps one checkpoint per group: no reuse...
+    assert not sample_cache_is_reused([["a"], ["b"]], 2, True)
+    # ...unless a pid repeats across groups
+    assert sample_cache_is_reused([["a"], ["a"]], 2, True)
+
+
 def test_run_prediction_matrix_one_to_one_and_labels():
     from adell_mri_tpu.entrypoints.prediction_utils import (
         run_prediction_matrix,

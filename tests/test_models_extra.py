@@ -60,6 +60,32 @@ def test_ordnet_and_loss():
     assert int(ordinal_prediction_to_class(fake)[0]) == 2
 
 
+def test_ordinal_to_class_probs():
+    """The cumulative->class conversion shared by the validation callback
+    and the test/predict entrypoints: rows sum to 1, every class is
+    reachable (plain softmax over threshold logits made class n-1
+    unreachable), and argmax agrees with the threshold-count rule on
+    confident rows."""
+    from adell_mri_tpu.models.classification.losses import (
+        ordinal_to_class_probs,
+    )
+
+    logits = jnp.asarray(
+        [
+            [-9.0, -9.0, -9.0],  # class 0
+            [9.0, -9.0, -9.0],  # class 1
+            [9.0, 9.0, 9.0],  # class 3 (top class must be reachable)
+        ]
+    )
+    p = np.asarray(ordinal_to_class_probs(logits))
+    assert p.shape == (3, 4)
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-6)
+    np.testing.assert_array_equal(
+        p.argmax(-1), np.asarray(ordinal_prediction_to_class(logits))
+    )
+    assert p[2, 3] > 0.99
+
+
 def test_hybrid_and_tabular():
     t = TabularClassifier(n_classes=2, mean=[0.0], std=[1.0])
     assert run(t, jnp.ones((2, 1))).shape == (2, 1)
