@@ -170,7 +170,15 @@ class DataLoader:
             try:
                 n = len(self.sampler)
             except TypeError:
-                n = len(list(self.sampler))
+                # refusing beats the list(sampler) fallback: draining a
+                # one-shot sampler here empties the next epoch, and a
+                # re-iterable RNG sampler would consume an epoch draw
+                # (exactly what the comment above promises not to do)
+                raise TypeError(
+                    "len(DataLoader) needs a sampler with __len__; "
+                    f"{type(self.sampler).__name__} has none — iterate "
+                    "without len(), or give the sampler a __len__"
+                )
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)

@@ -16,8 +16,13 @@ from adell_mri_tpu.data.nifti import write_nifti
 
 
 class AsyncNiftiWriter:
-    def __init__(self, n_workers: int = 2):
-        self.queue: "queue.Queue" = queue.Queue()
+    def __init__(self, n_workers: int = 2, max_pending: Optional[int] = None):
+        # bounded queue = backpressure: a sharded-TPU producer outruns
+        # gzip writers by orders of magnitude, and an unbounded queue
+        # accumulates full-resolution volumes until the host OOMs
+        if max_pending is None:
+            max_pending = 4 * n_workers
+        self.queue: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self.errors: list = []
         self.workers = [
             threading.Thread(target=self._worker, daemon=True)
@@ -44,7 +49,13 @@ class AsyncNiftiWriter:
                 self.queue.task_done()
 
     def put(self, path: str, data: np.ndarray, affine: Optional[np.ndarray] = None):
-        self.queue.put((path, np.asarray(data), affine))
+        # force an OWNED host copy: np.asarray of a CPU-backend jax.Array
+        # (or a caller-reused buffer) can be a zero-copy view that gets
+        # overwritten before the background thread writes it
+        a = np.asarray(data)
+        if not a.flags.owndata:
+            a = np.array(a)
+        self.queue.put((path, a, affine))
 
     def close(self):
         self.queue.join()

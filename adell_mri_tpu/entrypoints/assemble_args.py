@@ -250,7 +250,7 @@ argument_factory: Dict[str, Dict[str, Any]] = {
     "deep_supervision": dict(action="store_true", help="Deep supervision"),
     "picai_eval": dict(action="store_true", help="Lesion-level PI-CAI eval"),
     "sliding_window_size": dict(default=None, nargs="+", type=int, help="Sliding window size"),
-    "sliding_window_stride": dict(default=0.5, type=float, help="Sliding window stride fraction"),
+    "sliding_window_stride": dict(default=0.5, type=float, help="Sliding window stride: <= 1 is a window fraction (1.0 = no overlap), > 1 is absolute voxels"),
     "flip_tta": dict(action="store_true", help="Flip test-time augmentation"),
     "mc_iterations": dict(default=None, type=int, help="MC dropout iterations"),
     # classification specifics

@@ -269,6 +269,8 @@ def main(arguments):
         },
         monitor=args.monitor,
     )
+    # fresh runs drop any stale best.json from a prior run
+    ckpt.begin_run(resume=False)
     loop = TrainLoop(
         train_step=make_train_step(make_lm(True)),
         eval_step=make_eval_step(make_lm(False)),

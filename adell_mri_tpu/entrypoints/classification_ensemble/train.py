@@ -187,6 +187,8 @@ def main(arguments):
         },
         monitor=args.monitor,
     )
+    # fresh runs drop any stale best.json from a prior run
+    ckpt.begin_run(resume=False)
     loop = TrainLoop(
         train_step=make_train_step(
             make_classification_step(model, loss_fn, n_classes, True)

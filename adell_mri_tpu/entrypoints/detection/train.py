@@ -248,6 +248,8 @@ def main(arguments):
         },
         monitor=args.monitor,
     )
+    # fresh runs drop any stale best.json from a prior run
+    ckpt.begin_run(resume=False)
     from adell_mri_tpu.transforms import AugmentPolicy
     from adell_mri_tpu.transforms.pipeline import DetectionTransforms
 

@@ -211,6 +211,8 @@ def main(arguments):
         },
         monitor=args.monitor,
     )
+    # fresh runs drop any stale best.json from a prior run
+    ckpt.begin_run(resume=False)
     callbacks = []
     if args.sample_panel_every:
         from adell_mri_tpu.train.logging_utils import ImagePanelCallback

@@ -397,6 +397,8 @@ def _train_regular(
         args.checkpoint_dir, name=args.checkpoint_name or "gan", fold=0,
         metadata=meta,
     )
+    # fresh runs drop any stale best.json from a prior run
+    ckpt.begin_run(resume=False)
     metrics = {}
     for epoch in range(args.max_epochs):
         sums, n = {}, 0
@@ -489,6 +491,8 @@ def _train_cycle(
             "cycle": True,
         },
     )
+    # fresh runs drop any stale best.json from a prior run
+    ckpt.begin_run(resume=False)
     metrics = {}
     for epoch in range(args.max_epochs):
         sums, n = {}, 0
@@ -569,6 +573,8 @@ def _train_progressive(
             "target_size": list(base_size),
         },
     )
+    # fresh runs drop any stale best.json from a prior run
+    ckpt.begin_run(resume=False)
     if len(loader) == 0:
         raise ValueError(
             "progressive training got an empty loader (batch_size larger "

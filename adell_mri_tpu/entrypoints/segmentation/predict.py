@@ -246,11 +246,17 @@ def main(arguments):
             "sliding-window tiles sharded over %d devices",
             sw_mesh.shape["data"],
         )
+    # the CLI flag is a float: values <= 1 are window fractions (1.0 =
+    # no overlap), values > 1 are absolute voxels (int-typed downstream,
+    # the reference's type convention, inference.py:862-866)
+    sw_stride = args.sliding_window_stride
+    if sw_stride > 1:
+        sw_stride = int(sw_stride)
     inference = SegmentationInference(
         base_inference_function=base_fn,
         checkpoint_params=param_list,
         sliding_window_size=args.sliding_window_size,
-        stride=args.sliding_window_stride,
+        stride=sw_stride,
         flip=args.flip_tta,
         mc_iterations=args.mc_iterations,
         n_classes=n_classes,

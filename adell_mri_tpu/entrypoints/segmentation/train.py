@@ -699,6 +699,8 @@ def main(arguments):
             monitor=args.monitor,
             mode="min" if "loss" in args.monitor else "max",
         )
+        # fresh runs drop any stale best.json from a prior run
+        ckpt.begin_run(resume=bool(args.resume_from_last))
         if args.resume_from_last and ckpt.status(args.max_epochs) == "finished":
             logger.info("fold %d already finished; skipping", fold_idx)
             continue

@@ -256,6 +256,8 @@ def main(arguments):
         },
         monitor=args.monitor,
     )
+    # fresh runs drop any stale best.json from a prior run
+    ckpt.begin_run(resume=bool(args.resume_from_last))
     if args.resume_from_last and ckpt.status(args.max_epochs) == "finished":
         logger.info("checkpoint already finished; nothing to do")
         return

@@ -243,6 +243,8 @@ def main(arguments):
         },
         monitor=args.monitor,
     )
+    # fresh runs drop any stale best.json from a prior run
+    ckpt.begin_run(resume=False)
     loop = TrainLoop(
         train_step=make_ssl_train_step(lm),
         augment_fn=transforms.augment,

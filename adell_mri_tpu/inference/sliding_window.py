@@ -33,7 +33,20 @@ def sliding_window_grid(
     """
     ndim = len(spatial)
     if stride is None:
+        if not 0.0 < stride_frac <= 1.0:
+            # a fraction > 1 would leave interior voxels covered by NO
+            # tile; overlap averaging then silently emits 0.0 there
+            raise ValueError(
+                f"stride fraction must be in (0, 1], got {stride_frac} — "
+                "pass absolute strides via `stride` (voxels per axis)"
+            )
         stride = [max(1, int(w * stride_frac)) for w in window]
+    for w, st in zip(window, stride):
+        if st > w:
+            raise ValueError(
+                f"stride {st} exceeds window {w}: interior voxels would "
+                "be covered by no tile"
+            )
     axes: List[List[int]] = []
     for s, w, st in zip(spatial, window, stride):
         if w >= s:
@@ -48,10 +61,12 @@ def sliding_window_grid(
     return np.asarray(list(itertools.product(*axes)), np.int32)
 
 
-def _padded_tiles(spatial, window, stride_frac, chunk):
+def _padded_tiles(spatial, window, stride_frac, chunk, stride=None):
     """Tile-start grid padded (with repeats of the last tile, weight 0) to
     a multiple of ``chunk``; returns (positions [N, ndim], valid [N])."""
-    positions = sliding_window_grid(spatial, window, stride_frac=stride_frac)
+    positions = sliding_window_grid(
+        spatial, window, stride=stride, stride_frac=stride_frac
+    )
     n_tiles = len(positions)
     pad = (-n_tiles) % chunk
     if pad:
@@ -126,6 +141,19 @@ def _probe_out_channels(fn, window, cin, dtype):
     return probe.shape[-1]
 
 
+def _pad_to_window(vol, window):
+    """Zero-pads axes SMALLER than the window up to it (MONAI semantics:
+    the model always sees its training window shape — clamping the window
+    to the volume instead fed the net shapes it was never built for,
+    crashing skip concats or shifting the input distribution). Returns
+    (padded vol, original spatial) — callers crop the result back."""
+    spatial = vol.shape[:-1]
+    pad = [max(0, w - s) for w, s in zip(window, spatial)]
+    if any(pad):
+        vol = jnp.pad(vol, [(0, p) for p in pad] + [(0, 0)])
+    return vol, spatial
+
+
 def sliding_window_inference(
     fn: Callable[[jax.Array], jax.Array],
     vol: jax.Array,
@@ -133,15 +161,19 @@ def sliding_window_inference(
     stride_frac: float = 0.5,
     batch_size: int = 4,
     out_channels: Optional[int] = None,
+    stride: Optional[Sequence[int]] = None,
 ) -> jax.Array:
     """
     Runs ``fn`` ([b, *window, C] -> [b, *window, C_out]) over all tiles of
     ``vol`` [*S, C] and averages overlaps. Jit-safe for a fixed vol shape.
     """
+    window = tuple(window)
+    vol, orig_spatial = _pad_to_window(vol, window)
     spatial = vol.shape[:-1]
     ndim = len(spatial)
-    window = tuple(min(w, s) for w, s in zip(window, spatial))
-    positions, valid = _padded_tiles(spatial, window, stride_frac, batch_size)
+    positions, valid = _padded_tiles(
+        spatial, window, stride_frac, batch_size, stride=stride
+    )
     positions_dev = jnp.asarray(positions).reshape(-1, batch_size, ndim)
     valid_dev = jnp.asarray(valid).reshape(-1, batch_size)
 
@@ -152,7 +184,10 @@ def sliding_window_inference(
         fn, vol, positions_dev, valid_dev, window, out_channels
     )
     cnt = jnp.asarray(overlap_counts(spatial, window, positions, valid))
-    return acc / jnp.maximum(cnt, 1.0)
+    out = acc / jnp.maximum(cnt, 1.0)
+    if spatial != orig_spatial:
+        out = out[tuple(slice(0, s) for s in orig_spatial)]
+    return out
 
 
 def sliding_window_inference_sharded(
@@ -164,6 +199,7 @@ def sliding_window_inference_sharded(
     batch_size: int = 4,
     out_channels: Optional[int] = None,
     axis: Optional[str] = None,
+    stride: Optional[Sequence[int]] = None,
 ) -> jax.Array:
     """
     Mesh-parallel sliding window (SURVEY.md §7: "tiles batched and SHARDED
@@ -178,11 +214,12 @@ def sliding_window_inference_sharded(
 
     axis = axis or DATA_AXIS
     n_dev = mesh.shape[axis]
+    window = tuple(window)
+    vol, orig_spatial = _pad_to_window(vol, window)
     spatial = vol.shape[:-1]
     ndim = len(spatial)
-    window = tuple(min(w, s) for w, s in zip(window, spatial))
     positions, valid = _padded_tiles(
-        spatial, window, stride_frac, n_dev * batch_size
+        spatial, window, stride_frac, n_dev * batch_size, stride=stride
     )
     # [n_dev, steps, batch, ...]: leading axis shards over the mesh
     positions_dev = jnp.asarray(positions).reshape(
@@ -218,7 +255,10 @@ def sliding_window_inference_sharded(
     )(vol, positions_dev, valid_dev)
     # counts are grid-static and global — no psum needed
     cnt = jnp.asarray(overlap_counts(spatial, window, positions, valid))
-    return acc / jnp.maximum(cnt, 1.0)
+    out = acc / jnp.maximum(cnt, 1.0)
+    if spatial != orig_spatial:
+        out = out[tuple(slice(0, s) for s in orig_spatial)]
+    return out
 
 
 class SlidingWindowSegmentation:
@@ -242,6 +282,24 @@ class SlidingWindowSegmentation:
         self.window = tuple(sliding_window_size)
         self.fn = inference_function
         self.out_channels = n_classes if n_classes > 2 else 1
+        # reference disambiguation by TYPE (inference.py:862-866): a
+        # float is a fraction of the window (so 1.0 = no overlap), an
+        # int or a sequence is ABSOLUTE voxels — an absolute value like
+        # 32 used to silently become int(w*32), leaving interior voxels
+        # covered by no tile and scored 0.0
+        if isinstance(stride, float):
+            self.stride_frac = stride
+            self.stride_abs = None
+        elif isinstance(stride, int):
+            self.stride_abs = tuple(
+                min(stride, w) for w in self.window
+            )
+            self.stride_frac = None
+        else:  # sequence of ints, one per axis
+            self.stride_abs = tuple(
+                min(int(s), w) for s, w in zip(stride, self.window)
+            )
+            self.stride_frac = None
         self.stride = stride
         self.batch_size = batch_size
         self.mesh = mesh
@@ -265,10 +323,13 @@ class SlidingWindowSegmentation:
             base = self._base()
             kwargs = dict(
                 window=self.window,
-                stride_frac=self.stride,
                 batch_size=self.batch_size,
                 out_channels=self.out_channels,
             )
+            if self.stride_abs is not None:
+                kwargs["stride"] = self.stride_abs
+            else:
+                kwargs["stride_frac"] = self.stride_frac
             if self.with_params:
                 self._cache[shape] = jax.jit(
                     lambda params, vol: base(

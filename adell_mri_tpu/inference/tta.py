@@ -105,12 +105,6 @@ class SegmentationInference:
             return sum(preds) / len(preds)
         return self.base_fn(params, x)
 
-    def _single_model_fn(self, params, rng) -> Callable:
-        def fn(x):
-            return self._bundle_fn((params, rng), x)
-
-        return fn
-
     def __call__(self, vol: jax.Array) -> jax.Array:
         from adell_mri_tpu.inference.sliding_window import (
             SlidingWindowSegmentation,
@@ -133,22 +127,41 @@ class SegmentationInference:
                 )
             sw = self._sw
 
+        if sw is None and getattr(self, "_jit_whole", None) is None:
+            # whole-volume path: jit ONE function covering model + MC
+            # repeats + flip TTA, with (params, rng) traced so every
+            # checkpoint shares the compiled program — unjitted, the
+            # ensemble x flips x MC loops dispatched hundreds of eager
+            # ops per volume
+            ndim = vol.ndim - 1
+
+            def whole(bundle, x):
+                f = lambda v: self._bundle_fn(bundle, v)  # noqa: E731
+                if self.flip:
+                    f = FlippedInference(
+                        f, flips=[(d,) for d in range(ndim)]
+                    )
+                return f(x)
+
+            self._jit_whole = jax.jit(whole)
+
         outputs = []
         for ci, params in enumerate(self.checkpoint_params):
             rng = jax.random.fold_in(self.rng, ci)
             if sw is not None:
                 bundle = (params, rng)
                 fn = lambda x, _b=bundle: sw(x, _b)  # noqa: E731
+                if self.flip:
+                    # flips stay outside the window jit: each flipped
+                    # pass reuses the one compiled window program
+                    fn = FlippedInference(
+                        fn,
+                        flips=[
+                            (d,)
+                            for d in range(len(self.sliding_window_size))
+                        ],
+                    )
+                outputs.append(fn(vol))
             else:
-                fn = self._single_model_fn(params, rng)
-            if self.flip:
-                ndim = (
-                    len(self.sliding_window_size)
-                    if self.sliding_window_size
-                    else vol.ndim - 1
-                )
-                fn = FlippedInference(
-                    fn, flips=[(d,) for d in range(ndim)]
-                )
-            outputs.append(fn(vol))
+                outputs.append(self._jit_whole((params, rng), vol))
         return self.reduction(outputs)

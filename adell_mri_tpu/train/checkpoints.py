@@ -62,6 +62,23 @@ class CheckpointManager:
         if metadata is not None:
             self.save_metadata(metadata)
 
+    def begin_run(self, resume: bool = False):
+        """Call at the start of a TRAINING run. A fresh (non-resume) run
+        must not inherit ``best.json`` from whatever previously trained
+        into this directory: the old best would win every monitored
+        comparison, retention would protect its step forever, and
+        test/predict (``best_step()``) would silently serve the OLD
+        run's weights. ``save()`` fixes the analogous orbax same-step
+        resurrection; this is the best.json half."""
+        if resume:
+            return
+        path = os.path.join(self.dir, "best.json")
+        if os.path.exists(path):
+            logger.info(
+                "fresh run: clearing stale best.json in %s", self.dir
+            )
+            os.remove(path)
+
     # -- metadata ----------------------------------------------------------
     def save_metadata(self, metadata: Dict[str, Any]):
         # record the monitored metric so cross-fold best selection
@@ -110,10 +127,17 @@ class CheckpointManager:
         if metrics and self.monitor in metrics:
             value = float(metrics[self.monitor])
             best = self._best()
-            better = (
-                best is None
-                or (self.mode == "min" and value < best["value"])
-                or (self.mode == "max" and value > best["value"])
+            # NaN is never better AND never defends the title: a NaN
+            # monitored metric recorded as best would win every later
+            # comparison (x < nan and x > nan are both False), pinning
+            # garbage weights for the whole run
+            best_value = None if best is None else float(best["value"])
+            if best_value is not None and np.isnan(best_value):
+                best_value = None
+            better = not np.isnan(value) and (
+                best_value is None
+                or (self.mode == "min" and value < best_value)
+                or (self.mode == "max" and value > best_value)
             )
             if better:
                 with open(os.path.join(self.dir, "best.json"), "w") as f:

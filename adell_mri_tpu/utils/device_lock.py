@@ -46,34 +46,66 @@ class DeviceLock:
         return os.path.join(self.lock_dir, f"device_{idx}.lock")
 
     def _try_lock(self, idx: int) -> bool:
-        fd = os.open(self._path(idx), os.O_CREAT | os.O_RDWR, 0o644)
+        # on the shared machine this mutex exists for, the lock file may
+        # belong to ANOTHER user (0o644): O_RDWR raises EACCES there, but
+        # flock(LOCK_EX) works on a read-only fd, so fall back instead of
+        # crashing the whole acquire (the pid note is then skipped)
+        writable = True
+        try:
+            fd = os.open(self._path(idx), os.O_CREAT | os.O_RDWR, 0o644)
+        except PermissionError:
+            try:
+                fd = os.open(self._path(idx), os.O_RDONLY)
+                writable = False
+            except OSError:
+                logger.warning(
+                    "device %d lock file unreadable; treating as busy", idx
+                )
+                return False
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
             os.close(fd)
             return False
-        os.ftruncate(fd, 0)
-        os.write(fd, str(os.getpid()).encode())
+        if writable:
+            os.ftruncate(fd, 0)
+            os.write(fd, str(os.getpid()).encode())
         self._fds[idx] = fd
         self.held.append(idx)
         logger.info("locked device %d", idx)
         return True
 
+    def _release_one(self, idx: int):
+        fd = self._fds.pop(idx, None)
+        if fd is not None:
+            try:
+                os.close(fd)
+            except OSError:
+                pass
+        if idx in self.held:
+            self.held.remove(idx)
+
     def acquire(self, n: int = 1, timeout: float = 0.0, poll: float = 5.0):
-        """Locks ``n`` devices; returns their indices. With timeout=0 a
-        single pass is made and failure raises immediately."""
+        """Locks devices until ``n`` are held in total; returns their
+        indices. With timeout=0 a single pass is made and failure raises
+        immediately. A timeout rolls back only the locks taken within
+        THIS call — devices from an earlier successful acquire() stay
+        held (the job may be computing on them)."""
         deadline = time.monotonic() + timeout
+        newly: List[int] = []
         while True:
             for idx in range(self.n_devices):
                 if len(self.held) >= n:
                     return list(self.held)
                 if idx in self._fds:
                     continue
-                self._try_lock(idx)
+                if self._try_lock(idx):
+                    newly.append(idx)
             if len(self.held) >= n:
                 return list(self.held)
             if time.monotonic() >= deadline:
-                self.release()
+                for idx in newly:
+                    self._release_one(idx)
                 raise TimeoutError(
                     f"could not lock {n} of {self.n_devices} devices"
                 )

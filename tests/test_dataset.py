@@ -245,6 +245,39 @@ def test_cache_fingerprint_separates_configs(tmp_path):
     assert out["x"].shape == (4,)
 
 
+def test_async_writer_owns_its_buffers(tmp_path):
+    """put() must snapshot to an OWNED copy: a caller-reused buffer (or a
+    zero-copy jax.Array view) mutated before the background write would
+    corrupt the file on disk."""
+    from adell_mri_tpu.data.nifti import read_nifti
+    from adell_mri_tpu.data.writer import AsyncNiftiWriter
+
+    base = np.full((4, 4, 2), 7.0, np.float32)
+    view = base[:]  # non-owning view of the caller's buffer
+    w = AsyncNiftiWriter(n_workers=1)
+    w.put(str(tmp_path / "v.nii.gz"), view)
+    base[:] = -1.0  # caller reuses the buffer immediately
+    w.close()
+    img = read_nifti(str(tmp_path / "v.nii.gz"))
+    np.testing.assert_allclose(img.data, 7.0)
+
+
+def test_loader_len_refuses_lenless_sampler():
+    """len(DataLoader) with a sampler lacking __len__ raises instead of
+    draining it (a one-shot generator sampler would silently yield a
+    zero-batch epoch after the drain)."""
+    from adell_mri_tpu.data.loader import DataLoader
+
+    data = [{"i": np.asarray(i)} for i in range(4)]
+    gen = iter(range(4))
+    loader = DataLoader(data, sampler=gen, batch_size=2, prefetch=0)
+    with pytest.raises(TypeError, match="__len__"):
+        len(loader)
+    # the sampler was NOT drained: iteration still sees all 4 indices
+    seen = [int(x) for b in loader for x in np.atleast_1d(b["i"])]
+    assert seen == [0, 1, 2, 3]
+
+
 def test_loader_len_does_not_consume_sampler_rng():
     """Regression: __len__ used to materialize the sampler, advancing its
     RNG — epoch-1 indices depended on how many len() calls preceded it."""

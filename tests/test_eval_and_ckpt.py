@@ -391,6 +391,53 @@ def test_best_step_falls_back_when_best_json_uncommitted(tmp_path):
     assert restored is not None
 
 
+def test_best_json_nan_and_fresh_run_reset(tmp_path):
+    """(a) A NaN monitored metric is never recorded as best (NaN would
+    win every later comparison, pinning garbage weights); (b) begin_run
+    on a fresh (non-resume) run drops a stale best.json left by a prior
+    run into the same directory, which would otherwise win every
+    comparison and keep serving the OLD run's weights."""
+    import json
+
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.train import TrainState, get_optimizer
+    from adell_mri_tpu.train.checkpoints import CheckpointManager
+
+    params = {"w": jnp.ones((3,))}
+    state = TrainState.create(
+        lambda *a: None, params, get_optimizer("sgd", learning_rate=0.1)
+    )
+    mngr = CheckpointManager(str(tmp_path), name="m", fold=0)
+    mngr.save(1, state, metrics={"val_loss": float("nan")})
+    mngr.wait()
+    assert mngr.best_step() is None or not os.path.exists(
+        os.path.join(mngr.dir, "best.json")
+    )
+    mngr.save(2, state, metrics={"val_loss": 0.5})
+    mngr.wait()
+    assert mngr.best_step() == 2
+    # a NaN arriving AFTER a finite best must not displace it
+    mngr.save(3, state, metrics={"val_loss": float("nan")})
+    mngr.wait()
+    assert mngr.best_step() == 2
+
+    # run B reuses the directory fresh: stale best must be dropped
+    # (best_step() then falls back to the latest committed step until
+    # run B records its own best — the point is run A's metric no longer
+    # wins comparisons)
+    mngr2 = CheckpointManager(str(tmp_path), name="m", fold=0)
+    mngr2.begin_run(resume=False)
+    assert not os.path.exists(os.path.join(mngr2.dir, "best.json"))
+    mngr2.save(4, state, metrics={"val_loss": 0.9})  # worse than run A's
+    mngr2.wait()
+    assert mngr2.best_step() == 4  # run A's 0.5 no longer defends
+    # ...but a RESUMED run keeps the interrupted run's best record
+    mngr2.begin_run(resume=True)
+    assert os.path.exists(os.path.join(mngr2.dir, "best.json"))
+    assert mngr2.best_step() == 4
+
+
 def test_checkpoint_save_snapshots_own_memory():
     """save()'s host snapshot must OWN its buffers: on the CPU backend
     np.asarray of a jax.Array is a zero-copy memoryview of the device

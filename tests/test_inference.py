@@ -45,6 +45,69 @@ def test_identity_reconstruction_2d_various_strides():
         np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-5)
 
 
+def test_small_volume_pads_to_window():
+    """An axis smaller than the window pads the VOLUME up to the window
+    (MONAI semantics) instead of clamping the window — a clamped window
+    fed the model input shapes it was never built for."""
+    vol = jax.random.normal(KEY, (3, 12, 6, 1))  # first axis < window
+
+    def fn(x):
+        assert x.shape[1:] == (4, 4, 4, 1)  # the net ALWAYS sees 4x4x4
+        return x
+
+    out = sliding_window_inference(
+        fn, vol, window=(4, 4, 4), stride_frac=0.5, batch_size=2
+    )
+    assert out.shape == vol.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-5)
+
+
+def test_stride_validation_and_absolute_mode():
+    """stride_frac outside (0, 1] raises (it used to leave interior
+    voxels covered by no tile and scored 0.0); the object's stride >= 1
+    means ABSOLUTE voxels, the documented reference surface."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        sliding_window_grid((16, 16), (4, 4), stride_frac=2.0)
+    with pytest.raises(ValueError):
+        sliding_window_grid((16, 16), (4, 4), stride=(8, 8))
+    vol = jax.random.normal(KEY, (10, 10, 1))
+    sw = SlidingWindowSegmentation(
+        (4, 4), lambda b, x: x[..., :1], stride=2, batch_size=2,
+        with_params=True,
+    )
+    out = sw(vol, {})
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(vol[..., :1]), atol=1e-5
+    )
+
+
+def test_whole_volume_tta_is_jitted():
+    """The non-sliding-window ensemble x flip path runs through ONE jitted
+    program with traced params (it used to run op-by-op eagerly)."""
+    calls = []
+
+    def base(params, x, rng=None):
+        calls.append(1)
+        return x * params["scale"]
+
+    inf = SegmentationInference(
+        base,
+        [{"scale": jnp.asarray(1.0)}, {"scale": jnp.asarray(1.0)}],
+        flip=True,
+        n_classes=2,
+    )
+    vol = jax.random.normal(KEY, (6, 6, 6, 1))
+    out = inf(vol)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(vol), atol=1e-5)
+    n_traces = len(calls)
+    # second checkpoint + a second call reuse the compiled program: the
+    # python base fn must not trace again
+    inf(vol)
+    assert len(calls) == n_traces
+
+
 def test_sliding_window_object_and_batched():
     sw = SlidingWindowSegmentation(
         (4, 4, 4), lambda x: x[..., :1] * 0 + 1.0, n_classes=2, batch_size=2

@@ -86,6 +86,33 @@ def test_device_lock(tmp_path):
     lock3.release()
 
 
+def test_device_lock_timeout_keeps_earlier_locks(tmp_path):
+    """A timed-out grow acquire() rolls back only the locks taken within
+    THAT call — devices from an earlier successful acquire() stay held
+    (the job may be computing on them; releasing them let a concurrent
+    job onto the same chip)."""
+    lock = DeviceLock(n_devices=2, lock_dir=str(tmp_path))
+    assert lock.acquire(1) == [0]
+    other = DeviceLock(n_devices=2, lock_dir=str(tmp_path))
+    assert other.acquire(1) == [1]
+    try:
+        lock.acquire(2)  # can't grow: device 1 is held by `other`
+        raise AssertionError("expected TimeoutError")
+    except TimeoutError:
+        pass
+    # device 0 must STILL be held by `lock`
+    assert lock.held == [0]
+    third = DeviceLock(n_devices=2, lock_dir=str(tmp_path))
+    try:
+        third.acquire(1, timeout=0.0)
+        # only device 1 could have been free — and it is not
+        raise AssertionError("expected TimeoutError")
+    except TimeoutError:
+        pass
+    other.release()
+    lock.release()
+
+
 def test_reference_mode_spellings_dispatch():
     # the reference's mode names (entrypoints/classification/
     # model_to_torchscript.py, ssl/model_to_torchscript.py, ssl/train_3d.py,
