@@ -116,6 +116,10 @@ def main(arguments):
         positive_labels=t_args.get("positive_labels"),
         possible_labels=t_args.get("possible_labels"),
         label_groups=t_args.get("label_groups"),
+        adc_keys=t_args.get("adc_keys") or (),
+        mask_key=t_args.get("mask_key"),
+        image_masking=bool(t_args.get("image_masking")),
+        image_crop_from_mask=bool(t_args.get("image_crop_from_mask")),
     )
     load_fn = transforms.load_fn()
 

@@ -429,6 +429,13 @@ def main(arguments):
                         else None
                     ),
                     "label_groups": label_groups,
+                    # intensity/masking semantics for serve-time rebuilds
+                    # (an unrescaled ADC / unmasked image at test time
+                    # silently shifted the input distribution)
+                    "adc_keys": list(args.adc_keys or ()),
+                    "mask_key": (args.mask_keys or [None])[0],
+                    "image_masking": bool(args.image_masking),
+                    "image_crop_from_mask": bool(args.image_crop_from_mask),
                 },
                 "train_pids": train_pids,
                 "val_pids": val_pids,

@@ -301,6 +301,7 @@ def main(arguments):
 
     data = Dataset(args.dataset_json)
     pids = args.prediction_ids or list(data.keys())
+    adc_key_set = set(t_args.get("adc_keys") or ())
     os.makedirs(args.output_path, exist_ok=True)
     writer = AsyncNiftiWriter()
     for pid in pids:
@@ -332,8 +333,16 @@ def main(arguments):
                     vol = center_crop_pad(vol, target_size)
             else:
                 vol = resample_to_spec(img, target_spacing, target_size)
-            lo, hi = vol.min(), vol.max()
-            channels.append((vol - lo) / max(hi - lo, 1e-6))
+            if key in adc_key_set:
+                # ADC conditional rescale, NOT min-max (the training
+                # load path, transforms/host.py:300-306 — min-max here
+                # silently fed the model a differently-scaled ADC)
+                if vol.max() > 1e3:
+                    vol = vol * (-2.0 / 3.0)
+                channels.append(vol)
+            else:
+                lo, hi = vol.min(), vol.max()
+                channels.append((vol - lo) / max(hi - lo, 1e-6))
         x = np.stack(channels, axis=-1).astype(np.float32)
         if skip_keys or feature_keys:
             cond_kwargs = {}

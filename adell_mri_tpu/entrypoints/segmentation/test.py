@@ -96,6 +96,10 @@ def main(arguments):
         resize_size=t_args.get("resize_size"),
         skip_keys=skip_keys,
         feature_keys=feature_keys,
+        # training-time intensity/label semantics (ADC rescale, mask
+        # binarization) from checkpoint metadata
+        adc_keys=t_args.get("adc_keys") or (),
+        positive_labels=t_args.get("positive_labels") or (1,),
     )
     load_fn = transforms.load_fn()
 

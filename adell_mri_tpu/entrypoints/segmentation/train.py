@@ -690,6 +690,15 @@ def main(arguments):
                         list(args.resize_size) if args.resize_size else None
                     ),
                     "crop_size": list(crop_size) if crop_size else None,
+                    # serve-time rebuilds need the SAME intensity and
+                    # label semantics: ADC keys rescale by the ADC
+                    # factor at load, positive_labels binarize the mask
+                    # (an unrescaled ADC input / default-binarized label
+                    # silently shifted test metrics)
+                    "adc_keys": list(args.adc_keys or ()),
+                    "positive_labels": [
+                        int(x) for x in (args.positive_labels or [1])
+                    ],
                 },
                 "train_pids": train_pids,
                 "val_pids": val_pids,

@@ -96,6 +96,83 @@ def test_segmentation_train_then_predict(cohort):
     assert len(out) == 4
 
 
+def test_segmentation_adc_positive_labels_roundtrip(cohort):
+    """--adc_keys and --positive_labels are recorded in checkpoint
+    metadata and rebuilt at test/predict — serving used to min-max scale
+    ADC inputs (training rescales by the ADC factor instead) and to
+    binarize test masks against the default {1} rather than the training
+    positive set."""
+    root = cohort["root"]
+    rng = np.random.default_rng(3)
+    ds = json.load(open(cohort["ds"]))
+    aff = np.array(
+        [[-1.0, 0, 0, 10], [0, -1.0, 0, 20], [0, 0, 1.2, -5], [0, 0, 0, 1]]
+    )
+    for i, k in enumerate(sorted(ds)):
+        # ADC-scaled magnitudes (max >> 1e3 triggers the rescale) and a
+        # {0, 2} mask labelled by --positive_labels 2
+        adc = (rng.uniform(size=(16, 16, 8)) * 3000).astype(np.float32)
+        mask2 = (rng.uniform(size=(16, 16, 8)) > 0.9).astype(
+            np.float32
+        ) * 2.0
+        ap = os.path.join(root, f"adc_{i}.nii.gz")
+        mp = os.path.join(root, f"mask2_{i}.nii.gz")
+        write_nifti(ap, adc, aff)
+        write_nifti(mp, mask2, aff)
+        ds[k] = {"ADC": ap, "mask": mp}
+    ds_path = os.path.join(root, "ds_adc.json")
+    with open(ds_path, "w") as f:
+        json.dump(ds, f)
+    ckpt = os.path.join(root, "ckpt_adc")
+    adell_main(
+        [
+            "segmentation", "train",
+            "--dataset_json", ds_path,
+            "--image_keys", "ADC",
+            "--adc_keys", "ADC",
+            "--mask_keys", "mask",
+            "--positive_labels", "2",
+            "--config_file", cohort["cfg"],
+            "--pad_size", "16", "16", "8",
+            "--crop_size", "16", "16", "8",
+            "--target_spacing", "1.0", "1.0", "1.2",
+            "--batch_size", "2",
+            "--max_epochs", "1",
+            "--n_folds", "1",
+            "--dev", "cpu",
+            "--checkpoint_dir", ckpt,
+            "--cache_rate", "0.0",
+        ]
+    )
+    meta = json.load(
+        open(os.path.join(ckpt, "segmentation_fold0", "metadata.json"))
+    )
+    assert meta["transform_arguments"]["adc_keys"] == ["ADC"]
+    assert meta["transform_arguments"]["positive_labels"] == [2]
+
+    mpath = os.path.join(root, "m_adc.csv")
+    adell_main(
+        [
+            "segmentation", "test",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--metric_path", mpath,
+            "--dev", "cpu",
+        ]
+    )
+    preds = os.path.join(root, "preds_adc")
+    adell_main(
+        [
+            "segmentation", "predict",
+            "--dataset_json", ds_path,
+            "--checkpoint_dir", ckpt,
+            "--output_path", preds,
+            "--dev", "cpu",
+        ]
+    )
+    assert len([f for f in os.listdir(preds) if f.endswith(".nii.gz")]) == 4
+
+
 def test_utils_tools_run(cohort, capsys):
     adell_main(
         [
