@@ -91,7 +91,14 @@ def _cpu_torch_fwd_seconds_per_volume() -> float:
             self.act = torch.nn.SiLU()
 
         def forward(self, x):
-            return self.act(self.norm(self.conv2(self.act(self.conv1(x)))))
+            x = self.conv2(self.act(self.conv1(x)))
+            # torch InstanceNorm3d raises on a single spatial element —
+            # reachable only at tiny ADELL_BENCH_SHAPE smoke shapes whose
+            # deep levels collapse to 1x1x1 (official 128x128x32 bottoms
+            # out at 4x4x1 = 16 elements and is unaffected)
+            if x[0, 0].numel() > 1:
+                x = self.norm(x)
+            return self.act(x)
 
     class MiniUNet(torch.nn.Module):
         def __init__(self):
@@ -122,7 +129,19 @@ def _cpu_torch_fwd_seconds_per_volume() -> float:
             for blk, skip in zip(self.ups, skips[::-1][1:] + [None]):
                 x = blk(x)
                 if skip is not None:
-                    x = x + skip
+                    # crop the upsample overshoot at smoke shapes whose
+                    # collapsed (size-1) levels double back past the
+                    # encoder size; exact no-op at the official shape
+                    x = (
+                        x[
+                            :,
+                            :,
+                            : skip.shape[2],
+                            : skip.shape[3],
+                            : skip.shape[4],
+                        ]
+                        + skip
+                    )
             return torch.sigmoid(self.head(x))
 
     net = MiniUNet().eval()
@@ -174,8 +193,9 @@ def _device_health_check(timeout_s: float = None) -> bool:
     if timeout_s is None:
         # 2026-08-17: the compile service has been seen taking 77-525 s
         # even for tiny programs while still producing correct results —
-        # a 120 s probe would abort a bench that could finish (slowly)
-        timeout_s = float(os.environ.get("ADELL_BENCH_PROBE_TIMEOUT", 420))
+        # a 120 s probe would abort a bench that could finish (slowly);
+        # 2026-08-20 measured 457 s for a trivial chain, so 600 default
+        timeout_s = float(os.environ.get("ADELL_BENCH_PROBE_TIMEOUT", 600))
     ok = [False]
 
     def probe():
@@ -309,7 +329,15 @@ def main():
                 or n_big >= 65536
                 or time.monotonic() > _DEADLINE
             ):
-                rate = per_item * (n_big - n_small) / max(dt, 1e-6)
+                # Unresolved: the slope never cleared the jitter floor.
+                # When the tunnel's completion signaling is decoupled the
+                # slope can even be NEGATIVE (2026-08-20: t400 < t25 for
+                # the identical chain), and the slope formula would emit
+                # an absurd 1e7-vol/s artifact. Report the whole-wall
+                # lower bound instead — total items over total wall time
+                # INCLUDING dispatch/compile overhead — which is always
+                # a defensible underestimate of the chip.
+                rate = per_item * n_big / max(t_big, 1e-6)
                 return rate, False
             n_big *= 4
 
