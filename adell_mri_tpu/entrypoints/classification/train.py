@@ -321,9 +321,16 @@ def main(arguments):
         shape = tuple(crop_size or base_size)
         x0 = np.zeros((1,) + shape + (len(args.image_keys),), np.float32)
         init_args = (x0, np.zeros((1, len(feat_keys)), np.float32)) if feat_keys else (x0,)
-        params = model.init(
+        init_vars = model.init(
             {"params": jax.random.PRNGKey(args.seed)}, *init_args
-        )["params"]
+        )
+        params = init_vars["params"]
+        # mutable collections (batch_stats for norm "batch", the reference
+        # CatNet default): updated per step, checkpointed, restored by
+        # test/predict (torch BatchNorm inference parity)
+        model_vars = {
+            k: v for k, v in init_vars.items() if k == "batch_stats"
+        } or None
         if args.correct_classification_bias and n_classes <= 2:
             from adell_mri_tpu.train.checkpoints import (
                 correct_classification_bias,
@@ -390,10 +397,13 @@ def main(arguments):
             tx = accumulate_gradients(tx, args.accumulate_grad_batches)
         with mesh:
             params = shard_params(params, mesh)
+            if model_vars is not None:
+                model_vars = shard_params(model_vars, mesh)
             state = TrainState.create(
                 model.apply,
                 params,
                 tx,
+                variables=model_vars,
                 with_ema=args.swa,
                 ema_mode="swa" if args.swa else "ema",
                 swa_start_step=int(0.75 * args.max_epochs * steps_per_epoch),

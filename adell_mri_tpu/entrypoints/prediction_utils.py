@@ -113,9 +113,15 @@ def resolve_checkpoint_variables(
         grafted = mngr.restore(step, target={"params": params0})
         raw = mngr.restore(step)
         var = {"params": grafted["params"]}
-        # imported reference checkpoints carry BatchNorm running stats
-        if isinstance(raw, dict) and raw.get("batch_stats"):
-            var["batch_stats"] = raw["batch_stats"]
+        # BatchNorm running stats: top-level in imported reference
+        # checkpoints, under "variables" in our training checkpoints
+        # (TrainState.variables)
+        if isinstance(raw, dict):
+            bs = raw.get("batch_stats") or (
+                raw.get("variables") or {}
+            ).get("batch_stats")
+            if bs:
+                var["batch_stats"] = bs
         return var
 
     restore = restore_variables or _default_restore

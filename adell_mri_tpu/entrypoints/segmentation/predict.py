@@ -179,8 +179,15 @@ def main(arguments):
         grafted = m.restore(step, target={"params": params0})
         raw = m.restore(step)
         var = {"params": grafted["params"]}
-        if isinstance(raw, dict) and raw.get("batch_stats"):
-            var["batch_stats"] = raw["batch_stats"]
+        if isinstance(raw, dict):
+            # running stats live top-level in imported reference
+            # checkpoints and under "variables" in our own training
+            # checkpoints (TrainState.variables)
+            bs = raw.get("batch_stats") or (
+                raw.get("variables") or {}
+            ).get("batch_stats")
+            if bs:
+                var["batch_stats"] = bs
         return var
 
     if steps:

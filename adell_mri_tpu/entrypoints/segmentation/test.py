@@ -86,7 +86,13 @@ def main(arguments):
     # (interop mapping) — restore them so norm_type='batch' models eval
     # with the reference's running-average semantics
     raw = mngr.restore(mngr.best_step())
-    batch_stats = raw.get("batch_stats") if isinstance(raw, dict) else None
+    batch_stats = None
+    if isinstance(raw, dict):
+        # top-level in imported reference checkpoints; under "variables"
+        # in our own training checkpoints (TrainState.variables)
+        batch_stats = raw.get("batch_stats") or (
+            raw.get("variables") or {}
+        ).get("batch_stats")
 
     transforms = SegmentationTransforms(
         image_keys=image_keys,

@@ -509,9 +509,17 @@ def main(arguments):
             init_kwargs["x_feature_conditioning"] = np.zeros(
                 (1, len(feature_keys)), np.float32
             )
-        params = model.init(
+        init_vars = model.init(
             {"params": jax.random.PRNGKey(args.seed)}, x0, **init_kwargs
-        )["params"]
+        )
+        params = init_vars["params"]
+        # mutable collections (batch_stats for norm_type="batch"): carried
+        # in the train state, updated every step, checkpointed, and
+        # restored by test/predict (torch BatchNorm inference parity,
+        # adn_fn.py:205)
+        model_vars = {
+            k: v for k, v in init_vars.items() if k == "batch_stats"
+        } or None
         # warm start: load matching leaves from stored checkpoints (incl.
         # SSL-encoder grafting via path-rename regexes; parity:
         # load_checkpoint_to_model torch_utils.py:16 + train.py:659-719)
@@ -659,10 +667,13 @@ def main(arguments):
             tx = accumulate_gradients(tx, args.accumulate_grad_batches)
         with mesh:
             params = shard_params(params, mesh)
+            if model_vars is not None:
+                model_vars = shard_params(model_vars, mesh)
             state = TrainState.create(
                 model.apply,
                 params,
                 tx,
+                variables=model_vars,
                 with_ema=args.swa or args.semi_supervised,
                 ema_mode="swa" if args.swa else "ema",
                 # SWA averages over the last quarter of training; uses the

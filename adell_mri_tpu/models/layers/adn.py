@@ -59,25 +59,21 @@ class InstanceNorm(nn.Module):
 
 class GlobalBatchNorm(nn.Module):
     """
-    Batch normalization with TPU-native semantics: normalizes by
+    Batch normalization with TPU-native semantics: training normalizes by
     CURRENT-batch statistics, which under a pjit-sharded batch axis are
     GLOBAL batch statistics (XLA inserts the cross-replica reduction the
     reference needs Lightning sync_batchnorm for,
-    entrypoints/ssl/train_3d.py:337). Running averages are maintained only
-    when a ``batch_stats`` collection is actually threaded through apply
-    (the SSL student/teacher path) — a stateless apply (classification /
-    segmentation steps, which carry only params) neither reads nor writes
-    the collection, so eval works without restored running stats instead
-    of crashing on the missing collection.
-
-    CAVEAT (inference semantics): because those stateless steps persist no
-    running averages, checkpoints trained with ``norm_type='batch'`` under
-    them normalize each EVAL batch by its own statistics — predictions
-    depend on eval-batch composition and diverge from the reference's
-    BatchNorm inference mode. For deployed models prefer
-    ``norm_type='instance'`` or ``'group'`` (deterministic per-sample);
-    'batch' is primarily for SSL pretraining where the sync-BN-for-free
-    semantics are the point.
+    entrypoints/ssl/train_3d.py:337), while maintaining running averages
+    in the ``batch_stats`` collection. The segmentation / classification
+    train steps carry the collection in ``TrainState.variables``
+    (train/steps.py), checkpoints persist it, and test/predict restore it
+    so eval normalizes by the RUNNING statistics — torch BatchNorm
+    inference parity (adn_fn.py:205 norm_fn_dict): a volume's prediction
+    is identical whether it is evaluated alone or inside any batch
+    (regression: tests/test_train.py batch-stats tests). A stateless
+    apply (params only, no collection) still works — eval then falls back
+    to current-batch statistics rather than crashing on the missing
+    collection (the pre-round-4 behavior, kept for ad-hoc forwards).
     """
 
     momentum: float = 0.9

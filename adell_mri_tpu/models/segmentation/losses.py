@@ -345,10 +345,12 @@ loss_factory: Dict[str, Dict[str, Callable]] = {
 
 class CompoundLoss:
     """
-    Weighted sum of named losses with per-loss kwargs
-    (parity: losses.py:811-885 incl. ``replace_item`` weight injection).
-    Returns (total, per_loss_dict) so each component can be logged like the
-    reference's ``log_loss`` (segmentation/pl.py:372).
+    Mean of weighted named losses with per-loss kwargs
+    (parity: losses.py:811-885 incl. ``replace_item`` weight injection;
+    the reference trains on the MEAN of the stacked per-loss values,
+    segmentation/pl.py:414-416). Returns (total, per_loss_dict) so each
+    component can be logged like the reference's ``log_loss``
+    (segmentation/pl.py:372).
     """
 
     def __init__(self, losses: Dict[str, Dict], weights: Optional[Dict[str, float]] = None):
@@ -385,4 +387,9 @@ class CompoundLoss:
             value = spec["fn"](pred, target, **spec["params"])
             individual[name] = value
             total = total + self.weights.get(name, 1.0) * value
-        return total, individual
+        # the reference stacks the per-loss means and trains on
+        # loss.mean() (segmentation/pl.py:414-416), i.e. the total is
+        # sum(w_i * l_i) / k, NOT the weighted sum — with the flagship's
+        # dice+focal config a sum would double the effective learning
+        # rate relative to the reference at identical hyperparameters
+        return total / max(len(self.losses), 1), individual

@@ -46,6 +46,16 @@ class TrainLoop:
     ):
         self.train_step = train_step
         self.eval_step = eval_step
+        # eval steps built by make_eval_step accept batch-norm running
+        # stats; older/task-specific eval closures may not
+        import inspect
+
+        try:
+            self._eval_takes_vars = eval_step is not None and (
+                "variables" in inspect.signature(eval_step).parameters
+            )
+        except (TypeError, ValueError):
+            self._eval_takes_vars = False
         self.augment_fn = jax.jit(augment_fn) if augment_fn else None
         self.mesh = mesh
         self.max_epochs = max_epochs
@@ -151,7 +161,13 @@ class TrainLoop:
         for batch in loader:
             batch = self._put(batch)
             self.rng, key = jax.random.split(self.rng)
-            metrics = self.eval_step(params, batch, key)
+            if self._eval_takes_vars:
+                metrics = self.eval_step(
+                    params, batch, key,
+                    variables=getattr(state, "variables", None),
+                )
+            else:
+                metrics = self.eval_step(params, batch, key)
             # weight per-batch means by batch size: a partial final batch
             # must not count as much as a full one ("exact metrics");
             # prefer the canonical image leaf over dict order (an aux leaf

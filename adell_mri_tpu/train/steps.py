@@ -77,7 +77,7 @@ def make_segmentation_step(
         else None
     )
 
-    def loss_and_metrics(params, batch, rng):
+    def loss_and_metrics(params, batch, rng, variables=None):
         x = batch["image"]
         y = jnp.round(batch["label"].astype(jnp.float32))
         x_cond = batch.get("skip_layer")
@@ -101,13 +101,34 @@ def make_segmentation_step(
         cond_keys = tuple(cond_kwargs)
         cond_vals = tuple(cond_kwargs[k] for k in cond_keys)
 
+        # norm_type="batch" models carry running statistics in a
+        # batch_stats collection (parity: torch BatchNorm inference mode,
+        # adn_fn.py:205 norm_fn_dict): train updates them (mutable) and
+        # eval normalizes by them (ADN passes use_running_average=not
+        # train). The collection stays f32 and OUTSIDE wrap_apply's
+        # downcast (running stats are state, like master params).
+        has_bs = bool(variables) and "batch_stats" in variables
+
         def apply_fn(params, x, *cond):
-            return model.apply(
-                {"params": params},
-                x,
-                train=train,
-                rngs=rngs,
-                **dict(zip(cond_keys, cond)),
+            tree = {"params": params, **(variables or {})}
+            if has_bs and train:
+                return model.apply(
+                    tree,
+                    x,
+                    train=train,
+                    rngs=rngs,
+                    mutable=["batch_stats"],
+                    **dict(zip(cond_keys, cond)),
+                )
+            return (
+                model.apply(
+                    tree,
+                    x,
+                    train=train,
+                    rngs=rngs,
+                    **dict(zip(cond_keys, cond)),
+                ),
+                None,
             )
 
         apply_fn = wrap_apply(apply_fn, precision)
@@ -116,7 +137,7 @@ def make_segmentation_step(
                 apply_fn = jax.checkpoint(apply_fn, policy=ckpt_policy)
             else:
                 apply_fn = jax.checkpoint(apply_fn)
-        out = apply_fn(params, x, *cond_vals)
+        out, new_vars = apply_fn(params, x, *cond_vals)
         if deep_supervision:
             prediction, pred_class, deep_outputs = out
         else:
@@ -180,6 +201,13 @@ def make_segmentation_step(
             # dicts, segmentation/pl.py:145-192)
             for k in range(n_classes):
                 metrics[f"dice_c{k}"] = per_class_dice[k]
+        if new_vars is not None:
+            # updated running stats ride out of the grad closure through
+            # the aux dict (the ssl_steps pattern); stop_gradient so the
+            # EMA update math never differentiates through them
+            metrics["_variables"] = jax.lax.stop_gradient(
+                {**(variables or {}), **new_vars}
+            )
         return loss, metrics
 
     return loss_and_metrics
@@ -201,22 +229,31 @@ def make_classification_step(
     smoothing via ``batch_preprocessing`` (utils/batch_preprocessing.py:116).
     MoE members contribute moe_aux_weight x their sown load-balance loss.
     """
-    # mutable moe_aux collects the MoE load-balance losses sown by
-    # TransformerBlock (layers/vit.py); empty for dense models
-    apply_fn = wrap_apply(
-        lambda params, x, **kw: model.apply(
-            {"params": params}, x, mutable=["moe_aux"], **kw
-        ),
-        precision,
-    )
-
-    def loss_and_metrics(params, batch, rng):
+    def loss_and_metrics(params, batch, rng, variables=None):
         x = batch["image"]
         y = batch["label"]
         if batch_preprocessing is not None and train:
             rng, prep_rng = jax.random.split(rng)
             x, y = batch_preprocessing(prep_rng, x, y)
         rngs = {"dropout": rng, "ensemble": jax.random.fold_in(rng, 1)} if train else None
+        # mutable moe_aux collects the MoE load-balance losses sown by
+        # TransformerBlock (layers/vit.py); empty for dense models.
+        # norm_type="batch" running stats (the reference CatNet default,
+        # network_factories.py:193) update when training and normalize
+        # eval batches when restored (torch BatchNorm inference parity).
+        has_bs = bool(variables) and "batch_stats" in variables
+        mutable = ["moe_aux"] + (
+            ["batch_stats"] if has_bs and train else []
+        )
+        apply_fn = wrap_apply(
+            lambda params, x, **kw: model.apply(
+                {"params": params, **(variables or {})},
+                x,
+                mutable=mutable,
+                **kw,
+            ),
+            precision,
+        )
         logits, aux_vars = apply_fn(params, x, train=train, rngs=rngs)
         loss = loss_fn(logits, y)
         aux_leaves = jax.tree.leaves(aux_vars.get("moe_aux", {}))
@@ -241,31 +278,63 @@ def make_classification_step(
         metrics = {"loss": loss, "acc": acc}
         if moe_aux is not None:
             metrics["moe_aux"] = moe_aux
+        if has_bs and train and "batch_stats" in aux_vars:
+            metrics["_variables"] = jax.lax.stop_gradient(
+                {**variables, "batch_stats": aux_vars["batch_stats"]}
+            )
         return loss, metrics
 
     return loss_and_metrics
+
+
+def _accepts_variables(fn: Callable) -> bool:
+    import inspect
+
+    try:
+        return "variables" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
 
 
 def make_train_step(loss_and_metrics: Callable, donate: bool = True):
     """
     Wraps a loss closure into a jitted SGD update on a TrainState.
     Under a sharded batch, jnp means are global means and XLA inserts the
-    cross-device grad reduction automatically.
+    cross-device grad reduction automatically. Closures that accept a
+    ``variables`` kwarg (batch-norm running stats) receive
+    ``state.variables`` and may return updated collections through
+    ``metrics["_variables"]`` (carried into the next state).
     """
+    takes_vars = _accepts_variables(loss_and_metrics)
 
     def train_step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, batch, rng)
-        state = state.apply_gradients(grads)
+        if takes_vars:
+            (_, metrics), grads = grad_fn(
+                state.params, batch, rng, variables=state.variables
+            )
+            new_vars = metrics.pop("_variables", None)
+            state = state.apply_gradients(grads, variables=new_vars)
+        else:
+            (_, metrics), grads = grad_fn(state.params, batch, rng)
+            state = state.apply_gradients(grads)
         return state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(loss_and_metrics: Callable):
-    def eval_step(params, batch, rng):
-        _, metrics = loss_and_metrics(params, batch, rng)
+    takes_vars = _accepts_variables(loss_and_metrics)
+
+    def eval_step(params, batch, rng, variables=None):
+        if takes_vars:
+            _, metrics = loss_and_metrics(
+                params, batch, rng, variables=variables
+            )
+        else:
+            _, metrics = loss_and_metrics(params, batch, rng)
+        metrics.pop("_variables", None)
         return metrics
 
     return jax.jit(eval_step)

@@ -268,15 +268,31 @@ def main():
 
     def _hlo_flops(fun, *args):
         """FLOPs of the lowered HLO via the XLA cost model (host-side
-        lowering only, no backend compile). Counts the program as
-        written, so lowering overhead (e.g. z2d's k shifted 2D convs) is
-        included — executed FLOPs, not textbook-minimum FLOPs."""
-        try:
-            ca = jax.jit(fun).lower(*args).cost_analysis()
+        lowering only, no backend compile). The axon plugin returns no
+        cost analysis from an uncompiled lowering, so fall back to
+        lowering the same function for the host CPU backend — the conv
+        MAC count is lowering-invariant at these shapes, so the number
+        is the right MFU numerator either way."""
+
+        def _one(device=None):
+            ctx = jax.default_device(device) if device is not None else None
+            try:
+                if ctx is not None:
+                    ctx.__enter__()
+                ca = jax.jit(fun).lower(*args).cost_analysis()
+            finally:
+                if ctx is not None:
+                    ctx.__exit__(None, None, None)
             if isinstance(ca, (list, tuple)):
                 ca = ca[0] if ca else None
             f = float(ca.get("flops", 0.0)) if ca else 0.0
             return f if f > 0.0 else None
+
+        try:
+            f = _one()
+            if f is None:
+                f = _one(jax.devices("cpu")[0])
+            return f
         except Exception:
             return None
 

@@ -1,0 +1,580 @@
+"""
+Converged head-to-head: our framework vs the reference, same cohort,
+same split, same hyperparameters, trained to convergence (the accuracy
+half of the BASELINE.json north star: Dice/AUC parity within 1%).
+
+The reference's own CLI cannot execute in this environment (monai and
+lightning are not installed and installs are forbidden), so the
+reference side drives the reference's OWN torch modules imported
+directly from /root/reference with namespace-stub parent packages (the
+same mechanism as tests/test_reference_parity.py):
+
+- segmentation: UNet (modules/segmentation/unet.py:31) + CompoundLoss
+  over loss_factory["binary"] dice/focal (modules/segmentation/
+  losses.py:112,251; utils/utils.py:38) through a minimal trainer
+  replicating UNetBasePL.step / training_step / configure_optimizers
+  (segmentation/pl.py:283,379,525: round labels -> forward -> stacked
+  per-loss means -> loss.mean(); SGD momentum 0.99 nesterov + weight
+  decay; CosineAnnealingWithWarmupLR stepped per epoch).
+- classification: CatNet (modules/classification/classification/
+  classification.py:263) with get_adn_fn(3, "batch", "swish", dropout)
+  (network_factories.py:193) + BCEWithLogitsLoss
+  (entrypoints/classification/train.py:413), AdamW + cosine schedule
+  per ClassPLABC.configure_optimizers (classification/pl.py:464).
+
+Our side runs through the real CLI (segmentation/classification
+train + test). Both sides consume the exact same preprocessed arrays:
+the cohort is written as NIfTI, our CLI preprocesses it through
+transforms/host.py make_load_fn, and the reference shim loads the same
+volumes through the same make_load_fn (preprocessing parity is
+separately covered by tests/test_reference_parity.py, so feeding both
+trainers identical arrays isolates the TRAINING-semantics comparison).
+Augmentation is disabled on both sides (one fewer stochastic
+confounder; the augmentation policies have their own fire-rate parity
+tests).
+
+Usage (CPU, ~15-40 min per task):
+    python benchmarks/parity_convergence.py --task both \
+        --outdir /tmp/parity_h2h --seeds 2
+
+Writes {outdir}/results.json and prints a markdown table. The official
+record lands in BASELINE.md; tests/test_convergence_parity.py wraps
+this as an opt-in slow test.
+"""
+
+import argparse
+import importlib
+import json
+import os
+import subprocess
+import sys
+import time
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_ROOT = "/root/reference"
+sys.path.insert(0, REPO)
+
+SEG_SHAPE = (32, 32, 16)
+CLS_SHAPE = (24, 24, 16)
+
+SEG_YAML = """\
+spatial_dimensions: 3
+conv_type: regular
+link_type: residual
+upscale_type: transpose
+norm_type: instance
+interpolation: linear
+dropout_param: 0.0
+activation_fn: swish
+n_channels: 1
+depth: [16, 32, 64]
+kernel_sizes: [3, 3, 3]
+strides: [2, 2, 2]
+learning_rate: 0.0005
+batch_size: 2
+weight_decay: 0.005
+loss_fn:
+  dice:
+    eps: 1.0e-6
+    smooth: 1.0e-5
+  focal:
+    gamma: 1.0
+    eps: 1.0e-6
+"""
+# the flagship u-net-3d-resnet.yaml geometry scaled to what torch CPU
+# can train to convergence in minutes (depth [16,32,64] instead of
+# [32,32,64,128,256]; all qualitative knobs preserved: conv regular,
+# residual links, transpose upscales, instance norm, swish, dice+focal,
+# SGD 5e-4 / wd 5e-3 / batch 2). dropout 0 (the MC-noise axis has its
+# own tests; convergence comparison wants low seed variance).
+
+CLS_YAML = """\
+spatial_dimensions: 3
+resnet_structure: [[16, 32, 3, 1], [32, 64, 3, 1]]
+maxpool_structure: [[2, 2, 2], [2, 2, 1]]
+learning_rate: 0.001
+batch_size: 8
+weight_decay: 0.005
+res_type: resnet
+"""
+# classification-cat-resnet.yaml scaled down the same way
+# (batch_ensemble omitted: its rank-1 per-member noise inflates
+# small-cohort seed variance on both sides without adding information
+# to the parity axis; the batch-ensemble layer itself has unit parity
+# tests).
+
+
+# ---------------------------------------------------------------------------
+# cohort synthesis
+# ---------------------------------------------------------------------------
+
+
+def _blob(shape, center, radius, rng):
+    grids = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    d2 = sum((g - c) ** 2 / (radius**2) for g, c in zip(grids, center))
+    return np.exp(-0.5 * d2)
+
+
+def make_seg_cohort(outdir, n=28, seed=0):
+    """Blob lesions on smooth noise; Dice-learnable but not trivial
+    (boundary noise keeps the converged Dice off 1.0 so parity is a
+    real comparison, not two saturated runs)."""
+    from adell_mri_tpu.data.nifti import write_nifti
+
+    vols = os.path.join(outdir, "seg_vols")
+    os.makedirs(vols, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ds = {}
+    for i in range(n):
+        base = rng.normal(0.0, 0.12, SEG_SHAPE).astype(np.float32)
+        # smooth the background a little
+        for ax in range(3):
+            base = 0.5 * base + 0.25 * (
+                np.roll(base, 1, axis=ax) + np.roll(base, -1, axis=ax)
+            )
+        mask = np.zeros(SEG_SHAPE, np.float32)
+        img = base
+        for _ in range(int(rng.integers(1, 3))):
+            c = [rng.uniform(0.25 * s, 0.75 * s) for s in SEG_SHAPE]
+            r = rng.uniform(2.5, 4.5)
+            b = _blob(SEG_SHAPE, c, r, rng)
+            img = img + b * rng.uniform(0.8, 1.2)
+            mask = np.maximum(mask, (b > 0.4).astype(np.float32))
+        img = img + rng.normal(0.0, 0.08, SEG_SHAPE).astype(np.float32)
+        ip = os.path.join(vols, f"c{i}_img.nii.gz")
+        mp = os.path.join(vols, f"c{i}_mask.nii.gz")
+        aff = np.diag([1.0, 1.0, 1.0, 1.0])
+        write_nifti(ip, img.astype(np.float32), affine=aff)
+        write_nifti(mp, mask.astype(np.float32), affine=aff)
+        ds[f"case_{i}"] = {"image": ip, "mask": mp}
+    path = os.path.join(outdir, "seg_ds.json")
+    with open(path, "w") as f:
+        json.dump(ds, f)
+    return path, ds
+
+
+def make_cls_cohort(outdir, n=48, seed=0):
+    """Binary label = presence of a bright central blob; intensity
+    overlap keeps the converged AUC off 1.0."""
+    from adell_mri_tpu.data.nifti import write_nifti
+
+    vols = os.path.join(outdir, "cls_vols")
+    os.makedirs(vols, exist_ok=True)
+    rng = np.random.default_rng(seed + 100)
+    ds = {}
+    for i in range(n):
+        label = int(i % 2)
+        img = rng.normal(0.0, 0.35, CLS_SHAPE).astype(np.float32)
+        c = [rng.uniform(0.3 * s, 0.7 * s) for s in CLS_SHAPE]
+        r = rng.uniform(3.0, 5.0)
+        # positives get a brighter blob; negatives a faint one — the
+        # overlap in amplitude makes the task non-trivial
+        amp = rng.uniform(0.55, 0.95) if label else rng.uniform(0.1, 0.5)
+        img = img + amp * _blob(CLS_SHAPE, c, r, rng)
+        ip = os.path.join(vols, f"c{i}_img.nii.gz")
+        write_nifti(ip, img, affine=np.eye(4))
+        ds[f"case_{i}"] = {"image": ip, "label": label}
+    path = os.path.join(outdir, "cls_ds.json")
+    with open(path, "w") as f:
+        json.dump(ds, f)
+    return path, ds
+
+
+def split_ids(ds, val_frac=0.25, seed=0):
+    ids = sorted(ds.keys(), key=lambda s: int(s.split("_")[1]))
+    rng = np.random.default_rng(seed + 7)
+    idx = rng.permutation(len(ids))
+    n_val = max(2, int(val_frac * len(ids)))
+    val = [ids[i] for i in sorted(idx[:n_val])]
+    train = [ids[i] for i in sorted(idx[n_val:])]
+    return train, val
+
+
+def write_subset(ds, ids, path):
+    with open(path, "w") as f:
+        json.dump({k: ds[k] for k in ids}, f)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# our side: the real CLI
+# ---------------------------------------------------------------------------
+
+
+def _cli(args, env_extra=None, timeout=3600):
+    env = dict(os.environ)
+    env.update(
+        {
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": REPO,
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        }
+    )
+    env.update(env_extra or {})
+    t0 = time.time()
+    res = subprocess.run(
+        [sys.executable, "-m", "adell_mri_tpu"] + args,
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=timeout,
+        cwd=REPO,
+    )
+    dt = time.time() - t0
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"CLI {' '.join(args[:3])} failed rc={res.returncode} "
+            f"({dt:.0f}s)\nstdout tail: {res.stdout[-2000:]}\n"
+            f"stderr tail: {res.stderr[-3000:]}"
+        )
+    return res.stdout, dt
+
+
+def run_ours_seg(outdir, ds_path, val_ids, epochs, seed):
+    yaml_path = os.path.join(outdir, "h2h_unet.yaml")
+    with open(yaml_path, "w") as f:
+        f.write(SEG_YAML)
+    ckpt = os.path.join(outdir, f"ours_seg_s{seed}")
+    shape = [str(s) for s in SEG_SHAPE]
+    _cli(
+        [
+            "segmentation", "train",
+            "--dataset_json", ds_path,
+            "--image_keys", "image",
+            "--mask_keys", "mask",
+            "--config_file", yaml_path,
+            "--pad_size", *shape,
+            "--crop_size", *shape,
+            "--target_spacing", "1", "1", "1",
+            "--max_epochs", str(epochs),
+            "--n_folds", "1",
+            "--folds", ",".join(val_ids),
+            "--dev", "cpu",
+            "--cache_rate", "1.0",
+            "--checkpoint_dir", ckpt,
+            "--seed", str(seed),
+        ]
+    )
+    val_json = os.path.join(outdir, "seg_val.json")
+    out, _ = _cli(
+        [
+            "segmentation", "test",
+            "--dataset_json", val_json,
+            "--image_keys", "image",
+            "--mask_keys", "mask",
+            "--checkpoint_dir", ckpt,
+            "--dev", "cpu",
+        ]
+    )
+    line = [ln for ln in out.strip().splitlines() if ln.startswith("{")][-1]
+    return float(json.loads(line)["dice"])
+
+
+def run_ours_cls(outdir, ds_path, val_ids, epochs, seed):
+    yaml_path = os.path.join(outdir, "h2h_cat.yaml")
+    with open(yaml_path, "w") as f:
+        f.write(CLS_YAML)
+    ckpt = os.path.join(outdir, f"ours_cls_s{seed}")
+    shape = [str(s) for s in CLS_SHAPE]
+    _cli(
+        [
+            "classification", "train",
+            "--dataset_json", ds_path,
+            "--image_keys", "image",
+            "--label_keys", "label",
+            "--config_file", yaml_path,
+            "--net_type", "cat",
+            "--pad_size", *shape,
+            "--crop_size", *shape,
+            "--target_spacing", "1", "1", "1",
+            "--max_epochs", str(epochs),
+            "--n_folds", "1",
+            "--folds", ",".join(val_ids),
+            "--dev", "cpu",
+            "--cache_rate", "1.0",
+            "--checkpoint_dir", ckpt,
+            "--seed", str(seed),
+        ]
+    )
+    val_json = os.path.join(outdir, "cls_val.json")
+    out, _ = _cli(
+        [
+            "classification", "test",
+            "--dataset_json", val_json,
+            "--image_keys", "image",
+            "--label_keys", "label",
+            "--checkpoint_dir", ckpt,
+            "--dev", "cpu",
+        ]
+    )
+    line = [ln for ln in out.strip().splitlines() if ln.startswith("[") or ln.startswith("{")][-1]
+    res = json.loads(line)
+    if isinstance(res, list):
+        res = res[0]
+    for k in ("auc", "AUC", "auroc"):
+        if k in res:
+            return float(res[k])
+    raise KeyError(f"no AUC in classification test output: {res}")
+
+
+# ---------------------------------------------------------------------------
+# reference side: the reference's own modules through a minimal trainer
+# ---------------------------------------------------------------------------
+
+
+def _ref_module(name):
+    parts = name.split(".")
+    for i in range(1, len(parts)):
+        pkg = ".".join(parts[:i])
+        if pkg not in sys.modules:
+            mod = types.ModuleType(pkg)
+            mod.__path__ = [os.path.join(REF_ROOT, *parts[:i])]
+            sys.modules[pkg] = mod
+    return importlib.import_module(name)
+
+
+def _load_arrays(ds, ids, image_key, mask_key=None):
+    """Identical preprocessing to our CLI: transforms/host.py
+    make_load_fn (RAS orient, resample, min-max scale, channels-last);
+    transposed to torch's channels-first."""
+    from adell_mri_tpu.transforms.host import make_load_fn
+
+    load = make_load_fn(
+        image_keys=[image_key],
+        label_keys=[mask_key] if mask_key else None,
+        target_spacing=(1.0, 1.0, 1.0),
+        target_size=SEG_SHAPE if mask_key else CLS_SHAPE,
+    )
+    xs, ys = [], []
+    for pid in ids:
+        sample = load(dict(ds[pid]))
+        xs.append(np.moveaxis(np.asarray(sample["image"]), -1, 0))
+        if mask_key:
+            ys.append(np.moveaxis(np.asarray(sample["label"]), -1, 0))
+        else:
+            ys.append(np.float32(ds[pid]["label"]))
+    return np.stack(xs), np.stack(ys)
+
+
+def run_ref_seg(outdir, ds, train_ids, val_ids, epochs, seed):
+    import torch
+
+    torch.manual_seed(seed)
+    torch.set_num_threads(max(os.cpu_count() - 1, 1))
+    losses = _ref_module("adell_mri.modules.segmentation.losses")
+    unet_mod = _ref_module("adell_mri.modules.segmentation.unet")
+    lr_mod = _ref_module("adell_mri.modules.learning_rate")
+
+    xtr, ytr = _load_arrays(ds, train_ids, "image", "mask")
+    xva, yva = _load_arrays(ds, val_ids, "image", "mask")
+
+    net = unet_mod.UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type="residual",
+        upscale_type="transpose",
+        interpolation="trilinear",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn=torch.nn.SiLU,
+        in_channels=1,
+        n_classes=2,
+        depth=[16, 32, 64],
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    loss_fn = losses.CompoundLoss(
+        [
+            (losses.binary_generalized_dice_loss, {"eps": 1e-6, "smooth": 1e-5}),
+            (losses.binary_focal_loss, {"gamma": 1.0, "eps": 1e-6}),
+        ]
+    )
+    opt = torch.optim.SGD(
+        net.parameters(),
+        lr=5e-4,
+        momentum=0.99,
+        nesterov=True,
+        weight_decay=5e-3,
+    )
+    sched = lr_mod.CosineAnnealingWithWarmupLR(
+        opt, T_max=epochs, start_decay=0, n_warmup_steps=0
+    )
+    rng = np.random.default_rng(seed)
+    bs = 2
+    xtr_t = torch.from_numpy(xtr)
+    ytr_t = torch.from_numpy(ytr)
+    for ep in range(epochs):
+        order = rng.permutation(len(xtr))
+        net.train()
+        for i in range(0, len(order) - len(order) % bs, bs):
+            idx = order[i : i + bs]
+            x = xtr_t[idx]
+            y = torch.round(ytr_t[idx])
+            pred, _ = net(x)
+            lv = loss_fn(pred, y)
+            loss = torch.stack([v.mean() for v in lv]).mean()
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        sched.step()
+    net.eval()
+    dices = []
+    with torch.no_grad():
+        for i in range(len(xva)):
+            pred, _ = net(torch.from_numpy(xva[None, i]))
+            p = (pred[0, 0].numpy() > 0.5).astype(np.float32)
+            t = yva[i, 0]
+            inter = float((p * t).sum())
+            denom = float(p.sum() + t.sum())
+            dices.append(2 * inter / denom if denom > 0 else 1.0)
+    return float(np.mean(dices))
+
+
+def run_ref_cls(outdir, ds, train_ids, val_ids, epochs, seed):
+    import torch
+
+    torch.manual_seed(seed)
+    torch.set_num_threads(max(os.cpu_count() - 1, 1))
+    cls_mod = _ref_module(
+        "adell_mri.modules.classification.classification.classification"
+    )
+    adn_mod = _ref_module("adell_mri.modules.layers.adn_fn")
+    lr_mod = _ref_module("adell_mri.modules.learning_rate")
+
+    xtr, ytr = _load_arrays(ds, train_ids, "image")
+    xva, yva = _load_arrays(ds, val_ids, "image")
+
+    net = cls_mod.CatNet(
+        spatial_dimensions=3,
+        in_channels=1,
+        n_classes=2,
+        resnet_structure=[[16, 32, 3, 1], [32, 64, 3, 1]],
+        maxpool_structure=[[2, 2, 2], [2, 2, 1]],
+        adn_fn=adn_mod.get_adn_fn(3, "batch", "swish", 0.0),
+        res_type="resnet",
+    )
+    loss_fn = torch.nn.BCEWithLogitsLoss()
+    # ClassPLABC.configure_optimizers (classification/pl.py:464): AdamW,
+    # ordinal-bias params at wd/100 (CatNet has none), cosine+warmup
+    opt = torch.optim.AdamW(net.parameters(), lr=1e-3, weight_decay=5e-3)
+    sched = lr_mod.CosineAnnealingWithWarmupLR(
+        opt, T_max=epochs, start_decay=0, n_warmup_steps=0
+    )
+    rng = np.random.default_rng(seed)
+    bs = 8
+    xtr_t = torch.from_numpy(xtr)
+    ytr_t = torch.from_numpy(ytr)
+    for ep in range(epochs):
+        order = rng.permutation(len(xtr))
+        net.train()
+        for i in range(0, len(order) - len(order) % bs, bs):
+            idx = order[i : i + bs]
+            logits = torch.squeeze(net(xtr_t[idx]), 1)
+            loss = loss_fn(logits, ytr_t[idx])
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        sched.step()
+    net.eval()
+    with torch.no_grad():
+        scores = torch.sigmoid(
+            torch.squeeze(net(torch.from_numpy(xva)), 1)
+        ).numpy()
+    from sklearn.metrics import roc_auc_score
+
+    return float(roc_auc_score(yva, scores))
+
+
+# ---------------------------------------------------------------------------
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["seg", "cls", "both"], default="both")
+    ap.add_argument("--outdir", default="/tmp/parity_h2h")
+    ap.add_argument("--epochs-seg", type=int, default=40)
+    ap.add_argument("--epochs-cls", type=int, default=30)
+    ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--side", choices=["ours", "ref", "both"], default="both")
+    args = ap.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    results = {}
+    rpath = os.path.join(args.outdir, "results.json")
+    if os.path.exists(rpath):
+        with open(rpath) as f:
+            results = json.load(f)
+
+    def record(key, value):
+        results[key] = value
+        with open(rpath, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"[parity] {key} = {value}", flush=True)
+
+    if args.task in ("seg", "both"):
+        ds_path, ds = make_seg_cohort(args.outdir)
+        train_ids, val_ids = split_ids(ds)
+        write_subset(ds, val_ids, os.path.join(args.outdir, "seg_val.json"))
+        for seed in range(args.seeds):
+            if args.side in ("ours", "both"):
+                t0 = time.time()
+                d = run_ours_seg(
+                    args.outdir, ds_path, val_ids, args.epochs_seg, seed
+                )
+                record(f"seg_ours_s{seed}", round(d, 4))
+                record(f"seg_ours_s{seed}_secs", round(time.time() - t0))
+            if args.side in ("ref", "both"):
+                t0 = time.time()
+                d = run_ref_seg(
+                    args.outdir, ds, train_ids, val_ids, args.epochs_seg, seed
+                )
+                record(f"seg_ref_s{seed}", round(d, 4))
+                record(f"seg_ref_s{seed}_secs", round(time.time() - t0))
+
+    if args.task in ("cls", "both"):
+        ds_path, ds = make_cls_cohort(args.outdir)
+        train_ids, val_ids = split_ids(ds, seed=1)
+        write_subset(ds, val_ids, os.path.join(args.outdir, "cls_val.json"))
+        for seed in range(args.seeds):
+            if args.side in ("ours", "both"):
+                t0 = time.time()
+                a = run_ours_cls(
+                    args.outdir, ds_path, val_ids, args.epochs_cls, seed
+                )
+                record(f"cls_ours_s{seed}", round(a, 4))
+                record(f"cls_ours_s{seed}_secs", round(time.time() - t0))
+            if args.side in ("ref", "both"):
+                t0 = time.time()
+                a = run_ref_cls(
+                    args.outdir, ds, train_ids, val_ids, args.epochs_cls, seed
+                )
+                record(f"cls_ref_s{seed}", round(a, 4))
+                record(f"cls_ref_s{seed}_secs", round(time.time() - t0))
+
+    # summary table
+    def agg(prefix):
+        vals = [
+            v
+            for k, v in results.items()
+            if k.startswith(prefix) and not k.endswith("_secs")
+        ]
+        return (np.mean(vals), vals) if vals else (None, [])
+
+    print("\n| metric | ours | reference | delta |")
+    print("|---|---|---|---|")
+    for task, metric in (("seg", "Dice"), ("cls", "AUC")):
+        mo, vo = agg(f"{task}_ours")
+        mr, vr = agg(f"{task}_ref")
+        if mo is not None and mr is not None:
+            print(
+                f"| {metric} | {mo:.4f} {vo} | {mr:.4f} {vr} "
+                f"| {mo - mr:+.4f} |"
+            )
+    print(f"\nresults: {rpath}")
+
+
+if __name__ == "__main__":
+    main()

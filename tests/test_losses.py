@@ -83,7 +83,9 @@ def test_compound_loss_weights_and_replace():
         weights={"dice": 2.0, "focal": 0.0},
     )
     total, ind = cl(PRED, TGT)
-    np.testing.assert_allclose(float(total), 2 * float(ind["dice"]), rtol=1e-6)
+    # reference semantics: mean over the k weighted losses
+    # (segmentation/pl.py:414-416) -> (2*dice + 0*focal) / 2
+    np.testing.assert_allclose(float(total), float(ind["dice"]), rtol=1e-6)
     cl.replace_item("focal", "gamma", 0.5)
     assert cl.losses["focal"]["params"]["gamma"] == 0.5
 
