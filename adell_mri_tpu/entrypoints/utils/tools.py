@@ -791,6 +791,8 @@ def import_torch_checkpoint(argv):
                 "bottleneck_classification", False
             ),
             feature_conditioning=cfg.get("feature_conditioning"),
+            in_channels=cfg.get("n_channels", cfg.get("in_channels", 1)),
+            skip_conditioning=cfg.get("skip_conditioning") or 0,
         )
     # BatchNorm running statistics ride along in the saved payload; the
     # test/predict entrypoints restore them so imported batch-norm models

@@ -148,6 +148,57 @@ class _Mapper:
         self.conv(f"{tprefix}.0.2", (fname, "Conv_1"))
         self.adn(f"{tprefix}.1", (fname, "ActDropNorm_1"))
 
+    def res_block(
+        self,
+        tprefix: str,
+        fpath: Tuple[str, ...],
+        inter: bool,
+        project: bool,
+    ):
+        """Reference ResidualBlock2d/3d (res_blocks.py:13,108: ``op``
+        Sequential + ``final_op`` projection + ``adn_op``) -> our
+        ResidualBlock's auto-assigned tree (Conv_0..3 / ActDropNorm_*).
+        ``inter``: the bottleneck variant (1x1 -> kxk -> 1x1, built when
+        inter_channels is not None); ``project``: in != out channels."""
+        t = f"{tprefix}." if tprefix else ""
+        if inter:
+            self.conv(f"{t}op.0", fpath + ("Conv_0",))
+            self.adn(f"{t}op.1", fpath + ("ActDropNorm_0",))
+            self.conv(f"{t}op.2", fpath + ("Conv_1",))
+            self.adn(f"{t}op.3", fpath + ("ActDropNorm_1",))
+            self.conv(f"{t}op.4", fpath + ("Conv_2",))
+            proj, final_adn = "Conv_3", "ActDropNorm_2"
+        else:
+            self.conv(f"{t}op.0", fpath + ("Conv_0",))
+            self.adn(f"{t}op.1", fpath + ("ActDropNorm_0",))
+            self.conv(f"{t}op.2", fpath + ("Conv_1",))
+            proj, final_adn = "Conv_2", "ActDropNorm_1"
+        if project:
+            self.conv(f"{t}final_op", fpath + (proj,))
+        self.adn(f"{t}adn_op", fpath + (final_adn,))
+
+    def res_unit(
+        self,
+        tprefix: str,
+        fname: str,
+        in_d: int,
+        out_d: int,
+        strided: bool,
+    ):
+        """One conv_type='resnet' encoder/decoder unit: the reference
+        wraps res_block_conv_3d (:342 — ResidualBlock, bottleneck when
+        in_d > 32, + MaxPool when strided) in Sequential(unit, adn)
+        (init_encoder :556-568). Our _ConvUnit nests the block as
+        ResidualBlock_0 with the outer ADN auto-named ActDropNorm_0."""
+        inner = f"{tprefix}.0.0" if strided else f"{tprefix}.0"
+        self.res_block(
+            inner,
+            (fname, "ResidualBlock_0"),
+            inter=in_d > 32,
+            project=in_d != out_d,
+        )
+        self.adn(f"{tprefix}.1", (fname, "ActDropNorm_0"))
+
 
 
 

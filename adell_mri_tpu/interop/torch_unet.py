@@ -21,10 +21,11 @@ Layout conventions translated:
   - torch InstanceNorm (affine)       -> InstanceNorm scale/bias
     (the non-affine default carries no parameters on either side)
 
-Supported config surface: conv_type "regular" (the default and the
-sample-config path), link_type {identity, conv}, upscale_type
-{upsample, transpose}, optional deep supervision / bottleneck
-classification / feature conditioning. Other conv/link types raise.
+Supported config surface: conv_type {regular, resnet} (the
+sample-config paths incl. u-net-3d-resnet.yaml), link_type {identity,
+conv, residual}, upscale_type {upsample, transpose}, optional deep
+supervision / bottleneck classification / feature conditioning.
+depthwise/sae/asp conv types raise.
 """
 
 from typing import Any, Dict, Mapping, Optional, Sequence
@@ -48,6 +49,8 @@ def import_reference_unet_state_dict(
     deep_supervision: bool = False,
     bottleneck_classification: bool = False,
     feature_conditioning: Optional[int] = None,
+    in_channels: int = 1,
+    skip_conditioning: int = 0,
     strict: bool = True,
 ) -> Dict[str, Any]:
     """
@@ -58,25 +61,45 @@ def import_reference_unet_state_dict(
     params": {"mean", "std"}?}`` — feed the first two to ``apply`` and the
     last to the ``feature_conditioning_params`` config field.
     """
-    if conv_type != "regular":
+    if conv_type not in ("regular", "resnet"):
         raise NotImplementedError(
-            "reference-checkpoint import supports conv_type='regular' "
-            f"(got {conv_type!r})"
+            "reference-checkpoint import supports conv_type "
+            f"regular/resnet (got {conv_type!r}; depthwise/sae/asp "
+            "checkpoints have no mapper yet)"
         )
-    if link_type not in ("identity", "conv"):
+    if link_type not in ("identity", "conv", "residual"):
         raise NotImplementedError(
             "reference-checkpoint import supports link_type "
-            f"identity/conv (got {link_type!r})"
+            f"identity/conv/residual (got {link_type!r})"
         )
     m = _Mapper(state_dict, norm_type, activation_fn, strict)
     n = len(depth)
 
     # encoder (init_encoder :543-586): per level a stride-1 unit and, for
     # all but the last, a downsampling unit
+    prev_d = in_channels
     for i in range(n):
-        m.conv_unit(f"encoding_operations.{i}.0", f"enc_{i}")
-        if i < n - 1:
-            m.conv_unit(f"encoding_operations.{i}.1", f"enc_ds_{i}")
+        if conv_type == "resnet":
+            m.res_unit(
+                f"encoding_operations.{i}.0",
+                f"enc_{i}",
+                in_d=prev_d,
+                out_d=depth[i],
+                strided=False,
+            )
+            if i < n - 1:
+                m.res_unit(
+                    f"encoding_operations.{i}.1",
+                    f"enc_ds_{i}",
+                    in_d=depth[i],
+                    out_d=depth[i],
+                    strided=True,
+                )
+        else:
+            m.conv_unit(f"encoding_operations.{i}.0", f"enc_{i}")
+            if i < n - 1:
+                m.conv_unit(f"encoding_operations.{i}.1", f"enc_ds_{i}")
+        prev_d = depth[i]
 
     # decoder (init_decoder :605-624, init_upscale_ops :415-459,
     # init_link_ops :461-527)
@@ -88,6 +111,16 @@ def import_reference_unet_state_dict(
         if link_type == "conv":
             m.conv(f"link_ops.{i}.0", (f"link_{i}",))
             m.adn(f"link_ops.{i}.1", (f"link_adn_{i}",))
+        elif link_type == "residual":
+            # init_link_ops :503-527: plain ResidualBlock (NO
+            # inter_channels) at d (+skip-conditioning channels),
+            # projected back to d only when conditioning widens the input
+            m.res_block(
+                f"link_ops.{i}",
+                (f"link_{i}",),
+                inter=False,
+                project=skip_conditioning > 0,
+            )
         if feature_conditioning is not None:
             # the gate MLP's ADNs are fixed at (batch, swish/sigmoid)
             # regardless of the model's norm/act
@@ -108,6 +141,9 @@ def import_reference_unet_state_dict(
                 act="sigmoid",
                 norm="batch",
             )
+        # decoder blocks are REGULAR conv blocks even for conv_type=
+        # resnet (conv_op_dec map, unet.py:213-246); our UNet mirrors
+        # this (models/segmentation/unet.py dec_ct map)
         m.conv_unit(f"decoding_operations.{i}", f"dec_{i}")
 
     # final layer (get_final_layer :626-655): conv3 -> adn -> conv1

@@ -302,9 +302,13 @@ class UNet(nn.Module):
                     adn_fn(d, name=f"link_adn_{i}"), encoded, train
                 )
             elif self.link_type == "residual":
+                # reference init_link_ops:503-527 passes NO
+                # inter_channels -> the PLAIN two-kxk-conv residual, not
+                # the bottleneck (a bottleneck here halved the link
+                # capacity vs the reference at identical configs)
                 encoded = ResidualBlock(
                     kernel_size=3,
-                    inter_channels=d,
+                    inter_channels=None,
                     out_channels=d,
                     adn_fn=adn_fn,
                     name=f"link_{i}",
@@ -537,9 +541,10 @@ class BrUNet(nn.Module):
                     adn_fn(d, name=f"link_adn_{i}"), skip, train
                 )
             elif self.link_type == "residual":
+                # plain residual, not bottleneck (init_link_ops:503)
                 skip = ResidualBlock(
                     kernel_size=3,
-                    inter_channels=d,
+                    inter_channels=None,
                     out_channels=d,
                     adn_fn=adn_fn,
                     name=f"link_{i}",

@@ -286,7 +286,7 @@ def run_ours_cls(outdir, ds_path, val_ids, epochs, seed):
             "--image_keys", "image",
             "--label_keys", "label",
             "--config_file", yaml_path,
-            "--net_type", "cat",
+            "--classification_net_type", "cat",
             "--pad_size", *shape,
             "--crop_size", *shape,
             "--target_spacing", "1", "1", "1",
@@ -353,7 +353,12 @@ def _load_arrays(ds, ids, image_key, mask_key=None):
         sample = load(dict(ds[pid]))
         xs.append(np.moveaxis(np.asarray(sample["image"]), -1, 0))
         if mask_key:
-            ys.append(np.moveaxis(np.asarray(sample["label"]), -1, 0))
+            lab = np.asarray(sample["label"])
+            # load_fn labels are [X,Y,Z] (no channel axis); torch wants
+            # channels-first [1,X,Y,Z]
+            ys.append(
+                lab[None] if lab.ndim == 3 else np.moveaxis(lab, -1, 0)
+            )
         else:
             ys.append(np.float32(ds[pid]["label"]))
     return np.stack(xs), np.stack(ys)

@@ -734,6 +734,9 @@ def ref_unet_mod():
             {"bottleneck_classification": True, "feature_conditioning": 2},
         ),
         ("identity", "upsample", "instance", {"spatial_dimensions": 2}),
+        # plain (non-bottleneck) residual links, init_link_ops:503-527
+        ("residual", "transpose", "instance", {}),
+        ("residual", "upsample", "batch", {}),
     ],
 )
 def test_unet_weight_transfer_forward_parity(
@@ -755,9 +758,10 @@ def test_unet_weight_transfer_forward_parity(
             "mean": torch.tensor([1.0, -0.5]),
             "std": torch.tensor([2.0, 0.5]),
         }
+    conv_type = extras.get("conv_type", "regular")
     ref = ref_unet_mod.UNet(
         spatial_dimensions=sdim,
-        conv_type="regular",
+        conv_type=conv_type,
         link_type=link_type,
         upscale_type=upscale_type,
         interpolation="trilinear" if sdim == 3 else "bilinear",
@@ -805,6 +809,7 @@ def test_unet_weight_transfer_forward_parity(
     imported = import_reference_unet_state_dict(
         sd,
         depth=depth,
+        conv_type=conv_type,
         link_type=link_type,
         upscale_type=upscale_type,
         norm_type=norm,
@@ -816,7 +821,7 @@ def test_unet_weight_transfer_forward_parity(
     )
     ours = UNet(
         spatial_dimensions=sdim,
-        conv_type="regular",
+        conv_type=conv_type,
         link_type=link_type,
         upscale_type=upscale_type,
         interpolation="linear",
@@ -1975,3 +1980,143 @@ def test_interop_strict_rejects_truncated_structure(torch):
             norm_type="instance",
             head_norm_type="layer",
         )
+
+
+def test_resnet_unit_weight_transfer_parity(torch):
+    """conv_type='resnet' mapping at the UNIT level (mapping.res_block /
+    res_unit): the reference ResidualBlock2d/3d at stride 1 must produce
+    identical outputs through our ResidualBlock after import — both the
+    plain (inter=None) and bottleneck (inter>32) variants, with and
+    without the channel projection. (Whole-net resnet parity is
+    geometry-limited: the reference's strided MaxPool padding yields
+    n/2+1 grids which its own decoder re-interpolates away; our static
+    shapes keep the exact halving — models/segmentation/unet.py
+    _ConvUnit docstring.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop.mapping import _Mapper
+    from adell_mri_tpu.models.layers.adn import get_adn_fn
+    from adell_mri_tpu.models.layers.res_blocks import ResidualBlock
+
+    res_mod = _ref_module("adell_mri.modules.layers.res_blocks")
+    adn_mod = _ref_module("adell_mri.modules.layers.adn_fn")
+
+    for in_ch, inter, out_ch in [
+        (16, None, 16),     # plain, no projection (the link config)
+        (16, None, 32),     # plain + projection
+        (48, 48, 24),       # bottleneck + projection (encoder deep levels)
+    ]:
+        torch.manual_seed(in_ch)
+        ref = res_mod.ResidualBlock3d(
+            in_ch,
+            3,
+            inter_channels=inter,
+            out_channels=out_ch,
+            adn_fn=adn_mod.get_adn_fn(3, "instance", "swish", 0.0),
+        ).eval()
+        rng = np.random.default_rng(in_ch)
+        x = rng.normal(size=(2, in_ch, 8, 8, 4)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        m = _Mapper(sd, "instance", "swish", strict=True)
+        m.res_block(
+            "", ("blk",), inter=inter is not None, project=in_ch != out_ch
+        )
+        # res_block prefixes keys with "{tprefix}." — strip the leading dot
+        params = {"blk": m.params["blk"]} if "blk" in m.params else m.params
+
+        ours = ResidualBlock(
+            kernel_size=3,
+            inter_channels=inter,
+            out_channels=out_ch,
+            adn_fn=get_adn_fn(3, "instance", "swish", 0.0),
+            name="blk",
+        )
+        x_cl = np.transpose(x, (0, 2, 3, 4, 1))
+
+        class _Wrap:
+            pass
+
+        import flax.linen as nn
+
+        class W(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return ResidualBlock(
+                    kernel_size=3,
+                    inter_channels=inter,
+                    out_channels=out_ch,
+                    adn_fn=get_adn_fn(3, "instance", "swish", 0.0),
+                    name="blk",
+                )(x, train=False)
+
+        w = W()
+        init_p = w.init(jax.random.PRNGKey(0), jnp.asarray(x_cl))["params"]
+        got_shapes = jax.tree.map(np.shape, params)
+        ref_shapes = jax.tree.map(jnp.shape, init_p)
+        assert got_shapes == ref_shapes, (got_shapes, ref_shapes)
+        out = w.apply({"params": params}, jnp.asarray(x_cl))
+        our_out = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+        np.testing.assert_allclose(our_out, ref_out, atol=2e-5)
+
+
+def test_resnet_unet_import_shape_compat(ref_unet_mod, torch):
+    """Full u-net-3d-resnet.yaml-style import (conv_type=resnet +
+    residual links): every reference parameter maps (strict mode) and the
+    imported tree matches our model's own init structure exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import import_reference_unet_state_dict
+    from adell_mri_tpu.models.segmentation.unet import UNet
+
+    depth = [16, 32, 64]
+    torch.manual_seed(0)
+    ref = ref_unet_mod.UNet(
+        spatial_dimensions=3,
+        conv_type="resnet",
+        link_type="residual",
+        upscale_type="transpose",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn=torch.nn.SiLU,
+        in_channels=1,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_unet_state_dict(
+        sd,
+        depth=depth,
+        conv_type="resnet",
+        link_type="residual",
+        upscale_type="transpose",
+        norm_type="instance",
+        activation_fn="swish",
+    )
+    ours = UNet(
+        spatial_dimensions=3,
+        conv_type="resnet",
+        link_type="residual",
+        upscale_type="transpose",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn="swish",
+        in_channels=1,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    x = jnp.zeros((1, 16, 16, 8, 1), jnp.float32)
+    init_p = ours.init(jax.random.PRNGKey(0), x, train=False)["params"]
+    got = jax.tree.map(np.shape, imported["params"])
+    want = jax.tree.map(jnp.shape, init_p)
+    assert got == want
+    out = ours.apply({"params": imported["params"]}, x, train=False)
+    assert np.all(np.isfinite(np.asarray(out[0])))
