@@ -219,6 +219,9 @@ def get_classification_network(
             first_layer_stride=cfg.get("first_layer_stride", 4),
             maxpool_structure=cfg.get("maxpool_structure"),
             v2=net_type == "convnext_v2",
+            # "maxpool" = reference-compat stage transitions (imported
+            # reference checkpoints record it in their stored config)
+            downsample=cfg.get("downsample", "conv"),
         )
     elif net_type in ("cat", "resnet", "convnext"):
         res_type = cfg.get(

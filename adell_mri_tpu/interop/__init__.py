@@ -13,3 +13,6 @@ from adell_mri_tpu.interop.torch_unet import (  # noqa: F401
 from adell_mri_tpu.interop.torch_vit import (  # noqa: F401
     import_reference_vit_state_dict,
 )
+from adell_mri_tpu.interop.torch_convnext import (  # noqa: F401
+    import_reference_convnext_backbone,
+)

@@ -40,6 +40,12 @@ class ConvNeXtBackbone(nn.Module):
     first_layer_stride: Union[int, Sequence[int]] = 4
     maxpool_structure: Optional[Sequence] = None
     v2: bool = False
+    #: "conv" = ConvNeXt-paper downsampling (LayerNorm + strided conv —
+    #: the TPU-friendly default; downsampling carries parameters);
+    #: "maxpool" = the REFERENCE's stage transition (max-pool between
+    #: stages, channel change inside each stage's first block,
+    #: conv_next.py:171-190) — required for reference-checkpoint import
+    downsample: str = "conv"
 
     @property
     def output_features(self) -> int:
@@ -55,12 +61,21 @@ class ConvNeXtBackbone(nn.Module):
         stride = _tuple(stride, ndim) if isinstance(stride, int) else tuple(
             stride
         )
-        kernel = tuple(max(s, 2) for s in stride)
-        # patchify stem: non-overlapping stride-4 conv + LayerNorm
-        # TpuConv routes patchify by the measured auto policy
-        # (ops/conv.py _pick_lowering); name pins the param path
-        x = TpuConv(f0, kernel, strides=stride, name="stem_conv")(x)
-        x = nn.LayerNorm(name="stem_norm")(x)
+        if self.downsample == "maxpool":
+            # reference-compat stem: ALWAYS kernel 4, torch default
+            # VALID padding (init_input_layer, conv_next.py:151-158)
+            kernel = _tuple(4, ndim)
+            x = TpuConv(
+                f0, kernel, strides=stride, padding="VALID",
+                name="stem_conv",
+            )(x)
+        else:
+            # patchify stem: non-overlapping conv (kernel == stride) +
+            # LayerNorm; TpuConv routes patchify by the measured auto
+            # policy (ops/conv.py _pick_lowering)
+            kernel = tuple(max(s, 2) for s in stride)
+            x = TpuConv(f0, kernel, strides=stride, name="stem_conv")(x)
+        x = nn.LayerNorm(name="stem_norm", epsilon=1e-6)(x)
 
         pools = self.maxpool_structure or [2] * len(self.structure)
         if len(pools) != len(self.structure):
@@ -72,26 +87,32 @@ class ConvNeXtBackbone(nn.Module):
         intermediates = []
         prev_ch = f0
         for stage_idx, (stage, pool) in enumerate(zip(self.structure, pools)):
-            ch, _, k, n_blocks = stage
-            if stage_idx > 0:
-                # ConvNeXt downsample: LayerNorm + strided conv
-                p = _tuple(pool, ndim) if isinstance(pool, int) else tuple(
-                    pool
-                )
-                x = nn.LayerNorm(name=f"down_norm_{stage_idx}")(x)
-                x = TpuConv(
-                    ch, p, strides=p, name=f"down_conv_{stage_idx}"
-                )(x)
-            elif prev_ch != ch:
-                x = nn.Conv(ch, _tuple(1, ndim), name="stem_proj")(x)
+            ch, inter, k, n_blocks = stage
+            p = _tuple(pool, ndim) if isinstance(pool, int) else tuple(pool)
+            if self.downsample == "conv":
+                if stage_idx > 0:
+                    # ConvNeXt downsample: LayerNorm + strided conv
+                    x = nn.LayerNorm(name=f"down_norm_{stage_idx}")(x)
+                    x = TpuConv(
+                        ch, p, strides=p, name=f"down_conv_{stage_idx}"
+                    )(x)
+                elif prev_ch != ch:
+                    x = nn.Conv(ch, _tuple(1, ndim), name="stem_proj")(x)
             for b in range(n_blocks):
                 x = ConvNeXtBlock(
                     kernel_size=k,
+                    inter_channels=inter,
                     out_channels=ch,
                     v2=self.v2,
                     name=f"stage{stage_idx}_block{b}",
                 )(x, train=train)
-            intermediates.append(x)
+            if self.downsample == "maxpool":
+                # reference stage transition: intermediates BEFORE the
+                # pool (forward_with_intermediate after_pool=False)
+                intermediates.append(x)
+                x = nn.max_pool(x, window_shape=p, strides=p)
+            else:
+                intermediates.append(x)
             prev_ch = ch
         if return_intermediate:
             return x, intermediates
@@ -107,6 +128,7 @@ class ConvNeXt(nn.Module):
     first_layer_stride: Union[int, Sequence[int]] = 4
     maxpool_structure: Optional[Sequence] = None
     v2: bool = False
+    downsample: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_features: bool = False):
@@ -115,6 +137,7 @@ class ConvNeXt(nn.Module):
             first_layer_stride=self.first_layer_stride,
             maxpool_structure=self.maxpool_structure,
             v2=self.v2,
+            downsample=self.downsample,
             name="backbone",
         )(x, train=train)
         h = jnp.mean(h, axis=tuple(range(1, h.ndim - 1)))

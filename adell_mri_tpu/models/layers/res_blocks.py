@@ -131,10 +131,12 @@ class ResNeXtBlock(nn.Module):
 
 class ConvNeXtBlock(nn.Module):
     """
-    ConvNeXt block: depthwise 7^d conv -> LayerNorm -> pointwise 4x expand
-    -> GELU -> pointwise project, with LayerScale (v1) or GRN (v2)
-    (parity: res_blocks.py:429-686). Ignores inter_channels like the
-    reference and expands 4x internally.
+    ConvNeXt block: depthwise 7^d conv -> LayerNorm -> pointwise expand to
+    ``inter_channels`` (the reference's pwconv1 width, res_blocks.py:476 —
+    NOT a hardcoded 4x; the sample configs encode 4x in their structure
+    tuples) -> GELU -> pointwise project, with LayerScale (v1) or GRN
+    (v2); channel changes project through a 1x1 conv + GELU (the
+    reference's ``out_layer`` Sequential, res_blocks.py:488-494).
     """
 
     kernel_size: int = 7
@@ -149,6 +151,7 @@ class ConvNeXtBlock(nn.Module):
         ndim = x.ndim - 2
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
+        inter = self.inter_channels or 4 * in_ch
         # TpuDwConv: param tree matches nn.Conv(feature_group_count=C);
         # opt-in z2d depthwise lowering (ops/conv.py, ADELL_DW_LOWERING)
         y = TpuDwConv(
@@ -157,8 +160,8 @@ class ConvNeXtBlock(nn.Module):
             padding="SAME",
             name="Conv_0",
         )(x)
-        y = nn.LayerNorm()(y)
-        y = nn.Dense(4 * in_ch)(y)
+        y = nn.LayerNorm(epsilon=1e-6)(y)
+        y = nn.Dense(inter)(y)
         y = nn.gelu(y)
         if self.v2:
             y = GRN()(y)
@@ -168,6 +171,7 @@ class ConvNeXtBlock(nn.Module):
         out = y + x
         if in_ch != out_ch:
             out = nn.Conv(out_ch, _tuple(1, ndim), name="Conv_1")(out)
+            out = nn.gelu(out)
         return out
 
 

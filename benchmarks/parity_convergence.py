@@ -304,8 +304,6 @@ def run_ours_cls(outdir, ds_path, val_ids, epochs, seed):
         [
             "classification", "test",
             "--dataset_json", val_json,
-            "--image_keys", "image",
-            "--label_keys", "label",
             "--checkpoint_dir", ckpt,
             "--dev", "cpu",
         ]
@@ -443,6 +441,11 @@ def run_ref_cls(outdir, ds, train_ids, val_ids, epochs, seed):
 
     torch.manual_seed(seed)
     torch.set_num_threads(max(os.cpu_count() - 1, 1))
+    # classification.py imports adell_mri.modules.segmentation.unet;
+    # loading unet through the stub machinery FIRST keeps the real
+    # segmentation package __init__ (which imports lightning) out of the
+    # import path
+    _ref_module("adell_mri.modules.segmentation.unet")
     cls_mod = _ref_module(
         "adell_mri.modules.classification.classification.classification"
     )

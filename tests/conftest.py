@@ -43,6 +43,8 @@ SLOW_FILES = {
     "test_detection.py",      # 105 s
     "test_pallas_ops.py",     #  76 s
     "test_train.py",          #  61 s
+    # opt-in (ADELL_RUN_CONVERGENCE_PARITY=1): 30-60 min head-to-head
+    "test_convergence_parity.py",
 }
 
 

@@ -1096,3 +1096,83 @@ def test_segmentation_2d_train_test_predict(cohort):
     vol = read_nifti(os.path.join(preds, out[0])).data
     assert vol.shape == (16, 16, 8)
     assert np.isfinite(vol).all()
+
+
+def test_predict_sharded_sliding_window_matches_single_device(cohort):
+    """VERDICT r3 item 7 (serving-path scale proof): the CLI predict
+    with --sliding_window_size on a multi-device mesh must engage the
+    sharded tile path (predict.py sw_mesh) and write the same volumes as
+    the single-device CLI. Both runs go through subprocesses so the
+    device count is set per run (8 vs 1 virtual CPU devices)."""
+    import subprocess
+    import sys
+
+    ckpt = os.path.join(cohort["root"], "ckpt_sw")
+    adell_main(
+        [
+            "segmentation", "train",
+            "--dataset_json", cohort["ds"],
+            "--image_keys", "T2",
+            "--mask_keys", "mask",
+            "--config_file", cohort["cfg"],
+            "--pad_size", "16", "16", "8",
+            "--crop_size", "16", "16", "8",
+            "--target_spacing", "1.0", "1.0", "1.2",
+            "--batch_size", "2",
+            "--max_epochs", "1",
+            "--n_folds", "1",
+            "--dev", "cpu",
+            "--checkpoint_dir", ckpt,
+            "--cache_rate", "0.0",
+        ]
+    )
+
+    def run_predict(n_devices, outdir):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n_devices}"
+        )
+        env["PYTHONPATH"] = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        res = subprocess.run(
+            [
+                sys.executable, "-m", "adell_mri_tpu",
+                "segmentation", "predict",
+                "--dataset_json", cohort["ds"],
+                "--image_keys", "T2",
+                "--checkpoint_dir", ckpt,
+                "--output_path", outdir,
+                "--sliding_window_size", "8", "8", "4",
+                "--sliding_window_stride", "0.5",
+                "--dev", "cpu",
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=900,
+        )
+        assert res.returncode == 0, res.stderr[-3000:]
+        return res.stderr
+
+    out8 = os.path.join(cohort["root"], "pred_sw8")
+    out1 = os.path.join(cohort["root"], "pred_sw1")
+    log8 = run_predict(8, out8)
+    run_predict(1, out1)
+    # the sharded tile path must actually have engaged on the 8-dev run
+    assert "sliding-window tiles sharded over 8 devices" in log8
+
+    from adell_mri_tpu.data.nifti import read_nifti
+
+    compared = 0
+    for fn in sorted(os.listdir(out1)):
+        if not fn.endswith(".nii.gz"):
+            continue
+        a = read_nifti(os.path.join(out1, fn))
+        b = read_nifti(os.path.join(out8, fn))
+        np.testing.assert_allclose(
+            np.asarray(b.data), np.asarray(a.data), atol=1e-5, rtol=1e-5
+        )
+        compared += 1
+    assert compared >= 4

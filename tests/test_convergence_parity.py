@@ -1,0 +1,67 @@
+"""
+Opt-in converged head-to-head vs the reference (VERDICT r3 item 1; the
+accuracy half of the BASELINE north star). Trains BOTH frameworks to
+convergence on the same synthetic cohort through
+benchmarks/parity_convergence.py — ours via the real CLI, the reference
+via its own torch modules (its CLI cannot run here: monai/lightning are
+not installed) — and asserts |ΔDice| and |ΔAUC| < 1 point.
+
+~30-60 min on the 1-core host, so it only runs when explicitly asked:
+
+    ADELL_RUN_CONVERGENCE_PARITY=1 pytest tests/test_convergence_parity.py
+
+The official record lives in BASELINE.md (round 4).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        os.environ.get("ADELL_RUN_CONVERGENCE_PARITY") != "1",
+        reason="set ADELL_RUN_CONVERGENCE_PARITY=1 (runs 30-60 min)",
+    ),
+]
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_converged_head_to_head(tmp_path):
+    outdir = str(tmp_path / "h2h")
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "benchmarks", "parity_convergence.py"),
+            "--task", "both",
+            "--epochs-seg", "40",
+            "--epochs-cls", "30",
+            "--seeds", "2",
+            "--outdir", outdir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=7200,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    with open(os.path.join(outdir, "results.json")) as f:
+        results = json.load(f)
+
+    def mean_of(prefix):
+        vals = [
+            v
+            for k, v in results.items()
+            if k.startswith(prefix) and not k.endswith("_secs")
+        ]
+        assert vals, f"no {prefix} results: {sorted(results)}"
+        return float(np.mean(vals))
+
+    d_dice = mean_of("seg_ours") - mean_of("seg_ref")
+    d_auc = mean_of("cls_ours") - mean_of("cls_ref")
+    assert abs(d_dice) < 0.01, f"Dice delta {d_dice:+.4f} ({results})"
+    assert abs(d_auc) < 0.01, f"AUC delta {d_auc:+.4f} ({results})"

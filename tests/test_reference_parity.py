@@ -2120,3 +2120,50 @@ def test_resnet_unet_import_shape_compat(ref_unet_mod, torch):
     assert got == want
     out = ours.apply({"params": imported["params"]}, x, train=False)
     assert np.all(np.isfinite(np.asarray(out[0])))
+
+
+def test_convnext_backbone_weight_transfer_parity(torch):
+    """Reference ConvNeXtBackbone -> our ConvNeXtBackbone(downsample=
+    'maxpool'): same weights, same features, exact to float noise.
+    Covers the stage-transition parity fixes (maxpool mode, pwconv1 at
+    the structure's inter width, GELU after the channel projection)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop.torch_convnext import (
+        import_reference_convnext_backbone,
+    )
+    from adell_mri_tpu.models.layers.conv_next import ConvNeXtBackbone
+
+    cm = _ref_module("adell_mri.modules.layers.conv_next")
+    structure = [[8, 16, 5, 2], [16, 24, 3, 2]]
+    torch.manual_seed(3)
+    ref = cm.ConvNeXtBackbone(
+        spatial_dim=3,
+        in_channels=1,
+        structure=structure,
+        maxpool_structure=[[2, 2, 2], [2, 2, 1]],
+        first_layer_stride=2,
+    ).eval()
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 1, 16, 16, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_convnext_backbone(sd, structure=structure)
+
+    ours = ConvNeXtBackbone(
+        structure=structure,
+        maxpool_structure=[[2, 2, 2], [2, 2, 1]],
+        first_layer_stride=2,
+        downsample="maxpool",
+    )
+    x_cl = np.transpose(x, (0, 2, 3, 4, 1))
+    init_p = ours.init(jax.random.PRNGKey(0), jnp.asarray(x_cl))["params"]
+    got = jax.tree.map(np.shape, imported["params"])
+    want = jax.tree.map(jnp.shape, init_p)
+    assert got == want, (got, want)
+    out = ours.apply({"params": imported["params"]}, jnp.asarray(x_cl))
+    our_out = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-5)
