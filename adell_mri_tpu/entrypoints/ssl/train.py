@@ -203,6 +203,9 @@ def main(arguments):
         weight_decay=weight_decay or 1e-6,
         clip_norm=args.gradient_clip_val,
         params=params,
+        # the reference's SSL optimizer excludes norm params from decay
+        # (self_supervised/pl.py:220-228); its other tasks decay all
+        exclude_norms_from_decay=True,
     )
     use_ema = args.ema or args.ssl_method in ("byol", "ijepa", "dino", "ibot")
     with mesh:

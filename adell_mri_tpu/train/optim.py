@@ -40,15 +40,26 @@ def get_optimizer(
     momentum: float = 0.99,
     clip_norm: Optional[float] = None,
     params=None,
+    exclude_norms_from_decay: bool = False,
     **kwargs,
 ) -> optax.GradientTransformation:
     """
     Builds an optax chain from a name. Supported: sgd (nesterov, the
     segmentation default, segmentation/pl.py:526), adam, adamw, adamax,
     nadam, radam, rmsprop, adagrad, lamb, lars.
+
+    ``exclude_norms_from_decay``: torch decays EVERY parameter (bias and
+    norm scales included), and the reference's segmentation/
+    classification optimizers do exactly that — only its SSL path
+    excludes norm parameters (self_supervised/pl.py:220-228). Default
+    False = reference training-dynamics parity; SSL passes True.
     """
     name = optimizer_str.lower()
-    mask = wd_mask(params) if (params is not None and weight_decay) else None
+    mask = (
+        wd_mask(params)
+        if (params is not None and weight_decay and exclude_norms_from_decay)
+        else None
+    )
 
     def _l2(inner):
         # coupled L2 (torch semantics: wd*param added to the GRADIENT
