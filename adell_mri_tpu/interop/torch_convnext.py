@@ -56,9 +56,8 @@ def import_reference_convnext_backbone(
     if b is not None:
         m.params.setdefault("stem_norm", {})["bias"] = b.reshape(-1)
 
-    prev = structure[0][0]
     for s, stage in enumerate(structure):
-        ch, inter, k, n_blocks = stage
+        n_blocks = stage[3]
         for blk in range(n_blocks):
             t = f"operations.{s}.{blk}"
             f = f"stage{s}_block{blk}"
@@ -85,7 +84,6 @@ def import_reference_convnext_backbone(
                 node["LayerScale_0"] = {"layer_scale": m.take(f"{t}.gamma")}
             if f"{t}.out_layer.0.weight" in m.sd:
                 m.conv(f"{t}.out_layer.0", (f, "Conv_1"))
-        prev = ch
 
     out: Dict[str, Any] = {"params": m.params}
     if strict:
