@@ -529,7 +529,16 @@ def test_optimizer_weight_decay_applies_to_adam_family():
         opt = tx.init(params)
         updates, _ = tx.update(zero_g, opt, params)
         assert float(jnp.abs(updates["w"]).max()) > 0, name
-        # the wd mask exempts 1-D bias leaves (norm/bias no-decay)
+        # torch decays EVERY parameter (bias included) and so do the
+        # reference's seg/classification optimizers — only SSL opts out
+        # (get_optimizer exclude_norms_from_decay)
+        assert float(jnp.abs(updates["bias"]).max()) > 0, name
+        tx_ssl = get_optimizer(
+            name, 0.1, weight_decay=1e-2, params=params,
+            exclude_norms_from_decay=True,
+        )
+        opt = tx_ssl.init(params)
+        updates, _ = tx_ssl.update(zero_g, opt, params)
         assert float(jnp.abs(updates["bias"]).max()) == 0, name
 
 
