@@ -238,7 +238,57 @@ def _cli(args, env_extra=None, timeout=3600):
     return res.stdout, dt
 
 
-def run_ours_seg(outdir, ds_path, val_ids, epochs, seed):
+def make_matched_seg_init(outdir, seed):
+    """Builds the seeded reference UNet and converts its INITIAL weights
+    into an orbax warm-start directory for our CLI (--checkpoint), so
+    both frameworks start from IDENTICAL parameters — init conventions
+    (torch kaiming_uniform vs flax lecun_normal) are a real
+    between-framework difference, but the converged-parity axis wants
+    the TRAINING semantics isolated; the init axis is covered by the
+    weight-transfer forward-parity tests. Returns (ref_net, ckpt_path)."""
+    import torch
+
+    import jax
+
+    from adell_mri_tpu.interop import import_reference_unet_state_dict
+    from adell_mri_tpu.train.checkpoints import CheckpointManager
+
+    torch.manual_seed(seed)
+    ref_unet_mod = _ref_module("adell_mri.modules.segmentation.unet")
+    net = ref_unet_mod.UNet(
+        spatial_dimensions=3,
+        conv_type="regular",
+        link_type="residual",
+        upscale_type="transpose",
+        interpolation="trilinear",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn=torch.nn.SiLU,
+        in_channels=1,
+        n_classes=2,
+        depth=[16, 32, 64],
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    sd = {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+    imported = import_reference_unet_state_dict(
+        sd,
+        depth=[16, 32, 64],
+        conv_type="regular",
+        link_type="residual",
+        upscale_type="transpose",
+        norm_type="instance",
+        activation_fn="swish",
+    )
+    ck_root = os.path.join(outdir, f"init_s{seed}")
+    mngr = CheckpointManager(ck_root, name="init", fold=0)
+    mngr.begin_run()
+    mngr.save(1, {"params": imported["params"]}, metrics={})
+    mngr.wait()
+    return net, os.path.join(ck_root, "init_fold0")
+
+
+def run_ours_seg(outdir, ds_path, val_ids, epochs, seed, init_ckpt=None):
     yaml_path = os.path.join(outdir, "h2h_unet.yaml")
     with open(yaml_path, "w") as f:
         f.write(SEG_YAML)
@@ -263,6 +313,7 @@ def run_ours_seg(outdir, ds_path, val_ids, epochs, seed):
             "--checkpoint_dir", ckpt,
             "--seed", str(seed),
         ]
+        + (["--checkpoint", init_ckpt] if init_ckpt else [])
     )
     val_json = os.path.join(outdir, "seg_val.json")
     out, _ = _cli(
@@ -279,7 +330,49 @@ def run_ours_seg(outdir, ds_path, val_ids, epochs, seed):
     return float(json.loads(line)["dice"])
 
 
-def run_ours_cls(outdir, ds_path, val_ids, epochs, seed):
+def make_matched_cls_init(outdir, seed):
+    """Seeded reference CatNet + an orbax warm-start dir for our CLI
+    from the same initial weights (import_reference_catnet). Returns
+    (ref_net, ckpt_path)."""
+    import torch
+
+    from adell_mri_tpu.interop import import_reference_catnet
+    from adell_mri_tpu.train.checkpoints import CheckpointManager
+
+    torch.manual_seed(seed)
+    _ref_module("adell_mri.modules.segmentation.unet")
+    cls_mod = _ref_module(
+        "adell_mri.modules.classification.classification.classification"
+    )
+    adn_mod = _ref_module("adell_mri.modules.layers.adn_fn")
+    net = cls_mod.CatNet(
+        spatial_dimensions=3,
+        in_channels=1,
+        n_classes=2,
+        resnet_structure=[[16, 32, 3, 1], [32, 64, 3, 1]],
+        maxpool_structure=[[2, 2, 2], [2, 2, 1]],
+        adn_fn=adn_mod.get_adn_fn(3, "batch", "swish", 0.0),
+        res_type="resnet",
+    )
+    sd = {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()}
+    imported = import_reference_catnet(
+        sd,
+        resnet_structure=[[16, 32, 3, 1], [32, 64, 3, 1]],
+        norm_type="batch",
+        activation_fn="swish",
+    )
+    ck_root = os.path.join(outdir, f"cls_init_s{seed}")
+    mngr = CheckpointManager(ck_root, name="init", fold=0)
+    mngr.begin_run()
+    payload = {"params": imported["params"]}
+    if imported.get("batch_stats"):
+        payload["batch_stats"] = imported["batch_stats"]
+    mngr.save(1, payload, metrics={})
+    mngr.wait()
+    return net, os.path.join(ck_root, "init_fold0")
+
+
+def run_ours_cls(outdir, ds_path, val_ids, epochs, seed, init_ckpt=None):
     yaml_path = os.path.join(outdir, "h2h_cat.yaml")
     with open(yaml_path, "w") as f:
         f.write(CLS_YAML)
@@ -305,6 +398,7 @@ def run_ours_cls(outdir, ds_path, val_ids, epochs, seed):
             "--checkpoint_dir", ckpt,
             "--seed", str(seed),
         ]
+        + (["--checkpoint", init_ckpt] if init_ckpt else [])
     )
     val_json = os.path.join(outdir, "cls_val.json")
     out, _ = _cli(
@@ -369,7 +463,7 @@ def _load_arrays(ds, ids, image_key, mask_key=None):
     return np.stack(xs), np.stack(ys)
 
 
-def run_ref_seg(outdir, ds, train_ids, val_ids, epochs, seed):
+def run_ref_seg(outdir, ds, train_ids, val_ids, epochs, seed, net=None):
     import torch
 
     torch.manual_seed(seed)
@@ -381,21 +475,22 @@ def run_ref_seg(outdir, ds, train_ids, val_ids, epochs, seed):
     xtr, ytr = _load_arrays(ds, train_ids, "image", "mask")
     xva, yva = _load_arrays(ds, val_ids, "image", "mask")
 
-    net = unet_mod.UNet(
-        spatial_dimensions=3,
-        conv_type="regular",
-        link_type="residual",
-        upscale_type="transpose",
-        interpolation="trilinear",
-        norm_type="instance",
-        dropout_param=0.0,
-        activation_fn=torch.nn.SiLU,
-        in_channels=1,
-        n_classes=2,
-        depth=[16, 32, 64],
-        kernel_sizes=[3, 3, 3],
-        strides=[2, 2, 2],
-    )
+    if net is None:
+        net = unet_mod.UNet(
+            spatial_dimensions=3,
+            conv_type="regular",
+            link_type="residual",
+            upscale_type="transpose",
+            interpolation="trilinear",
+            norm_type="instance",
+            dropout_param=0.0,
+            activation_fn=torch.nn.SiLU,
+            in_channels=1,
+            n_classes=2,
+            depth=[16, 32, 64],
+            kernel_sizes=[3, 3, 3],
+            strides=[2, 2, 2],
+        )
     loss_fn = losses.CompoundLoss(
         [
             (losses.binary_generalized_dice_loss, {"eps": 1e-6, "smooth": 1e-5}),
@@ -443,7 +538,7 @@ def run_ref_seg(outdir, ds, train_ids, val_ids, epochs, seed):
     return float(np.mean(dices))
 
 
-def run_ref_cls(outdir, ds, train_ids, val_ids, epochs, seed):
+def run_ref_cls(outdir, ds, train_ids, val_ids, epochs, seed, net=None):
     import torch
 
     torch.manual_seed(seed)
@@ -462,15 +557,16 @@ def run_ref_cls(outdir, ds, train_ids, val_ids, epochs, seed):
     xtr, ytr = _load_arrays(ds, train_ids, "image")
     xva, yva = _load_arrays(ds, val_ids, "image")
 
-    net = cls_mod.CatNet(
-        spatial_dimensions=3,
-        in_channels=1,
-        n_classes=2,
-        resnet_structure=[[16, 32, 3, 1], [32, 64, 3, 1]],
-        maxpool_structure=[[2, 2, 2], [2, 2, 1]],
-        adn_fn=adn_mod.get_adn_fn(3, "batch", "swish", 0.0),
-        res_type="resnet",
-    )
+    if net is None:
+        net = cls_mod.CatNet(
+            spatial_dimensions=3,
+            in_channels=1,
+            n_classes=2,
+            resnet_structure=[[16, 32, 3, 1], [32, 64, 3, 1]],
+            maxpool_structure=[[2, 2, 2], [2, 2, 1]],
+            adn_fn=adn_mod.get_adn_fn(3, "batch", "swish", 0.0),
+            res_type="resnet",
+        )
     loss_fn = torch.nn.BCEWithLogitsLoss()
     # ClassPLABC.configure_optimizers (classification/pl.py:464): AdamW,
     # ordinal-bias params at wd/100 (CatNet has none), cosine+warmup
@@ -514,6 +610,15 @@ def main():
     ap.add_argument("--epochs-cls", type=int, default=30)
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--side", choices=["ours", "ref", "both"], default="both")
+    ap.add_argument(
+        "--match-init", action="store_true", default=True,
+        help="start BOTH sides from the reference's torch-initialized "
+        "weights (through the interop importer) so init conventions "
+        "do not confound the training-semantics comparison",
+    )
+    ap.add_argument(
+        "--no-match-init", dest="match_init", action="store_false",
+    )
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -534,17 +639,24 @@ def main():
         train_ids, val_ids = split_ids(ds)
         write_subset(ds, val_ids, os.path.join(args.outdir, "seg_val.json"))
         for seed in range(args.seeds):
+            ref_net, init_ckpt = (None, None)
+            if args.match_init:
+                ref_net, init_ckpt = make_matched_seg_init(
+                    args.outdir, seed
+                )
             if args.side in ("ours", "both"):
                 t0 = time.time()
                 d = run_ours_seg(
-                    args.outdir, ds_path, val_ids, args.epochs_seg, seed
+                    args.outdir, ds_path, val_ids, args.epochs_seg, seed,
+                    init_ckpt=init_ckpt,
                 )
                 record(f"seg_ours_s{seed}", round(d, 4))
                 record(f"seg_ours_s{seed}_secs", round(time.time() - t0))
             if args.side in ("ref", "both"):
                 t0 = time.time()
                 d = run_ref_seg(
-                    args.outdir, ds, train_ids, val_ids, args.epochs_seg, seed
+                    args.outdir, ds, train_ids, val_ids, args.epochs_seg,
+                    seed, net=ref_net,
                 )
                 record(f"seg_ref_s{seed}", round(d, 4))
                 record(f"seg_ref_s{seed}_secs", round(time.time() - t0))
@@ -554,17 +666,24 @@ def main():
         train_ids, val_ids = split_ids(ds, seed=1)
         write_subset(ds, val_ids, os.path.join(args.outdir, "cls_val.json"))
         for seed in range(args.seeds):
+            ref_net, init_ckpt = (None, None)
+            if args.match_init:
+                ref_net, init_ckpt = make_matched_cls_init(
+                    args.outdir, seed
+                )
             if args.side in ("ours", "both"):
                 t0 = time.time()
                 a = run_ours_cls(
-                    args.outdir, ds_path, val_ids, args.epochs_cls, seed
+                    args.outdir, ds_path, val_ids, args.epochs_cls, seed,
+                    init_ckpt=init_ckpt,
                 )
                 record(f"cls_ours_s{seed}", round(a, 4))
                 record(f"cls_ours_s{seed}_secs", round(time.time() - t0))
             if args.side in ("ref", "both"):
                 t0 = time.time()
                 a = run_ref_cls(
-                    args.outdir, ds, train_ids, val_ids, args.epochs_cls, seed
+                    args.outdir, ds, train_ids, val_ids, args.epochs_cls,
+                    seed, net=ref_net,
                 )
                 record(f"cls_ref_s{seed}", round(a, 4))
                 record(f"cls_ref_s{seed}_secs", round(time.time() - t0))
