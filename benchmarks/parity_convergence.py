@@ -250,6 +250,10 @@ def make_matched_seg_init(outdir, seed):
 
     import jax
 
+    # the axon sitecustomize beats JAX_PLATFORMS; a wedged tunnel would
+    # hang the orbax save otherwise (verify-skill gotcha)
+    jax.config.update("jax_platforms", "cpu")
+
     from adell_mri_tpu.interop import import_reference_unet_state_dict
     from adell_mri_tpu.train.checkpoints import CheckpointManager
 
@@ -335,6 +339,10 @@ def make_matched_cls_init(outdir, seed):
     from the same initial weights (import_reference_catnet). Returns
     (ref_net, ckpt_path)."""
     import torch
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     from adell_mri_tpu.interop import import_reference_catnet
     from adell_mri_tpu.train.checkpoints import CheckpointManager
