@@ -136,6 +136,29 @@ def get_segmentation_network(
             ),
             deep_supervision=cfg.get("deep_supervision", False),
         )
+    if net_type == "unetr_ref":
+        # reference-compat UNETR geometry (imported reference
+        # checkpoints record this net_type; interop/torch_unetr.py)
+        from adell_mri_tpu.models.segmentation.unetr import UNETRRef
+
+        return UNETRRef(
+            image_size=tuple(cfg["image_size"]),
+            patch_size=tuple(cfg.get("patch_size", (8, 8, 8))),
+            n_blocks=cfg.get("n_blocks", cfg.get("number_of_blocks", 8)),
+            return_at=tuple(cfg.get("return_at", (2, 4, 5))),
+            n_heads=cfg.get("n_heads", 8),
+            attention_dim=cfg.get("attention_dim"),
+            mlp_structure=tuple(cfg.get("mlp_structure", (256, 256))),
+            depth=tuple(cfg.get("depth", (16, 32, 64))),
+            norm_type=cfg.get("norm_type", "instance"),
+            activation_fn=cfg.get("activation_fn", "swish"),
+            dropout_param=cfg.get(
+                "dropout_param", cfg.get("dropout_rate", 0.0)
+            ),
+            link_type=cfg.get("link_type", "identity"),
+            n_classes=n_classes,
+            in_channels=cfg.get("n_channels", cfg.get("in_channels", 1)),
+        )
     if net_type in ("swin", "monai_swin"):
         # reference configs may give embedding_size as a per-stage list and
         # n_heads as a scalar (sample_configs/unet-swin.yaml)

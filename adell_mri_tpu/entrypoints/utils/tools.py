@@ -687,7 +687,7 @@ def import_torch_checkpoint(argv):
                    help="network YAML (same file the model was trained "
                         "with: depth/conv_type/link_type/...)")
     p.add_argument("--net_type", default="unet",
-                   choices=["unet", "cat", "vit"])
+                   choices=["unet", "cat", "vit", "unetr"])
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--checkpoint_name", default=None,
                    help="defaults to 'segmentation' / 'classification' "
@@ -775,6 +775,26 @@ def import_torch_checkpoint(argv):
                 "act_fn", cfg.get("activation_fn", "swish")
             ),
         )
+    elif args.net_type == "unetr":
+        from adell_mri_tpu.interop import import_reference_unetr_state_dict
+
+        # geometry the compat module needs but the reference stores
+        # outside the YAML: image size comes from --target_size;
+        # attention_dim is read off the checkpoint's qkv width
+        cfg["image_size"] = list(args.target_size)
+        qkv = sd.get("vit.tbs.transformer_blocks.0.mha.qkv.weight")
+        if qkv is not None:
+            cfg["attention_dim"] = int(qkv.shape[0] // 3)
+        imported = import_reference_unetr_state_dict(
+            sd,
+            depth=cfg.get("depth", (16, 32, 64)),
+            n_blocks=cfg.get("n_blocks", cfg.get("number_of_blocks", 8)),
+            n_heads=cfg.get("n_heads", 8),
+            return_at=cfg.get("return_at", (2, 4, 5)),
+            link_type=cfg.get("link_type", "identity"),
+            norm_type=cfg.get("norm_type", "instance"),
+            activation_fn=cfg.get("activation_fn", "swish"),
+        )
     else:
         # defaults mirror the model factory's (_unet_kwargs) so the
         # mapped tree and the validation init agree on omitted keys
@@ -813,7 +833,9 @@ def import_torch_checkpoint(argv):
         )
     else:
         model = get_segmentation_network(
-            "unet", cfg, n_classes=args.n_classes
+            "unetr_ref" if args.net_type == "unetr" else "unet",
+            cfg,
+            n_classes=args.n_classes,
         )
         if cfg.get("feature_conditioning"):
             init_kwargs["x_feature_conditioning"] = np.zeros(
@@ -871,7 +893,9 @@ def import_torch_checkpoint(argv):
             "train_pids": [],
             "val_pids": [],
             "n_classes": args.n_classes,
-            "net_type": args.net_type,
+            "net_type": (
+                "unetr_ref" if args.net_type == "unetr" else args.net_type
+            ),
             "imported_from": args.input_path,
             **extra,
         },

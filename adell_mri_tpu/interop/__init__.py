@@ -16,3 +16,6 @@ from adell_mri_tpu.interop.torch_vit import (  # noqa: F401
 from adell_mri_tpu.interop.torch_convnext import (  # noqa: F401
     import_reference_convnext_backbone,
 )
+from adell_mri_tpu.interop.torch_unetr import (  # noqa: F401
+    import_reference_unetr_state_dict,
+)

@@ -132,6 +132,9 @@ class TransformerBlock(nn.Module):
     # structure has no ratio representation at all
     mlp_structure: Optional[Sequence[int]] = None
     qk_norm: bool = True
+    # total attention width (the reference's attention_dim, vit.py:884) —
+    # None = token dim; per-head dim becomes head_dim = attention // heads
+    attention_dim: Optional[int] = None
 
     def _mlp_widths(self, dim):
         if self.mlp_structure:
@@ -143,7 +146,14 @@ class TransformerBlock(nn.Module):
         dim = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-5)(x)
         x = x + MultiHeadAttention(
-            self.n_heads, dropout=self.dropout, qk_norm=self.qk_norm
+            self.n_heads,
+            head_dim=(
+                self.attention_dim // self.n_heads
+                if self.attention_dim
+                else None
+            ),
+            dropout=self.dropout,
+            qk_norm=self.qk_norm,
         )(y, bias=bias, train=train)
         y = nn.LayerNorm(epsilon=1e-5)(x)
         if self.moe_experts > 0:
@@ -178,6 +188,7 @@ class TransformerBlockStack(nn.Module):
     moe_experts: int = 0
     mlp_structure: Optional[Sequence[int]] = None
     qk_norm: bool = True
+    attention_dim: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -192,6 +203,7 @@ class TransformerBlockStack(nn.Module):
                 self.n_heads, self.mlp_ratio, self.dropout,
                 moe_experts=self.moe_experts,
                 mlp_structure=self.mlp_structure, qk_norm=self.qk_norm,
+                attention_dim=self.attention_dim,
                 name=f"block_{i}"
             )(x, train=train)
             if return_at is not None and i in return_at:

@@ -373,3 +373,196 @@ class SWINUNet(nn.Module):
                 ds.append(y)
             return pred, bn_out, ds
         return pred, bn_out
+
+
+def tokens_to_rescaled_volume(tokens, grid, patch, scale):
+    """The reference's ``rearrange_rescale`` (vit.py:812-842) in clean
+    JAX: tokens [B, N, prod(patch)*C] whose feature axis is the
+    row-major flattening of (*patch, C) become a volume at
+    spatial = grid_i * patch_i / scale_i with channels
+    (C, scale_0, scale_1, scale_2) flattened c-major — the exact channel
+    ORDER the reference's reconstruction convs consume."""
+    b, n, d = tokens.shape
+    nd = len(grid)
+    scale = [scale] * nd if isinstance(scale, int) else list(scale)
+    a = [p // s for p, s in zip(patch, scale)]
+    c = d
+    for p in patch:
+        c //= p
+    shape = [b] + list(grid)
+    for ai, si in zip(a, scale):
+        shape += [ai, si]
+    shape += [c]
+    x = tokens.reshape(shape)
+    # [B, g..., (a0,s0,a1,s1,a2,s2), C] ->
+    # [B, g0, a0, g1, a1, g2, a2, C, s0, s1, s2]
+    g0 = 1
+    perm = [0]
+    for i in range(nd):
+        perm += [1 + i, 1 + nd + 2 * i]
+    perm += [1 + 3 * nd]
+    perm += [2 + nd + 2 * i for i in range(nd)]
+    x = x.transpose(perm)
+    out_spatial = [g * ai for g, ai in zip(grid, a)]
+    ch = c
+    for s in scale:
+        ch *= s
+    del g0
+    return x.reshape([b] + out_spatial + [ch])
+
+
+class UNETRRef(nn.Module):
+    """
+    Reference-compat UNETR: the EXACT module geometry of
+    adell_mri/modules/segmentation/unetr.py:21 (linear patch embedding
+    with no projection when embedding_size is None, transformer stack
+    with attention_dim, rearrange_rescale token-to-volume stacking,
+    ``first_encoder`` raw-input skip, per-skip transpose-conv
+    reconstruction ladders, 1x1 bottleneck reconstruction, and the
+    inherited UNet decoder: transpose upscales + identity/conv/residual
+    links + regular conv units + conv3-adn-conv1 final layer). Exists so
+    reference UNETR checkpoints import with voxel-exact forwards
+    (interop/torch_unetr.py); the default ``UNETR`` above remains the
+    TPU-first redesign.
+    """
+
+    image_size: Sequence[int]
+    patch_size: Sequence[int]
+    n_blocks: int = 8
+    return_at: Sequence[int] = (2, 4, 5)
+    n_heads: int = 8
+    attention_dim: Optional[int] = None
+    mlp_structure: Sequence[int] = (256, 256)
+    depth: Sequence[int] = (16, 32, 64)
+    norm_type: str = "instance"
+    activation_fn: str = "swish"
+    dropout_param: float = 0.0
+    link_type: str = "identity"
+    n_classes: int = 2
+    in_channels: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_logits: bool = False):
+        from adell_mri_tpu.models.layers.res_blocks import ResidualBlock
+
+        ndim = x.ndim - 2
+        p = tuple(self.patch_size[:ndim])
+        spatial = tuple(self.image_size[:ndim])
+        grid = [s // pi for s, pi in zip(spatial, p)]
+        adn = get_adn_fn(
+            ndim, self.norm_type, self.activation_fn, self.dropout_param
+        )
+        token_dim = self.in_channels
+        for pi in p:
+            token_dim *= pi
+        scale = int(2 ** len(self.return_at))
+        in_rec = self.in_channels * scale**ndim
+        depth = list(self.depth)
+        n_skips = len(depth) - 1
+
+        def conv_block(z, cin, cout, k, prefix):
+            # reference conv_block_3d: conv(in,in,k) -> adn -> conv(in,out,k)
+            z = TpuConv(
+                cin, _tuple(k, ndim), padding="SAME",
+                name=f"{prefix}_Conv_0",
+            )(z)
+            z = apply_adn(adn(cin, name=f"{prefix}_adn_in"), z, train)
+            return TpuConv(
+                cout, _tuple(k, ndim), padding="SAME",
+                name=f"{prefix}_Conv_1",
+            )(z)
+
+        # ViT (names match the torch_vit importer surface)
+        tokens = LinearEmbedding(
+            patch_size=p,
+            embed_dim=token_dim,
+            embed_method="linear",
+            dropout=self.dropout_param,
+            name="LinearEmbedding_0",
+        )(x, train=train)
+        tokens, inter = TransformerBlockStack(
+            self.n_blocks,
+            self.n_heads,
+            dropout=self.dropout_param,
+            mlp_structure=tuple(self.mlp_structure),
+            attention_dim=self.attention_dim,
+            name="TransformerBlockStack_0",
+        )(tokens, train=train, return_at=list(self.return_at))
+
+        # first encoder (init_first_encoder :276-285)
+        z0 = apply_adn(
+            adn(self.in_channels, name="first_adn_0"), x, train
+        )
+        z0 = conv_block(z0, self.in_channels, depth[0], 3, "first")
+        z0 = apply_adn(adn(depth[0], name="first_adn_out"), z0, train)
+
+        # reconstruction ladders (init_reconstruction_ops :316-330)
+        skips = [z0]
+        for i, d in enumerate(depth[1:-1]):
+            vol = tokens_to_rescaled_volume(inter[i], grid, p, scale)
+            n_ops = n_skips - (i + 1)
+            cin = in_rec
+            for j in range(n_ops):
+                vol = TpuConvTranspose(
+                    d, _tuple(2, ndim), name=f"rec{i}_op{j}_up",
+                )(vol)
+                vol = apply_adn(
+                    adn(d, name=f"rec{i}_op{j}_adn_0"), vol, train
+                )
+                vol = conv_block(vol, d, d, 3, f"rec{i}_op{j}")
+                vol = apply_adn(
+                    adn(d, name=f"rec{i}_op{j}_adn_1"), vol, train
+                )
+                cin = d
+            skips.append(vol)
+
+        # bottleneck reconstruction: conv_block at k=1 (init :327-330)
+        curr = tokens_to_rescaled_volume(tokens, grid, p, scale)
+        curr = conv_block(curr, in_rec, depth[-1], 1, "bn")
+        skips.append(curr)
+
+        # inherited UNet decoder (forward :388-411)
+        rev_depth = depth[-2::-1]
+        for i, d in enumerate(rev_depth):
+            skip = skips[-i - 2]
+            if self.link_type == "identity":
+                encoded = skip
+            elif self.link_type == "conv":
+                encoded = TpuConv(
+                    d, _tuple(3, ndim), padding="SAME", name=f"link_{i}"
+                )(skip)
+                encoded = apply_adn(
+                    adn(d, name=f"link_adn_{i}"), encoded, train
+                )
+            elif self.link_type == "residual":
+                encoded = ResidualBlock(
+                    kernel_size=3,
+                    inter_channels=None,
+                    out_channels=d,
+                    adn_fn=adn,
+                    name=f"link_{i}",
+                )(skip, train=train)
+            else:
+                raise NotImplementedError(self.link_type)
+            curr = TpuConvTranspose(
+                d, _tuple(2, ndim), name=f"up_{i}"
+            )(curr)
+            curr = jnp.concatenate([curr, encoded], axis=-1)
+            curr = conv_block(curr, 2 * d, d, 3, f"dec_{i}")
+            curr = apply_adn(adn(d, name=f"dec_adn_{i}"), curr, train)
+
+        # final layer (get_final_layer :626-655)
+        out_ch = self.n_classes if self.n_classes > 2 else 1
+        curr = TpuConv(
+            depth[0], _tuple(3, ndim), padding="SAME", name="Conv_0"
+        )(curr)
+        curr = apply_adn(adn(depth[0], name="final_adn"), curr, train)
+        logits = nn.Conv(out_ch, _tuple(1, ndim), name="Conv_1")(curr)
+        if return_logits:
+            return logits, None
+        pred = (
+            jax.nn.softmax(logits, -1)
+            if self.n_classes > 2
+            else jax.nn.sigmoid(logits)
+        )
+        return pred, None

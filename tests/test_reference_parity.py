@@ -2167,3 +2167,91 @@ def test_convnext_backbone_weight_transfer_parity(torch):
     out = ours.apply({"params": imported["params"]}, jnp.asarray(x_cl))
     our_out = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
     np.testing.assert_allclose(our_out, ref_out, atol=3e-5)
+
+
+def test_unetr_weight_transfer_forward_parity(torch):
+    """Reference UNETR -> our UNETRRef compat module
+    (interop/torch_unetr.py): same weights, same volume, same output —
+    covers the ViT subtree (linear no-projection embedding +
+    attention_dim stack), the rearrange_rescale token stacking, the
+    reconstruction ladders, and the inherited UNet decoder with
+    residual links."""
+    import einops.layers.torch  # noqa: F401 (reference uses bare import)
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import import_reference_unetr_state_dict
+    from adell_mri_tpu.models.segmentation.unetr import UNETRRef
+
+    um = _ref_module("adell_mri.modules.segmentation.unetr")
+    torch.manual_seed(11)
+    depth = [8, 16, 24]
+    ref = um.UNETR(
+        image_size=[32, 32, 16],
+        patch_size=[8, 8, 8],
+        number_of_blocks=4,
+        return_at=[1, 2],
+        attention_dim=64,
+        hidden_dim=64,
+        n_heads=4,
+        mlp_structure=[64],
+        spatial_dimensions=3,
+        in_channels=1,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        conv_type="regular",
+        link_type="residual",
+        upscale_type="transpose",
+        interpolation="trilinear",
+        norm_type="instance",
+        padding=1,
+        dropout_rate=0.0,
+        dropout_param=0.0,
+        activation_fn=torch.nn.SiLU,
+    ).eval()
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 1, 32, 32, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))[0].numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_unetr_state_dict(
+        sd,
+        depth=depth,
+        n_blocks=4,
+        n_heads=4,
+        return_at=[1, 2],
+        link_type="residual",
+        norm_type="instance",
+        activation_fn="swish",
+    )
+    ours = UNETRRef(
+        image_size=(32, 32, 16),
+        patch_size=(8, 8, 8),
+        n_blocks=4,
+        return_at=(1, 2),
+        n_heads=4,
+        attention_dim=64,
+        mlp_structure=(64,),
+        depth=depth,
+        norm_type="instance",
+        activation_fn="swish",
+        dropout_param=0.0,
+        link_type="residual",
+        n_classes=2,
+    )
+    x_cl = np.transpose(x, (0, 2, 3, 4, 1))
+    init_p = ours.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x_cl)
+    )["params"]
+    got = jax.tree.map(np.shape, imported["params"])
+    want = jax.tree.map(jnp.shape, init_p)
+    assert got == want, {
+        "missing": sorted(set(map(str, jax.tree_util.tree_leaves_with_path(want)[0:0])))
+        or [k for k in want if k not in got]
+        + [k for k in got if k not in want],
+    }
+    out, _ = ours.apply({"params": imported["params"]}, jnp.asarray(x_cl))
+    our_out = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_out, ref_out, atol=3e-5)
