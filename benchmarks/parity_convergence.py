@@ -617,6 +617,9 @@ def main():
     ap.add_argument("--epochs-seg", type=int, default=40)
     ap.add_argument("--epochs-cls", type=int, default=30)
     ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first seed (resume extra seeds without "
+                    "re-running earlier ones)")
     ap.add_argument("--side", choices=["ours", "ref", "both"], default="both")
     ap.add_argument(
         "--match-init", action="store_true", default=True,
@@ -646,7 +649,7 @@ def main():
         ds_path, ds = make_seg_cohort(args.outdir)
         train_ids, val_ids = split_ids(ds)
         write_subset(ds, val_ids, os.path.join(args.outdir, "seg_val.json"))
-        for seed in range(args.seeds):
+        for seed in range(args.seed_start, args.seeds):
             ref_net, init_ckpt = (None, None)
             if args.match_init:
                 ref_net, init_ckpt = make_matched_seg_init(
@@ -673,7 +676,7 @@ def main():
         ds_path, ds = make_cls_cohort(args.outdir)
         train_ids, val_ids = split_ids(ds, seed=1)
         write_subset(ds, val_ids, os.path.join(args.outdir, "cls_val.json"))
-        for seed in range(args.seeds):
+        for seed in range(args.seed_start, args.seeds):
             ref_net, init_ckpt = (None, None)
             if args.match_init:
                 ref_net, init_ckpt = make_matched_cls_init(
