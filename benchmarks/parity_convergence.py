@@ -161,7 +161,7 @@ def make_seg_cohort(outdir, n=28, seed=0):
     return path, ds
 
 
-def make_cls_cohort(outdir, n=48, seed=0):
+def make_cls_cohort(outdir, n=96, seed=0):
     """Binary label = presence of a bright central blob; intensity
     overlap keeps the converged AUC off 1.0."""
     from adell_mri_tpu.data.nifti import write_nifti
@@ -674,7 +674,7 @@ def main():
 
     if args.task in ("cls", "both"):
         ds_path, ds = make_cls_cohort(args.outdir)
-        train_ids, val_ids = split_ids(ds, seed=1)
+        train_ids, val_ids = split_ids(ds, val_frac=0.25, seed=1)
         write_subset(ds, val_ids, os.path.join(args.outdir, "cls_val.json"))
         for seed in range(args.seed_start, args.seeds):
             ref_net, init_ckpt = (None, None)
