@@ -396,7 +396,6 @@ def tokens_to_rescaled_volume(tokens, grid, patch, scale):
     x = tokens.reshape(shape)
     # [B, g..., (a0,s0,a1,s1,a2,s2), C] ->
     # [B, g0, a0, g1, a1, g2, a2, C, s0, s1, s2]
-    g0 = 1
     perm = [0]
     for i in range(nd):
         perm += [1 + i, 1 + nd + 2 * i]
@@ -407,7 +406,6 @@ def tokens_to_rescaled_volume(tokens, grid, patch, scale):
     ch = c
     for s in scale:
         ch *= s
-    del g0
     return x.reshape([b] + out_spatial + [ch])
 
 
