@@ -499,7 +499,6 @@ class UNETRRef(nn.Module):
         for i, d in enumerate(depth[1:-1]):
             vol = tokens_to_rescaled_volume(inter[i], grid, p, scale)
             n_ops = n_skips - (i + 1)
-            cin = in_rec
             for j in range(n_ops):
                 vol = TpuConvTranspose(
                     d, _tuple(2, ndim), name=f"rec{i}_op{j}_up",
@@ -511,7 +510,6 @@ class UNETRRef(nn.Module):
                 vol = apply_adn(
                     adn(d, name=f"rec{i}_op{j}_adn_1"), vol, train
                 )
-                cin = d
             skips.append(vol)
 
         # bottleneck reconstruction: conv_block at k=1 (init :327-330)
