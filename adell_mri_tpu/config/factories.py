@@ -159,6 +159,32 @@ def get_segmentation_network(
             n_classes=n_classes,
             in_channels=cfg.get("n_channels", cfg.get("in_channels", 1)),
         )
+    if net_type == "swin_ref":
+        # reference-compat SWINUNet geometry (imported reference
+        # checkpoints record this net_type; interop/torch_swin.py)
+        from adell_mri_tpu.models.segmentation.swin_ref import SWINUNetRef
+
+        return SWINUNetRef(
+            image_size=tuple(cfg["image_size"]),
+            patch_size=tuple(cfg.get("patch_size", (2, 2, 2))),
+            window_size=tuple(cfg.get("window_size", (8, 8, 8))),
+            shift_sizes=cfg.get("shift_sizes", [0, 1]),
+            depth=tuple(cfg.get("depth", (16, 32, 64))),
+            strides=cfg.get("strides"),
+            embedding_size=cfg.get("embedding_size"),
+            n_heads=cfg.get("n_heads", 4),
+            mlp_structure=cfg.get("mlp_structure", (256, 256)),
+            embed_method=cfg.get("embed_method", "linear"),
+            norm_type=cfg.get("norm_type", "instance"),
+            activation_fn=cfg.get("activation_fn", "swish"),
+            dropout_param=cfg.get("dropout_param", 0.0),
+            dropout_rate=cfg.get("dropout_rate", 0.0),
+            link_type=cfg.get("link_type", "identity"),
+            upscale_type=cfg.get("upscale_type", "transpose"),
+            kernel_sizes=tuple(cfg.get("kernel_sizes", (3, 3, 3))),
+            n_classes=n_classes,
+            in_channels=cfg.get("n_channels", cfg.get("in_channels", 1)),
+        )
     if net_type in ("swin", "monai_swin"):
         # reference configs may give embedding_size as a per-stage list and
         # n_heads as a scalar (sample_configs/unet-swin.yaml)

@@ -258,7 +258,24 @@ def main(arguments):
             resize_size=args.resize_size,
             crop_size=crop_size,
             adc_keys=args.adc_keys or (),
-            augmentations=AugmentPolicy.from_flags(args.augment),
+            # reference class factory (transform_factory/augmentations.py
+            # :181-299): prob=0.1, flips over axes [0,1], RandAffined
+            # rotate [pi/16] (first axis only), scale [0.1, 0.1, 0.05],
+            # translate [4, 4, 1] VOXELS (our translate_range is a
+            # fraction of the augmented shape)
+            augmentations=AugmentPolicy.from_flags(
+                args.augment,
+                prob=0.1,
+                flip_axes=(0, 1),
+                rotate_range=(np.pi / 16, 0.0, 0.0),
+                scale_range=(0.1, 0.1, 0.05),
+                translate_range=tuple(
+                    v / s
+                    for v, s in zip(
+                        (4.0, 4.0, 1.0), crop_size or base_size
+                    )
+                ),
+            ),
             clinical_feature_keys=feat_keys,
             mask_key=(args.mask_keys or [None])[0],
             image_masking=args.image_masking,

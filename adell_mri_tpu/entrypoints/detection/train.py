@@ -254,7 +254,14 @@ def main(arguments):
     from adell_mri_tpu.transforms.pipeline import DetectionTransforms
 
     det_transforms = DetectionTransforms(
-        augmentations=AugmentPolicy.from_flags(args.augment),
+        # reference detection factory (transform_factory/augmentations.py
+        # :333-389): prob=0.1, rotate-only geometry [pi/16], no flips
+        augmentations=AugmentPolicy.from_flags(
+            args.augment,
+            prob=0.1,
+            rotate_range=(np.pi / 16, 0.0, 0.0),
+            scale_range=0.0,
+        ),
         anchors=anchors,
         grid_shape=grid,
         input_shape=base_size,

@@ -398,7 +398,14 @@ def main(arguments):
             crop_size=crop_size if crop_size != base_size else None,
             adc_keys=args.adc_keys or (),
             positive_labels=[int(x) for x in (args.positive_labels or [1])],
-            augmentations=AugmentPolicy.from_flags(args.augment),
+            # reference seg training: RandAffined is rotate-only (no
+            # scale; transform_factory/augmentations.py:100-107 — the
+            # [0.1, 0.1, 0.05] scale_range belongs to the CLASS factory,
+            # :295) and flips run over all three axes
+            # (entrypoints/segmentation/train.py:354 flip_axis=[0,1,2])
+            augmentations=AugmentPolicy.from_flags(
+                args.augment, scale_range=0.0, flip_axes=(0, 1, 2)
+            ),
             missing_to_empty=bool(args.missing_to_empty),
             skip_keys=skip_keys,
             feature_keys=feature_keys,

@@ -687,7 +687,7 @@ def import_torch_checkpoint(argv):
                    help="network YAML (same file the model was trained "
                         "with: depth/conv_type/link_type/...)")
     p.add_argument("--net_type", default="unet",
-                   choices=["unet", "cat", "vit", "unetr"])
+                   choices=["unet", "cat", "vit", "unetr", "swin"])
     p.add_argument("--checkpoint_dir", required=True)
     p.add_argument("--checkpoint_name", default=None,
                    help="defaults to 'segmentation' / 'classification' "
@@ -795,6 +795,39 @@ def import_torch_checkpoint(argv):
             norm_type=cfg.get("norm_type", "instance"),
             activation_fn=cfg.get("activation_fn", "swish"),
         )
+    elif args.net_type == "swin":
+        from adell_mri_tpu.interop import import_reference_swin_state_dict
+
+        cfg["image_size"] = list(args.target_size)
+        # detect the embed variant from the checkpoint (the reference
+        # records it nowhere outside the YAML)
+        if "first_swin_block.stbs.0.embedding.conv.weight" in sd:
+            cfg["embed_method"] = "convolutional"
+        # blocks per stage from the checkpoint itself (arg_compliance
+        # normalizes shift_sizes; counting stbs indices avoids trusting
+        # the YAML's pre-normalization shape)
+        depth = cfg.get("depth", (16, 32, 64))
+        n_stack = []
+        for s in range(len(depth)):
+            prefix = (
+                "first_swin_block.stbs."
+                if s == 0
+                else f"swin_blocks.{s - 1}.stbs."
+            )
+            idx = {
+                int(k[len(prefix):].split(".")[0])
+                for k in sd
+                if k.startswith(prefix)
+            }
+            n_stack.append(max(idx) + 1 if idx else 0)
+        imported = import_reference_swin_state_dict(
+            sd,
+            depth=depth,
+            n_stack_blocks=n_stack,
+            link_type=cfg.get("link_type", "identity"),
+            norm_type=cfg.get("norm_type", "instance"),
+            activation_fn=cfg.get("activation_fn", "swish"),
+        )
     else:
         # defaults mirror the model factory's (_unet_kwargs) so the
         # mapped tree and the validation init agree on omitted keys
@@ -833,7 +866,9 @@ def import_torch_checkpoint(argv):
         )
     else:
         model = get_segmentation_network(
-            "unetr_ref" if args.net_type == "unetr" else "unet",
+            {"unetr": "unetr_ref", "swin": "swin_ref"}.get(
+                args.net_type, "unet"
+            ),
             cfg,
             n_classes=args.n_classes,
         )
@@ -893,8 +928,8 @@ def import_torch_checkpoint(argv):
             "train_pids": [],
             "val_pids": [],
             "n_classes": args.n_classes,
-            "net_type": (
-                "unetr_ref" if args.net_type == "unetr" else args.net_type
+            "net_type": {"unetr": "unetr_ref", "swin": "swin_ref"}.get(
+                args.net_type, args.net_type
             ),
             "imported_from": args.input_path,
             **extra,

@@ -19,3 +19,6 @@ from adell_mri_tpu.interop.torch_convnext import (  # noqa: F401
 from adell_mri_tpu.interop.torch_unetr import (  # noqa: F401
     import_reference_unetr_state_dict,
 )
+from adell_mri_tpu.interop.torch_swin import (  # noqa: F401
+    import_reference_swin_state_dict,
+)

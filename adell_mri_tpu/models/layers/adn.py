@@ -192,7 +192,14 @@ def make_norm(norm_fn: str, spatial_dim: int = 3) -> Callable[[], nn.Module]:
     if norm_fn == "instance_affine":
         return lambda: InstanceNorm()
     if norm_fn == "layer":
-        return lambda: nn.LayerNorm(epsilon=1e-5)  # torch eps parity
+        # torch eps parity: spatial "layer" ADNs are
+        # LayerNormChannelsFirst(eps=1e-6) (regularization.py:95-100);
+        # only the 1D case is torch.nn.LayerNorm (eps 1e-5)
+        eps = 1e-5 if spatial_dim == 1 else 1e-6
+        # fast-variance (E[x^2]-E[x]^2) loses ~3 digits on low-channel
+        # tensors (measured 1.6e-2 vs torch on a 2-channel LayerNorm);
+        # both reference norms are two-pass
+        return lambda: nn.LayerNorm(epsilon=eps, use_fast_variance=False)
     if norm_fn == "group":
         # group_size=8 when the width allows (the original semantics),
         # else the group count adapts so non-multiple-of-8 widths no

@@ -15,7 +15,7 @@ TPU split of labour (SURVEY.md §7): each factory exposes
 """
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -50,9 +50,12 @@ class AugmentPolicy:
         0.39269908,  # pi/8
         0.19634954,  # pi/16  (RandAffined rotate_range, :103)
     )
-    scale_range: float = 0.1
+    # scale/translate accept a scalar or a per-axis tuple (reference class
+    # factory: scale [0.1, 0.1, 0.05], translate [4, 4, 1] voxels — ours
+    # is a fraction of shape; augmentations.py:291-299)
+    scale_range: Union[float, Tuple[float, ...]] = 0.1
     shear_range: float = 0.1
-    translate_range: float = 0.0
+    translate_range: Union[float, Tuple[float, ...]] = 0.0
     gamma_range: Tuple[float, float] = (0.5, 1.5)  # RandAdjustContrastd :71
     scale_delta: float = 0.0  # the reference has no scale-intensity op
     shift_delta: float = 0.1  # RandStdShiftIntensityd factors=0.1 (:74)
@@ -141,17 +144,17 @@ def _augment_one(
             jax.random.fold_in(keys[0], 102), policy.prob
         ).astype(jnp.float32)
         rot = jnp.asarray(policy.rotate_range, jnp.float32)
+        scl = jnp.asarray(policy.scale_range, jnp.float32)
+        trn = jnp.asarray(policy.translate_range, jnp.float32)
         mat = S.random_affine_matrix(
             keys[0],
             shape,
             rotate_range=(rot * do_aff) if policy.affine else 0.0,
-            scale_range=(policy.scale_range * do_aff)
-            if policy.affine
-            else 0.0,
+            scale_range=(scl * do_aff) if policy.affine else 0.0,
             shear_range=(policy.shear_range * do_shear)
             if policy.shear
             else 0.0,
-            translate_range=policy.translate_range * do_aff,
+            translate_range=trn * do_aff,
         )
         if fold_flip:
             # flips are axis reflections — fold them into the warp matrix

@@ -181,23 +181,28 @@ def random_affine_matrix(
     ndim = len(shape)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     n_angles = 1 if ndim == 2 else 3
-    # per-axis rotation bounds (reference RandAffined rotate_range is a
-    # 3-list, augmentations.py:103); scalars broadcast, traced values OK
-    rot = jnp.asarray(rotate_range, jnp.float32).reshape(-1)
-    rot = jnp.broadcast_to(
-        rot[:n_angles] if rot.size > 1 else rot, (n_angles,)
-    )
+
+    def _per_axis(v, n):
+        # per-axis bounds (reference RandAffined rotate_range is a 3-list,
+        # scale_range [0.1, 0.1, 0.05], translate_range [4, 4, 1],
+        # augmentations.py:103,291-299); scalars broadcast, traced OK
+        v = jnp.asarray(v, jnp.float32).reshape(-1)
+        return jnp.broadcast_to(v[:n] if v.size > 1 else v, (n,))
+
+    rot = _per_axis(rotate_range, n_angles)
     angles = jax.random.uniform(
         k1, (n_angles,), minval=-rot, maxval=rot
     )
+    scl = _per_axis(scale_range, ndim)
     scales = 1.0 + jax.random.uniform(
-        k2, (ndim,), minval=-scale_range, maxval=scale_range
+        k2, (ndim,), minval=-scl, maxval=scl
     )
     shears = jax.random.uniform(
         k3, (ndim * (ndim - 1),), minval=-shear_range, maxval=shear_range
     )
+    trn = _per_axis(translate_range, ndim)
     trans = jax.random.uniform(
-        k4, (ndim,), minval=-translate_range, maxval=translate_range
+        k4, (ndim,), minval=-trn, maxval=trn
     ) * jnp.asarray(shape)
     m = (
         center_matrix(shape, +1.0)

@@ -29,9 +29,13 @@ transforms/host.py make_load_fn, and the reference shim loads the same
 volumes through the same make_load_fn (preprocessing parity is
 separately covered by tests/test_reference_parity.py, so feeding both
 trainers identical arrays isolates the TRAINING-semantics comparison).
-Augmentation is disabled on both sides (one fewer stochastic
-confounder; the augmentation policies have their own fire-rate parity
-tests).
+Augmentation is disabled by default (one fewer stochastic confounder;
+the augmentation policies have their own fire-rate parity tests);
+``--seg-augment`` turns the FULL pipeline on for the segmentation
+head-to-head — ours through the CLI's ``--augment intensity noise
+affine flip``, the reference through a numpy mirror of
+get_augmentations_unet's probs/ranges (monai is not installed) with
+independent RNG streams.
 
 Usage (CPU, ~15-40 min per task):
     python benchmarks/parity_convergence.py --task both \
@@ -292,11 +296,95 @@ def make_matched_seg_init(outdir, seed):
     return net, os.path.join(ck_root, "init_fold0")
 
 
-def run_ours_seg(outdir, ds_path, val_ids, epochs, seed, init_ckpt=None):
+# ---------------------------------------------------------------------------
+# reference-side augmentation mirror (numpy; get_augmentations_unet
+# fire probs/ranges, transform_factory/augmentations.py:19-177 — monai is
+# not installed here, so the reference trainer gets a faithful numpy
+# re-statement of the same op distribution: contrast gamma U(0.5,1.5),
+# std-shift U(-.1,.1)*std, Rician std .02, Gibbs alpha U(.3,.6),
+# RandAffined rotate [pi/8, pi/8, pi/16] (bilinear image / nearest mask),
+# per-axis flips p=.25 over axes [0,1,2] (train.py:354), every gate
+# p=0.2. Independent RNG streams vs our side (same distribution).
+# ---------------------------------------------------------------------------
+
+
+def _np_gibbs(rng, x, alpha_range=(0.3, 0.6)):
+    """x: [C, X, Y, Z]. MONAI alpha = fraction truncated."""
+    retained = 1.0 - rng.uniform(*alpha_range)
+    axes = (1, 2, 3)
+    k = np.fft.fftshift(np.fft.fftn(x, axes=axes), axes=axes)
+    mask = np.ones(x.shape[1:], bool)
+    for d, n in enumerate(x.shape[1:]):
+        freq = np.abs(np.arange(n) - n / 2) / (n / 2)
+        shape = [1, 1, 1]
+        shape[d] = n
+        mask &= (freq <= retained).reshape(shape)
+    k = np.where(mask[None], k, 0)
+    out = np.fft.ifftn(np.fft.ifftshift(k, axes=axes), axes=axes)
+    return np.real(out).astype(np.float32)
+
+
+def _np_rot_matrix(angles):
+    ax, ay, az = angles
+    cx, sx = np.cos(ax), np.sin(ax)
+    cy, sy = np.cos(ay), np.sin(ay)
+    cz, sz = np.cos(az), np.sin(az)
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rx @ ry @ rz
+
+
+def _np_augment_seg(rng, img, mask, prob=0.2):
+    """One sample: img [C, X, Y, Z] f32, mask [C, X, Y, Z] f32."""
+    from scipy.ndimage import affine_transform
+
+    if rng.random() < prob:  # RandAdjustContrastd gamma (0.5, 1.5)
+        gamma = rng.uniform(0.5, 1.5)
+        lo, hi = float(img.min()), float(img.max())
+        unit = (img - lo) / max(hi - lo, 1e-6)
+        img = (unit**gamma * (hi - lo) + lo).astype(np.float32)
+    if rng.random() < prob:  # RandStdShiftIntensityd factors=0.1
+        img = img + rng.uniform(-0.1, 0.1) * float(img.std())
+    if rng.random() < prob:  # RandRicianNoised std=0.02
+        n1 = rng.normal(0.0, 0.02, img.shape)
+        n2 = rng.normal(0.0, 0.02, img.shape)
+        img = np.sqrt((img + n1) ** 2 + n2**2).astype(np.float32)
+    if rng.random() < prob:  # RandGibbsNoised alpha (0.3, 0.6)
+        img = _np_gibbs(rng, img)
+    if rng.random() < prob:  # RandAffined rotate [pi/8, pi/8, pi/16]
+        angles = rng.uniform(-1.0, 1.0, 3) * np.array(
+            [np.pi / 8, np.pi / 8, np.pi / 16]
+        )
+        rot = _np_rot_matrix(angles)
+        c = (np.asarray(img.shape[1:], np.float64) - 1.0) / 2.0
+        offset = c - rot @ c
+        img = np.stack(
+            [
+                affine_transform(ch, rot, offset=offset, order=1, mode="constant")
+                for ch in img
+            ]
+        ).astype(np.float32)
+        mask = np.stack(
+            [
+                affine_transform(ch, rot, offset=offset, order=0, mode="constant")
+                for ch in mask
+            ]
+        ).astype(np.float32)
+    for ax in (1, 2, 3):  # RandFlipd per-axis p=0.25, axes [0,1,2]
+        if rng.random() < 0.25:
+            img = np.flip(img, axis=ax).copy()
+            mask = np.flip(mask, axis=ax).copy()
+    return img, mask
+
+
+def run_ours_seg(outdir, ds_path, val_ids, epochs, seed, init_ckpt=None,
+                 augment=False):
     yaml_path = os.path.join(outdir, "h2h_unet.yaml")
     with open(yaml_path, "w") as f:
         f.write(SEG_YAML)
-    ckpt = os.path.join(outdir, f"ours_seg_s{seed}")
+    tag = "ours_seg_aug" if augment else "ours_seg"
+    ckpt = os.path.join(outdir, f"{tag}_s{seed}")
     shape = [str(s) for s in SEG_SHAPE]
     _cli(
         [
@@ -317,6 +405,8 @@ def run_ours_seg(outdir, ds_path, val_ids, epochs, seed, init_ckpt=None):
             "--checkpoint_dir", ckpt,
             "--seed", str(seed),
         ]
+        + (["--augment", "intensity", "noise", "affine", "flip"]
+           if augment else [])
         + (["--checkpoint", init_ckpt] if init_ckpt else [])
     )
     val_json = os.path.join(outdir, "seg_val.json")
@@ -471,7 +561,8 @@ def _load_arrays(ds, ids, image_key, mask_key=None):
     return np.stack(xs), np.stack(ys)
 
 
-def run_ref_seg(outdir, ds, train_ids, val_ids, epochs, seed, net=None):
+def run_ref_seg(outdir, ds, train_ids, val_ids, epochs, seed, net=None,
+                augment=False):
     import torch
 
     torch.manual_seed(seed)
@@ -524,8 +615,17 @@ def run_ref_seg(outdir, ds, train_ids, val_ids, epochs, seed, net=None):
         net.train()
         for i in range(0, len(order) - len(order) % bs, bs):
             idx = order[i : i + bs]
-            x = xtr_t[idx]
-            y = torch.round(ytr_t[idx])
+            if augment:
+                pairs = [
+                    _np_augment_seg(rng, xtr[j], ytr[j]) for j in idx
+                ]
+                x = torch.from_numpy(np.stack([p[0] for p in pairs]))
+                y = torch.round(
+                    torch.from_numpy(np.stack([p[1] for p in pairs]))
+                )
+            else:
+                x = xtr_t[idx]
+                y = torch.round(ytr_t[idx])
             pred, _ = net(x)
             lv = loss_fn(pred, y)
             loss = torch.stack([v.mean() for v in lv]).mean()
@@ -617,10 +717,24 @@ def main():
     ap.add_argument("--epochs-seg", type=int, default=40)
     ap.add_argument("--epochs-cls", type=int, default=30)
     ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument(
+        "--cls-n", type=int, default=96,
+        help="classification cohort size (val = 25%%); the round-4 "
+        "6-seed AUC sample on 96 cases had SE 1.4pt against a 1pt "
+        "target — scale to 384+ so the val AUC granularity "
+        "(1/(n_pos*n_neg)) and seed variance stop dominating",
+    )
     ap.add_argument("--seed-start", type=int, default=0,
                     help="first seed (resume extra seeds without "
                     "re-running earlier ones)")
     ap.add_argument("--side", choices=["ours", "ref", "both"], default="both")
+    ap.add_argument(
+        "--seg-augment", action="store_true",
+        help="run the seg h2h with the FULL augmentation pipeline ON "
+        "(ours: --augment intensity noise affine flip through the CLI; "
+        "ref: numpy mirror of get_augmentations_unet probs/ranges) — "
+        "closes the last composition gap in the parity story",
+    )
     ap.add_argument(
         "--match-init", action="store_true", default=True,
         help="start BOTH sides from the reference's torch-initialized "
@@ -649,6 +763,7 @@ def main():
         ds_path, ds = make_seg_cohort(args.outdir)
         train_ids, val_ids = split_ids(ds)
         write_subset(ds, val_ids, os.path.join(args.outdir, "seg_val.json"))
+        ktag = "segaug" if args.seg_augment else "seg"
         for seed in range(args.seed_start, args.seeds):
             ref_net, init_ckpt = (None, None)
             if args.match_init:
@@ -659,21 +774,21 @@ def main():
                 t0 = time.time()
                 d = run_ours_seg(
                     args.outdir, ds_path, val_ids, args.epochs_seg, seed,
-                    init_ckpt=init_ckpt,
+                    init_ckpt=init_ckpt, augment=args.seg_augment,
                 )
-                record(f"seg_ours_s{seed}", round(d, 4))
-                record(f"seg_ours_s{seed}_secs", round(time.time() - t0))
+                record(f"{ktag}_ours_s{seed}", round(d, 4))
+                record(f"{ktag}_ours_s{seed}_secs", round(time.time() - t0))
             if args.side in ("ref", "both"):
                 t0 = time.time()
                 d = run_ref_seg(
                     args.outdir, ds, train_ids, val_ids, args.epochs_seg,
-                    seed, net=ref_net,
+                    seed, net=ref_net, augment=args.seg_augment,
                 )
-                record(f"seg_ref_s{seed}", round(d, 4))
-                record(f"seg_ref_s{seed}_secs", round(time.time() - t0))
+                record(f"{ktag}_ref_s{seed}", round(d, 4))
+                record(f"{ktag}_ref_s{seed}_secs", round(time.time() - t0))
 
     if args.task in ("cls", "both"):
-        ds_path, ds = make_cls_cohort(args.outdir)
+        ds_path, ds = make_cls_cohort(args.outdir, n=args.cls_n)
         train_ids, val_ids = split_ids(ds, val_frac=0.25, seed=1)
         write_subset(ds, val_ids, os.path.join(args.outdir, "cls_val.json"))
         for seed in range(args.seed_start, args.seeds):
@@ -710,7 +825,11 @@ def main():
 
     print("\n| metric | ours | reference | delta |")
     print("|---|---|---|---|")
-    for task, metric in (("seg", "Dice"), ("cls", "AUC")):
+    for task, metric in (
+        ("seg", "Dice"),
+        ("segaug", "Dice(aug)"),
+        ("cls", "AUC"),
+    ):
         mo, vo = agg(f"{task}_ours")
         mr, vr = agg(f"{task}_ref")
         if mo is not None and mr is not None:
