@@ -148,6 +148,7 @@ def get_segmentation_network(
             return_at=tuple(cfg.get("return_at", (2, 4, 5))),
             n_heads=cfg.get("n_heads", 8),
             attention_dim=cfg.get("attention_dim"),
+            embedding_size=cfg.get("embedding_size"),
             mlp_structure=tuple(cfg.get("mlp_structure", (256, 256))),
             depth=tuple(cfg.get("depth", (16, 32, 64))),
             norm_type=cfg.get("norm_type", "instance"),

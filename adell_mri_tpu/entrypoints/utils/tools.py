@@ -785,6 +785,10 @@ def import_torch_checkpoint(argv):
         qkv = sd.get("vit.tbs.transformer_blocks.0.mha.qkv.weight")
         if qkv is not None:
             cfg["attention_dim"] = int(qkv.shape[0] // 3)
+        # projecting embedding: read E off map_to_out's Linear
+        proj = sd.get("vit.embedding.map_to_out.1.weight")
+        if proj is not None:
+            cfg["embedding_size"] = int(proj.shape[0])
         imported = import_reference_unetr_state_dict(
             sd,
             depth=cfg.get("depth", (16, 32, 64)),
@@ -831,10 +835,11 @@ def import_torch_checkpoint(argv):
     else:
         # defaults mirror the model factory's (_unet_kwargs) so the
         # mapped tree and the validation init agree on omitted keys
+        _ct = cfg.get("conv_type", "regular")
         imported = import_reference_unet_state_dict(
             sd,
             depth=cfg.get("depth", (16, 32, 64)),
-            conv_type=cfg.get("conv_type", "regular"),
+            conv_type=_ct,
             link_type=cfg.get("link_type", "identity"),
             upscale_type=cfg.get("upscale_type", "upsample"),
             norm_type=cfg.get("norm_type", "instance"),
@@ -847,6 +852,15 @@ def import_torch_checkpoint(argv):
             in_channels=cfg.get("n_channels", cfg.get("in_channels", 1)),
             skip_conditioning=cfg.get("skip_conditioning") or 0,
         )
+        # sae/asp imports serve through the reference-compat _ConvUnit
+        # variants (sum-combined scSE / never-downsampling ASPP +
+        # center-crop decoder); record the compat conv_type so
+        # test/predict rebuild the identical tree
+        cfg["conv_type"] = {
+            "sae": "sae_ref",
+            "asp": "asp_ref",
+            "depthwise": "depthwise_ref",
+        }.get(_ct, _ct)
     # BatchNorm running statistics ride along in the saved payload; the
     # test/predict entrypoints restore them so imported batch-norm models
     # eval with the reference's running-average semantics

@@ -177,6 +177,51 @@ class _Mapper:
             self.conv(f"{t}final_op", fpath + (proj,))
         self.adn(f"{t}adn_op", fpath + (final_adn,))
 
+    def dw_unit(self, tprefix: str, fname: str):
+        """One conv_type='depthwise' unit (depthwise_conv_block_3d
+        :292-307 wrapped in Sequential(unit, adn)): grouped conv ->
+        adn -> 1x1 conv -> outer adn. Grouped torch weights are
+        (O, 1, *k) — the generic (O, I, *k) transpose lands them on
+        TpuDwConv's [*k, 1, C] layout."""
+        self.conv(f"{tprefix}.0.0", (fname, "Conv_dw"))
+        self.adn(f"{tprefix}.0.1", (fname, "ActDropNorm_0"))
+        self.conv(f"{tprefix}.0.2", (fname, "Conv_pw"))
+        self.adn(f"{tprefix}.1", (fname, "ActDropNorm_1"))
+
+    def sae_unit(self, tprefix: str, fname: str):
+        """One conv_type='sae' unit (sae_3d :387-397): conv block +
+        the reference's sum-combined scSE (ConcurrentSqueezeAndExcite3d,
+        self_attention.py:127-149) -> our _ConvUnit 'sae_ref'."""
+        self.conv(f"{tprefix}.0.0.0", (fname, "Conv_0"))
+        self.adn(f"{tprefix}.0.0.1", (fname, "ActDropNorm_0"))
+        self.conv(f"{tprefix}.0.0.2", (fname, "Conv_1"))
+        self.conv(
+            f"{tprefix}.0.1.spatial.op.0", (fname, "scse", "spatial_conv")
+        )
+        self.linear(
+            f"{tprefix}.0.1.channel.op.0", (fname, "scse", "channel_fc0")
+        )
+        self.linear(
+            f"{tprefix}.0.1.channel.op.2", (fname, "scse", "channel_fc1")
+        )
+        self.adn(f"{tprefix}.1", (fname, "ActDropNorm_1"))
+
+    def asp_unit(self, tprefix: str, fname: str, n_rates: int = 2):
+        """One conv_type='asp' ENCODER unit (asp_3d :407-413 ->
+        AtrousSpatialPyramidPooling3d, multi_resolution.py:359-417) ->
+        our _ConvUnit 'asp_ref'. The branch ADNs are instance-norm by
+        reference hard-coding (parameter-free unless the activation is
+        prelu); the DWSep's act_op is Identity."""
+        for r in range(n_rates):
+            t = f"{tprefix}.0.layers.{r}"
+            f = (fname, "aspp")
+            self.conv(f"{t}.0", f + (f"branch{r}_conv",))
+            self.adn(f"{t}.1", f + (f"branch{r}_adn_0",), norm="instance")
+            self.conv(f"{t}.2.depthwise_op", f + (f"branch{r}_dw",))
+            self.conv(f"{t}.2.pointwise_op", f + (f"branch{r}_pw",))
+            self.adn(f"{t}.3", f + (f"branch{r}_adn_1",), norm="instance")
+        self.adn(f"{tprefix}.1", (fname, "ActDropNorm_0"))
+
     def res_unit(
         self,
         tprefix: str,

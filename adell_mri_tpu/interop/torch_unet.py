@@ -21,11 +21,14 @@ Layout conventions translated:
   - torch InstanceNorm (affine)       -> InstanceNorm scale/bias
     (the non-affine default carries no parameters on either side)
 
-Supported config surface: conv_type {regular, resnet} (the
-sample-config paths incl. u-net-3d-resnet.yaml), link_type {identity,
-conv, residual}, upscale_type {upsample, transpose}, optional deep
-supervision / bottleneck classification / feature conditioning.
-depthwise/sae/asp conv types raise.
+Supported config surface: conv_type {regular, resnet, depthwise, sae,
+asp} — the last three land on the reference-compat _ConvUnit variants
+(depthwise shares our default layout; sae/asp map onto conv_type
+"sae_ref"/"asp_ref", which reproduce the reference's sum-combined scSE
+and its never-downsampling ASPP encoder + center-crop decoder) —
+link_type {identity, conv, residual}, upscale_type {upsample,
+transpose}, optional deep supervision / bottleneck classification /
+feature conditioning.
 """
 
 from typing import Any, Dict, Mapping, Optional, Sequence
@@ -61,11 +64,10 @@ def import_reference_unet_state_dict(
     params": {"mean", "std"}?}`` — feed the first two to ``apply`` and the
     last to the ``feature_conditioning_params`` config field.
     """
-    if conv_type not in ("regular", "resnet"):
+    if conv_type not in ("regular", "resnet", "depthwise", "sae", "asp"):
         raise NotImplementedError(
             "reference-checkpoint import supports conv_type "
-            f"regular/resnet (got {conv_type!r}; depthwise/sae/asp "
-            "checkpoints have no mapper yet)"
+            f"regular/resnet/depthwise/sae/asp (got {conv_type!r})"
         )
     if link_type not in ("identity", "conv", "residual"):
         raise NotImplementedError(
@@ -96,9 +98,14 @@ def import_reference_unet_state_dict(
                     strided=True,
                 )
         else:
-            m.conv_unit(f"encoding_operations.{i}.0", f"enc_{i}")
+            enc_unit = {
+                "depthwise": m.dw_unit,
+                "sae": m.sae_unit,
+                "asp": m.asp_unit,
+            }.get(conv_type, m.conv_unit)
+            enc_unit(f"encoding_operations.{i}.0", f"enc_{i}")
             if i < n - 1:
-                m.conv_unit(f"encoding_operations.{i}.1", f"enc_ds_{i}")
+                enc_unit(f"encoding_operations.{i}.1", f"enc_ds_{i}")
         prev_d = depth[i]
 
     # decoder (init_decoder :605-624, init_upscale_ops :415-459,
@@ -141,10 +148,16 @@ def import_reference_unet_state_dict(
                 act="sigmoid",
                 norm="batch",
             )
-        # decoder blocks are REGULAR conv blocks even for conv_type=
-        # resnet (conv_op_dec map, unet.py:213-246); our UNet mirrors
-        # this (models/segmentation/unet.py dec_ct map)
-        m.conv_unit(f"decoding_operations.{i}", f"dec_{i}")
+        # decoder conv map (conv_op_dec, unet.py:213-246): resnet
+        # decodes with REGULAR blocks, sae AND asp decode with sae,
+        # depthwise with depthwise; our UNet mirrors this
+        # (models/segmentation/unet.py dec_ct map)
+        dec_unit = {
+            "depthwise": m.dw_unit,
+            "sae": m.sae_unit,
+            "asp": m.sae_unit,
+        }.get(conv_type, m.conv_unit)
+        dec_unit(f"decoding_operations.{i}", f"dec_{i}")
 
     # final layer (get_final_layer :626-655): conv3 -> adn -> conv1
     m.conv("final_layer.0", ("Conv_0",))

@@ -8,10 +8,12 @@ linear no-projection embedding, ``first_encoder`` raw-input skip,
 transpose-conv reconstruction ladders, 1x1 bottleneck reconstruction,
 and the inherited UNet decoder.
 
-Supported surface: embed_method="linear" with embedding_size=None (the
-parameter-free embedding the reference's own tests use — a projecting
-embedding adds map_to_out/map_to_in Linears, unmapped), conv_type
-"regular", link_type identity/conv/residual, upscale_type "transpose".
+Supported surface: embed_method="linear" with or without a projecting
+embedding_size (the projection's map_to_out rides the ViT import, the
+map_to_in Linears land on ``bn_map_in``/``rescaler_map_in_{i}``; the
+reference also builds per-skip rescaler map_to_out Linears it never
+executes — those are consumed and dropped), conv_type "regular",
+link_type identity/conv/residual, upscale_type "transpose".
 """
 
 from typing import Any, Dict, Mapping, Optional, Sequence
@@ -34,12 +36,6 @@ def import_reference_unetr_state_dict(
     activation_fn: str = "swish",
     strict: bool = True,
 ) -> Dict[str, Any]:
-    if any(k.startswith("vit.embedding.map_to_out") for k in state_dict):
-        raise NotImplementedError(
-            "projecting embeddings (embedding_size set) carry map_to_out/"
-            "map_to_in Linears with no compat-module analogue yet; "
-            "import supports the parameter-free linear embedding"
-        )
     vit_tree = import_reference_vit_state_dict(
         {k: v for k, v in state_dict.items() if k.startswith("vit.")},
         n_heads=n_heads,
@@ -50,6 +46,32 @@ def import_reference_unetr_state_dict(
     )
 
     m = _Mapper(state_dict, norm_type, activation_fn, strict=False)
+
+    # projecting embedding (embedding_size set): the ViT embedding's
+    # map_to_in feeds the bottleneck rearrange_rescale, the per-skip
+    # ``rescalers`` each carry their own map_to_in (unetr.py:253-272,
+    # forward :364-367); the rescalers' map_to_out Linears are BUILT but
+    # never executed (LinearEmbedding always constructs both,
+    # vit.py:525-537) — consume them so strict mode stays clean
+    if "vit.embedding.map_to_in.weight" in m.sd:
+        m.linear("vit.embedding.map_to_in", ("bn_map_in",))
+        # one rescaler per depth[1:] entry, but the forward only zips
+        # len(reconstruction_ops) = len(depth[1:-1]) of them against the
+        # ViT intermediates — the final rescaler is dead weight too
+        n_used = len(depth) - 2
+        for i in range(len(depth) - 1):
+            if i < n_used:
+                m.linear(
+                    f"rescalers.{i}.map_to_in", (f"rescaler_map_in_{i}",)
+                )
+            else:
+                m.take(f"rescalers.{i}.map_to_in.weight")
+                m.take(f"rescalers.{i}.map_to_in.bias")
+            for k in (
+                "map_to_out.0.weight", "map_to_out.0.bias",
+                "map_to_out.1.weight", "map_to_out.1.bias",
+            ):
+                m.take(f"rescalers.{i}.{k}")
 
     def conv_block(tprefix, fprefix):
         m.conv(f"{tprefix}.0", (f"{fprefix}_Conv_0",))

@@ -27,6 +27,61 @@ def resize_like(x, target_shape_spatial, method: str = "linear"):
     return jax.image.resize(x, new_shape, method=method)
 
 
+def split_int_into_n(i: int, n: int):
+    """Distributes i over n slots, earlier slots take the remainder
+    (parity: layers/utils.py:8-27 — the reference ASPP's per-rate
+    channel split)."""
+    r = i % n
+    out = [i // n] * n
+    for idx in range(r):
+        out[idx] += 1
+    return out
+
+
+class AtrousSpatialPyramidPoolingRef(nn.Module):
+    """The REFERENCE's ASPP, exactly (multi_resolution.py:359-417, the
+    UNet asp conv type): out_channels split across rates
+    (split_int_into_n), each branch = dilated 3^nd conv -> adn ->
+    depthwise-separable conv (depthwise 3^nd + pointwise 1x1, identity
+    activation) -> adn, branches CONCATENATED (no global-pool branch,
+    no output projection — both exist only in our TPU-first redesign
+    above). ``adn_fn`` should be the instance-norm ADN the reference
+    hard-codes (unet.py:407-413). Exists for reference-checkpoint
+    import (interop/torch_unet.py)."""
+
+    out_channels: int
+    rates: Sequence[int] = (1, 2)
+    adn_fn: AdnFactory = identity_adn
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from adell_mri_tpu.ops.conv import TpuDwConv
+
+        ndim = x.ndim - 2
+        branches = []
+        chans = split_int_into_n(self.out_channels, len(self.rates))
+        for i, (rate, c) in enumerate(zip(self.rates, chans)):
+            y = nn.Conv(
+                c,
+                _tuple(3, ndim),
+                kernel_dilation=_tuple(rate, ndim),
+                padding="SAME",
+                name=f"branch{i}_conv",
+            )(x)
+            y = apply_adn(
+                self.adn_fn(c, name=f"branch{i}_adn_0"), y, train
+            )
+            y = TpuDwConv(
+                c, _tuple(3, ndim), padding="SAME", name=f"branch{i}_dw"
+            )(y)
+            y = nn.Conv(c, _tuple(1, ndim), name=f"branch{i}_pw")(y)
+            y = apply_adn(
+                self.adn_fn(c, name=f"branch{i}_adn_1"), y, train
+            )
+            branches.append(y)
+        return jnp.concatenate(branches, axis=-1)
+
+
 class AtrousSpatialPyramidPooling(nn.Module):
     """
     Parallel dilated convs + a global-pooling branch, concatenated and

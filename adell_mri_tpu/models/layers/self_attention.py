@@ -53,6 +53,29 @@ class ConcurrentSqueezeAndExcite(nn.Module):
         return jnp.maximum(a, b)
 
 
+class ConcurrentSqueezeAndExciteRef(nn.Module):
+    """The REFERENCE's scSE, exactly (self_attention.py:40-149, used by
+    the UNet sae/asp conv types): spatial gate = 1x1 conv -> sigmoid;
+    channel gate = spatial mean -> Linear(c, c) -> ReLU -> Linear(c, c)
+    -> sigmoid (no bottleneck); the two gated copies of X are SUMMED
+    (ours takes the elementwise max and bottlenecks the channel MLP).
+    Exists for reference-checkpoint import (interop/torch_unet.py)."""
+
+    @nn.compact
+    def __call__(self, x):
+        ndim = x.ndim - 2
+        c = x.shape[-1]
+        gate = nn.Conv(1, _tuple(1, ndim), name="spatial_conv")(x)
+        spatial = x * nn.sigmoid(gate)
+        axes = tuple(range(1, x.ndim - 1))
+        m = jnp.mean(x, axis=axes)
+        m = nn.Dense(c, name="channel_fc0")(m)
+        m = nn.relu(m)
+        m = nn.Dense(c, name="channel_fc1")(m)
+        cgate = nn.sigmoid(m).reshape((x.shape[0],) + (1,) * ndim + (c,))
+        return spatial + x * cgate
+
+
 class SelfAttentionBlock(nn.Module):
     """
     Attention gate for U-Net skip connections (parity: self_attention.py:152):

@@ -36,13 +36,33 @@ from adell_mri_tpu.models.layers.blocks import (
 )
 from adell_mri_tpu.models.layers.multi_resolution import (
     AtrousSpatialPyramidPooling,
+    AtrousSpatialPyramidPoolingRef,
     resize_like,
 )
 from adell_mri_tpu.models.layers.res_blocks import ResidualBlock, ConvNeXtBlock
 from adell_mri_tpu.models.layers.self_attention import (
     ConcurrentSqueezeAndExcite,
+    ConcurrentSqueezeAndExciteRef,
     SelfAttentionBlock,
 )
+
+
+def _numel(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
+def _crop_center(x, target_spatial):
+    """crop_to_size parity (ref layers/utils.py:30-53): center crop of
+    the spatial axes, low side takes floor(diff/2)."""
+    slices = [slice(None)]
+    for cur, tgt in zip(x.shape[1:-1], target_spatial):
+        lo = (cur - tgt) // 2
+        slices.append(slice(lo, lo + tgt))
+    slices.append(slice(None))
+    return x[tuple(slices)]
 
 
 class _ConvUnit(nn.Module):
@@ -66,6 +86,9 @@ class _ConvUnit(nn.Module):
     stride: Union[int, Sequence[int]] = 1
     conv_type: str = "regular"
     adn_fn: Any = None
+    # asp_ref only: the reference hard-codes an instance-norm ADN inside
+    # its ASPP regardless of the model norm_type (ref unet.py:407-413)
+    asp_adn_fn: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -99,15 +122,42 @@ class _ConvUnit(nn.Module):
             )(x)
             if ct == "sae":
                 x = ConcurrentSqueezeAndExcite()(x)
-        elif ct == "depthwise":
+        elif ct == "sae_ref":
+            # reference-compat sae (checkpoint import): conv block + the
+            # reference's sum-combined scSE (self_attention.py:127-149)
+            from adell_mri_tpu.ops.conv import TpuConv
+
+            x = TpuConv(
+                in_ch, k, strides=s, padding=pad, name="Conv_0",
+            )(x)
+            x = apply_adn(self.adn_fn(in_ch), x, train)
+            x = TpuConv(
+                self.out_channels, k, strides=_tuple(1, ndim),
+                padding="SAME", name="Conv_1",
+            )(x)
+            x = ConcurrentSqueezeAndExciteRef(name="scse")(x)
+        elif ct in ("depthwise", "depthwise_ref"):
             from adell_mri_tpu.ops.conv import TpuDwConv
 
             x = TpuDwConv(
                 in_ch, k, strides=s, padding=pad, name="Conv_dw",
             )(x)
             x = apply_adn(self.adn_fn(in_ch), x, train)
+            # depthwise_ref (checkpoint import): the reference's
+            # depthwise_conv_block passes the BLOCK padding to the
+            # POINTWISE conv too (ref unet.py:292-307) — at strided
+            # downsamples (p = k//2, init_encoder :566) the 1x1 conv
+            # therefore zero-pads the volume back OUT by 2*(k//2) per
+            # axis; its decoder center-crops the drift away. The
+            # TPU-first 'depthwise' keeps exact halving instead.
+            pw_pad = (
+                tuple((ki // 2, ki // 2) for ki in k)
+                if ct == "depthwise_ref" and any(si != 1 for si in s)
+                else "VALID"
+            )
             x = nn.Conv(
-                self.out_channels, _tuple(1, ndim), name="Conv_pw"
+                self.out_channels, _tuple(1, ndim), padding=pw_pad,
+                name="Conv_pw",
             )(x)
         elif ct == "resnet":
             x = ResidualBlock(
@@ -138,6 +188,19 @@ class _ConvUnit(nn.Module):
             )(x, train=train)
             if any(si != 1 for si in s):
                 x = nn.Conv(self.out_channels, k, strides=s, padding="SAME")(x)
+        elif ct == "asp_ref":
+            # reference-compat asp (checkpoint import): the reference's
+            # ASPP with rates [1, 2] and a hard-coded instance-norm ADN
+            # (ref unet.py:407-413) which IGNORES kernel/stride — the
+            # reference asp encoder therefore never downsamples; its
+            # decoder upsamples anyway and center-crops back (forward
+            # :810-816). Bug-compatible by construction.
+            x = AtrousSpatialPyramidPoolingRef(
+                self.out_channels,
+                rates=(1, 2),
+                adn_fn=self.asp_adn_fn or self.adn_fn,
+                name="aspp",
+            )(x, train=train)
         else:
             raise NotImplementedError(f"conv_type {ct!r}")
         return apply_adn(self.adn_fn(self.out_channels), x, train)
@@ -219,6 +282,18 @@ class UNet(nn.Module):
     ):
         ndim = x.ndim - 2
         adn_fn = self._adn()
+        # the reference hard-codes instance-norm ADNs inside its ASPP
+        # blocks regardless of the model norm_type (ref unet.py:407-413)
+        asp_adn = (
+            get_adn_fn(
+                self.spatial_dimensions,
+                "instance",
+                self.activation_fn,
+                self.dropout_param,
+            )
+            if self.conv_type == "asp_ref"
+            else None
+        )
         depth, ks, st = list(self.depth), list(self.kernel_sizes), list(self.strides)
 
         if x_skip_layer is not None and x_skip_layer.ndim < x.ndim:
@@ -261,13 +336,14 @@ class UNet(nn.Module):
             curr = x
             for i, d in enumerate(depth):
                 curr = _ConvUnit(
-                    d, ks[i], 1, self.conv_type, adn_fn, name=f"enc_{i}"
+                    d, ks[i], 1, self.conv_type, adn_fn,
+                    asp_adn_fn=asp_adn, name=f"enc_{i}"
                 )(curr, train=train)
                 encoding_out.append(curr)
                 if i < len(depth) - 1:
                     curr = _ConvUnit(
                         d, ks[i], st[i], self.conv_type, adn_fn,
-                        name=f"enc_ds_{i}",
+                        asp_adn_fn=asp_adn, name=f"enc_ds_{i}",
                     )(curr, train=train)
         bottleneck = curr
         if return_bottleneck:
@@ -366,15 +442,29 @@ class UNet(nn.Module):
                     if self.interpolation != "bilinear"
                     else "linear",
                 )
-            # align spatial shapes (forward :812-816)
+            # align spatial shapes (forward :812-816). asp_ref keeps the
+            # reference's CENTER-CROP of whichever side is larger
+            # (crop_to_size, layers/utils.py:30-53 — its asp encoder
+            # never downsamples, so every decoder upsample overshoots);
+            # everything else resizes (static-shape friendly)
             if curr.shape[1:-1] != encoded.shape[1:-1]:
-                curr = resize_like(curr, encoded.shape[1:-1])
+                if self.conv_type in ("asp_ref", "depthwise_ref"):
+                    if _numel(curr.shape[1:-1]) < _numel(
+                        encoded.shape[1:-1]
+                    ):
+                        encoded = _crop_center(encoded, curr.shape[1:-1])
+                    else:
+                        curr = _crop_center(curr, encoded.shape[1:-1])
+                else:
+                    curr = resize_like(curr, encoded.shape[1:-1])
             curr = jnp.concatenate([curr, encoded], axis=-1)
             # ref decoder conv map (unet.py:213-246): resnet encoders
             # decode with REGULAR blocks, asp decodes with sae
-            dec_ct = {"resnet": "regular", "asp": "sae"}.get(
-                self.conv_type, self.conv_type
-            )
+            dec_ct = {
+                "resnet": "regular",
+                "asp": "sae",
+                "asp_ref": "sae_ref",
+            }.get(self.conv_type, self.conv_type)
             curr = _ConvUnit(
                 d, dec_ks[i], 1, dec_ct, adn_fn, name=f"dec_{i}"
             )(curr, train=train)

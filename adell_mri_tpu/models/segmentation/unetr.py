@@ -430,6 +430,12 @@ class UNETRRef(nn.Module):
     return_at: Sequence[int] = (2, 4, 5)
     n_heads: int = 8
     attention_dim: Optional[int] = None
+    # projecting embedding (reference embedding_size, vit.py:521-537):
+    # tokens project prod(patch)*C -> E through map_to_out (LayerNorm +
+    # Linear) and come BACK through per-consumer map_to_in Linears — the
+    # ViT embedding's own for the bottleneck, one per ``rescalers`` entry
+    # for the skips (unetr.py:253-272). None = parameter-free embedding.
+    embedding_size: Optional[int] = None
     mlp_structure: Sequence[int] = (256, 256)
     depth: Sequence[int] = (16, 32, 64)
     norm_type: str = "instance"
@@ -471,10 +477,14 @@ class UNETRRef(nn.Module):
             )(z)
 
         # ViT (names match the torch_vit importer surface)
+        projecting = bool(
+            self.embedding_size and self.embedding_size != token_dim
+        )
         tokens = LinearEmbedding(
             patch_size=p,
-            embed_dim=token_dim,
+            embed_dim=self.embedding_size if projecting else token_dim,
             embed_method="linear",
+            embed_norm=projecting,
             dropout=self.dropout_param,
             name="LinearEmbedding_0",
         )(x, train=train)
@@ -497,7 +507,14 @@ class UNETRRef(nn.Module):
         # reconstruction ladders (init_reconstruction_ops :316-330)
         skips = [z0]
         for i, d in enumerate(depth[1:-1]):
-            vol = tokens_to_rescaled_volume(inter[i], grid, p, scale)
+            tok_i = inter[i]
+            if projecting:
+                # rescalers[i].map_to_in (rearrange_rescale applies it
+                # before the downsample reshape, vit.py:812-830)
+                tok_i = nn.Dense(
+                    token_dim, name=f"rescaler_map_in_{i}"
+                )(tok_i)
+            vol = tokens_to_rescaled_volume(tok_i, grid, p, scale)
             n_ops = n_skips - (i + 1)
             for j in range(n_ops):
                 vol = TpuConvTranspose(
@@ -513,6 +530,9 @@ class UNETRRef(nn.Module):
             skips.append(vol)
 
         # bottleneck reconstruction: conv_block at k=1 (init :327-330)
+        if projecting:
+            # the ViT embedding's own map_to_in
+            tokens = nn.Dense(token_dim, name="bn_map_in")(tokens)
         curr = tokens_to_rescaled_volume(tokens, grid, p, scale)
         curr = conv_block(curr, in_rec, depth[-1], 1, "bn")
         skips.append(curr)

@@ -2468,3 +2468,178 @@ def test_swin_import_torch_checkpoint_cli_roundtrip(torch, tmp_path):
 
     outs = sorted(_os.listdir(out_dir))
     assert len(outs) >= 2
+
+
+@pytest.mark.parametrize(
+    "conv_type,flax_conv_type",
+    [
+        ("depthwise", "depthwise_ref"),
+        ("sae", "sae_ref"),
+        ("asp", "asp_ref"),
+    ],
+)
+def test_unet_conv_type_weight_transfer_parity(
+    torch, conv_type, flax_conv_type
+):
+    """Reference UNet conv_type depthwise/sae/asp -> our reference-compat
+    _ConvUnit variants (interop/torch_unet.py, round-4 verdict item 5):
+    same weights, same volume, same output. Covers the reference quirks
+    these variants reproduce — the depthwise block's POINTWISE conv
+    inherits the block padding, so strided downsamples zero-pad the
+    volume back out (unet.py:292-307 + init_encoder :566); the asp
+    encoder's ASPP ignores kernel/stride entirely and so never
+    downsamples, its decoder center-cropping the overshoot away
+    (unet.py:407-413, forward :810-816); sae's scSE sums the spatial and
+    channel gates with an unbottlenecked channel MLP
+    (self_attention.py:40-149)."""
+    import einops.layers.torch  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import import_reference_unet_state_dict
+    from adell_mri_tpu.models.segmentation.unet import UNet
+
+    um = _ref_module("adell_mri.modules.segmentation.unet")
+    torch.manual_seed(4)
+    depth = [8, 16, 24]
+    ref = um.UNet(
+        spatial_dimensions=3,
+        conv_type=conv_type,
+        link_type="conv",
+        upscale_type="transpose",
+        interpolation="trilinear",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn=torch.nn.SiLU,
+        in_channels=2,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+        padding="same",
+    ).eval()
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 2, 16, 16, 12)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))[0].numpy()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_unet_state_dict(
+        sd,
+        depth=depth,
+        conv_type=conv_type,
+        link_type="conv",
+        upscale_type="transpose",
+        norm_type="instance",
+        activation_fn="swish",
+        in_channels=2,
+    )
+    ours = UNet(
+        spatial_dimensions=3,
+        conv_type=flax_conv_type,
+        link_type="conv",
+        upscale_type="transpose",
+        interpolation="linear",
+        norm_type="instance",
+        dropout_param=0.0,
+        activation_fn="swish",
+        in_channels=2,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        strides=[2, 2, 2],
+    )
+    x_cl = np.transpose(x, (0, 2, 3, 4, 1))
+    init_p = ours.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x_cl)
+    )["params"]
+    got = jax.tree.map(np.shape, imported["params"])
+    want = jax.tree.map(jnp.shape, init_p)
+    assert got == want
+    out = ours.apply({"params": imported["params"]}, jnp.asarray(x_cl))[0]
+    our_out = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-4)
+
+
+def test_unetr_projecting_embedding_weight_transfer_parity(torch):
+    """Reference UNETR with embedding_size SET (projecting embedding:
+    map_to_out LayerNorm+Linear into the transformer, map_to_in Linears
+    back out — the ViT embedding's own for the bottleneck, per-skip
+    ``rescalers`` for the skips, whose map_to_out Linears the reference
+    builds but never runs; unetr.py:253-272, vit.py:521-537) -> our
+    UNETRRef with embedding_size (round-4 verdict item 5)."""
+    import einops.layers.torch  # noqa: F401
+    import jax
+    import jax.numpy as jnp
+
+    from adell_mri_tpu.interop import import_reference_unetr_state_dict
+    from adell_mri_tpu.models.segmentation.unetr import UNETRRef
+
+    um = _ref_module("adell_mri.modules.segmentation.unetr")
+    torch.manual_seed(11)
+    depth = [8, 16, 24]
+    ref = um.UNETR(
+        image_size=[32, 32, 16],
+        patch_size=[8, 8, 8],
+        number_of_blocks=4,
+        return_at=[1, 2],
+        attention_dim=64,
+        hidden_dim=64,
+        embedding_size=64,
+        n_heads=4,
+        mlp_structure=[64],
+        spatial_dimensions=3,
+        in_channels=1,
+        n_classes=2,
+        depth=depth,
+        kernel_sizes=[3, 3, 3],
+        conv_type="regular",
+        link_type="residual",
+        upscale_type="transpose",
+        interpolation="trilinear",
+        norm_type="instance",
+        padding=1,
+        dropout_rate=0.0,
+        dropout_param=0.0,
+        activation_fn=torch.nn.SiLU,
+    ).eval()
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 1, 32, 32, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))[0].numpy()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    imported = import_reference_unetr_state_dict(
+        sd,
+        depth=depth,
+        n_blocks=4,
+        n_heads=4,
+        return_at=[1, 2],
+        link_type="residual",
+        norm_type="instance",
+        activation_fn="swish",
+    )
+    ours = UNETRRef(
+        image_size=(32, 32, 16),
+        patch_size=(8, 8, 8),
+        n_blocks=4,
+        return_at=(1, 2),
+        n_heads=4,
+        attention_dim=64,
+        embedding_size=64,
+        mlp_structure=(64,),
+        depth=depth,
+        norm_type="instance",
+        activation_fn="swish",
+        dropout_param=0.0,
+        link_type="residual",
+        n_classes=2,
+    )
+    x_cl = np.transpose(x, (0, 2, 3, 4, 1))
+    init_p = ours.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.asarray(x_cl)
+    )["params"]
+    got = jax.tree.map(np.shape, imported["params"])
+    want = jax.tree.map(jnp.shape, init_p)
+    assert got == want
+    out, _ = ours.apply({"params": imported["params"]}, jnp.asarray(x_cl))
+    our_out = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(our_out, ref_out, atol=1e-4)
