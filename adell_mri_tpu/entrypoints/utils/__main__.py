@@ -37,6 +37,9 @@ supported_modes = {
     # other
     "random_image_panel": P,
     "test_exported_model": P,
+    # reference name (entrypoints/utils/__main__.py:35) — same tool; the
+    # reference "traces" torch models, we test exported orbax/jit bundles
+    "test_traced_model": P,
     "import_torch_checkpoint": P,
 }
 

@@ -668,6 +668,10 @@ def test_exported_model(argv):
     )
 
 
+# reference CLI name parity (utils/__main__.py:35)
+test_traced_model = test_exported_model
+
+
 def import_torch_checkpoint(argv):
     """
     Migration path from the reference: converts a torch/Lightning
