@@ -492,38 +492,122 @@ def main():
     # 0.5, overlap-accumulated in one jit; inference/sliding_window.py).
     # Default-on so the driver's plain round-end invocation records it.
     sliding_vps, sliding_ok = None, None
+    sliding_flops_case = None
+    tta_vps, tta_ok, tta_flops_case = None, None, None
     if os.environ.get("ADELL_BENCH_SLIDING", "1") == "1":
         try:
             from adell_mri_tpu.inference.sliding_window import (
                 sliding_window_inference,
             )
 
-            big = jnp.ones((256, 256, 64, 1), jnp.bfloat16)
+            # serving case = 2x the window per axis (flagship 128x128x32
+            # window -> the 256x256x64 case every prior round recorded);
+            # scaling with SHAPE keeps the CPU smoke runnable
+            big = jnp.ones(
+                tuple(2 * s for s in SHAPE) + (1,), jnp.bfloat16
+            )
 
             def infer_fn(tiles):
                 pred, _ = model.apply({"params": params}, tiles)
                 return pred
 
+            def sw_once(v):
+                return sliding_window_inference(
+                    infer_fn,
+                    v,
+                    window=SHAPE,
+                    stride_frac=0.5,
+                    batch_size=BATCH,
+                    out_channels=1,
+                )
+
             @jax.jit
             def sw_chain(v, n):
                 def body(i, c):
-                    seg = sliding_window_inference(
-                        infer_fn,
-                        c,
-                        window=SHAPE,
-                        stride_frac=0.5,
-                        batch_size=BATCH,
-                        out_channels=1,
-                    )
+                    seg = sw_once(c)
                     return c + (seg * 1e-6).astype(c.dtype)
 
                 return jax.lax.fori_loop(0, n, body, v)
 
+            # serving-side MFU accounting (same HLO cost model as the
+            # train rows): FLOPs for ONE whole-case sliding pass
+            sliding_flops_case = _hlo_flops(sw_once, big)
             _stage("compiling sliding-window inference")
             sliding_vps, sliding_ok = timed_chain(
                 lambda n: sw_chain(big, n), n_small=2, per_item=1
             )
             _stage(f"sliding-window {sliding_vps:.2f} cases/s")
+
+            # opt-in serving COMPOSITION row (the reference's production
+            # serving stack, utils/inference.py:787-989): flip TTA
+            # (identity + 3 single-axis flips) x a 2-member ensemble =
+            # 8 sliding passes per case, flips/means fused in-jit
+            if os.environ.get("ADELL_BENCH_TTA", "0") == "1":
+                # the sliding body compiles ONCE: the 8 (member, flip)
+                # variants ride a lax.scan over pre-flipped copies of
+                # the case + stacked member params (inlining 8 sliding
+                # programs into one jit was a multi-minute compile);
+                # predictions un-flip statically after the scan
+                params_b = jax.tree.map(lambda a: a * 1.01, params)
+                p_stack = jax.tree.map(
+                    lambda a, b: jnp.stack([a, b]), params, params_b
+                )
+                flip_axes = [(), (0,), (1,), (2,)]
+
+                def tta_fn(v):
+                    xs = jnp.stack(
+                        [
+                            jnp.flip(v, ax) if ax else v
+                            for ax in flip_axes
+                        ]
+                        * 2
+                    )
+                    pidx = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1])
+
+                    def body(carry, inp):
+                        xf, pi = inp
+                        p = jax.tree.map(lambda a: a[pi], p_stack)
+
+                        def fn(tiles):
+                            pred, _ = model.apply({"params": p}, tiles)
+                            return pred
+
+                        out = sliding_window_inference(
+                            fn,
+                            xf,
+                            window=SHAPE,
+                            stride_frac=0.5,
+                            batch_size=BATCH,
+                            out_channels=1,
+                        )
+                        return carry, out
+
+                    _, outs = jax.lax.scan(body, None, (xs, pidx))
+                    preds = [
+                        jnp.flip(outs[j], flip_axes[j % 4])
+                        if flip_axes[j % 4]
+                        else outs[j]
+                        for j in range(8)
+                    ]
+                    return sum(preds) / 8.0
+
+                @jax.jit
+                def tta_chain(v, n):
+                    def body(i, c):
+                        seg = tta_fn(c)
+                        return c + (seg * 1e-6).astype(c.dtype)
+
+                    return jax.lax.fori_loop(0, n, body, v)
+
+                # analytic FLOPs: 8 sliding passes per case (the HLO
+                # cost model counts a scanned body once)
+                if sliding_flops_case:
+                    tta_flops_case = 8 * sliding_flops_case
+                _stage("compiling TTA x ensemble serving composition")
+                tta_vps, tta_ok = timed_chain(
+                    lambda n: tta_chain(big, n), n_small=1, per_item=1
+                )
+                _stage(f"tta-ensemble {tta_vps:.3f} cases/s")
         except Exception as exc:
             print(f"bench: sliding sidecar failed: {exc}", file=sys.stderr)
 
@@ -580,6 +664,8 @@ def main():
 
     e2e_tflops, e2e_pct = _mfu(e2e_vps, aug_fwd_flops_vol)
     train_tflops, train_pct = _mfu(train_vps, train_flops_vol)
+    sliding_tflops, sliding_pct = _mfu(sliding_vps, sliding_flops_case)
+    tta_tflops, tta_pct = _mfu(tta_vps, tta_flops_case)
 
     print(
         json.dumps(
@@ -609,11 +695,20 @@ def main():
                 "flops_per_volume": {
                     "aug_forward": aug_fwd_flops_vol,
                     "train_step": train_flops_vol,
+                    "sliding_case": sliding_flops_case,
+                    "tta_ensemble_case": tta_flops_case,
                 },
                 "aug_fwd_achieved_tflops": e2e_tflops,
                 "aug_fwd_pct_of_calibration": e2e_pct,
                 "train_achieved_tflops": train_tflops,
                 "train_pct_of_calibration": train_pct,
+                "sliding_achieved_tflops": sliding_tflops,
+                "sliding_pct_of_calibration": sliding_pct,
+                "tta_ensemble_cases_per_sec": (
+                    round(tta_vps, 4) if tta_vps else None
+                ),
+                "tta_achieved_tflops": tta_tflops,
+                "tta_pct_of_calibration": tta_pct,
                 "headline_samples": e2e_samples,
                 "headline_spread": (
                     round(max(e2e_samples) - min(e2e_samples), 3)
@@ -628,6 +723,7 @@ def main():
                     "aug_only": aug_ok,
                     "train_step": train_ok,
                     "sliding_window": sliding_ok,
+                    "tta_ensemble": tta_ok,
                 },
             }
         )

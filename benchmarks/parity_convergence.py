@@ -213,7 +213,7 @@ def write_subset(ds, ids, path):
 # ---------------------------------------------------------------------------
 
 
-def _cli(args, env_extra=None, timeout=3600):
+def _cli(args, env_extra=None, timeout=10800):
     env = dict(os.environ)
     env.update(
         {
