@@ -71,3 +71,40 @@ def test_converged_head_to_head(tmp_path):
     # mean deltas -0.0016 / 0.0000, BASELINE.md).
     assert abs(d_dice) < 0.01, f"Dice delta {d_dice:+.4f} ({results})"
     assert abs(d_auc) < 0.04, f"AUC delta {d_auc:+.4f} ({results})"
+
+
+def test_converged_seg_head_to_head_augmentation_on(tmp_path):
+    """Round-5 official axis: the seg h2h through the FULL augmentation
+    pipeline on both sides (ours: the CLI's on-device fused-warp jit;
+    reference: the numpy mirror of get_augmentations_unet probs/ranges
+    — monai is absent here), independent RNG streams. Official record
+    BASELINE.md round 5: mean delta -0.12pt over 3 seeds, every seed
+    inside the 1pt bar."""
+    outdir = str(tmp_path / "h2h_aug")
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "benchmarks", "parity_convergence.py"),
+            "--task", "seg",
+            "--seg-augment",
+            "--epochs-seg", "40",
+            "--seeds", "2",
+            "--outdir", outdir,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=7200,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    with open(os.path.join(outdir, "results.json")) as f:
+        results = json.load(f)
+    deltas = []
+    for s in range(2):
+        deltas.append(
+            results[f"segaug_ours_s{s}"] - results[f"segaug_ref_s{s}"]
+        )
+    mean = float(np.mean(deltas))
+    # augmentation adds an independent-RNG stochastic axis on each side;
+    # the measured per-seed spread was <=0.4pt (round 5), so 1pt on the
+    # 2-seed mean is the target bar itself
+    assert abs(mean) < 0.01, f"aug-ON Dice delta {mean:+.4f} ({results})"
